@@ -1,0 +1,364 @@
+"""Pure-numpy WKB (Well-Known Binary) geometry codec.
+
+The engine keeps geometries as WKB ``binary`` columns everywhere
+(SURVEY.md §1.1); this module decodes them into lightweight
+numpy-coordinate geometries inside pandas UDF batches and re-encodes
+after reprojection. No GEOS/shapely dependency.
+
+Supports 2-D Point, LineString, Polygon, MultiPoint, MultiLineString,
+MultiPolygon, GeometryCollection. EWKB SRID flags are tolerated
+(skipped); Z/M dimensions are rejected with a clear error.
+
+Reference behavior being reproduced: geometries in the reference are
+shapely objects carried by a GeoDataFrame (reference
+geocube/geo_utils/geobox.py:84-90); here the same information is a WKB
+byte string plus a table-level CRS.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+POINT = 1
+LINESTRING = 2
+POLYGON = 3
+MULTIPOINT = 4
+MULTILINESTRING = 5
+MULTIPOLYGON = 6
+GEOMETRYCOLLECTION = 7
+
+_TYPE_NAMES = {
+    POINT: "Point",
+    LINESTRING: "LineString",
+    POLYGON: "Polygon",
+    MULTIPOINT: "MultiPoint",
+    MULTILINESTRING: "MultiLineString",
+    MULTIPOLYGON: "MultiPolygon",
+    GEOMETRYCOLLECTION: "GeometryCollection",
+}
+
+# EWKB / ISO flags
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+class Geometry:
+    """Lightweight geometry: a type tag plus numpy coordinate arrays.
+
+    parts layout by type:
+      Point              -> ndarray shape (2,)
+      LineString         -> ndarray shape (N, 2)
+      Polygon            -> list[ndarray (N, 2)]   (ring 0 = exterior)
+      MultiPoint         -> ndarray shape (N, 2)
+      MultiLineString    -> list[ndarray (N, 2)]
+      MultiPolygon       -> list[list[ndarray (N, 2)]]
+      GeometryCollection -> list[Geometry]
+    """
+
+    __slots__ = ("geom_type", "parts")
+
+    def __init__(self, geom_type: int, parts):
+        self.geom_type = geom_type
+        self.parts = parts
+
+    @property
+    def type_name(self) -> str:
+        return _TYPE_NAMES[self.geom_type]
+
+    # -- coordinate access -------------------------------------------------
+    def coord_arrays(self):
+        """Yield every (N,2) coordinate array (points viewed as (1,2))."""
+        t = self.geom_type
+        if t == POINT:
+            yield self.parts.reshape(1, 2)
+        elif t in (LINESTRING, MULTIPOINT):
+            yield self.parts
+        elif t in (POLYGON, MULTILINESTRING):
+            yield from self.parts
+        elif t == MULTIPOLYGON:
+            for poly in self.parts:
+                yield from poly
+        elif t == GEOMETRYCOLLECTION:
+            for g in self.parts:
+                yield from g.coord_arrays()
+        else:  # pragma: no cover
+            raise ValueError(f"bad geom_type {t}")
+
+    def transform(self, func) -> "Geometry":
+        """Apply func(x_arr, y_arr) -> (x_arr, y_arr) to all coords."""
+
+        def _tx(arr):
+            x, y = func(arr[:, 0], arr[:, 1])
+            return np.column_stack([x, y])
+
+        t = self.geom_type
+        if t == POINT:
+            return Geometry(t, _tx(self.parts.reshape(1, 2))[0])
+        if t in (LINESTRING, MULTIPOINT):
+            return Geometry(t, _tx(self.parts))
+        if t in (POLYGON, MULTILINESTRING):
+            return Geometry(t, [_tx(r) for r in self.parts])
+        if t == MULTIPOLYGON:
+            return Geometry(t, [[_tx(r) for r in poly] for poly in self.parts])
+        if t == GEOMETRYCOLLECTION:
+            return Geometry(t, [g.transform(func) for g in self.parts])
+        raise ValueError(f"bad geom_type {t}")  # pragma: no cover
+
+    def bounds(self):
+        """(minx, miny, maxx, maxy)."""
+        xs_min = ys_min = np.inf
+        xs_max = ys_max = -np.inf
+        for arr in self.coord_arrays():
+            if len(arr) == 0:
+                continue
+            xs_min = min(xs_min, arr[:, 0].min())
+            xs_max = max(xs_max, arr[:, 0].max())
+            ys_min = min(ys_min, arr[:, 1].min())
+            ys_max = max(ys_max, arr[:, 1].max())
+        return (xs_min, ys_min, xs_max, ys_max)
+
+    def polygons(self):
+        """Yield ring-lists for every polygon in this geometry."""
+        t = self.geom_type
+        if t == POLYGON:
+            yield self.parts
+        elif t == MULTIPOLYGON:
+            yield from self.parts
+        elif t == GEOMETRYCOLLECTION:
+            for g in self.parts:
+                yield from g.polygons()
+
+    def lines(self):
+        t = self.geom_type
+        if t == LINESTRING:
+            yield self.parts
+        elif t == MULTILINESTRING:
+            yield from self.parts
+        elif t == GEOMETRYCOLLECTION:
+            for g in self.parts:
+                yield from g.lines()
+
+    def points(self):
+        t = self.geom_type
+        if t == POINT:
+            yield self.parts
+        elif t == MULTIPOINT:
+            yield from self.parts
+        elif t == GEOMETRYCOLLECTION:
+            for g in self.parts:
+                yield from g.points()
+
+    def to_wkb(self) -> bytes:
+        return _encode(self)
+
+    def __repr__(self):  # pragma: no cover
+        return f"<Geometry {self.type_name} bounds={self.bounds()}>"
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _read_coords(buf: memoryview, off: int, n: int, lt: bool):
+    dt = "<f8" if lt else ">f8"
+    arr = np.frombuffer(buf, dtype=dt, count=2 * n, offset=off)
+    return arr.reshape(n, 2).astype(np.float64, copy=False), off + 16 * n
+
+
+def _decode_at(buf: memoryview, off: int):
+    byte_order = buf[off]
+    lt = byte_order == 1
+    fmt = "<I" if lt else ">I"
+    (raw_type,) = struct.unpack_from(fmt, buf, off + 1)
+    off += 5
+    if raw_type & (_EWKB_Z | _EWKB_M):
+        raise ValueError("Z/M WKB dimensions are not supported")
+    if raw_type & _EWKB_SRID:
+        off += 4  # skip srid
+    gtype = raw_type & 0xFF
+    # ISO WKB encodes Z as type+1000, M as +2000
+    if gtype != raw_type & 0xFFFF and (raw_type & 0xFFFF) > 7:
+        raise ValueError("Z/M WKB dimensions are not supported")
+    gtype = (raw_type & 0xFFFF) % 1000
+    if (raw_type & 0xFFFF) >= 1000:
+        raise ValueError("Z/M WKB dimensions are not supported")
+
+    if gtype == POINT:
+        arr, off = _read_coords(buf, off, 1, lt)
+        return Geometry(POINT, arr[0]), off
+    if gtype in (LINESTRING, MULTIPOINT):
+        (n,) = struct.unpack_from(fmt, buf, off)
+        off += 4
+        if gtype == LINESTRING:
+            arr, off = _read_coords(buf, off, n, lt)
+            return Geometry(LINESTRING, arr), off
+        pts = np.empty((n, 2), dtype=np.float64)
+        for i in range(n):
+            g, off = _decode_at(buf, off)
+            pts[i] = g.parts
+        return Geometry(MULTIPOINT, pts), off
+    if gtype == POLYGON:
+        (nrings,) = struct.unpack_from(fmt, buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(fmt, buf, off)
+            off += 4
+            arr, off = _read_coords(buf, off, n, lt)
+            rings.append(arr)
+        return Geometry(POLYGON, rings), off
+    if gtype in (MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        (n,) = struct.unpack_from(fmt, buf, off)
+        off += 4
+        subs = []
+        for _ in range(n):
+            g, off = _decode_at(buf, off)
+            subs.append(g)
+        if gtype == MULTILINESTRING:
+            return Geometry(MULTILINESTRING, [g.parts for g in subs]), off
+        if gtype == MULTIPOLYGON:
+            return Geometry(MULTIPOLYGON, [g.parts for g in subs]), off
+        return Geometry(GEOMETRYCOLLECTION, subs), off
+    raise ValueError(f"unsupported WKB geometry type {raw_type}")
+
+
+def loads(data: bytes) -> Geometry:
+    """Decode WKB bytes (or hex string) into a Geometry."""
+    if isinstance(data, str):
+        data = bytes.fromhex(data)
+    g, _ = _decode_at(memoryview(data), 0)
+    return g
+
+
+# ---------------------------------------------------------------------------
+# encode (always little-endian)
+# ---------------------------------------------------------------------------
+
+def _enc_coords(out: list, arr: np.ndarray):
+    out.append(np.ascontiguousarray(arr, dtype="<f8").tobytes())
+
+
+def _encode(g: Geometry) -> bytes:
+    out = [b"\x01", struct.pack("<I", g.geom_type)]
+    t = g.geom_type
+    if t == POINT:
+        _enc_coords(out, g.parts.reshape(1, 2))
+    elif t == LINESTRING:
+        out.append(struct.pack("<I", len(g.parts)))
+        _enc_coords(out, g.parts)
+    elif t == POLYGON:
+        out.append(struct.pack("<I", len(g.parts)))
+        for r in g.parts:
+            out.append(struct.pack("<I", len(r)))
+            _enc_coords(out, r)
+    elif t == MULTIPOINT:
+        out.append(struct.pack("<I", len(g.parts)))
+        for p in g.parts:
+            out.append(_encode(Geometry(POINT, p)))
+    elif t == MULTILINESTRING:
+        out.append(struct.pack("<I", len(g.parts)))
+        for ls in g.parts:
+            out.append(_encode(Geometry(LINESTRING, ls)))
+    elif t == MULTIPOLYGON:
+        out.append(struct.pack("<I", len(g.parts)))
+        for poly in g.parts:
+            out.append(_encode(Geometry(POLYGON, poly)))
+    elif t == GEOMETRYCOLLECTION:
+        out.append(struct.pack("<I", len(g.parts)))
+        for sub in g.parts:
+            out.append(_encode(sub))
+    else:  # pragma: no cover
+        raise ValueError(f"bad geom_type {t}")
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# constructors / GeoJSON bridge
+# ---------------------------------------------------------------------------
+
+def point(x: float, y: float) -> Geometry:
+    return Geometry(POINT, np.array([x, y], dtype=np.float64))
+
+
+def linestring(coords) -> Geometry:
+    return Geometry(LINESTRING, np.asarray(coords, dtype=np.float64))
+
+
+def polygon(exterior, holes=()) -> Geometry:
+    rings = [np.asarray(exterior, dtype=np.float64)]
+    rings.extend(np.asarray(h, dtype=np.float64) for h in holes)
+    return Geometry(POLYGON, rings)
+
+
+def box(minx: float, miny: float, maxx: float, maxy: float) -> Geometry:
+    return polygon(
+        [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)]
+    )
+
+
+def multipolygon(polys) -> Geometry:
+    return Geometry(
+        MULTIPOLYGON,
+        [[np.asarray(r, dtype=np.float64) for r in rings] for rings in polys],
+    )
+
+
+_GJ_TYPES = {v: k for k, v in _TYPE_NAMES.items()}
+
+
+def from_geojson(geom: dict) -> Geometry:
+    """GeoJSON geometry dict -> Geometry (2-D coords only)."""
+    t = geom["type"]
+    c = geom.get("coordinates")
+
+    def _xy(seq):
+        return np.asarray([p[:2] for p in seq], dtype=np.float64)
+
+    if t == "Point":
+        return point(c[0], c[1])
+    if t == "LineString":
+        return Geometry(LINESTRING, _xy(c))
+    if t == "Polygon":
+        return Geometry(POLYGON, [_xy(r) for r in c])
+    if t == "MultiPoint":
+        return Geometry(MULTIPOINT, _xy(c))
+    if t == "MultiLineString":
+        return Geometry(MULTILINESTRING, [_xy(ls) for ls in c])
+    if t == "MultiPolygon":
+        return Geometry(MULTIPOLYGON, [[_xy(r) for r in poly] for poly in c])
+    if t == "GeometryCollection":
+        return Geometry(
+            GEOMETRYCOLLECTION, [from_geojson(g) for g in geom["geometries"]]
+        )
+    raise ValueError(f"unsupported GeoJSON type {t}")
+
+
+def to_geojson(g: Geometry) -> dict:
+    t = g.geom_type
+    if t == POINT:
+        return {"type": "Point", "coordinates": list(g.parts)}
+    if t == LINESTRING:
+        return {"type": "LineString", "coordinates": g.parts.tolist()}
+    if t == POLYGON:
+        return {"type": "Polygon", "coordinates": [r.tolist() for r in g.parts]}
+    if t == MULTIPOINT:
+        return {"type": "MultiPoint", "coordinates": g.parts.tolist()}
+    if t == MULTILINESTRING:
+        return {
+            "type": "MultiLineString",
+            "coordinates": [ls.tolist() for ls in g.parts],
+        }
+    if t == MULTIPOLYGON:
+        return {
+            "type": "MultiPolygon",
+            "coordinates": [[r.tolist() for r in p] for p in g.parts],
+        }
+    if t == GEOMETRYCOLLECTION:
+        return {
+            "type": "GeometryCollection",
+            "geometries": [to_geojson(s) for s in g.parts],
+        }
+    raise ValueError(f"bad geom_type {t}")  # pragma: no cover

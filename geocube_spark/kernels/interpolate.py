@@ -1,0 +1,175 @@
+"""Point-to-grid interpolation kernels, pure numpy.
+
+Reference counterparts:
+* rasterize_points_griddata (geocube/rasterize.py:136-191) —
+  scipy.interpolate.griddata over (x, y) -> meshgrid, methods
+  nearest / linear / cubic, optional rescale-to-unit-cube, fill_value.
+* rasterize_points_radial (geocube/rasterize.py:194-239) —
+  scipy.interpolate.Rbf, default function='linear'.
+* interpolate_na post-pass (geocube/vector_to_cube.py:291-292 via
+  rioxarray) — griddata from valid cells onto nodata cells.
+
+The reference's tests compare these with rtol=atol=0.1
+(test_core_integration.py:836-841), i.e. interpolator-family accuracy,
+not bit-exactness across scipy versions.
+
+Scale note (SURVEY.md §7): nearest is tileable with a halo that grows
+until each tile finds a donor point; linear/cubic/RBF are globally
+coupled (Delaunay / dense solve), so the distributed plan runs them
+per (measurement, group) partition — exactly as single-node as the
+reference, but parallel across bands/groups. 'cubic'
+(Clough-Tocher C1) is approximated by the linear kernel and flagged,
+since reproducing scipy's CT2D without scipy is out of scope for the
+0.1-tolerance contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .delaunay import linear_interpolate
+
+_CHUNK = 262144  # grid cells per distance-matrix block: bounds memory
+
+
+def _rescale(px, py, qx, qy):
+    """scipy griddata rescale=True: scale points to unit cube via ptp."""
+    sx = px.ptp() or 1.0
+    sy = py.ptp() or 1.0
+    ox, oy = px.min(), py.min()
+    return (
+        (px - ox) / sx,
+        (py - oy) / sy,
+        (qx - ox) / sx,
+        (qy - oy) / sy,
+    )
+
+
+def nearest_interp(px, py, values, qx, qy, rescale=False):
+    """Value of nearest input point for each query point (brute force,
+    blocked so memory stays bounded: O(|block| * n_points))."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    values = np.asarray(values)
+    qx = np.asarray(qx, dtype=np.float64).ravel()
+    qy = np.asarray(qy, dtype=np.float64).ravel()
+    if rescale:
+        px, py, qx, qy = _rescale(px, py, qx, qy)
+    out = np.empty(qx.shape, dtype=np.float64)
+    step = max(1, _CHUNK // max(1, len(px)))
+    for i in range(0, len(qx), step):
+        dx = qx[i : i + step, None] - px[None, :]
+        dy = qy[i : i + step, None] - py[None, :]
+        idx = np.argmin(dx * dx + dy * dy, axis=1)
+        out[i : i + step] = values[idx]
+    return out
+
+
+def griddata_interp(px, py, values, grid_x, grid_y, *, method="nearest",
+                    fill=np.nan, rescale=False):
+    """scipy.interpolate.griddata equivalent onto a rectilinear grid.
+
+    grid_x: (W,) cell-center xs; grid_y: (H,) cell-center ys.
+    Returns (H, W) float64.
+    """
+    gx, gy = np.meshgrid(np.asarray(grid_x, float), np.asarray(grid_y, float))
+    qx, qy = gx.ravel(), gy.ravel()
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    if len(px) == 0:
+        return np.full(gx.shape, fill, dtype=np.float64)
+    if method == "nearest":
+        out = nearest_interp(px, py, values, qx, qy, rescale=rescale)
+    elif method in ("linear", "cubic"):
+        # 'cubic' approximated by linear (see module docstring)
+        if rescale:
+            px, py, qx, qy = _rescale(px, py, qx, qy)
+        out = linear_interpolate(
+            np.column_stack([px, py]), values, qx, qy, fill=fill
+        )
+    else:
+        raise ValueError(f"unsupported griddata method {method!r}")
+    return out.reshape(gx.shape)
+
+
+# ---------------------------------------------------------------------------
+# RBF (scipy.interpolate.Rbf parity)
+# ---------------------------------------------------------------------------
+
+def _rbf_kernel(r, function, epsilon):
+    if function == "linear":
+        return r
+    if function == "cubic":
+        return r**3
+    if function == "quintic":
+        return r**5
+    if function == "thin_plate":
+        return np.where(r == 0, 0.0, r**2 * np.log(np.where(r == 0, 1.0, r)))
+    if function == "multiquadric":
+        return np.sqrt((r / epsilon) ** 2 + 1)
+    if function == "inverse":
+        return 1.0 / np.sqrt((r / epsilon) ** 2 + 1)
+    if function == "gaussian":
+        return np.exp(-((r / epsilon) ** 2))
+    raise ValueError(f"unsupported RBF function {function!r}")
+
+
+def rbf_interp(px, py, values, grid_x, grid_y, *, function="linear"):
+    """scipy Rbf(x, y, v, function=...) evaluated on meshgrid.
+
+    Global dense solve O(n^3) — documented non-tileable, run per
+    (measurement, group) partition like the reference runs it
+    single-node (SURVEY.md §2.8 rasterize_points_radial).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
+    n = len(px)
+    dx = px[:, None] - px[None, :]
+    dy = py[:, None] - py[None, :]
+    r = np.hypot(dx, dy)
+    # scipy default epsilon: "average distance between nodes" approximated
+    # from the bounding-box area per node
+    xi = np.stack([px, py])
+    ximax = xi.max(axis=1)
+    ximin = xi.min(axis=1)
+    edges = (ximax - ximin)
+    edges = edges[edges > 0]
+    epsilon = np.power(np.prod(edges) / n, 1.0 / len(edges)) if len(edges) else 1.0
+    A = _rbf_kernel(r, function, epsilon)
+    w = np.linalg.solve(A, v)
+    gx, gy = np.meshgrid(np.asarray(grid_x, float), np.asarray(grid_y, float))
+    out = np.empty(gx.size, dtype=np.float64)
+    q = np.column_stack([gx.ravel(), gy.ravel()])
+    step = max(1, _CHUNK // max(1, n))
+    for i in range(0, len(q), step):
+        rq = np.hypot(
+            q[i : i + step, 0:1] - px[None, :], q[i : i + step, 1:2] - py[None, :]
+        )
+        out[i : i + step] = _rbf_kernel(rq, function, epsilon) @ w
+    return out.reshape(gx.shape)
+
+
+def interpolate_na(arr, grid_x, grid_y, nodata, method="nearest"):
+    """Fill nodata cells by interpolating from valid cells
+    (rioxarray interpolate_na parity; reference vector_to_cube.py:291-292)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if isinstance(nodata, float) and np.isnan(nodata):
+        mask = np.isnan(arr)
+    else:
+        mask = arr == nodata
+    if not mask.any() or mask.all():
+        return arr.copy()
+    gx, gy = np.meshgrid(np.asarray(grid_x, float), np.asarray(grid_y, float))
+    px, py, vals = gx[~mask], gy[~mask], arr[~mask]
+    out = arr.copy()
+    if method == "nearest":
+        out[mask] = nearest_interp(px, py, vals, gx[mask], gy[mask])
+    elif method in ("linear", "cubic"):
+        filled = linear_interpolate(
+            np.column_stack([px, py]), vals, gx[mask], gy[mask], fill=nodata
+        )
+        out[mask] = filled
+    else:
+        raise ValueError(f"unsupported interpolate_na method {method!r}")
+    return out

@@ -1,0 +1,234 @@
+"""Batched scanline rasterization kernel, pure numpy.
+
+Reproduces the GDAL semantics the reference relies on through
+``rasterio.features.rasterize`` (reference geocube/rasterize.py:124-132):
+
+* polygons: a cell is burned when its **center** is inside the polygon,
+  even-odd rule, holes supported (GDAL llrasterize scanline algorithm:
+  scanline at row+0.5, crossings paired after sort, cells with center x
+  in [xa, xb] burned via ceil(xa-0.5)..floor(xb-0.5));
+* points: the cell containing the point (floor of pixel coords);
+* lines: cells traversed by the segment (supercover DDA);
+* ``all_touched=True``: every cell touched by the boundary is burned in
+  addition to the interior (reference rasterize.py:96-100,129);
+* merge: ``replace`` = later geometry wins (MergeAlg.replace, input
+  order — reference rasterize.py:73,124-132) or ``add`` = values sum
+  (MergeAlg.add, rasterize.py:73; test_core_integration.py:814).
+
+All functions operate in **pixel space**: callers transform world
+coordinates with ~affine first (vectorized, once per batch). The
+per-geometry cell cover is computed once and reused across all
+measurements of a tile (SURVEY.md §2.3).
+
+This module is executor-side code invoked from ``applyInPandas``
+grouped-map UDFs — it never touches Spark APIs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.wkb import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+)
+
+
+def _multi_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate arange(s, s+c) for each (s, c) without a Python loop."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = counts.cumsum()
+    out = np.ones(total, dtype=np.int64)
+    out[0] = starts[0]
+    idx = ends[:-1]
+    out[idx] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
+    return out.cumsum()
+
+
+def _polygon_interior_cells(rings, height: int, width: int):
+    """Scanline fill: (rows, cols) of cells whose center is inside.
+
+    rings: list of (N,2) float arrays in pixel coords (x=col, y=row),
+    exterior + holes together (even-odd rule handles holes for free).
+    """
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for r in rings:
+        if len(r) < 3:
+            continue
+        x1s.append(r[:-1, 0])
+        y1s.append(r[:-1, 1])
+        x2s.append(r[1:, 0])
+        y2s.append(r[1:, 1])
+    if not x1s:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    x1 = np.concatenate(x1s)
+    y1 = np.concatenate(y1s)
+    x2 = np.concatenate(x2s)
+    y2 = np.concatenate(y2s)
+
+    ymin = np.minimum(y1, y2)
+    ymax = np.maximum(y1, y2)
+    # scanlines r+0.5 crossed by each edge: half-open [ymin, ymax)
+    r_lo = np.ceil(ymin - 0.5).astype(np.int64)  # first row with center >= ymin
+    r_hi = np.ceil(ymax - 0.5).astype(np.int64)  # first row with center >= ymax
+    r_lo = np.clip(r_lo, 0, height)
+    r_hi = np.clip(r_hi, 0, height)
+    counts = r_hi - r_lo
+    keep = counts > 0
+    if not keep.any():
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    r_lo, counts = r_lo[keep], counts[keep]
+
+    edge_idx = np.repeat(np.arange(len(x1)), counts)
+    rows = _multi_arange(r_lo, counts)
+    yc = rows + 0.5
+    dx = x2 - x1
+    dy = y2 - y1
+    xcross = x1[edge_idx] + (yc - y1[edge_idx]) * (dx[edge_idx] / dy[edge_idx])
+
+    # sort by (row, x); crossings pair up even-odd within each row
+    order = np.lexsort((xcross, rows))
+    rows = rows[order]
+    xcross = xcross[order]
+    # rows come in even-count groups (closed rings) — pair consecutive
+    xa = xcross[0::2]
+    xb = xcross[1::2]
+    prow = rows[0::2]
+    c_lo = np.ceil(xa - 0.5).astype(np.int64)  # first col with center >= xa
+    c_hi = np.floor(xb - 0.5).astype(np.int64)  # last col with center <= xb
+    c_lo = np.clip(c_lo, 0, width)
+    c_hi = np.clip(c_hi, -1, width - 1)
+    ncols = c_hi - c_lo + 1
+    keep = ncols > 0
+    if not keep.any():
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    c_lo, ncols, prow = c_lo[keep], ncols[keep], prow[keep]
+    cols = _multi_arange(c_lo, ncols)
+    rows_out = np.repeat(prow, ncols)
+    return rows_out, cols
+
+
+def _segment_cells(x1, y1, x2, y2, height, width):
+    """Supercover: all cells a segment passes through (numpy DDA)."""
+    n = max(
+        2,
+        int(np.ceil(max(abs(x2 - x1), abs(y2 - y1)))) * 2 + 1,
+    )
+    t = np.linspace(0.0, 1.0, n)
+    xs = x1 + (x2 - x1) * t
+    ys = y1 + (y2 - y1) * t
+    cols = np.floor(xs).astype(np.int64)
+    rows = np.floor(ys).astype(np.int64)
+    m = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
+    return rows[m], cols[m]
+
+
+def _outline_cells(rings, height, width):
+    rr, cc = [], []
+    for r in rings:
+        for i in range(len(r) - 1):
+            a, b = _segment_cells(
+                r[i, 0], r[i, 1], r[i + 1, 0], r[i + 1, 1], height, width
+            )
+            rr.append(a)
+            cc.append(b)
+    if not rr:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    return np.concatenate(rr), np.concatenate(cc)
+
+
+def geometry_cells(geom: Geometry, height: int, width: int,
+                   all_touched: bool = False):
+    """All (rows, cols) covered by a geometry in pixel space.
+
+    Duplicate cells are possible (multi parts); callers burning with
+    'replace' don't care, and 'add' callers must dedupe — GDAL burns
+    each *geometry* once, so we dedupe here.
+    """
+    rr, cc = [], []
+    t = geom.geom_type
+    if t in (POINT, MULTIPOINT) or t == GEOMETRYCOLLECTION:
+        pts = list(geom.points())
+        if pts:
+            arr = np.asarray(pts, dtype=np.float64)
+            cols = np.floor(arr[:, 0]).astype(np.int64)
+            rows = np.floor(arr[:, 1]).astype(np.int64)
+            m = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
+            rr.append(rows[m])
+            cc.append(cols[m])
+    if t in (LINESTRING, MULTILINESTRING, GEOMETRYCOLLECTION):
+        for ls in geom.lines():
+            for i in range(len(ls) - 1):
+                a, b = _segment_cells(
+                    ls[i, 0], ls[i, 1], ls[i + 1, 0], ls[i + 1, 1],
+                    height, width,
+                )
+                rr.append(a)
+                cc.append(b)
+    if t in (POLYGON, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        for rings in geom.polygons():
+            a, b = _polygon_interior_cells(rings, height, width)
+            rr.append(a)
+            cc.append(b)
+            if all_touched:
+                a, b = _outline_cells(rings, height, width)
+                rr.append(a)
+                cc.append(b)
+    if not rr:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    rows = np.concatenate(rr)
+    cols = np.concatenate(cc)
+    if len(rows):
+        flat = rows * width + cols
+        uniq = np.unique(flat)
+        rows, cols = uniq // width, uniq % width
+    return rows, cols
+
+
+def rasterize(
+    geoms,
+    values,
+    height: int,
+    width: int,
+    *,
+    fill=np.nan,
+    merge_alg: str = "replace",
+    all_touched: bool = False,
+    dtype=np.float64,
+    cells_cache=None,
+):
+    """Burn (geometry, value) pairs into a (height, width) array.
+
+    ``geoms`` iterable of Geometry in pixel coords; burn order = input
+    order (last wins under 'replace' — callers must pre-sort by the
+    deterministic ``seq``, SURVEY.md §2.4). ``cells_cache`` optionally
+    maps index -> (rows, cols) so multi-measurement burns reuse covers.
+    """
+    out = np.full((height, width), fill, dtype=dtype)
+    if merge_alg not in ("replace", "add"):
+        raise ValueError(f"unsupported merge_alg {merge_alg!r}")
+    for i, (g, v) in enumerate(zip(geoms, values)):
+        if cells_cache is not None and i in cells_cache:
+            rows, cols = cells_cache[i]
+        else:
+            rows, cols = geometry_cells(g, height, width, all_touched)
+            if cells_cache is not None:
+                cells_cache[i] = (rows, cols)
+        if len(rows) == 0:
+            continue
+        if merge_alg == "replace":
+            out[rows, cols] = v
+        else:
+            # GDAL MergeAlg.add is a straight += onto the fill-initialized
+            # buffer (NaN fill therefore stays NaN) — reproduced verbatim.
+            out[rows, cols] += v
+    return out

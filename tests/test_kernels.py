@@ -1,0 +1,392 @@
+"""Unit tests for the pure-numpy kernels (no Spark).
+
+Mirrors the reference's test strategy (SURVEY.md §5): dtype matrix,
+grid snapping calibrated against the reference's exact assertion, burn
+semantics, vectorize counts/bounds.
+"""
+
+import numpy as np
+import pytest
+
+from geocube_spark.geometry import wkb as W
+from geocube_spark.geometry.affine import Affine, affine_to_coords
+from geocube_spark.geometry.crs import CRS, transform as crs_transform
+from geocube_spark.grid.geobox import GeoBox, GeoBoxMaker, snap_bounds
+from geocube_spark.kernels.dtypes import minimize_dtype
+from geocube_spark.kernels.interpolate import (
+    griddata_interp,
+    interpolate_na,
+    rbf_interp,
+)
+from geocube_spark.kernels.rasterize import geometry_cells, rasterize
+from geocube_spark.kernels import vectorize as V
+
+
+# ---------------------------------------------------------------------------
+# WKB
+# ---------------------------------------------------------------------------
+
+def test_wkb_roundtrip_polygon():
+    p = W.polygon(
+        [(0, 0), (3, 0), (3, 3), (0, 3), (0, 0)],
+        holes=[[(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]],
+    )
+    p2 = W.loads(p.to_wkb())
+    assert p2.type_name == "Polygon"
+    assert len(p2.parts) == 2
+    np.testing.assert_array_equal(p2.parts[0], p.parts[0])
+
+
+def test_wkb_roundtrip_all_types():
+    geoms = [
+        W.point(1.5, -2.5),
+        W.linestring([(0, 0), (1, 1), (2, 0)]),
+        W.multipolygon([[[(0, 0), (1, 0), (1, 1), (0, 0)]]]),
+        W.Geometry(W.MULTIPOINT, np.array([[0.0, 1.0], [2.0, 3.0]])),
+    ]
+    for g in geoms:
+        g2 = W.loads(g.to_wkb())
+        assert g2.geom_type == g.geom_type
+        assert g2.bounds() == pytest.approx(g.bounds())
+
+
+def test_wkb_hex_input():
+    hexstr = W.point(10.0, 20.0).to_wkb().hex()
+    g = W.loads(hexstr)
+    assert tuple(g.parts) == (10.0, 20.0)
+
+
+def test_wkb_geojson_bridge():
+    gj = {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]]}
+    g = W.from_geojson(gj)
+    assert W.to_geojson(g)["type"] == "Polygon"
+
+
+# ---------------------------------------------------------------------------
+# CRS: Karney transverse Mercator vs independent Snyder series
+# ---------------------------------------------------------------------------
+
+def _snyder_utm(lon, lat, lon0):
+    a = 6378137.0
+    f = 1 / 298.257223563
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    k0 = 0.9996
+    phi = np.radians(lat)
+    lam = np.radians(lon - lon0)
+    N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    T = np.tan(phi) ** 2
+    Cc = ep2 * np.cos(phi) ** 2
+    A = np.cos(phi) * lam
+    M = a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+        - (35 * e2**3 / 3072) * np.sin(6 * phi)
+    )
+    x = (
+        k0 * N * (A + (1 - T + Cc) * A**3 / 6
+                  + (5 - 18 * T + T**2 + 72 * Cc - 58 * ep2) * A**5 / 120)
+        + 500000
+    )
+    y = k0 * (
+        M
+        + N
+        * np.tan(phi)
+        * (
+            A**2 / 2
+            + (5 - T + 9 * Cc + 4 * Cc**2) * A**4 / 24
+            + (61 - 58 * T + T**2 + 600 * Cc - 330 * ep2) * A**6 / 720
+        )
+    )
+    return x, y
+
+
+def test_utm_forward_matches_snyder():
+    lons = np.array([-90.5999, -90.5834, -87.1, -93.0001])
+    lats = np.array([41.4834, 41.4999, 44.9, 38.2])
+    xs, ys = _snyder_utm(lons, lats, -93.0)
+    xk, yk = crs_transform(CRS(4326), CRS(32615), lons, lats)
+    # Snyder's truncated series itself drifts a few mm at ~6 deg from
+    # the central meridian; Karney is the more accurate of the two.
+    assert np.abs(xs - xk).max() < 5e-3
+    assert np.abs(ys - yk).max() < 5e-3
+
+
+def test_utm_roundtrip():
+    rng = np.random.RandomState(7)
+    lons = -93.0 + rng.uniform(-3, 3, 200)
+    lats = rng.uniform(-80, 84, 200)
+    x, y = crs_transform(CRS(4326), CRS(32615), lons, lats)
+    lon2, lat2 = crs_transform(CRS(32615), CRS(4326), x, y)
+    assert np.abs(lon2 - lons).max() < 1e-9
+    assert np.abs(lat2 - lats).max() < 1e-9
+
+
+def test_webmercator():
+    x, y = crs_transform(CRS(4326), CRS(3857), np.array([1.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(111319.49079327357)
+    assert y[0] == pytest.approx(0.0)
+    lon, lat = crs_transform(CRS(3857), CRS(4326), x, y)
+    assert lon[0] == pytest.approx(1.0)
+
+
+def test_crs_parsing():
+    assert CRS.from_user_input("epsg:32615").epsg == 32615
+    assert CRS.from_user_input("EPSG:4326").epsg == 4326
+    assert CRS.from_user_input("urn:ogc:def:crs:OGC:1.3:CRS84").epsg == 4326
+    assert CRS.from_user_input(3857).epsg == 3857
+    with pytest.raises(ValueError):
+        CRS.from_user_input("not-a-crs")
+
+
+# ---------------------------------------------------------------------------
+# Grid snap: calibrated against the reference's exact current assertion
+# test_core_integration.py:789-798 (test_make_geocube__new_bounds_crs)
+# ---------------------------------------------------------------------------
+
+def test_snap_bounds_reference_exact():
+    # measured bbox of wgs84_geom.geojson reprojected to EPSG:32614 with
+    # our TM (agrees with Snyder to <1mm); the reference asserts the
+    # snapped grid bounds exactly:
+    bbox = (1665478.4998387436, 7018306.670154102,
+            1665944.8613495904, 7018508.452283294)
+    affine, w, h = snap_bounds(bbox, (-1.0, 1.0))
+    gb = GeoBox(w, h, affine, CRS(32614))
+    assert gb.bounds() == pytest.approx((1665478.0, 7018306.0, 1665945.0, 7018509.0))
+    assert (w, h) == (467, 203)
+
+
+def test_snap_bounds_exact_multiple_edges():
+    # half-open: right edge exactly on the lattice must not add a pixel
+    affine, w, h = snap_bounds((0.0, 0.0, 100.0, 50.0), (-10.0, 10.0))
+    assert (w, h) == (10, 5)
+    assert affine.c == 0.0 and affine.f == 50.0
+
+
+def test_snap_bounds_align():
+    affine, w, h = snap_bounds((3.0, 3.0, 17.0, 17.0), (-10.0, 10.0),
+                               align_yx=(5.0, 5.0))
+    # lattice offset by 5: floor((3-5)/10)*10+5 = -5
+    assert affine.c == -5.0
+    assert w == 3
+
+
+def test_geobox_maker_like_exclusive():
+    gb = GeoBox.from_bounds((0, 0, 10, 10), (-1, 1), 4326)
+    with pytest.raises(AssertionError):
+        GeoBoxMaker(output_crs="epsg:4326", like=gb).from_bounds_crs(None, None)
+    with pytest.raises(AssertionError):
+        GeoBoxMaker(resolution=(-1, 1), like=gb).from_bounds_crs(None, None)
+
+
+def test_geobox_maker_resolution_required():
+    # reference geobox.py:188-189 / test_core_integration.py:454-462
+    with pytest.raises(RuntimeError, match="resolution"):
+        GeoBoxMaker().from_bounds_crs((0, 0, 1, 1), 4326)
+
+
+def test_geobox_maker_geom_crs_honored():
+    geom = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]]],
+        "crs": {"properties": {"name": "EPSG:3857"}},
+    }
+    gb = GeoBoxMaker(
+        output_crs="epsg:3857", resolution=(-10, 10), geom=geom
+    ).from_bounds_crs(None, None)
+    assert gb.bounds() == pytest.approx((0, 0, 100, 100))
+    assert gb.shape == (10, 10)
+
+
+def test_affine_to_coords():
+    c = affine_to_coords(Affine(10, 0, 700330.0, 0, -10, 4597070.0), 3, 2)
+    np.testing.assert_allclose(c["x"], [700335.0, 700345.0, 700355.0])
+    np.testing.assert_allclose(c["y"], [4597065.0, 4597055.0])
+
+
+# ---------------------------------------------------------------------------
+# dtype minimization matrix (reference test_core_integration.py:891-914)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "dtype,fill,expected",
+    [
+        ("uint16", 0, "uint16"),
+        ("uint16", np.nan, "float32"),
+        ("int32", np.nan, "float64"),
+        ("int64", 0, "int64"),
+        ("int8", np.nan, "float32"),
+        ("bool", 0, "float64"),
+        ("float32", np.nan, "float32"),
+    ],
+)
+def test_minimize_dtype(dtype, fill, expected):
+    assert minimize_dtype(np.dtype(dtype), fill) == np.dtype(expected)
+
+
+# ---------------------------------------------------------------------------
+# rasterize semantics
+# ---------------------------------------------------------------------------
+
+def test_burn_center_rule():
+    # polygon edges at x=0..3, y=0..3 in pixel space: centers .5/1.5/2.5
+    p = W.polygon([(0, 0), (3, 0), (3, 3), (0, 3), (0, 0)])
+    rows, cols = geometry_cells(p, 5, 5)
+    assert set(zip(rows.tolist(), cols.tolist())) == {
+        (r, c) for r in range(3) for c in range(3)
+    }
+
+
+def test_burn_subpixel_polygon_not_touching_center():
+    p = W.polygon([(0.6, 0.6), (0.9, 0.6), (0.9, 0.9), (0.6, 0.9), (0.6, 0.6)])
+    rows, cols = geometry_cells(p, 3, 3)
+    assert len(rows) == 0
+    rows, cols = geometry_cells(p, 3, 3, all_touched=True)
+    assert set(zip(rows.tolist(), cols.tolist())) == {(0, 0)}
+
+
+def test_burn_hole():
+    p = W.polygon(
+        [(0, 0), (5, 0), (5, 5), (0, 5), (0, 0)],
+        holes=[[(1, 1), (4, 1), (4, 4), (1, 4), (1, 1)]],
+    )
+    out = rasterize([p], [1.0], 5, 5, fill=0.0)
+    assert out.sum() == 16  # ring of one-cell width
+    assert out[2, 2] == 0.0
+
+
+def test_burn_replace_last_wins():
+    a = W.polygon([(0, 0), (3, 0), (3, 3), (0, 3), (0, 0)])
+    b = W.polygon([(1, 1), (4, 1), (4, 4), (1, 4), (1, 1)])
+    out = rasterize([a, b], [1.0, 2.0], 5, 5, fill=-9999.0)
+    assert out[1, 1] == 2.0  # overlap: later geometry wins
+    assert out[0, 0] == 1.0
+    out = rasterize([b, a], [2.0, 1.0], 5, 5, fill=-9999.0)
+    assert out[1, 1] == 1.0  # order reversed
+
+
+def test_burn_add():
+    a = W.polygon([(0, 0), (3, 0), (3, 3), (0, 3), (0, 0)])
+    out = rasterize([a, a], [1.0, 2.0], 5, 5, fill=0.0, merge_alg="add")
+    assert out[1, 1] == 3.0
+    assert out[4, 4] == 0.0
+
+
+def test_burn_add_nan_fill_stays_nan():
+    # GDAL += onto NaN-initialized buffer stays NaN (bug-for-bug parity)
+    a = W.polygon([(0, 0), (3, 0), (3, 3), (0, 3), (0, 0)])
+    out = rasterize([a], [1.0], 5, 5, fill=np.nan, merge_alg="add")
+    assert np.isnan(out).all()
+
+
+def test_burn_points():
+    pts = [W.point(0.5, 0.5), W.point(2.99, 1.01), W.point(5.5, 0.5)]
+    out = rasterize(pts, [1.0, 2.0, 3.0], 3, 3, fill=0.0)
+    assert out[0, 0] == 1.0
+    assert out[1, 2] == 2.0
+    assert out.sum() == 3.0  # out-of-grid point ignored
+
+
+def test_burn_multipolygon_no_double_add():
+    mp = W.multipolygon(
+        [
+            [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]],
+            [[(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]],
+        ]
+    )
+    out = rasterize([mp], [5.0], 4, 4, fill=0.0, merge_alg="add")
+    # one geometry burns each covered cell once even where parts overlap
+    assert out.max() == 5.0
+
+
+def test_burn_line():
+    ls = W.linestring([(0.1, 0.5), (3.9, 0.5)])
+    rows, cols = geometry_cells(ls, 2, 4)
+    assert set(rows.tolist()) == {0}
+    assert set(cols.tolist()) == {0, 1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# interpolation
+# ---------------------------------------------------------------------------
+
+def test_griddata_nearest_exact_at_cells():
+    px = np.array([0.5, 9.5])
+    py = np.array([0.5, 9.5])
+    v = np.array([1.0, 2.0])
+    gx = np.arange(10) + 0.5
+    gy = np.arange(10) + 0.5
+    out = griddata_interp(px, py, v, gx, gy, method="nearest")
+    assert out[0, 0] == 1.0 and out[9, 9] == 2.0
+
+
+def test_griddata_linear_exact_on_linear_field():
+    rng = np.random.RandomState(42)
+    px, py = rng.rand(25) * 10, rng.rand(25) * 10
+    v = 3 * px - py + 2
+    gx = np.arange(10) + 0.5
+    gy = np.arange(10) + 0.5
+    out = griddata_interp(px, py, v, gx, gy, method="linear", fill=np.nan)
+    GX, GY = np.meshgrid(gx, gy)
+    m = ~np.isnan(out)
+    assert m.sum() > 20
+    np.testing.assert_allclose(out[m], (3 * GX - GY + 2)[m], atol=1e-9)
+
+
+def test_rbf_exact_at_nodes():
+    rng = np.random.RandomState(1)
+    px, py = rng.rand(15) * 10, rng.rand(15) * 10
+    v = np.sin(px) + py
+    out = rbf_interp(px, py, v, px, py, function="linear")
+    np.testing.assert_allclose(np.diag(out), v, atol=1e-6)
+
+
+def test_interpolate_na():
+    gx = np.arange(6) + 0.5
+    gy = np.arange(6) + 0.5
+    GX, GY = np.meshgrid(gx, gy)
+    arr = GX + GY
+    arr[2:4, 2:4] = -9999.0
+    out = interpolate_na(arr, gx, gy, -9999.0, method="linear")
+    np.testing.assert_allclose(out, GX + GY, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# vectorize
+# ---------------------------------------------------------------------------
+
+def test_vectorize_counts_and_bounds():
+    arr = np.full((6, 6), -99.0)
+    arr[1:3, 1:4] = 5.0
+    arr[4:6, 0:2] = 7.0
+    out = list(V.shapes(arr, nodata=-99.0))
+    assert len(out) == 2
+    vals = sorted(v for _, v in out)
+    assert vals == [5.0, 7.0]
+    g5 = [g for g, v in out if v == 5.0][0]
+    assert g5.bounds() == (1.0, 1.0, 4.0, 3.0)
+
+
+def test_vectorize_hole():
+    arr = np.full((6, 6), 1.0)
+    arr[2:4, 2:4] = 2.0
+    out = {v: g for g, v in V.shapes(arr)}
+    assert len(out[1.0].parts) == 2  # exterior + hole
+    assert len(out[2.0].parts) == 1
+
+
+def test_vectorize_nan_nodata():
+    arr = np.full((4, 4), np.nan)
+    arr[0, 0] = 3.0
+    out = list(V.shapes(arr, nodata=np.nan))
+    assert len(out) == 1
+    assert out[0][1] == 3.0
+
+
+def test_vectorize_affine():
+    arr = np.full((4, 4), np.nan)
+    arr[0:2, 0:2] = 1.0
+    aff = Affine(10, 0, 100.0, 0, -10, 200.0)
+    out = list(V.shapes(arr, nodata=np.nan, affine=aff))
+    assert out[0][0].bounds() == (100.0, 180.0, 120.0, 200.0)
