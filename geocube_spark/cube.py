@@ -1,0 +1,683 @@
+"""Distributed vector -> raster cube pipeline (the engine core).
+
+Spark-first re-expression of the reference's eager single-node flow
+(/root/reference/geocube/vector_to_cube.py:54-294, SURVEY.md §3.1):
+
+driver:    params -> (optional) bounds-agg job -> snap grid -> tile plan
+executors: extract/decode/reproject (mapInPandas, Arrow batches)
+           -> cover-join explode (geometry -> covering tile ids)
+           -> ONE wide shuffle on (group_key, tile_id)
+           -> grouped-map burn UDF (applyInPandas, numpy scanline)
+sink:      chunk DataFrame keyed (zoom, cell_id) + lineage columns
+
+Design notes for 100 TB scale:
+* The only wide dependency is the groupBy on (group, tile). Dense-tile
+  skew is handled by AQE (enabled in session helper) and by choosing
+  ``tile_size`` so the median geometry covers O(1-10) tiles
+  (SURVEY.md §4). A salted two-phase merge for 'add' is possible
+  (commutative); 'replace' stays order-merged per tile via the
+  deterministic ``seq`` sort inside the UDF — per-pixel max_by(seq)
+  would also distribute but costs an exploded-cell shuffle.
+* Geometry cover uses the *envelope* tile range — false positives cost
+  one no-op scanline pass in the UDF, never wrong output.
+* All heavy math is numpy inside Arrow-batched UDFs; the relational
+  scaffolding (projection, filters, joins, partitioning) stays JVM-side
+  for Catalyst/codegen.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .exceptions import VectorDataError
+from .geometry import wkb as W
+from .geometry.crs import CRS, transform as crs_transform
+from .grid.geobox import GeoBox, GeoBoxMaker
+from .kernels.dtypes import is_numeric, minimize_dtype
+from .kernels.interpolate import griddata_interp, interpolate_na, rbf_interp
+from .kernels.rasterize import geometry_cells
+
+logger = logging.getLogger("geocube_spark")
+
+DEFAULT_TILE_SIZE = 256
+
+_NUMERIC_SPARK = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+)
+
+
+# ---------------------------------------------------------------------------
+# band metadata (driver-side planning, reference vector_to_cube.py:199-240)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BandMeta:
+    name: str
+    dtype: str              # minimized output dtype
+    fill: float             # fill actually burned for this band
+    categories: Optional[list] = None   # categorical enum (incl. 'nodata')
+    units: Optional[str] = None         # datetime bands quirk
+
+    def to_dict(self):
+        return {
+            "name": self.name, "dtype": self.dtype, "fill": self.fill,
+            "categories": self.categories, "units": self.units,
+        }
+
+
+@dataclass
+class GeoCube:
+    """A raster cube = chunk DataFrame + grid + band metadata."""
+
+    chunks: DataFrame
+    geobox: GeoBox
+    bands: dict                      # name -> BandMeta
+    group_by: Optional[str] = None
+    group_keys: Optional[list] = None   # sorted ascending (pandas groupby)
+    tile_size: int = DEFAULT_TILE_SIZE
+    fill: float = np.nan
+
+    # -- driver-side assembly (tests / golden comparison) -----------------
+    def assemble(self) -> dict:
+        """Collect chunks into dense numpy arrays keyed by measurement.
+
+        Shape (H, W) or (n_groups, H, W). Driver-side — only for test
+        scale; production consumers read the chunk table.
+        """
+        h, w = self.geobox.shape
+        ngroups = len(self.group_keys) if self.group_by else 0
+        # chunk group_key is stringified; group_keys keep the input type
+        gidx = {str(k): i for i, k in enumerate(self.group_keys or [])}
+        out = {}
+        for name, meta in self.bands.items():
+            shape = (ngroups, h, w) if self.group_by else (h, w)
+            out[name] = np.full(shape, meta.fill, dtype=meta.dtype)
+        for row in self.chunks.toLocalIterator():
+            meta = self.bands[row["measurement"]]
+            arr = out[row["measurement"]]
+            vals = np.asarray(row["values"], dtype=np.float64).reshape(
+                row["h"], row["w"]
+            )
+            vals = vals.astype(meta.dtype)
+            sl = (
+                slice(row["row0"], row["row0"] + row["h"]),
+                slice(row["col0"], row["col0"] + row["w"]),
+            )
+            if self.group_by:
+                arr[(gidx[row["group_key"]],) + sl] = vals
+            else:
+                arr[sl] = vals
+        return out
+
+    def coords(self):
+        c = self.geobox.coords()
+        if self.group_by:
+            c[self.group_by] = list(self.group_keys)
+        return c
+
+    def write(self, path: str, mode: str = "overwrite"):
+        """Persist the cube partitioned by (zoom, cell_id bucket) —
+        the Iceberg layout of the north rule; plain parquet in-sandbox."""
+        (
+            self.chunks.withColumn("cell_bucket", F.pmod(F.col("tile_id"), F.lit(64)))
+            .write.mode(mode)
+            .partitionBy("zoom", "cell_bucket")
+            .parquet(path)
+        )
+        return path
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def total_bounds(vector_df: DataFrame, src_crs: CRS, dst_crs: CRS):
+    """Distributed total_bounds (reference geobox.py:196-202): envelope
+    of every geometry (after reprojection) -> one min/max agg job."""
+    src_epsg, dst_epsg = src_crs.epsg, dst_crs.epsg
+
+    schema = T.StructType(
+        [
+            T.StructField("minx", T.DoubleType()),
+            T.StructField("miny", T.DoubleType()),
+            T.StructField("maxx", T.DoubleType()),
+            T.StructField("maxy", T.DoubleType()),
+        ]
+    )
+
+    def _env(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s, d = CRS(src_epsg), CRS(dst_epsg)
+        for pdf in batches:
+            rows = []
+            for blob in pdf["geometry_wkb"].values:
+                if blob is None:
+                    continue
+                g = W.loads(bytes(blob))
+                if src_epsg != dst_epsg:
+                    g = g.transform(lambda x, y: crs_transform(s, d, x, y))
+                rows.append(g.bounds())
+            if rows:
+                arr = np.asarray(rows)
+                yield pd.DataFrame(
+                    {
+                        "minx": [arr[:, 0].min()],
+                        "miny": [arr[:, 1].min()],
+                        "maxx": [arr[:, 2].max()],
+                        "maxy": [arr[:, 3].max()],
+                    }
+                )
+
+    env = vector_df.select("geometry_wkb").mapInPandas(_env, schema=schema)
+    row = env.agg(
+        F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy")
+    ).collect()[0]
+    if row[0] is None:
+        raise VectorDataError("No geometries found.")
+    return (row[0], row[1], row[2], row[3])
+
+
+def _spark_is_numeric(dt) -> bool:
+    return isinstance(dt, _NUMERIC_SPARK)
+
+
+def _zoom_for(geobox: GeoBox, tile_size: int) -> int:
+    _, ntx, nty = geobox.n_tiles(tile_size)
+    return max(0, math.ceil(math.log2(max(ntx, nty, 1))))
+
+
+# ---------------------------------------------------------------------------
+# the flagship API
+# ---------------------------------------------------------------------------
+
+def make_geocube(
+    vector_data: DataFrame,
+    *,
+    measurements: Optional[list] = None,
+    datetime_measurements: Optional[list] = None,
+    output_crs=None,
+    resolution=None,
+    align=None,
+    geom=None,
+    like=None,
+    fill: float = np.nan,
+    group_by: Optional[str] = None,
+    interpolate_na_method: Optional[str] = None,
+    categorical_enums: Optional[dict] = None,
+    rasterize_function: str = "image",
+    # spark-first extras
+    input_crs="EPSG:4326",
+    tile_size: int = DEFAULT_TILE_SIZE,
+    merge_alg: str = "replace",
+    all_touched: bool = False,
+    filter_nan: bool = False,
+    interp_method: Optional[str] = None,   # griddata: nearest|linear|cubic; radial: rbf function
+    rescale: bool = False,
+) -> GeoCube:
+    """Rasterize a vector/document DataFrame into a chunked cube.
+
+    Parameter semantics follow the reference
+    (/root/reference/geocube/api/core.py:19-101); ``vector_data`` is a
+    Spark DataFrame — either the interleaved documents table (column
+    ``spans``) or an extracted vector table with ``geometry_wkb``.
+
+    ``rasterize_function``: 'image' (scanline burn, default —
+    reference rasterize.py:67-133), 'points_griddata'
+    (rasterize.py:136-191), 'points_radial' (rasterize.py:194-239).
+    """
+    from .extract import extract_vector_table, validate_vector_df
+
+    if "spans" in vector_data.columns:
+        vector_df = extract_vector_table(vector_data)
+    else:
+        vector_df = vector_data
+    validate_vector_df(vector_df)
+
+    in_crs = CRS.from_user_input(input_crs)
+
+    # --- measurement selection (reference vector_to_cube.py:96-118) ----
+    reserved = {"doc_id", "seq", "geometry_wkb"}
+    schema = {f.name: f.dataType for f in vector_df.schema.fields}
+    if measurements is None:
+        meas = [c for c in vector_df.columns if c not in reserved and c != group_by]
+    else:
+        meas = list(measurements)
+        missing = [m for m in meas if m not in schema]
+        if missing:
+            raise VectorDataError(f"measurements not found: {missing}")
+    if group_by is not None and group_by not in schema:
+        raise VectorDataError(f"group_by column not found: {group_by!r}")
+
+    categorical_enums = categorical_enums or {}
+    datetime_measurements = list(datetime_measurements or [])
+
+    # --- per-band planning (dtype/fill/categories/units) ----------------
+    bands: dict[str, BandMeta] = {}
+    enum_maps: dict[str, dict] = {}
+    for m in list(meas):
+        if m in categorical_enums:
+            cats = sorted(set(categorical_enums[m])) + ["nodata"]
+            enum_maps[m] = {c: i for i, c in enumerate(cats)}
+            # categorical fill forced to -1 (vector_to_cube.py:326-330)
+            bands[m] = BandMeta(m, "int8", -1.0, categories=cats)
+        elif m in datetime_measurements:
+            bands[m] = BandMeta(
+                m, "float64", 0.0,
+                units="seconds from 1970-01-01T00:00:00",
+            )
+        else:
+            dt = schema[m]
+            if not _spark_is_numeric(dt):
+                logger.warning("Skipping attribute %s (non-numeric)", m)
+                meas.remove(m)   # reference rasterize.py:111-113
+                continue
+            np_dt = np.dtype(
+                {
+                    "bigint": "int64",
+                    "int": "int32",
+                    "smallint": "int16",
+                    "tinyint": "int8",
+                    "double": "float64",
+                    "float": "float32",
+                    "boolean": "bool",
+                }.get(dt.simpleString(), "float64")
+            )
+            bands[m] = BandMeta(m, str(minimize_dtype(np_dt, fill)), fill)
+
+    if not meas:
+        raise VectorDataError("No measurements to rasterize.")
+
+    # --- column transforms (JVM-side where possible) ---------------------
+    work = vector_df
+    for m, mapping in enum_maps.items():
+        mexpr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+        work = work.withColumn(
+            m, F.coalesce(mexpr.getItem(F.col(m)), F.lit(-1)).cast("double")
+        )
+    for m in datetime_measurements:
+        if m in schema and m in bands:
+            # reference: datetime64[ns] -> numeric epoch ns as float64
+            # (vector_to_cube.py:20-44); Spark timestamps are micros
+            work = work.withColumn(
+                m,
+                (F.unix_micros(F.to_timestamp(F.col(m))) * F.lit(1000))
+                .cast("double"),
+            )
+    cast_meas = [
+        F.col(m).cast("double").alias(m) for m in meas
+    ]
+    keep = [F.col("seq"), F.col("geometry_wkb")] + cast_meas
+    if group_by:
+        keep.append(F.col(group_by).alias("__group"))
+    work = work.select(*keep)
+
+    if filter_nan and rasterize_function == "image" and len(meas) == 1:
+        # reference rasterize.py:30-43 removes null rows pre-burn; with
+        # multiple bands the reference filters per band inside the UDF
+        work = work.filter(F.col(meas[0]).isNotNull())
+
+    # --- grid planning (driver; one cheap agg job if bounds needed) ------
+    maker = GeoBoxMaker(
+        output_crs=output_crs, resolution=resolution, align=align,
+        geom=geom, like=like,
+    )
+    need_bounds = like is None and maker.geom is None
+    if need_bounds:
+        out_crs = CRS.from_user_input(output_crs) if output_crs else in_crs
+        bounds = total_bounds(work, in_crs, out_crs)
+        # bounds already in target CRS -> hand them over as-is
+        geobox = maker.from_bounds_crs(bounds, out_crs)
+    else:
+        geobox = maker.from_bounds_crs(None, in_crs)
+
+    zoom = _zoom_for(geobox, tile_size)
+    gb_dict = geobox.to_dict()
+
+    group_keys = None
+    if group_by:
+        group_keys = [
+            r[0]
+            for r in work.select("__group").distinct().orderBy("__group").collect()
+        ]
+
+    # --- dispatch to the physical strategy --------------------------------
+    if rasterize_function == "image":
+        chunks = _burn_chunks(
+            work, meas, gb_dict, in_crs.epsg, tile_size, zoom, fill,
+            merge_alg, all_touched, filter_nan, bands, bool(group_by),
+        )
+    elif rasterize_function in ("points_griddata", "points_radial"):
+        chunks = _interp_chunks(
+            work, meas, gb_dict, in_crs.epsg, tile_size, zoom, fill,
+            rasterize_function, interp_method, rescale, filter_nan,
+            bool(group_by),
+        )
+    else:
+        raise ValueError(f"unknown rasterize_function {rasterize_function!r}")
+
+    cube = GeoCube(
+        chunks=chunks, geobox=geobox, bands=bands, group_by=group_by,
+        group_keys=group_keys, tile_size=tile_size, fill=fill,
+    )
+    if interpolate_na_method:
+        cube = _interpolate_na_cube(cube, interpolate_na_method)
+    return cube
+
+
+# ---------------------------------------------------------------------------
+# physical stage 1: reproject + tile cover (narrow map, no shuffle)
+# ---------------------------------------------------------------------------
+
+_COVER_FIELDS = [
+    T.StructField("tile_id", T.LongType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("pix_wkb", T.BinaryType()),
+]
+
+
+def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
+    schema = T.StructType(
+        _COVER_FIELDS
+        + ([T.StructField("group_key", T.StringType())] if grouped else [])
+        + [T.StructField(m, T.DoubleType()) for m in meas]
+    )
+
+    def _cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gb = GeoBox.from_dict(gb_dict)
+        inv = gb.affine.invert()
+        src = CRS(src_epsg)
+        dst = gb.crs
+        reproject = src.epsg != dst.epsg
+        _, ntx, nty = gb.n_tiles(tile_size)
+
+        def _to_pix(x, y):
+            if reproject:
+                x, y = crs_transform(src, dst, x, y)
+            return (
+                inv.c + inv.a * x + inv.b * y,
+                inv.f + inv.d * x + inv.e * y,
+            )
+
+        for pdf in batches:
+            out_rows = {
+                "tile_id": [], "seq": [], "pix_wkb": [],
+            }
+            if grouped:
+                out_rows["group_key"] = []
+            for m in meas:
+                out_rows[m] = []
+            for i in range(len(pdf)):
+                blob = pdf["geometry_wkb"].iloc[i]
+                if blob is None:
+                    continue
+                g = W.loads(bytes(blob)).transform(_to_pix)
+                minx, miny, maxx, maxy = g.bounds()
+                tx0 = max(0, int(minx // tile_size))
+                tx1 = min(ntx - 1, int(maxx // tile_size))
+                ty0 = max(0, int(miny // tile_size))
+                ty1 = min(nty - 1, int(maxy // tile_size))
+                if tx1 < tx0 or ty1 < ty0:
+                    continue
+                pw = g.to_wkb()
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        out_rows["tile_id"].append(ty * ntx + tx)
+                        out_rows["seq"].append(int(pdf["seq"].iloc[i]))
+                        out_rows["pix_wkb"].append(pw)
+                        if grouped:
+                            gv = pdf["__group"].iloc[i]
+                            out_rows["group_key"].append(
+                                None if gv is None else str(gv)
+                            )
+                        for m in meas:
+                            out_rows[m].append(pdf[m].iloc[i])
+            yield pd.DataFrame(out_rows, columns=list(out_rows))
+
+    return work.mapInPandas(_cover, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# physical stage 2: grouped-map burn (the one wide shuffle)
+# ---------------------------------------------------------------------------
+
+_CHUNK_FIELDS = [
+    T.StructField("measurement", T.StringType()),
+    T.StructField("group_key", T.StringType()),
+    T.StructField("zoom", T.IntegerType()),
+    T.StructField("tile_id", T.LongType()),
+    T.StructField("row0", T.IntegerType()),
+    T.StructField("col0", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("values", T.ArrayType(T.DoubleType())),
+    T.StructField("n_geoms", T.LongType()),
+    T.StructField("min_seq", T.LongType()),
+    T.StructField("max_seq", T.LongType()),
+]
+CHUNK_SCHEMA = T.StructType(_CHUNK_FIELDS)
+
+
+def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
+                 merge_alg, all_touched, filter_nan, bands, grouped):
+    cover = _cover_df(work, meas, gb_dict, src_epsg, tile_size, grouped)
+
+    fills = {m: bands[m].fill for m in meas}
+
+    def _burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gb = GeoBox.from_dict(gb_dict)
+        _, ntx, nty = gb.n_tiles(tile_size)
+        tile_id = int(key[0])
+        gkey = str(key[1]) if grouped and key[1] is not None else None
+        ty, tx = divmod(tile_id, ntx)
+        row0, col0 = ty * tile_size, tx * tile_size
+        h = min(tile_size, gb.height - row0)
+        w = min(tile_size, gb.width - col0)
+
+        pdf = pdf.sort_values("seq", kind="mergesort")  # replace order
+        geoms = [W.loads(bytes(b)) for b in pdf["pix_wkb"].values]
+        # translate to tile-local pixel coords
+        geoms = [g.transform(lambda x, y: (x - col0, y - row0)) for g in geoms]
+        covers = [
+            geometry_cells(g, h, w, all_touched) for g in geoms
+        ]
+        n_geoms = len(geoms)
+        min_seq = int(pdf["seq"].min()) if n_geoms else -1
+        max_seq = int(pdf["seq"].max()) if n_geoms else -1
+
+        out = []
+        for m in meas:
+            f = fills[m]
+            band = np.full((h, w), f, dtype=np.float64)
+            vals = pdf[m].values
+            for (rows, cols), v in zip(covers, vals):
+                if len(rows) == 0:
+                    continue
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    if filter_nan:
+                        continue           # reference _remove_missing_data
+                    v = np.nan
+                if merge_alg == "replace":
+                    band[rows, cols] = v
+                else:
+                    band[rows, cols] += v
+            out.append(
+                {
+                    "measurement": m,
+                    "group_key": gkey,
+                    "zoom": zoom,
+                    "tile_id": tile_id,
+                    "row0": row0,
+                    "col0": col0,
+                    "h": h,
+                    "w": w,
+                    "values": band.ravel(),
+                    "n_geoms": n_geoms,
+                    "min_seq": min_seq,
+                    "max_seq": max_seq,
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
+
+    keys = ["tile_id", "group_key"] if grouped else ["tile_id"]
+    if grouped:
+        return cover.groupBy(*keys).applyInPandas(
+            lambda key, pdf: _burn(key, pdf), schema=CHUNK_SCHEMA
+        )
+    return cover.groupBy(*keys).applyInPandas(
+        lambda key, pdf: _burn((key[0], None), pdf), schema=CHUNK_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# interpolation strategy (points_griddata / points_radial)
+# ---------------------------------------------------------------------------
+
+def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
+                   function, method, rescale, filter_nan, grouped):
+    """Global interpolators: melt to (group, measurement) long form, one
+    task per band computes the full grid tile-by-tile (bounded memory),
+    parallel across groups x measurements (SURVEY.md §2.8)."""
+    method = method or ("nearest" if function == "points_griddata" else "linear")
+
+    melted = []
+    for m in meas:
+        cols = [
+            F.lit(m).alias("measurement"),
+            F.col("seq"),
+            F.col("geometry_wkb"),
+            F.col(m).alias("value"),
+        ]
+        if grouped:
+            cols.append(F.col("__group").cast("string").alias("group_key"))
+        melted.append(work.select(*cols))
+    long_df = melted[0]
+    for df in melted[1:]:
+        long_df = long_df.unionByName(df)
+    if filter_nan:
+        long_df = long_df.filter(F.col("value").isNotNull())
+
+    def _interp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gb = GeoBox.from_dict(gb_dict)
+        src = CRS(src_epsg)
+        reproject = src.epsg != gb.crs.epsg
+        m = str(key[0])
+        gkey = str(key[1]) if grouped and len(key) > 1 and key[1] is not None else None
+
+        xs, ys = [], []
+        for blob in pdf["geometry_wkb"].values:
+            g = W.loads(bytes(blob))
+            for p in g.points():
+                xs.append(p[0])
+                ys.append(p[1])
+        px = np.asarray(xs, dtype=np.float64)
+        py = np.asarray(ys, dtype=np.float64)
+        if reproject and len(px):
+            px, py = crs_transform(src, gb.crs, px, py)
+        vals = pdf["value"].values.astype(np.float64)
+
+        coords = gb.coords()
+        out = []
+        for tile_id, row0, col0, h, w in gb.tile_grid(tile_size):
+            gx = coords["x"][col0 : col0 + w]
+            gy = coords["y"][row0 : row0 + h]
+            if function == "points_griddata":
+                band = griddata_interp(
+                    px, py, vals, gx, gy, method=method, fill=fill,
+                    rescale=rescale,
+                )
+            else:
+                band = rbf_interp(px, py, vals, gx, gy, function=method)
+            out.append(
+                {
+                    "measurement": m,
+                    "group_key": gkey,
+                    "zoom": zoom,
+                    "tile_id": tile_id,
+                    "row0": row0,
+                    "col0": col0,
+                    "h": h,
+                    "w": w,
+                    "values": band.ravel(),
+                    "n_geoms": len(pdf),
+                    "min_seq": int(pdf["seq"].min()) if len(pdf) else -1,
+                    "max_seq": int(pdf["seq"].max()) if len(pdf) else -1,
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
+
+    keys = ["measurement", "group_key"] if grouped else ["measurement"]
+    return long_df.groupBy(*keys).applyInPandas(
+        (lambda key, pdf: _interp(key, pdf))
+        if grouped
+        else (lambda key, pdf: _interp((key[0], None), pdf)),
+        schema=CHUNK_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# interpolate_na post-pass (reference vector_to_cube.py:291-292)
+# ---------------------------------------------------------------------------
+
+def _interpolate_na_cube(cube: GeoCube, method: str) -> GeoCube:
+    gb_dict = cube.geobox.to_dict()
+    tile_size = cube.tile_size
+    fills = {m: b.fill for m, b in cube.bands.items()}
+
+    def _fix(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gb = GeoBox.from_dict(gb_dict)
+        m = str(key[0])
+        h, w = gb.shape
+        nodata = fills[m]
+        band = np.full((h, w), nodata, dtype=np.float64)
+        for _, row in pdf.iterrows():
+            band[
+                row["row0"] : row["row0"] + row["h"],
+                row["col0"] : row["col0"] + row["w"],
+            ] = np.asarray(row["values"], dtype=np.float64).reshape(
+                row["h"], row["w"]
+            )
+        coords = gb.coords()
+        fixed = interpolate_na(band, coords["x"], coords["y"], nodata, method)
+        gkey = pdf["group_key"].iloc[0] if len(pdf) else None
+        zoom = int(pdf["zoom"].iloc[0]) if len(pdf) else 0
+        # emit the FULL tile grid: interpolation fills tiles that had no
+        # chunk row at burn time (no covering geometry)
+        out = []
+        for tile_id, row0, col0, th, tw in gb.tile_grid(tile_size):
+            sub = fixed[row0 : row0 + th, col0 : col0 + tw]
+            out.append(
+                {
+                    "measurement": m,
+                    "group_key": gkey,
+                    "zoom": zoom,
+                    "tile_id": tile_id,
+                    "row0": row0,
+                    "col0": col0,
+                    "h": th,
+                    "w": tw,
+                    "values": sub.ravel(),
+                    "n_geoms": int(pdf["n_geoms"].sum()) if len(pdf) else 0,
+                    "min_seq": int(pdf["min_seq"].min()) if len(pdf) else -1,
+                    "max_seq": int(pdf["max_seq"].max()) if len(pdf) else -1,
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
+
+    keys = ["measurement", "group_key"]
+    fixed = cube.chunks.groupBy(*keys).applyInPandas(
+        lambda key, pdf: _fix(key, pdf), schema=CHUNK_SCHEMA
+    )
+    return GeoCube(
+        chunks=fixed, geobox=cube.geobox, bands=cube.bands,
+        group_by=cube.group_by, group_keys=cube.group_keys,
+        tile_size=cube.tile_size, fill=cube.fill,
+    )

@@ -1,0 +1,210 @@
+"""Interleaved-document -> vector-table extraction (Spark-first).
+
+Input (BASELINE.json input_hint): an Iceberg/parquet table
+``doc_id: string, spans: array<struct<kind:string, text:string,
+media_ref:string, offset:int>>``. One document = one vector feature:
+exactly one ``kind='geom'`` span (WKB hex in media_ref), zero or more
+``kind='attr'`` spans whose ``text`` fragments are JSON objects merged
+in offset order, and ``kind='text'`` noise spans that must pass
+through untouched (span-sequence invariant).
+
+Reference counterpart: load_vector_data
+(/root/reference/geocube/geo_utils/geobox.py:49-99) — an OGR read +
+validation. Here the "read" is a Catalyst scan and the parse is a
+``mapInPandas`` batch UDF (vectorized; no per-row Python UDF calls —
+the per-row JSON merge happens inside one Arrow batch in C-backed
+pandas ops + the C json parser).
+
+Scale notes: the extraction is a narrow map — no shuffle; column
+pruning pushes ``spans`` element fields into the parquet reader when
+only some fields are needed. The deterministic ``seq`` (doc ordinal
+parsed from doc_id, FIXTURES.md §1) makes the later last-wins merge
+order reproducible across any partitioning.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .exceptions import VectorDataError
+
+_ORDINAL_RE = re.compile(r"(\d+)\s*$")
+
+_SPARK_TYPES = {
+    "double": T.DoubleType(),
+    "float64": T.DoubleType(),
+    "float32": T.FloatType(),
+    "float": T.FloatType(),
+    "int64": T.LongType(),
+    "long": T.LongType(),
+    "int32": T.IntegerType(),
+    "int": T.IntegerType(),
+    "int16": T.ShortType(),
+    "int8": T.ByteType(),
+    "string": T.StringType(),
+    "str": T.StringType(),
+    "bool": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def doc_seq(doc_id: pd.Series) -> pd.Series:
+    """Deterministic global sequence = trailing integer of doc_id.
+
+    NOT monotonically_increasing_id: the reference's MergeAlg.replace
+    depends on *input file order* (SURVEY.md §2.4), so the ordinal must
+    come from the data itself.
+    """
+    return (
+        doc_id.str.extract(_ORDINAL_RE, expand=False).astype("float64").fillna(-1).astype("int64")
+    )
+
+
+def infer_measurements(documents: DataFrame, sample_docs: int = 50):
+    """Driver-side schema inference: sample attr spans, union JSON keys.
+
+    Returns list[(name, spark_type_str)] in first-seen order.
+    """
+    rows = (
+        documents.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "attr")
+        .select("s.text")
+        .limit(sample_docs * 4)
+        .collect()
+    )
+    fields: dict[str, str] = {}
+    for r in rows:
+        try:
+            obj = json.loads(r[0])
+        except (TypeError, ValueError):
+            continue
+        for k, v in obj.items():
+            if k in fields:
+                continue
+            if isinstance(v, bool):
+                fields[k] = "bool"
+            elif isinstance(v, int):
+                fields[k] = "long"
+            elif isinstance(v, float):
+                fields[k] = "double"
+            else:
+                fields[k] = "string"
+    return list(fields.items())
+
+
+def extract_vector_table(
+    documents: DataFrame,
+    measurements: Optional[Sequence[tuple]] = None,
+) -> DataFrame:
+    """documents(spans) -> (doc_id, seq, geometry_wkb, *attrs).
+
+    measurements: list of (name, type_str); inferred when None. The
+    projection both prunes and **orders** the attribute columns,
+    matching the reference's measurement pushdown (geobox.py:72-73,
+    81-82).
+    """
+    if measurements is None:
+        measurements = infer_measurements(documents)
+    meas = [(n, t) for n, t in measurements]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("geometry_wkb", T.BinaryType()),
+        ]
+        + [T.StructField(n, _SPARK_TYPES[t]) for n, t in meas]
+    )
+
+    names = [n for n, _ in meas]
+    pd_casts = {
+        n: {
+            "double": "float64",
+            "float": "float32",
+            "long": "int64",
+            "int": "int32",
+            "string": "object",
+            "bool": "object",
+            "timestamp": "datetime64[us]",
+        }.get(t, "object")
+        for n, t in meas
+    }
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            wkbs = [None] * n
+            attr_cols: dict[str, list] = {m: [None] * n for m in names}
+            for i, spans in enumerate(pdf["spans"].values):
+                if spans is None:
+                    continue
+                # spans arrive as ndarray/list of Row-like dicts
+                ordered = sorted(spans, key=lambda s: s["offset"])
+                merged: dict = {}
+                for s in ordered:
+                    kind = s["kind"]
+                    if kind == "attr" and s["text"]:
+                        try:
+                            merged.update(json.loads(s["text"]))
+                        except ValueError:
+                            pass
+                    elif kind == "geom" and s["media_ref"]:
+                        wkbs[i] = bytes.fromhex(s["media_ref"])
+                for m in names:
+                    if m in merged:
+                        attr_cols[m][i] = merged[m]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "seq": doc_seq(pdf["doc_id"]).values,
+                    "geometry_wkb": wkbs,
+                }
+            )
+            for m in names:
+                s = pd.Series(attr_cols[m])
+                dt = pd_casts[m]
+                if dt not in ("object",):
+                    s = pd.to_numeric(s, errors="coerce") if dt.startswith(("f", "i")) else s
+                    try:
+                        s = s.astype(dt)
+                    except (ValueError, TypeError):
+                        pass
+                out[m] = s
+            yield out
+
+    return documents.mapInPandas(_extract, schema=out_schema)
+
+
+def validate_vector_df(vector_df: DataFrame, geometry_column: str = "geometry_wkb"):
+    """Reference input validation (geobox.py:78-90): empty table or
+    missing geometry column -> VectorDataError."""
+    if geometry_column not in vector_df.columns:
+        raise VectorDataError(
+            f"'{geometry_column}' column missing in the vector data"
+        )
+    if vector_df.isEmpty():
+        raise VectorDataError("Empty DataFrame.")
+
+
+def span_sequence(documents: DataFrame) -> DataFrame:
+    """Canonical span-sequence view used for the per-row invariant
+    (kind, text, media_ref, order) — BASELINE.json input_hint."""
+    return documents.select(
+        "doc_id",
+        F.posexplode("spans").alias("pos", "s"),
+    ).select(
+        "doc_id",
+        F.col("pos").alias("order"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
