@@ -1,0 +1,520 @@
+"""Oracle-checkable geocube pipeline queries over the driver testdata.
+
+Each entry runs the REAL engine code path in Spark (WKB encode/decode,
+envelope agg, tile index, point burn through make_geocube, snap math,
+categorical encode) on deterministically synthesized geometry derived
+from the provided tables, while the DuckDB oracle reproduces the
+expected values with plain SQL arithmetic. Matching value-hashes prove
+the geometry/grid/burn plumbing end-to-end (SURVEY.md §5, FIXTURES §5).
+
+Synthesized point formulas (identical in Spark + DuckDB):
+    lon = (event_id % 3600) / 10.0 - 180.0
+    lat = ((event_id * 7) % 1700) / 10.0 - 85.0 + 0.05
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geometry import wkb as W
+from ..grid.tiling import equirect_cell_id_col
+from ..grid.geobox import snap_bounds
+
+WORLD_GEOM = json.dumps(
+    {
+        "type": "Polygon",
+        "coordinates": [
+            [[-180, -90], [180, -90], [180, 90], [-180, 90], [-180, -90]]
+        ],
+    }
+)
+
+_LON_SQL = "(event_id % 3600) / 10.0 - 180.0"
+_LAT_SQL = "((event_id * 7) % 1700) / 10.0 - 85.0 + 0.05"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _event_points(spark, sf_dir) -> DataFrame:
+    """events -> (event_id, lon, lat, value) with the shared formulas."""
+    return _events(spark, sf_dir).selectExpr(
+        "event_id",
+        f"{_LON_SQL} as lon",
+        f"{_LAT_SQL} as lat",
+        "value",
+    )
+
+
+_VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("geometry_wkb", T.BinaryType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _event_vector_df(spark, sf_dir) -> DataFrame:
+    """Point vector table with REAL WKB encoding (numpy, per batch)."""
+    pts = _event_points(spark, sf_dir)
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wkbs = [
+                W.point(x, y).to_wkb()
+                for x, y in zip(pdf["lon"].values, pdf["lat"].values)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": "ev-" + pdf["event_id"].astype(str),
+                    "seq": pdf["event_id"].astype("int64"),
+                    "geometry_wkb": wkbs,
+                    "value": pdf["value"].astype("float64"),
+                }
+            )
+
+    return pts.mapInPandas(_enc, schema=_VEC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_bounds_agg(spark, sf_dir):
+    """Envelope aggregation through WKB decode (engine total_bounds)."""
+    from ..cube import total_bounds
+    from ..geometry.crs import CRS
+
+    vec = _event_vector_df(spark, sf_dir)
+    b = total_bounds(vec, CRS(4326), CRS(4326))
+    return spark.createDataFrame(
+        [(float(b[0]), float(b[1]), float(b[2]), float(b[3]))],
+        "minx double, miny double, maxx double, maxy double",
+    )
+
+
+SQL_BOUNDS_AGG = f"""
+SELECT min({_LON_SQL}) AS minx, min({_LAT_SQL}) AS miny,
+       max({_LON_SQL}) AS maxx, max({_LAT_SQL}) AS maxy
+FROM events
+"""
+
+
+def q_tile_cover(spark, sf_dir):
+    """Zoom-12 global cell ids + zoom-5 parents (JVM-side hot path)."""
+    pts = _event_points(spark, sf_dir)
+    z, pz = 12, 5
+    cell = equirect_cell_id_col(F.col("lon"), F.col("lat"), z)
+    df = pts.select("event_id", cell.alias("cell_id"))
+    n, pn = 1 << z, 1 << pz
+    shift = z - pz
+    parent = (
+        (F.col("cell_id") / n).cast("long") / (1 << shift)
+    ).cast("long") * pn + (
+        (F.col("cell_id") % n) / (1 << shift)
+    ).cast("long")
+    return df.select(
+        "event_id", "cell_id", parent.alias("parent_id")
+    ).orderBy("event_id")
+
+
+SQL_TILE_COVER = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+), c AS (
+  SELECT event_id,
+    CAST(least(4095, greatest(0, floor((lon + 180.0) / 360.0 * 4096.0))) AS BIGINT) AS x,
+    CAST(least(4095, greatest(0, floor((90.0 - lat) / 180.0 * 4096.0))) AS BIGINT) AS y
+  FROM pts
+)
+SELECT event_id, y * 4096 + x AS cell_id,
+       CAST(floor(y / 128) AS BIGINT) * 32 + CAST(floor(x / 128) AS BIGINT) AS parent_id
+FROM c ORDER BY event_id
+"""
+
+
+def _burn_events(spark, sf_dir, merge_alg, fill):
+    from ..cube import make_geocube
+
+    vec = _event_vector_df(spark, sf_dir)
+    cube = make_geocube(
+        vec,
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-1.0, 1.0),
+        fill=fill,
+        merge_alg=merge_alg,
+        tile_size=64,
+    )
+    c = cube.chunks
+    cell = c.select(
+        "row0",
+        "col0",
+        "w",
+        F.posexplode("values").alias("pos", "val"),
+    )
+    return cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
+        "val",
+    )
+
+
+def q_burn_points_add(spark, sf_dir):
+    """Full point-burn path, MergeAlg.add: oracle = SQL groupBy sum."""
+    df = _burn_events(spark, sf_dir, "add", 0.0)
+    # filter on the ROUNDED sum so a near-zero float sum is dropped on
+    # both sides identically
+    return (
+        df.select("row", "col", F.round("val", 6).alias("val"))
+        .filter(F.col("val") != 0.0)
+        .orderBy("row", "col")
+    )
+
+
+SQL_BURN_ADD = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value FROM events
+)
+SELECT CAST(floor(90.0 - lat) AS INT) AS row,
+       CAST(floor(lon + 180.0) AS INT) AS col,
+       round(sum(value), 6) AS val
+FROM pts GROUP BY 1, 2 HAVING round(sum(value), 6) <> 0.0
+ORDER BY row, col
+"""
+
+
+def q_burn_points_replace(spark, sf_dir):
+    """Full point-burn path, MergeAlg.replace: last (max seq) wins."""
+    df = _burn_events(spark, sf_dir, "replace", -9999.0)
+    return df.filter(F.col("val") != -9999.0).orderBy("row", "col")
+
+
+SQL_BURN_REPLACE = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value FROM events
+)
+SELECT CAST(floor(90.0 - lat) AS INT) AS row,
+       CAST(floor(lon + 180.0) AS INT) AS col,
+       arg_max(value, event_id) AS val
+FROM pts GROUP BY 1, 2
+ORDER BY row, col
+"""
+
+
+def q_grid_snap(spark, sf_dir):
+    """Driver snap math on data-derived bounds (engine snap_bounds)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.selectExpr(
+        "min(l_extendedprice) as minx",
+        "min(l_quantity) as miny",
+        "max(l_extendedprice) as maxx",
+        "max(l_quantity) as maxy",
+    ).collect()[0]
+    affine, w, h = snap_bounds(
+        (row["minx"], row["miny"], row["maxx"], row["maxy"]), (-7.0, 7.0)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                float(affine.c),
+                float(affine.f - h * 7.0),
+                float(affine.c + w * 7.0),
+                float(affine.f),
+                int(w),
+                int(h),
+            )
+        ],
+        "x0 double, y0 double, x1 double, y1 double, width int, height int",
+    )
+
+
+SQL_GRID_SNAP = """
+WITH b AS (
+  SELECT min(l_extendedprice) AS minx, min(l_quantity) AS miny,
+         max(l_extendedprice) AS maxx, max(l_quantity) AS maxy
+  FROM lineitem
+), s AS (
+  SELECT floor(minx / 7.0) * 7.0 AS offx,
+         ceil(maxy / 7.0) * 7.0 AS offy,
+         greatest(1, CAST(ceil((maxx - floor(minx / 7.0) * 7.0) / 7.0 - 1e-6) AS INT)) AS width,
+         greatest(1, CAST(ceil((ceil(maxy / 7.0) * 7.0 - miny) / 7.0 - 1e-6) AS INT)) AS height
+  FROM b
+)
+SELECT offx AS x0, offy - height * 7.0 AS y0,
+       offx + width * 7.0 AS x1, offy AS y1, width, height
+FROM s
+"""
+
+
+def q_group_keys(spark, sf_dir):
+    """Group coordinate = sorted distinct keys (vector_to_cube.py:157-162)."""
+    return (
+        _events(spark, sf_dir)
+        .select(F.col("event_type").alias("group_key"))
+        .distinct()
+        .orderBy("group_key")
+    )
+
+
+SQL_GROUP_KEYS = (
+    "SELECT DISTINCT event_type AS group_key FROM events ORDER BY group_key"
+)
+
+
+def q_categorical_encode(spark, sf_dir):
+    """Engine categorical mapping: sorted(set(enums))+['nodata'], unseen
+    -> -1 (vector_to_cube.py:120-129)."""
+    enums = ["R", "A"]  # 'N' deliberately unseen
+    cats = sorted(set(enums)) + ["nodata"]
+    mapping = {c: i for i, c in enumerate(cats)}
+    mexpr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            F.col("l_returnflag").alias("label"),
+            F.coalesce(mexpr.getItem(F.col("l_returnflag")), F.lit(-1))
+            .cast("int")
+            .alias("code"),
+        )
+        .groupBy("label", "code")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label")
+    )
+
+
+SQL_CATEGORICAL = """
+SELECT l_returnflag AS label,
+       CASE l_returnflag WHEN 'A' THEN 0 WHEN 'R' THEN 1 ELSE -1 END AS code,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY label
+"""
+
+
+def q_datetime_epoch_ns(spark, sf_dir):
+    """Datetime band conversion: epoch ns float64 (vector_to_cube.py:20-44)."""
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast
+            # reproduces the reference's naive-datetime passthrough
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+            .cast("double")
+            .alias("ns"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_EPOCH_NS = """
+SELECT event_id, CAST(epoch_us(ts) * 1000 AS DOUBLE) AS ns
+FROM events ORDER BY event_id
+"""
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal-statistics pattern (docs/examples/zonal_statistics.ipynb):
+    group cells by zone id, aggregate mean/min/max/std."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("zone"))
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("mean_q"),
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_q"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("zone")
+    )
+
+
+SQL_ZONAL = """
+SELECT o_orderpriority AS zone,
+       round(avg(l_quantity), 6) AS mean_q,
+       min(l_quantity) AS min_q,
+       max(l_quantity) AS max_q,
+       round(stddev_samp(l_quantity), 6) AS std_q,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY zone
+"""
+
+
+def q_span_extract(spark, sf_dir):
+    """Interleaved-doc construction + REAL extraction + WKB round-trip.
+
+    Builds spans docs from the documents table with formula-derived
+    point geometry, runs extract_vector_table, decodes the WKB back to
+    lon/lat. Oracle recomputes the formulas directly.
+    """
+    from ..extract import extract_vector_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    span_schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                i = int(r["doc_id"])
+                lon = (i % 360) - 180 + 0.5
+                lat = ((i * 3) % 170) - 85 + 0.5
+                rows.append(
+                    {
+                        "doc_id": str(r["doc_id"]),
+                        "spans": [
+                            {
+                                "kind": "attr",
+                                "text": json.dumps({"n_chars": int(r["n_chars"])}),
+                                "media_ref": "",
+                                "offset": 0,
+                            },
+                            {
+                                "kind": "geom",
+                                "text": "Point",
+                                "media_ref": W.point(lon, lat).to_wkb().hex(),
+                                "offset": 1,
+                            },
+                            {
+                                "kind": "text",
+                                "text": r["text"],
+                                "media_ref": "",
+                                "offset": 2,
+                            },
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    spans_df = docs.mapInPandas(_mk, schema=span_schema)
+    vec = extract_vector_table(spans_df, measurements=[("n_chars", "long")])
+
+    dec_schema = "doc_id bigint, seq bigint, n_chars bigint, lon double, lat double"
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lons, lats = [], []
+            for blob in pdf["geometry_wkb"].values:
+                g = W.loads(bytes(blob))
+                lons.append(float(g.parts[0]))
+                lats.append(float(g.parts[1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "seq": pdf["seq"],
+                    "n_chars": pdf["n_chars"],
+                    "lon": lons,
+                    "lat": lats,
+                }
+            )
+
+    return vec.mapInPandas(_dec, schema=dec_schema).orderBy("doc_id")
+
+
+SQL_SPAN_EXTRACT = """
+SELECT doc_id, CAST(doc_id AS BIGINT) AS seq, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((CAST(doc_id AS BIGINT) % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+       CAST(((CAST(doc_id AS BIGINT) * 3) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+FROM documents ORDER BY CAST(doc_id AS BIGINT)
+"""
+
+
+def _spans_docs(spark, sf_dir) -> DataFrame:
+    """Interleaved documents table per BASELINE input_hint, synthesized
+    deterministically from the driver's documents parquet: one attr
+    span (JSON in text), one geom span (WKB in media_ref), one text
+    span — formula-derived point geometry."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    span_schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64").values
+            lons = (ids % 360) - 180 + 0.5
+            lats = ((ids * 3) % 170) - 85 + 0.5
+            rows = []
+            for did, nch, txt, lon, lat in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["text"], lons, lats
+            ):
+                rows.append(
+                    {
+                        "doc_id": str(did),
+                        "spans": [
+                            {
+                                "kind": "attr",
+                                "text": json.dumps({"n_chars": int(nch)}),
+                                "media_ref": "",
+                                "offset": 0,
+                            },
+                            {
+                                "kind": "geom",
+                                "text": "Point",
+                                "media_ref": W.point(float(lon), float(lat))
+                                .to_wkb()
+                                .hex(),
+                                "offset": 1,
+                            },
+                            {"kind": "text", "text": txt, "media_ref": "", "offset": 2},
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(_mk, schema=span_schema)
+
+
+def flagship(spark, sf_dir) -> DataFrame:
+    """End-to-end flagship: interleaved docs -> span extraction -> tile
+    cover -> distributed scanline burn -> chunked raster cube. Returns
+    the chunk DataFrame (stable schema; driver smoke-checks rows>0)."""
+    from ..cube import make_geocube
+
+    spans_df = _spans_docs(spark, sf_dir)
+    cube = make_geocube(
+        spans_df,
+        measurements=["n_chars"],
+        geom=WORLD_GEOM,
+        resolution=(-1.0, 1.0),
+        fill=-9999.0,
+        merge_alg="replace",
+        tile_size=64,
+    )
+    return cube.chunks.select(
+        "measurement", "zoom", "tile_id", "row0", "col0", "h", "w", "values"
+    )
+
+
+QUERIES = {
+    "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
+    "tile_cover": (q_tile_cover, SQL_TILE_COVER),
+    "burn_points_add": (q_burn_points_add, SQL_BURN_ADD),
+    "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),
+    "grid_snap": (q_grid_snap, SQL_GRID_SNAP),
+    "group_keys": (q_group_keys, SQL_GROUP_KEYS),
+    "categorical_encode": (q_categorical_encode, SQL_CATEGORICAL),
+    "datetime_epoch_ns": (q_datetime_epoch_ns, SQL_EPOCH_NS),
+    "zonal_stats": (q_zonal_stats, SQL_ZONAL),
+    "span_extract_identity": (q_span_extract, SQL_SPAN_EXTRACT),
+}
