@@ -1,0 +1,235 @@
+"""Deduplication operators for web-scale corpora.
+
+Five strategies, all DataFrame-first:
+
+* exact          — hash-groupBy on md5(text); one shuffle, map-side
+                   partial agg.
+* ngram Jaccard  — exact set-similarity via an inverted shingle index
+                   (explode -> equi-join -> count), NOT an O(n^2)
+                   cross join: only documents sharing >=1 shingle ever
+                   meet. At 100 TB add prefix filtering / stop-shingle
+                   pruning on the exploded index; the join key
+                   (shingle hash) shuffles evenly because shingles are
+                   near-uniform after hashing.
+* MinHash + LSH  — 64 portable minhashes (h60-based affine hashes mod
+                   a 31-bit prime), 16 bands x 4 rows, band-bucket
+                   equi-join for candidates, exact-Jaccard
+                   verification. Sub-quadratic: cost ~ #colliding
+                   pairs. All JVM-side Column math.
+* SimHash        — 60-bit sign-sum fingerprint over token hashes;
+                   near-dups have small Hamming distance. JVM-side
+                   (60 conditional sums), no Python.
+* embedding cosine — see functions.similarity.
+
+Every kernel uses the engine-portable ``h60`` hash so DuckDB oracles
+can replay the exact same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..textops.analysis import h60, shingles, tokens
+
+MERSENNE31 = (1 << 31) - 1  # 2147483647
+
+# fixed affine-hash parameters: a_k odd, derived from Knuth's constant
+def _minhash_params(k: int):
+    a = (2654435761 * (k + 1)) % MERSENNE31
+    b = (40503 * (k + 7)) % MERSENNE31
+    return (a | 1), b
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    kept (minimum) id and the copy count. Map-side combine makes the
+    shuffle O(#distinct), not O(#rows)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle h60, set size) inverted index — the shared
+    substrate for Jaccard and MinHash."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k).alias("sh"),
+    ).select("id", F.size("sh").alias("set_size"), F.explode("sh").alias("s"))
+    return sh.select("id", "set_size", h60(F.col("s")).alias("sh_hash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via inverted-index self-join.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b. Correct for any
+    threshold > 0 (a pair with J > 0 shares a shingle, so the index
+    join has perfect recall)."""
+    idx = shingle_sets(df, text_col, id_col, k)
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh_hash") == F.col("b.sh_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("na"),
+            F.col("b.set_size").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(df: DataFrame, *, num_hashes: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 3) -> DataFrame:
+    """64 minhashes per doc, entirely JVM-side: explode shingles once,
+    evaluate the affine hash family column-wise, min-aggregate. The
+    groupBy is the only shuffle and combines map-side."""
+    idx = shingle_sets(df, text_col, id_col, k)
+    h = F.pmod(F.col("sh_hash"), F.lit(MERSENNE31))
+    aggs = []
+    for j in range(num_hashes):
+        a, b = _minhash_params(j)
+        aggs.append(
+            F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(
+                f"mh_{j}"
+            )
+        )
+    return idx.groupBy(F.col("id")).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, *, threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Bands of rows = num_hashes/bands; docs colliding in >=1 band become
+    candidates (equi-join on (band, band_hash) — sub-quadratic, skew
+    handled by AQE since band hashes are uniform); candidates are then
+    verified with the exact inverted-index Jaccard, so the output has
+    perfect precision and LSH-recall."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, num_hashes=num_hashes, text_col=text_col, id_col=id_col, k=k
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_cols).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, threshold=threshold, text_col=text_col, id_col=id_col, k=k
+    )
+    return cand.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, *, bits: int = 60, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over whitespace tokens (token multiset, h60 bit
+    pattern, sign-sum per bit). One explode + one groupBy with 60
+    conditional sums — all codegen'd, no Python workers."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).select("id", h60(F.col("t")).alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*sums)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b).cast("long")
+        sim = bit if sim is None else sim + bit
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, *, max_hamming: int = 8,
+                       bands: int = 4, bits: int = 60,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: band the 60 bits into ``bands`` segments — any pair
+    with Hamming <= bands-1 collides on >=1 exact segment (pigeonhole),
+    so candidates come from an equi-join, then the true distance is
+    checked with bit_count(xor). For max_hamming > bands-1 recall
+    needs more bands; we verify exactly so precision is always 1."""
+    sig = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    seg = bits // bands
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(F.col("simhash"), i * seg)
+                .bitwiseAND(F.lit((1 << seg) - 1))
+                .alias("sv"),
+            )
+            for i in range(bands)
+        ]
+    )
+    b = sig.select("id", "simhash", F.explode(segs).alias("s")).select(
+        "id", "simhash", F.col("s.seg").alias("seg"), F.col("s.sv").alias("sv")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    ham = F.bit_count(
+        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+    )
+    return (
+        l.join(r, (F.col("l.seg") == F.col("r.seg"))
+               & (F.col("l.sv") == F.col("r.sv"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

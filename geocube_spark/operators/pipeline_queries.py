@@ -1,0 +1,465 @@
+"""Training-data pipeline queries (dedup / similarity / text / media)
+with DuckDB oracles.
+
+Every oracle replays the engine's exact arithmetic in SQL — including
+the portable 60-bit md5 hash, the affine MinHash family, and the
+SimHash bit sums — so value-hash equality proves the distributed
+implementation, not just a lookalike. Near-duplicate corpora are
+synthesized deterministically from the documents table (each doc plus
+an 80%-truncated variant at id+1000000), exactly the same on both
+sides; no external data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DUP_OFFSET = 1_000_000
+
+# shared DuckDB fragments ----------------------------------------------------
+
+H60_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+CORPUS_EXACT_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents
+)
+"""
+
+CORPUS_NEARDUP_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET},
+         substr(text, 1, CAST(floor(n_chars * 0.8) AS INT))
+  FROM documents
+)
+"""
+
+# shingle index: identical to functions.dedup.shingle_sets (k=3)
+SHINGLE_IDX_SQL = (
+    """
+tok AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM corpus
+),
+sh AS (
+  SELECT id,
+         list_distinct(list_transform(
+           range(1, greatest(2, len(toks) - 1)),
+           i -> array_to_string(toks[i:i+2], ' ')
+         )) AS shingles
+  FROM tok
+),
+idx AS (
+  SELECT id, len(shingles) AS set_size,
+         """
+    + H60_SQL.format(x="unnest(shingles)")
+    + """ AS sh_hash
+  FROM sh
+)
+"""
+)
+
+JACCARD_PAIRS_SQL = """
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.set_size AS na, b.set_size AS nb,
+         count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.sh_hash = b.sh_hash AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(n_inter / (na + nb - n_inter), 6) AS jaccard
+  FROM inter
+  WHERE round(n_inter / (na + nb - n_inter), 6) >= {tau}
+)
+"""
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    """Generated SQL replaying functions.dedup.simhash bit-for-bit."""
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << b}"
+        for b in range(bits)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM corpus
+),
+h AS (SELECT id, {H60_SQL.format(x='t')} AS h FROM tok),
+s AS (SELECT id, {sums} FROM h GROUP BY id),
+sig AS (SELECT id, {recon} AS simhash FROM s)
+"""
+
+
+# Spark-side corpora ----------------------------------------------------------
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def corpus_exact(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
+    )
+
+
+def corpus_neardup(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    trunc = d.select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(n_chars * 0.8) as int))"
+        ).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(trunc)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from ..functions.dedup import exact_duplicates
+
+    return exact_duplicates(corpus_exact(spark, sf_dir)).orderBy("text_hash")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {CORPUS_EXACT_SQL}
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY 1 ORDER BY text_hash
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        corpus_neardup(spark, sf_dir), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_NGRAM = (
+    f"WITH {CORPUS_NEARDUP_SQL}, {SHINGLE_IDX_SQL}, "
+    + JACCARD_PAIRS_SQL.format(tau=0.5)
+    + "SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
+)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from ..functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        corpus_neardup(spark, sf_dir), threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from ..functions.dedup import simhash
+
+    return simhash(corpus_neardup(spark, sf_dir)).orderBy("id")
+
+
+SQL_DEDUP_SIMHASH = (
+    f"WITH {CORPUS_NEARDUP_SQL}, {_simhash_sql()}"
+    "SELECT id, simhash FROM sig ORDER BY id"
+)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    # max_hamming = bands - 1 -> pigeonhole guarantees full recall, so
+    # the banded join provably equals the O(n^2) oracle
+    from ..functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        corpus_neardup(spark, sf_dir), max_hamming=5, bands=6
+    ).orderBy("id_a", "id_b")
+
+
+SQL_SIMHASH_PAIRS = (
+    f"WITH {CORPUS_NEARDUP_SQL}, {_simhash_sql()}"
+    """
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+ORDER BY id_a, id_b
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    from ..functions.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), k=3).orderBy("qid", "rank")
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM p
+)
+SELECT qid, rank, nid, cos FROM r WHERE rank <= 3 ORDER BY qid, rank
+"""
+
+
+def q_embedding_dedup_cosine(spark, sf_dir):
+    from ..functions.similarity import cosine_dup_pairs
+
+    e = _emb(spark, sf_dir)
+    pert = e.select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.25).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(pert)
+    return cosine_dup_pairs(corpus, threshold=0.9).orderBy("id_a", "id_b")
+
+
+SQL_EMB_DEDUP = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET},
+         list_concat([v[1] + CAST(CAST(0.25 AS FLOAT) AS DOUBLE)], v[2:64])
+  FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN — no SQL oracle (LSH recall is probabilistic);
+    driver records rows-only, pytest checks recall vs brute force."""
+    from ..functions.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(
+        _emb(spark, sf_dir), k=1, dim=64, bits=32, bands=8
+    ).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark, sf_dir):
+    from ..textops.analysis import quality_metrics
+
+    m = quality_metrics(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[v.alias(k) for k, v in m.items()]
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+          / len(toks), 6) AS mean_token_len,
+    round(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]'))::DOUBLE
+          / length(text), 6) AS punct_ratio,
+    round(len(list_filter(toks, t -> lower(t) IN
+          ('the','a','an','of','and','to','in','is')))::DOUBLE
+          / len(toks), 6) AS stopword_ratio
+  FROM tok
+)
+SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+  CASE WHEN n_tokens >= 5 AND mean_token_len >= 2.0
+            AND mean_token_len <= 12.0 AND punct_ratio <= 0.2
+       THEN 1 ELSE 0 END AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from ..textops.analysis import lang_id, lang_scores
+
+    scores = lang_scores(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        lang_id(F.col("text")).alias("pred_lang"),
+        *[scores[lang].alias(f"sc_{lang}") for lang in sorted(scores)],
+    ).orderBy("doc_id")
+
+
+SQL_LANG_ID = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|ist)\b')) AS sc_de,
+    len(regexp_extract_all(lower(text), '\b(the|and|is|of)\b'))   AS sc_en,
+    len(regexp_extract_all(lower(text), '\b(el|los|y|es)\b'))     AS sc_es,
+    len(regexp_extract_all(lower(text), '\b(le|la|et|est)\b'))    AS sc_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN sc_de >= sc_en AND sc_de >= sc_es AND sc_de >= sc_fr AND sc_de > 0 THEN 'de'
+       WHEN sc_en >= sc_es AND sc_en >= sc_fr AND sc_en > 0 THEN 'en'
+       WHEN sc_es >= sc_fr AND sc_es > 0 THEN 'es'
+       WHEN sc_fr > 0 THEN 'fr'
+       ELSE 'und' END AS pred_lang,
+  sc_de, sc_en, sc_es, sc_fr
+FROM s ORDER BY doc_id
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from ..textops.analysis import token_counts
+
+    n_ws, n_re = token_counts(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", n_ws.alias("n_ws_tokens"), n_re.alias("n_re_tokens")
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_re_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from ..textops.analysis import char_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", char_fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+  list_min(list_transform(
+    range(1, greatest(2, length(text) - 6)),
+    i -> md5(substr(text, CAST(i AS INT), 8))
+  )) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing + misc scalar ops
+# ---------------------------------------------------------------------------
+
+def q_media_meta(spark, sf_dir):
+    from ..functions.multimodal import decode_media, with_media_bytes
+
+    media = with_media_bytes(_docs(spark, sf_dir))
+    return decode_media(media, codec="stub").orderBy("doc_id")
+
+
+SQL_MEDIA_META = """
+SELECT doc_id, CAST(n_chars AS INT) AS n_bytes,
+  upper(hex(encode(substr(text, 1, 4)))) AS header_hex,
+  CAST(16 + n_chars % 624 AS INT) AS width,
+  CAST(16 + (n_chars * 7) % 464 AS INT) AS height,
+  CAST(1 + n_chars % 16 AS INT) AS n_frames
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    from ..functions.multimodal import frame_sample, with_media_bytes
+
+    media = with_media_bytes(_docs(spark, sf_dir))
+    return (
+        frame_sample(media, stride=64)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_byte").alias("sum_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id, len(idx) AS n_frames,
+  list_sum(list_transform(idx, i -> ord(substr(text, CAST(i AS INT), 1))))
+    AS sum_bytes
+FROM (SELECT doc_id, text, range(1, n_chars + 1, 64) AS idx FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q_json_props(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),  # recall: see tests
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_PAIRS),
+    "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
+    "embedding_dedup_cosine": (q_embedding_dedup_cosine, SQL_EMB_DEDUP),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # probabilistic recall
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
+    "media_meta": (q_media_meta, SQL_MEDIA_META),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+}

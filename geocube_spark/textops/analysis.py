@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All functions build JVM-side Column expressions (whole-stage codegen,
+no Python workers in the hot path): tokenization, quality scoring,
+language-ID, token counting, and document fingerprinting. At 100 TB
+these run as narrow maps over the scan — no shuffle, filters push
+down, and only the referenced columns are read.
+
+The shared 60-bit string hash ``h60`` (first 15 hex chars of md5) is
+deliberately engine-portable: DuckDB/Trino/Spark all reproduce it,
+which keeps every downstream operator (minhash, simhash, LSH) oracle-
+checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+BPE_ISH_RE = r"\w+|[^\w\s]"
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+# language marker words for the n-gram/marker heuristic (deterministic,
+# ASCII-only so Java regex and RE2 agree)
+LANG_MARKERS = {
+    "de": ("der", "die", "und", "ist"),
+    "en": ("the", "and", "is", "of"),
+    "es": ("el", "los", "y", "es"),
+    "fr": ("le", "la", "et", "est"),
+}
+
+
+def h60(col: Column) -> Column:
+    """Portable 60-bit hash: int(md5(s)[0:15], 16). Fits signed int64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text (array<string>)."""
+    return F.split(F.trim(col), TOKEN_SPLIT_RE)
+
+
+def token_counts(col: Column):
+    """(whitespace token count, BPE-ish regex token count)."""
+    n_ws = F.size(tokens(col))
+    n_re = F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0))
+    return n_ws, n_re
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined), for Jaccard/MinHash."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - (k - 1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def char_fingerprint(col: Column, width: int = 8) -> Column:
+    """Rolling-hash document fingerprint: lexicographic min of the md5
+    of every ``width``-char window (winnowing with window = whole doc).
+    Identical docs -> identical fingerprint; any window shared is
+    evidence of overlap."""
+    return F.array_min(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.lit(1), F.length(col) - (width - 1))
+            ),
+            lambda i: F.md5(F.substring(col, i, width)),
+        )
+    )
+
+
+def quality_metrics(col: Column) -> dict:
+    """Quality-scoring columns: token count, mean token length,
+    punctuation ratio, stopword ratio, and a boolean keep flag.
+
+    Mirrors the length/punct/stopword heuristics used by web-corpus
+    cleaning pipelines; all ratios rounded to 6 dp so results hash
+    identically across engines."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    n_chars = F.length(col)
+    mean_tok = F.round(sum_len / n_tok, 6)
+    punct_ratio = F.round(n_punct.cast("double") / n_chars, 6)
+    stop_ratio = F.round(n_stop.cast("double") / n_tok, 6)
+    keep = (
+        (n_tok >= 5)
+        & (mean_tok >= 2.0)
+        & (mean_tok <= 12.0)
+        & (punct_ratio <= 0.2)
+    ).cast("int")
+    return {
+        "n_tokens": n_tok,
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "keep": keep,
+    }
+
+
+def lang_scores(col: Column) -> dict:
+    """Marker-word counts per language (word-boundary regex)."""
+    return {
+        lang: F.size(
+            F.regexp_extract_all(
+                F.lower(col), F.lit(r"\b(" + "|".join(ws) + r")\b"), 0
+            )
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by marker score; ties break alphabetically
+    (deterministic); all-zero scores -> 'und'."""
+    scores = lang_scores(col)
+    best = None
+    for lang in sorted(scores):  # alphabetical: first max wins ties
+        s = scores[lang]
+        if best is None:
+            best = (s, F.lit(lang))
+        else:
+            best = (
+                F.when(s > best[0], s).otherwise(best[0]),
+                F.when(s > best[0], F.lit(lang)).otherwise(best[1]),
+            )
+    return F.when(best[0] > 0, best[1]).otherwise(F.lit("und"))

@@ -1,0 +1,180 @@
+"""Training-data pipeline operators: dedup, similarity, text, media.
+
+Ground-truth properties on the deterministic sf0.001 tables; the
+DuckDB value-parity gate lives in scripts/check_oracle.py and the
+driver's CORRECTNESS run.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.functions import dedup as D
+from geocube_spark.functions import multimodal as M
+from geocube_spark.functions import similarity as S
+from geocube_spark.operators import pipeline_queries as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- dedup -------------------------------------------------------------------
+
+def test_exact_dedup_finds_all_copies(spark, sf_dir, docs):
+    n = docs.count()
+    out = D.exact_duplicates(P.corpus_exact(spark, sf_dir)).toPandas()
+    assert len(out) == n                      # one group per distinct text
+    assert (out["n_copies"] == 2).all()       # each doc + its copy
+    assert (out["keep_id"] < P.DUP_OFFSET).all()  # min id kept
+
+
+def test_ngram_jaccard_pairs_truncated_variants(spark, sf_dir):
+    pairs = P.q_dedup_ngram_jaccard(spark, sf_dir).toPandas()
+    # every (doc, 80%-truncated doc) pair must be found
+    mates = pairs[pairs["id_b"] == pairs["id_a"] + P.DUP_OFFSET]
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(mates) >= 0.95 * n
+    assert (pairs["jaccard"] >= 0.5).all()
+    assert (pairs["jaccard"] <= 1.0).all()
+
+
+def test_minhash_lsh_precision_and_recall(spark, sf_dir):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in P.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in P.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= exact                       # verification => precision 1
+    assert len(lsh) >= 0.95 * len(exact)      # LSH recall
+
+
+def test_simhash_near_dups_are_close(spark, sf_dir):
+    sig = P.q_dedup_simhash(spark, sf_dir).toPandas().set_index("id")["simhash"]
+    base = [i for i in sig.index if i < P.DUP_OFFSET][:50]
+    ham_dup, ham_rand = [], []
+    for i in base:
+        ham_dup.append(bin(int(sig[i]) ^ int(sig[i + P.DUP_OFFSET])).count("1"))
+        j = base[(base.index(i) + 7) % len(base)]
+        if j != i:
+            ham_rand.append(bin(int(sig[i]) ^ int(sig[j])).count("1"))
+    assert np.mean(ham_dup) < np.mean(ham_rand)
+
+
+def test_simhash_banding_full_recall(spark, sf_dir):
+    # max_hamming = bands - 1 pigeonhole: banded join == brute force
+    out = P.q_simhash_near_pairs(spark, sf_dir).toPandas()
+    sig = P.q_dedup_simhash(spark, sf_dir).toPandas()
+    vals = sig["simhash"].astype("int64").values
+    ids = sig["id"].values
+    brute = set()
+    for i in range(len(ids)):
+        x = np.bitwise_xor(vals[i + 1:], vals[i])
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for k in np.nonzero(ham <= 5)[0]:
+            brute.add((min(ids[i], ids[i + 1 + k]), max(ids[i], ids[i + 1 + k])))
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert got == brute
+
+
+# -- similarity ---------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir, emb):
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].values).astype(np.float64)
+    ids = pdf["vec_id"].values
+    sims = (vecs @ vecs.T) / (
+        np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(vecs, axis=1)[None, :]
+    )
+    np.fill_diagonal(sims, -np.inf)
+    got = S.brute_force_topk(emb, k=1).toPandas().set_index("qid")
+    agree = 0
+    for qi, q in enumerate(ids):
+        best = ids[np.argmax(np.round(sims[qi], 6))]
+        agree += int(got.loc[q, "nid"] == best)
+    assert agree >= 0.99 * len(ids)  # ties on rounded cos may differ
+
+
+def test_ann_lsh_recall(spark, sf_dir, emb):
+    bf = P.q_ann_topk_bruteforce(spark, sf_dir).filter(F.col("rank") == 1)
+    truth = {r["qid"]: r["nid"] for r in bf.collect()}
+    approx = {r["qid"]: r["nid"] for r in P.q_ann_lsh_topk(spark, sf_dir).collect()}
+    hits = sum(1 for q, n in truth.items() if approx.get(q) == n)
+    assert len(approx) == len(truth)          # every query answered
+    assert hits >= 0.6 * len(truth)           # 32-bit/8-band recall floor
+
+
+def test_embedding_dedup_finds_perturbed_copies(spark, sf_dir, emb):
+    out = P.q_embedding_dedup_cosine(spark, sf_dir).toPandas()
+    n = emb.count()
+    mates = out[out["id_b"] == out["id_a"] + P.DUP_OFFSET]
+    assert len(mates) >= 0.95 * n
+    assert (out["cos"] >= 0.9).all()
+
+
+# -- text analysis -------------------------------------------------------------
+
+def test_quality_metrics_ranges(spark, sf_dir):
+    out = P.q_text_quality(spark, sf_dir).toPandas()
+    assert (out["n_tokens"] > 0).all()
+    assert out["mean_token_len"].between(1, 20).all()
+    assert out["punct_ratio"].between(0, 1).all()
+    assert out["stopword_ratio"].between(0, 1).all()
+    assert set(out["keep"].unique()) <= {0, 1}
+
+
+def test_lang_id_deterministic_argmax(spark, sf_dir):
+    out = P.q_lang_id(spark, sf_dir).toPandas()
+    assert set(out["pred_lang"]) <= {"de", "en", "es", "fr", "und"}
+    score_cols = ["sc_de", "sc_en", "sc_es", "sc_fr"]
+    for _, r in out.head(50).iterrows():
+        scores = {c[3:]: r[c] for c in score_cols}
+        best = max(scores.values())
+        if best == 0:
+            assert r["pred_lang"] == "und"
+        else:
+            expect = sorted(l for l, s in scores.items() if s == best)[0]
+            assert r["pred_lang"] == expect
+
+
+def test_fingerprint_stability(spark, sf_dir, docs):
+    fp1 = P.q_doc_fingerprint(spark, sf_dir).toPandas()
+    # identical text -> identical fingerprint (recompute and compare)
+    fp2 = P.q_doc_fingerprint(spark, sf_dir).toPandas()
+    assert fp1.equals(fp2)
+    assert fp1["fp"].str.len().eq(32).all()
+
+
+# -- multimodal ----------------------------------------------------------------
+
+def test_media_decode_stub_schema_and_batches(spark, sf_dir, docs):
+    meta = M.decode_media(M.with_media_bytes(docs)).toPandas()
+    assert len(meta) == docs.count()
+    assert (meta["n_bytes"] > 0).all()
+    assert meta["width"].between(16, 639).all()
+    assert meta["height"].between(16, 479).all()
+    assert (meta["header_hex"].str.len() == 8).all()
+
+
+def test_media_decode_real_is_stubbed(spark, sf_dir, docs):
+    with pytest.raises(NotImplementedError):
+        M.decode_media(M.with_media_bytes(docs), codec="real")
+
+
+def test_frame_sample_stride(spark, sf_dir, docs):
+    fs = M.frame_sample(M.with_media_bytes(docs), stride=64).toPandas()
+    nch = docs.select("doc_id", "n_chars").toPandas().set_index("doc_id")
+    counts = fs.groupby("doc_id").size()
+    for did, c in counts.head(20).items():
+        expect = int(np.ceil(nch.loc[did, "n_chars"] / 64))
+        assert c == expect
+    assert fs["frame_byte"].between(0, 255).all()
