@@ -1,27 +1,38 @@
 """Similarity search over embedding columns (array<float>).
 
-* brute-force cosine top-k — the exactness baseline. Dot product and
-  norms via JVM higher-order functions (``aggregate``/``zip_with``) on
-  double arrays: no Python workers, whole-stage codegen. The pairing
-  is a broadcast nested-loop of queries x corpus — correct at any
-  scale where ONE side fits in a broadcast; for corpus x corpus at
-  100 TB use the LSH variant.
-* random-hyperplane LSH ANN — 16-bit signatures from fixed
-  deterministic hyperplanes (portable integer hash -> pseudo-gaussian
-  weights), bucket equi-join, exact cosine re-rank inside buckets.
-  Sub-quadratic; recall tunable via bands/bits.
+* brute-force cosine top-k — exactness baseline. The corpus is
+  L2-normalized once, broadcast to executors, and each Arrow batch of
+  queries is scored with one numpy matmul (``mapInPandas``): the
+  distributed scan is over the QUERY side, so it parallelizes and
+  scales linearly in #queries; the corpus side must fit in a
+  broadcast (same constraint as any broadcast join). For corpus
+  sizes beyond broadcast, use ``ann_lsh_topk``.
+* random-hyperplane LSH ANN — deterministic hyperplanes (portable
+  integer hash -> pseudo-random weights), signature matmul per Arrow
+  batch, band-bucket equi-join, exact numpy cosine re-rank inside
+  each bucket via ``applyInPandas``. Sub-quadratic: cost ~ sum of
+  bucket sizes squared; uniform signatures keep the shuffle balanced.
 * cosine near-duplicate pairs — threshold variant for embedding dedup.
 
-All cosines are computed in float64 with sequential accumulation so
-DuckDB's list_cosine_similarity reproduces them to <1e-12 (rounded to
-6 dp before any comparison).
+Spark HOF note: ``aggregate``/``zip_with`` lambdas are interpreted
+(CodegenFallback), ~100x slower than Arrow-batched numpy for dense
+float math — hence pandas UDFs here, exactly the "vectorized, no
+per-row Python" contract. Cosines are float64 and rounded to 6 dp
+before any ranking/threshold so DuckDB oracles reproduce them.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+
+# -- small composable Column helpers (fine for few rows / wide plans) --------
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -35,12 +46,41 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
-
-
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# -- shared numpy plumbing ----------------------------------------------------
+
+def _to_matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+    m = np.stack(pdf[vec_col].values).astype(np.float64)
+    return m
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _collect_corpus(corpus: DataFrame, id_col: str, vec_col: str):
+    """Driver-side collect of the broadcast side (like building the
+    hash relation of a broadcast join). Returns (ids, normalized
+    matrix) sorted by id for determinism."""
+    pdf = corpus.select(id_col, vec_col).toPandas().sort_values(id_col)
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = _normalize(_to_matrix(pdf, vec_col))
+    return ids, mat
+
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("nid", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ]
+)
 
 
 def brute_force_topk(corpus: DataFrame, *, k: int = 3,
@@ -51,90 +91,137 @@ def brute_force_topk(corpus: DataFrame, *, k: int = 3,
     corpus x corpus, self-matches excluded).
 
     Deterministic ranking: (round(cos, 6) DESC, neighbor id ASC) so
-    float noise below 1e-6 can never flip the output. The corpus side
-    is broadcast — at scale, broadcast the smaller side or switch to
-    ann_lsh_topk."""
-    from pyspark.sql import Window
+    float noise below 1e-6 can never flip the output."""
+    c_ids, c_mat = _collect_corpus(corpus, id_col, vec_col)
+    q = (queries or corpus).select(id_col, vec_col)
 
-    q = (queries or corpus).select(
-        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv")
-    )
-    pairs = q.join(F.broadcast(c), F.col("qid") != F.col("nid")).select(
-        "qid", "nid",
-        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "rank", "nid", "cos")
-    )
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = c_mat.T  # (dim, N)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = np.round(_normalize(_to_matrix(pdf, vec_col)) @ cm, 6)
+            sims[qids[:, None] == c_ids[None, :]] = -np.inf  # drop self
+            # rank by (-cos, nid): stable via lexsort on (id, -cos)
+            order = np.lexsort((c_ids[None, :].repeat(len(qids), 0), -sims),
+                               axis=1)[:, :k]
+            rows = len(qids)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, k),
+                    "rank": np.tile(np.arange(1, k + 1), rows),
+                    "nid": c_ids[order].ravel(),
+                    "cos": np.take_along_axis(sims, order, 1).ravel(),
+                }
+            )
+
+    return q.mapInPandas(_score, schema=_TOPK_SCHEMA)
+
+
+_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ]
+)
 
 
 def cosine_dup_pairs(corpus: DataFrame, *, threshold: float = 0.99,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
-    Brute-force (broadcast) baseline; LSH variant below is the scale
-    path."""
-    a = corpus.select(
-        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
-    )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
-    )
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+    """Embedding near-duplicate pairs: cosine >= threshold, id_a <
+    id_b. Distributed over the left side; right side broadcast."""
+    c_ids, c_mat = _collect_corpus(corpus, id_col, vec_col)
+
+    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm = c_mat.T
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = np.round(_normalize(_to_matrix(pdf, vec_col)) @ cm, 6)
+            keep = (sims >= threshold) & (qids[:, None] < c_ids[None, :])
+            qi, cj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": qids[qi],
+                    "id_b": c_ids[cj],
+                    "cos": sims[qi, cj],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _pairs, schema=_PAIRS_SCHEMA
     )
 
+
+# -- LSH ANN -------------------------------------------------------------------
 
 def _hyperplane(dim: int, bit: int, d: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1) for hyperplane
-    ``bit``, dimension ``d`` (Weyl-sequence on Knuth's constant)."""
+    ``bit``, dimension ``d`` (Weyl sequence on Knuth's constant) —
+    identical on every executor and across engines."""
     x = (2654435761 * (bit * dim + d + 1) + 97) % (1 << 32)
     return x / float(1 << 31) - 1.0
 
 
-def lsh_signature(vec: Column, *, dim: int, bits: int = 16) -> Column:
-    """Random-hyperplane signature as an int column: bit b = 1 iff
-    dot(vec, hyperplane_b) >= 0. Pure JVM arithmetic (unrolled dot
-    products over fixed literals)."""
-    sig = None
-    for b in range(bits):
-        s = None
-        for d in range(dim):
-            term = F.element_at(vec, d + 1) * F.lit(_hyperplane(dim, b, d))
-            s = term if s is None else s + term
-        bit = F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig + bit
-    return sig
+def hyperplane_matrix(dim: int, bits: int) -> np.ndarray:
+    return np.array(
+        [[_hyperplane(dim, b, d) for d in range(dim)] for b in range(bits)],
+        dtype=np.float64,
+    )
+
+
+def lsh_signatures(corpus: DataFrame, *, dim: int, bits: int = 32,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(id, sig, v) — signature bit b = 1 iff dot(v, H_b) >= 0; one
+    matmul per Arrow batch. Narrow map, no shuffle."""
+    H = hyperplane_matrix(dim, bits).T  # (dim, bits)
+    powers = (1 << np.arange(bits)).astype(np.int64)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("sig", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _to_matrix(pdf, vec_col)
+            bits_on = (m @ H) >= 0
+            sig = (bits_on * powers[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "sig": sig,
+                    "v": list(_normalize(m)),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_sig, schema=schema)
 
 
 def ann_lsh_topk(corpus: DataFrame, *, k: int = 1, dim: int,
-                 bits: int = 16, bands: int = 4,
+                 bits: int = 32, bands: int = 8,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates share >=1 exact LSH band (equi-
-    join on (band, segment) — shuffle keys are uniform by
-    construction), then exact cosine re-rank. Recall grows with
-    bands; precision is exact on returned pairs."""
+    """Approximate top-k: candidates share >=1 exact LSH band segment
+    (the explode+groupBy is the only shuffle; segment values are
+    uniform so no skew), pairwise cosine inside each bucket with one
+    numpy matmul, then a global window keeps the best k per query.
+    Recall grows with bands; returned cosines are exact."""
     from pyspark.sql import Window
 
     seg = bits // bands
-    base = corpus.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("sig", lsh_signature(F.col("v"), dim=dim, bits=bits))
+    sig = lsh_signatures(
+        corpus, dim=dim, bits=bits, id_col=id_col, vec_col=vec_col
+    )
     segs = F.array(
         *[
             F.struct(
@@ -146,20 +233,40 @@ def ann_lsh_topk(corpus: DataFrame, *, k: int = 1, dim: int,
             for i in range(bands)
         ]
     )
-    bkt = base.select("id", "v", F.explode(segs).alias("s")).select(
+    bkt = sig.select("id", "v", F.explode(segs).alias("s")).select(
         "id", "v", F.col("s.band").alias("band"), F.col("s.sv").alias("sv")
     )
-    l, r = bkt.alias("l"), bkt.alias("r")
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def _bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"qid": [], "nid": [], "cos": []}).astype(
+                {"qid": "int64", "nid": "int64", "cos": "float64"}
+            )
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["v"].values).astype(np.float64)
+        sims = np.round(m @ m.T, 6)
+        qi, nj = np.nonzero(~np.eye(n, dtype=bool))
+        # keep only each query's local top-k to shrink the shuffle
+        out = pd.DataFrame({"qid": ids[qi], "nid": ids[nj],
+                            "cos": sims[qi, nj]})
+        out = out.sort_values(["qid", "cos", "nid"],
+                              ascending=[True, False, True])
+        return out.groupby("qid", sort=False).head(k)
+
     cand = (
-        l.join(r, (F.col("l.band") == F.col("r.band"))
-               & (F.col("l.sv") == F.col("r.sv"))
-               & (F.col("l.id") != F.col("r.id")))
-        .select(
-            F.col("l.id").alias("qid"),
-            F.col("r.id").alias("nid"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
-        )
-        .distinct()
+        bkt.groupBy("band", "sv")
+        .applyInPandas(_bucket_pairs, schema=cand_schema)
+        .groupBy("qid", "nid")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
