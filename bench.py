@@ -31,6 +31,13 @@ def run(spark=None, sf_dir: str = None) -> dict:
     spark = spark or get_spark(app="geocube-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up JVM codegen + Python worker pool so the first timed query
+    # isn't charged the one-time startup cost
+    from pyspark.sql import functions as _F
+
+    warm = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    warm.mapInPandas(lambda it: it, schema=warm.schema).count()
+
     qs = E.queries()
     times, rows = {}, {}
     for name, fn in qs.items():

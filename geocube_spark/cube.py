@@ -158,24 +158,31 @@ def total_bounds(vector_df: DataFrame, src_crs: CRS, dst_crs: CRS):
     def _env(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         s, d = CRS(src_epsg), CRS(dst_epsg)
         for pdf in batches:
-            rows = []
-            for blob in pdf["geometry_wkb"].values:
-                if blob is None:
-                    continue
-                g = W.loads(bytes(blob))
+            blobs = [b for b in pdf["geometry_wkb"].values if b is not None]
+            if not blobs:
+                continue
+            pts = W.try_parse_points(blobs)
+            if pts is not None:  # vectorized point fast path
+                x, y = pts
                 if src_epsg != dst_epsg:
-                    g = g.transform(lambda x, y: crs_transform(s, d, x, y))
-                rows.append(g.bounds())
-            if rows:
+                    x, y = crs_transform(s, d, x, y)
+                arr = np.column_stack([x, y, x, y])
+            else:
+                rows = []
+                for blob in blobs:
+                    g = W.loads(bytes(blob))
+                    if src_epsg != dst_epsg:
+                        g = g.transform(lambda x, y: crs_transform(s, d, x, y))
+                    rows.append(g.bounds())
                 arr = np.asarray(rows)
-                yield pd.DataFrame(
-                    {
-                        "minx": [arr[:, 0].min()],
-                        "miny": [arr[:, 1].min()],
-                        "maxx": [arr[:, 2].max()],
-                        "maxy": [arr[:, 3].max()],
-                    }
-                )
+            yield pd.DataFrame(
+                {
+                    "minx": [arr[:, 0].min()],
+                    "miny": [arr[:, 1].min()],
+                    "maxx": [arr[:, 2].max()],
+                    "maxy": [arr[:, 3].max()],
+                }
+            )
 
     env = vector_df.select("geometry_wkb").mapInPandas(_env, schema=schema)
     row = env.agg(
@@ -408,15 +415,51 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
             )
 
         for pdf in batches:
-            out_rows = {
-                "tile_id": [], "seq": [], "pix_wkb": [],
-            }
+            blobs = pdf["geometry_wkb"].values
+            cols = ["tile_id", "seq", "pix_wkb"]
             if grouped:
-                out_rows["group_key"] = []
-            for m in meas:
-                out_rows[m] = []
+                cols.append("group_key")
+            cols += list(meas)
+
+            pts = (
+                W.try_parse_points(blobs)
+                if all(b is not None for b in blobs)
+                else None
+            )
+            if pts is not None:
+                # vectorized point fast path: one tile per point,
+                # everything numpy — no per-row Python
+                x, y = pts
+                if reproject:
+                    x, y = crs_transform(src, dst, x, y)
+                px = inv.c + inv.a * x + inv.b * y
+                py = inv.f + inv.d * x + inv.e * y
+                tx = np.floor(px / tile_size).astype(np.int64)
+                ty = np.floor(py / tile_size).astype(np.int64)
+                m_in = (tx >= 0) & (tx < ntx) & (ty >= 0) & (ty < nty)
+                out = pd.DataFrame(
+                    {
+                        "tile_id": ty[m_in] * ntx + tx[m_in],
+                        "seq": pdf["seq"].values[m_in].astype("int64"),
+                        "pix_wkb": W.points_to_wkb(px[m_in], py[m_in]),
+                    }
+                )
+                if grouped:
+                    gv = pdf["__group"].values[m_in]
+                    out["group_key"] = [
+                        None if v is None else str(v) for v in gv
+                    ]
+                for m in meas:
+                    out[m] = pdf[m].values[m_in]
+                yield out[cols]
+                continue
+
+            out_rows = {c: [] for c in cols}
+            seqs = pdf["seq"].values
+            gvs = pdf["__group"].values if grouped else None
+            mvals = {m: pdf[m].values for m in meas}
             for i in range(len(pdf)):
-                blob = pdf["geometry_wkb"].iloc[i]
+                blob = blobs[i]
                 if blob is None:
                     continue
                 g = W.loads(bytes(blob)).transform(_to_pix)
@@ -431,16 +474,16 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                 for ty in range(ty0, ty1 + 1):
                     for tx in range(tx0, tx1 + 1):
                         out_rows["tile_id"].append(ty * ntx + tx)
-                        out_rows["seq"].append(int(pdf["seq"].iloc[i]))
+                        out_rows["seq"].append(int(seqs[i]))
                         out_rows["pix_wkb"].append(pw)
                         if grouped:
-                            gv = pdf["__group"].iloc[i]
+                            gv = gvs[i]
                             out_rows["group_key"].append(
                                 None if gv is None else str(gv)
                             )
                         for m in meas:
-                            out_rows[m].append(pdf[m].iloc[i])
-            yield pd.DataFrame(out_rows, columns=list(out_rows))
+                            out_rows[m].append(mvals[m][i])
+            yield pd.DataFrame(out_rows, columns=cols)
 
     return work.mapInPandas(_cover, schema=schema)
 
@@ -483,15 +526,61 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         w = min(tile_size, gb.width - col0)
 
         pdf = pdf.sort_values("seq", kind="mergesort")  # replace order
-        geoms = [W.loads(bytes(b)) for b in pdf["pix_wkb"].values]
+        blobs = pdf["pix_wkb"].values
+        n_geoms = len(blobs)
+        min_seq = int(pdf["seq"].min()) if n_geoms else -1
+        max_seq = int(pdf["seq"].max()) if n_geoms else -1
+
+        pts = W.try_parse_points(blobs) if n_geoms else None
+        if pts is not None:
+            # vectorized point burn: cell = (floor(y), floor(x)), same
+            # center rule as geometry_cells; merge without per-row loops
+            px, py = pts
+            cc = np.floor(px).astype(np.int64) - col0
+            rr = np.floor(py).astype(np.int64) - row0
+            m_in = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            flat = rr[m_in] * w + cc[m_in]
+            out = []
+            for m in meas:
+                f = fills[m]
+                band = np.full(h * w, f, dtype=np.float64)
+                vals = pdf[m].values.astype(np.float64)[m_in]
+                if filter_nan:
+                    keep = ~np.isnan(vals)
+                    fl, vv = flat[keep], vals[keep]
+                else:
+                    fl, vv = flat, vals
+                if merge_alg == "replace":
+                    # last write (max seq) wins: first occurrence in the
+                    # reversed seq-sorted order
+                    u, first_rev = np.unique(fl[::-1], return_index=True)
+                    band[u] = vv[::-1][first_rev]
+                else:
+                    np.add.at(band, fl, vv)
+                out.append(
+                    {
+                        "measurement": m,
+                        "group_key": gkey,
+                        "zoom": zoom,
+                        "tile_id": tile_id,
+                        "row0": row0,
+                        "col0": col0,
+                        "h": h,
+                        "w": w,
+                        "values": band,
+                        "n_geoms": n_geoms,
+                        "min_seq": min_seq,
+                        "max_seq": max_seq,
+                    }
+                )
+            return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
+
+        geoms = [W.loads(bytes(b)) for b in blobs]
         # translate to tile-local pixel coords
         geoms = [g.transform(lambda x, y: (x - col0, y - row0)) for g in geoms]
         covers = [
             geometry_cells(g, h, w, all_touched) for g in geoms
         ]
-        n_geoms = len(geoms)
-        min_seq = int(pdf["seq"].min()) if n_geoms else -1
-        max_seq = int(pdf["seq"].max()) if n_geoms else -1
 
         out = []
         for m in meas:

@@ -70,10 +70,7 @@ def _event_vector_df(spark, sf_dir) -> DataFrame:
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            wkbs = [
-                W.point(x, y).to_wkb()
-                for x, y in zip(pdf["lon"].values, pdf["lat"].values)
-            ]
+            wkbs = W.points_to_wkb(pdf["lon"].values, pdf["lat"].values)
             yield pd.DataFrame(
                 {
                     "doc_id": "ev-" + pdf["event_id"].astype(str),
