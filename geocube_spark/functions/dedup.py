@@ -56,26 +56,54 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingle h60, set size) inverted index — the shared
-    substrate for Jaccard and MinHash."""
+def shingle_hash_sets(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, set_size, sh_hashes: array<long>) — one row per document
+    with its distinct-shingle h60 hashes. Computed ONCE and shared by
+    Jaccard (exploded inverted index), MinHash (array-HOF min, no
+    shuffle) and candidate verification (array_intersect), so the
+    expensive shingling map never runs twice."""
     sh = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k).alias("sh"),
-    ).select("id", F.size("sh").alias("set_size"), F.explode("sh").alias("s"))
-    return sh.select("id", "set_size", h60(F.col("s")).alias("sh_hash"))
+    )
+    return sh.select(
+        "id",
+        F.size("sh").alias("set_size"),
+        F.transform("sh", lambda s: h60(s)).alias("sh_hashes"),
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3,
+                 sets: DataFrame | None = None) -> DataFrame:
+    """(id, shingle h60, set size) inverted index — the shared
+    substrate for Jaccard and MinHash. Pass a cached
+    ``shingle_hash_sets`` frame to avoid re-shingling."""
+    if sets is None:
+        sets = shingle_hash_sets(df, text_col, id_col, k)
+    return sets.select(
+        "id", "set_size", F.explode("sh_hashes").alias("sh_hash")
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, *, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3) -> DataFrame:
+                        k: int = 3,
+                        sets: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted-index self-join.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b. Correct for any
     threshold > 0 (a pair with J > 0 shares a shingle, so the index
-    join has perfect recall)."""
-    idx = shingle_sets(df, text_col, id_col, k)
+    join has perfect recall). The per-doc shingle-hash sets are
+    persisted so the self-join's two branches share one shingling
+    pass. Scale note: at 100 TB add prefix filtering (index only the
+    |s|-ceil(t*|s|)+1 globally-rarest shingles per doc — PPJoin) to
+    bound hot-shingle pair blowup; at the bench scale the blowup is
+    measured small (~4M pre-agg pairs) so the exact index join wins."""
+    if sets is None:
+        sets = shingle_hash_sets(df, text_col, id_col, k).persist()
+    idx = shingle_sets(df, text_col, id_col, k, sets=sets)
     a = idx.alias("a")
     b = idx.alias("b")
     inter = (
@@ -100,21 +128,35 @@ def ngram_jaccard_pairs(df: DataFrame, *, threshold: float = 0.5,
 
 def minhash_signatures(df: DataFrame, *, num_hashes: int = 64,
                        text_col: str = "text", id_col: str = "doc_id",
-                       k: int = 3) -> DataFrame:
-    """64 minhashes per doc, entirely JVM-side: explode shingles once,
-    evaluate the affine hash family column-wise, min-aggregate. The
-    groupBy is the only shuffle and combines map-side."""
-    idx = shingle_sets(df, text_col, id_col, k)
-    h = F.pmod(F.col("sh_hash"), F.lit(MERSENNE31))
-    aggs = []
+                       k: int = 3,
+                       sets: DataFrame | None = None) -> DataFrame:
+    """64 minhashes per doc, entirely JVM-side with ZERO shuffle: the
+    affine hash family is evaluated per document over its shingle-hash
+    array (`transform` + `array_min`), a narrow map over the scan.
+    The old explode + groupBy formulation shuffled |docs|*|shingles|
+    rows; this one shuffles nothing and produces identical values."""
+    if sets is None:
+        sets = shingle_hash_sets(df, text_col, id_col, k)
+    def _affine(a: int, b: int):
+        return lambda x: F.pmod(
+            x * F.lit(a) + F.lit(b), F.lit(MERSENNE31)
+        )
+
+    # reduce each shingle hash mod P once, then run the 64 affine maps
+    # over the reduced array (same values, 1/3 the HOF arithmetic)
+    pre = sets.select(
+        "id",
+        F.transform(
+            "sh_hashes", lambda x: F.pmod(x, F.lit(MERSENNE31))
+        ).alias("hmod"),
+    )
+    cols = []
     for j in range(num_hashes):
         a, b = _minhash_params(j)
-        aggs.append(
-            F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31))).alias(
-                f"mh_{j}"
-            )
+        cols.append(
+            F.array_min(F.transform("hmod", _affine(a, b))).alias(f"mh_{j}")
         )
-    return idx.groupBy(F.col("id")).agg(*aggs)
+    return pre.select("id", *cols)
 
 
 def minhash_lsh_pairs(df: DataFrame, *, threshold: float = 0.5,
@@ -129,8 +171,10 @@ def minhash_lsh_pairs(df: DataFrame, *, threshold: float = 0.5,
     verified with the exact inverted-index Jaccard, so the output has
     perfect precision and LSH-recall."""
     rows = num_hashes // bands
+    sets = shingle_hash_sets(df, text_col, id_col, k).persist()
     sig = minhash_signatures(
-        df, num_hashes=num_hashes, text_col=text_col, id_col=id_col, k=k
+        df, num_hashes=num_hashes, text_col=text_col, id_col=id_col, k=k,
+        sets=sets,
     )
     band_cols = F.array(
         *[
@@ -156,11 +200,26 @@ def minhash_lsh_pairs(df: DataFrame, *, threshold: float = 0.5,
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, threshold=threshold, text_col=text_col, id_col=id_col, k=k
+    # verify candidates directly against the cached per-doc hash sets
+    # (array_intersect) — O(#candidates), instead of recomputing the
+    # full exact-Jaccard index join over the whole corpus
+    sa = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("set_size").alias("na"),
+        F.col("sh_hashes").alias("ha"),
     )
-    return cand.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard"
+    sb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("set_size").alias("nb"),
+        F.col("sh_hashes").alias("hb"),
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -107,10 +107,22 @@ def _docs(spark, sf_dir) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(spark, df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism: the sf test parquet is a single
+    small file that Spark scans with ~2 tasks, which would run the
+    expensive shingle/hash maps on 2 of 32 cores. One cheap round-robin
+    shuffle of the tiny input fixes that. On a real 100 TB corpus the
+    scan already has thousands of splits and this is a no-op cost."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def corpus_exact(spark, sf_dir) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    return d.unionByName(
-        d.select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
+    return _spread(
+        spark,
+        d.unionByName(
+            d.select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
+        ),
     )
 
 
@@ -122,7 +134,9 @@ def corpus_neardup(spark, sf_dir) -> DataFrame:
             "substring(text, 1, cast(floor(n_chars * 0.8) as int))"
         ).alias("text"),
     )
-    return d.select("doc_id", "text").unionByName(trunc)
+    return _spread(
+        spark, d.select("doc_id", "text").unionByName(trunc)
+    )
 
 
 # ---------------------------------------------------------------------------
