@@ -125,16 +125,17 @@ class GeoCube:
             c[self.group_by] = list(self.group_keys)
         return c
 
-    def write(self, path: str, mode: str = "overwrite"):
-        """Persist the cube partitioned by (zoom, cell_id bucket) —
-        the Iceberg layout of the north rule; plain parquet in-sandbox."""
-        (
-            self.chunks.withColumn("cell_bucket", F.pmod(F.col("tile_id"), F.lit(64)))
-            .write.mode(mode)
-            .partitionBy("zoom", "cell_bucket")
-            .parquet(path)
+    def write(self, path: str, *, n_buckets: int = 64,
+              commit_batches: int = 4, fail_after: Optional[int] = None):
+        """Persist the cube as committed snapshots partitioned by
+        (zoom, cell bucket) — the Iceberg layout of the north rule —
+        with per-tile lineage and kill-resume (plans.checkpoint)."""
+        from .plans.checkpoint import write_cube
+
+        return write_cube(
+            self.chunks, path, n_buckets=n_buckets,
+            commit_batches=commit_batches, fail_after=fail_after,
         )
-        return path
 
 
 # ---------------------------------------------------------------------------
@@ -661,6 +662,9 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         m = str(key[0])
         gkey = str(key[1]) if grouped and len(key) > 1 and key[1] is not None else None
 
+        # deterministic point order regardless of shuffle arrival: on an
+        # exact-distance tie argmin picks the first (= lowest seq) point
+        pdf = pdf.sort_values("seq", kind="mergesort")
         xs, ys = [], []
         for blob in pdf["geometry_wkb"].values:
             g = W.loads(bytes(blob))

@@ -503,6 +503,207 @@ def flagship(spark, sf_dir) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# grouped cube, lineage, interpolation, inverse path
+# ---------------------------------------------------------------------------
+
+_GVEC_SCHEMA = T.StructType(
+    _VEC_SCHEMA.fields + [T.StructField("event_type", T.StringType())]
+)
+
+
+def _event_vector_grouped(spark, sf_dir) -> DataFrame:
+    """Point vector table carrying the group column (event_type)."""
+    pts = _events(spark, sf_dir).selectExpr(
+        "event_id",
+        f"{_LON_SQL} as lon",
+        f"{_LAT_SQL} as lat",
+        "value",
+        "event_type",
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wkbs = W.points_to_wkb(pdf["lon"].values, pdf["lat"].values)
+            yield pd.DataFrame(
+                {
+                    "doc_id": "ev-" + pdf["event_id"].astype(str),
+                    "seq": pdf["event_id"].astype("int64"),
+                    "geometry_wkb": wkbs,
+                    "value": pdf["value"].astype("float64"),
+                    "event_type": pdf["event_type"].astype(str),
+                }
+            )
+
+    return pts.mapInPandas(_enc, schema=_GVEC_SCHEMA)
+
+
+def q_burn_grouped_replace(spark, sf_dir):
+    """group_by cube path (vector_to_cube.py:296-359): one band per
+    group, replace merge = last (max seq) wins within each group."""
+    from ..cube import make_geocube
+
+    cube = make_geocube(
+        _event_vector_grouped(spark, sf_dir),
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-1.0, 1.0),
+        fill=-9999.0,
+        merge_alg="replace",
+        group_by="event_type",
+        tile_size=64,
+    )
+    cell = cube.chunks.select(
+        "group_key", "row0", "col0", "w",
+        F.posexplode("values").alias("pos", "val"),
+    )
+    return (
+        cell.select(
+            "group_key",
+            (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
+            (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
+            "val",
+        )
+        .filter(F.col("val") != -9999.0)
+        .orderBy("group_key", "row", "col")
+    )
+
+
+SQL_BURN_GROUPED = f"""
+WITH pts AS (
+  SELECT event_id, event_type, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value
+  FROM events
+)
+SELECT event_type AS group_key,
+       CAST(floor(90.0 - lat) AS INT) AS row,
+       CAST(floor(lon + 180.0) AS INT) AS col,
+       arg_max(value, event_id) AS val
+FROM pts GROUP BY 1, 2, 3
+ORDER BY group_key, row, col
+"""
+
+
+def q_tile_lineage(spark, sf_dir):
+    """Per-tile lineage carried by the burn (north rule): geometry count
+    and input span (seq) range per committed tile, straight from the
+    distributed chunk rows."""
+    from ..cube import make_geocube
+
+    cube = make_geocube(
+        _event_vector_df(spark, sf_dir),
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-1.0, 1.0),
+        fill=-9999.0,
+        merge_alg="replace",
+        tile_size=64,
+    )
+    return cube.chunks.select(
+        "tile_id", "n_geoms", "min_seq", "max_seq"
+    ).orderBy("tile_id")
+
+
+# grid is 360x180 at res 1.0, tile_size 64 -> 6x3 tiles of 64px
+SQL_TILE_LINEAGE = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+), c AS (
+  SELECT event_id,
+         CAST(floor(90.0 - lat) AS INT) AS row,
+         CAST(floor(lon + 180.0) AS INT) AS col
+  FROM pts
+)
+SELECT CAST(floor(row / 64) * 6 + floor(col / 64) AS BIGINT) AS tile_id,
+       count(*) AS n_geoms,
+       min(event_id) AS min_seq,
+       max(event_id) AS max_seq
+FROM c GROUP BY 1 ORDER BY tile_id
+"""
+
+
+def q_interp_nearest(spark, sf_dir):
+    """rasterize_points_griddata(method='nearest') (rasterize.py:136-191):
+    every grid cell takes the value of its nearest input point. Oracle
+    replays the exact argmin (squared distance, ties to lowest seq)."""
+    from ..cube import make_geocube
+
+    vec = _event_vector_df(spark, sf_dir).filter(
+        F.col("seq") % 97 == 0
+    )
+    cube = make_geocube(
+        vec,
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-5.0, 5.0),
+        fill=-9999.0,
+        rasterize_function="points_griddata",
+        interp_method="nearest",
+        tile_size=64,
+    )
+    cell = cube.chunks.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    )
+    return cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
+        "val",
+    ).orderBy("row", "col")
+
+
+SQL_INTERP_NEAREST = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value
+  FROM events WHERE event_id % 97 = 0
+),
+cells AS (
+  SELECT r.range AS row, c.range AS col,
+         -180.0 + 5.0 * (c.range + 0.5) AS gx,
+         90.0 - 5.0 * (r.range + 0.5) AS gy
+  FROM range(0, 36) r, range(0, 72) c
+),
+d AS (
+  SELECT row, col, value, event_id,
+         (gx - lon) * (gx - lon) + (gy - lat) * (gy - lat) AS d2
+  FROM cells, pts
+),
+r AS (
+  SELECT row, col, value,
+         row_number() OVER (PARTITION BY row, col
+                            ORDER BY d2, event_id) AS rn
+  FROM d
+)
+SELECT CAST(row AS INT) AS row, CAST(col AS INT) AS col, value AS val
+FROM r WHERE rn = 1 ORDER BY row, col
+"""
+
+
+def q_vectorize_components(spark, sf_dir):
+    """Inverse path raster -> polygons (vector.py:15-70): burn, then
+    connected-component polygonize, return per-value component counts.
+    No SQL oracle (connected components are not SQL-expressible);
+    rows-only check here, cell-exact roundtrip in tests."""
+    from ..cube import make_geocube
+    from ..vector import vectorize
+
+    vec = _event_vector_df(spark, sf_dir).filter(F.col("seq") % 97 == 0)
+    cube = make_geocube(
+        vec,
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-5.0, 5.0),
+        fill=-9999.0,
+        rasterize_function="points_griddata",
+        interp_method="nearest",
+        tile_size=64,
+    )
+    return (
+        vectorize(cube, "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("value")
+    )
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -514,4 +715,8 @@ QUERIES = {
     "datetime_epoch_ns": (q_datetime_epoch_ns, SQL_EPOCH_NS),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL),
     "span_extract_identity": (q_span_extract, SQL_SPAN_EXTRACT),
+    "burn_grouped_replace": (q_burn_grouped_replace, SQL_BURN_GROUPED),
+    "tile_lineage": (q_tile_lineage, SQL_TILE_LINEAGE),
+    "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
+    "vectorize_components": (q_vectorize_components, None),
 }

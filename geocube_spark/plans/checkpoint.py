@@ -1,0 +1,234 @@
+"""Checkpointed cube writes: snapshot commits, lineage, kill-resume.
+
+The north rule requires the cube sink to behave like an Iceberg table:
+data files become visible only through an atomically-committed
+snapshot, every partition carries lineage (tile ids, input span range,
+row/cell counts), and a killed job resumes from the last committed
+snapshot instead of starting over. The sandbox has no Iceberg runtime,
+so this module reproduces the *transactional layout* on plain parquet:
+
+    <table>/
+      data/snap=<id>/zoom=<z>/cell_bucket=<b>/*.parquet   (invisible
+                                       until the snapshot is committed)
+      lineage/snap=<id>/*.parquet     per-tile lineage of the snapshot
+      _manifests/snapshot-<id>.json   commit record (atomic rename)
+      _manifests/CURRENT              pointer to the latest snapshot
+
+Commit protocol (exactly Iceberg's shape):
+
+1. the tile space is split into ``commit_batches`` deterministic bucket
+   groups (range partitioning of ``pmod(tile_id, n_buckets)``);
+2. each group is written by one fully-distributed Spark job into its
+   own ``data/snap=<id>/`` directory, partitioned by
+   ``(zoom, cell_bucket)`` for partition pruning;
+3. per-tile lineage (tile_id, min/max input ``seq`` — the span range —
+   row and cell counts) is aggregated in the same pass and written
+   next to it;
+4. the snapshot manifest is written to a temp file and ``os.rename``d
+   into ``_manifests/`` — the atomic commit point.
+
+A reader (``read_cube``) lists committed manifests and reads ONLY
+their data dirs, so files from a killed, uncommitted batch are never
+visible. ``write`` first garbage-collects any uncommitted snapshot
+dirs, then skips every committed batch — that is the resume path.
+
+Reference parity note: the reference has no sink beyond
+``xarray.Dataset.to_netcdf`` (/root/reference/geocube/cli/commands/
+make_geocube.py:128); this module is the scale-path replacement the
+graft contract demands, not a port of reference code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_N_BUCKETS = 64
+
+LINEAGE_COLS = [
+    "zoom", "cell_bucket", "tile_id", "group_key", "n_rows", "n_cells",
+    "min_seq", "max_seq",
+]
+
+
+@dataclass
+class WriteReport:
+    """What a (possibly resumed) write actually did."""
+
+    path: str
+    committed_snapshots: list = field(default_factory=list)
+    skipped_snapshots: list = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _list_manifests(path: str) -> list[dict]:
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("snapshot-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _commit_manifest(path: str, manifest: dict) -> None:
+    """Atomic commit: write temp, fsync, rename into _manifests/."""
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"snapshot-{manifest['snapshot_id']}.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)  # POSIX atomic - the commit point
+    cur = os.path.join(mdir, "CURRENT")
+    tmp = cur + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(str(manifest["snapshot_id"]))
+    os.rename(tmp, cur)
+
+
+def _gc_uncommitted(path: str, committed_ids: set) -> list:
+    """Remove data/lineage dirs of snapshots that never committed
+    (leftovers of a killed job). Readers never see them anyway; this
+    reclaims space and keeps resume idempotent."""
+    removed = []
+    for sub in ("data", "lineage"):
+        base = os.path.join(path, sub)
+        if not os.path.isdir(base):
+            continue
+        for name in os.listdir(base):
+            if not name.startswith("snap="):
+                continue
+            sid = name.split("=", 1)[1]
+            if sid not in committed_ids:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                removed.append(f"{sub}/{name}")
+    return removed
+
+
+def write_cube(
+    chunks: DataFrame,
+    path: str,
+    *,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    commit_batches: int = 4,
+    fail_after: int | None = None,
+) -> WriteReport:
+    """Write a chunk DataFrame as a sequence of committed snapshots.
+
+    ``commit_batches`` bucket groups are written and committed one at a
+    time; a job killed after k commits resumes with batches k+1.. on
+    the next call (already-committed batches are detected from the
+    manifests and skipped). ``fail_after`` aborts after that many new
+    commits — the kill-injection hook used by the resume test.
+
+    The batch key is ``pmod(tile_id, n_buckets) % commit_batches`` —
+    deterministic from the data, so resume selects exactly the rows
+    that were never committed, regardless of input order.
+    """
+    os.makedirs(path, exist_ok=True)
+    prior = _list_manifests(path)
+    done_batches = {m["batch"] for m in prior}
+    _gc_uncommitted(path, {str(m["snapshot_id"]) for m in prior})
+
+    withb = chunks.withColumn(
+        "cell_bucket", F.pmod(F.col("tile_id"), F.lit(n_buckets))
+    )
+
+    report = WriteReport(path=path)
+    parent = prior[-1]["snapshot_id"] if prior else None
+    new_commits = 0
+    for batch in range(commit_batches):
+        if batch in done_batches:
+            report.skipped_snapshots.append(batch)
+            continue
+        if fail_after is not None and new_commits >= fail_after:
+            raise RuntimeError(
+                f"injected failure after {new_commits} commits"
+            )
+        t0 = time.time()
+        snapshot_id = f"{int(time.time() * 1000)}-{batch}"
+        part = withb.filter(
+            F.pmod(F.col("cell_bucket"), F.lit(commit_batches)) == batch
+        )
+        data_dir = os.path.join(path, "data", f"snap={snapshot_id}")
+        (
+            part.write.mode("overwrite")
+            .partitionBy("zoom", "cell_bucket")
+            .parquet(data_dir)
+        )
+        # per-tile lineage from the files just written (read-back keeps
+        # the lineage consistent with what is actually on disk)
+        spark = chunks.sparkSession
+        written = spark.read.parquet(data_dir)
+        lineage = written.groupBy(
+            "zoom", "cell_bucket", "tile_id", "group_key"
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("h").cast("long") * F.col("w")).alias("n_cells"),
+            F.min("min_seq").alias("min_seq"),
+            F.max("max_seq").alias("max_seq"),
+        )
+        lin_dir = os.path.join(path, "lineage", f"snap={snapshot_id}")
+        lineage.write.mode("overwrite").parquet(lin_dir)
+        stats = written.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("h").cast("long") * F.col("w")).alias("cells"),
+        ).collect()[0]
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent_id": parent,
+            "batch": batch,
+            "n_buckets": n_buckets,
+            "commit_batches": commit_batches,
+            "data_dir": f"data/snap={snapshot_id}",
+            "lineage_dir": f"lineage/snap={snapshot_id}",
+            "metrics": {
+                "rows": int(stats["rows"] or 0),
+                "cells": int(stats["cells"] or 0),
+                "wall_sec": round(time.time() - t0, 3),
+            },
+        }
+        _commit_manifest(path, manifest)
+        parent = snapshot_id
+        new_commits += 1
+        report.committed_snapshots.append(snapshot_id)
+        report.metrics[snapshot_id] = manifest["metrics"]
+    return report
+
+
+def read_cube(spark: SparkSession, path: str) -> DataFrame:
+    """Read ONLY committed snapshots (manifest-listed data dirs)."""
+    manifests = _list_manifests(path)
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    dirs = [os.path.join(path, m["data_dir"]) for m in manifests]
+    return spark.read.option("basePath", path).parquet(*dirs)
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    manifests = _list_manifests(path)
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    dirs = [os.path.join(path, m["lineage_dir"]) for m in manifests]
+    return spark.read.option("basePath", path).parquet(*dirs)
+
+
+def snapshots(path: str) -> list[dict]:
+    """Committed snapshot manifests, oldest first."""
+    return _list_manifests(path)

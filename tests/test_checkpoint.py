@@ -1,0 +1,110 @@
+"""Checkpointed writes: snapshot commits, lineage, kill-resume.
+
+North-rule requirements (BASELINE.json): per-partition lineage
+(tile_id, input span range, row/cell counts) committed atomically
+with the data, and a killed job resuming from the last committed
+snapshot without rewriting committed work.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.cube import make_geocube
+from geocube_spark.plans import checkpoint as CP
+
+
+@pytest.fixture(scope="module")
+def cube(spark, sf_dir):
+    from geocube_spark.operators.geocube_queries import _spans_docs
+
+    return make_geocube(
+        _spans_docs(spark, sf_dir),
+        measurements=["n_chars"],
+        output_crs="EPSG:4326", resolution=(-1.0, 1.0),
+        fill=-9999.0, tile_size=64,
+    )
+
+
+def _data_files(path):
+    out = []
+    for root, _dirs, files in os.walk(os.path.join(path, "data")):
+        out += [
+            (os.path.join(root, f), os.path.getmtime(os.path.join(root, f)))
+            for f in files
+            if f.endswith(".parquet")
+        ]
+    return dict(out)
+
+
+def test_write_read_roundtrip(spark, cube, tmp_path):
+    path = str(tmp_path / "cube")
+    report = cube.write(path, commit_batches=3)
+    assert len(report.committed_snapshots) == 3
+    back = CP.read_cube(spark, path)
+    want = cube.chunks.count()
+    assert back.count() == want
+    # value-level equality on a deterministic key
+    a = cube.chunks.select("measurement", "tile_id", "values")
+    b = back.select("measurement", "tile_id", "values")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_lineage_span_ranges_and_counts(spark, cube, tmp_path):
+    path = str(tmp_path / "cube")
+    cube.write(path, commit_batches=2)
+    lin = CP.read_lineage(spark, path)
+    assert set(CP.LINEAGE_COLS) <= set(lin.columns)
+    agg = lin.agg(
+        F.sum("n_rows").alias("rows"), F.sum("n_cells").alias("cells")
+    ).collect()[0]
+    chunks = cube.chunks.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("h").cast("long") * F.col("w")).alias("cells"),
+    ).collect()[0]
+    assert agg["rows"] == chunks["rows"]
+    assert agg["cells"] == chunks["cells"]
+    # span range: every committed tile knows which input seq range fed it
+    bad = lin.filter(
+        (F.col("min_seq") > F.col("max_seq")) & (F.col("n_rows") > 0)
+    ).count()
+    assert bad == 0
+
+
+def test_kill_resume_skips_committed_batches(spark, cube, tmp_path):
+    path = str(tmp_path / "cube")
+    # run 1: killed after 2 of 4 commits
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cube.write(path, commit_batches=4, fail_after=2)
+    committed = CP.snapshots(path)
+    assert len(committed) == 2
+    before = _data_files(path)
+    # reader sees ONLY committed data
+    partial = CP.read_cube(spark, path).count()
+    full = cube.chunks.count()
+    assert 0 < partial < full
+    # run 2: resume - finishes the remaining batches untouched files stay
+    report = cube.write(path, commit_batches=4)
+    assert sorted(report.skipped_snapshots) == [0, 1]
+    assert len(report.committed_snapshots) == 2
+    after = _data_files(path)
+    for f, mtime in before.items():
+        assert after[f] == mtime  # committed files never rewritten
+    assert CP.read_cube(spark, path).count() == full
+
+
+def test_uncommitted_garbage_collected_on_resume(spark, cube, tmp_path):
+    path = str(tmp_path / "cube")
+    with pytest.raises(RuntimeError):
+        cube.write(path, commit_batches=4, fail_after=1)
+    # fake a killed batch: orphan data dir with no manifest
+    orphan = os.path.join(path, "data", "snap=deadbeef-9")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-00000.parquet"), "w").close()
+    cube.write(path, commit_batches=4)
+    assert not os.path.exists(orphan)
+    snaps = CP.snapshots(path)
+    assert [m["batch"] for m in snaps] == sorted(m["batch"] for m in snaps)
+    assert len(snaps) == 4
