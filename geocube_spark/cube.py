@@ -422,15 +422,11 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                 cols.append("group_key")
             cols += list(meas)
 
-            pts = (
-                W.try_parse_points(blobs)
-                if all(b is not None for b in blobs)
-                else None
-            )
-            if pts is not None:
-                # vectorized point fast path: one tile per point,
-                # everything numpy — no per-row Python
-                x, y = pts
+            frames = []
+            # vectorized path for the POINT SUBSET of the batch (mixed
+            # corpora stay on the numpy path for their point rows)
+            is_pt, x, y = W.partition_points(blobs)
+            if len(x):
                 if reproject:
                     x, y = crs_transform(src, dst, x, y)
                 px = inv.c + inv.a * x + inv.b * y
@@ -438,53 +434,58 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                 tx = np.floor(px / tile_size).astype(np.int64)
                 ty = np.floor(py / tile_size).astype(np.int64)
                 m_in = (tx >= 0) & (tx < ntx) & (ty >= 0) & (ty < nty)
+                sub = pdf[is_pt]
                 out = pd.DataFrame(
                     {
                         "tile_id": ty[m_in] * ntx + tx[m_in],
-                        "seq": pdf["seq"].values[m_in].astype("int64"),
+                        "seq": sub["seq"].values[m_in].astype("int64"),
                         "pix_wkb": W.points_to_wkb(px[m_in], py[m_in]),
                     }
                 )
                 if grouped:
-                    gv = pdf["__group"].values[m_in]
+                    gv = sub["__group"].values[m_in]
                     out["group_key"] = [
                         None if v is None else str(v) for v in gv
                     ]
                 for m in meas:
-                    out[m] = pdf[m].values[m_in]
-                yield out[cols]
-                continue
+                    out[m] = sub[m].values[m_in]
+                frames.append(out[cols])
 
-            out_rows = {c: [] for c in cols}
-            seqs = pdf["seq"].values
-            gvs = pdf["__group"].values if grouped else None
-            mvals = {m: pdf[m].values for m in meas}
-            for i in range(len(pdf)):
-                blob = blobs[i]
-                if blob is None:
-                    continue
-                g = W.loads(bytes(blob)).transform(_to_pix)
-                minx, miny, maxx, maxy = g.bounds()
-                tx0 = max(0, int(minx // tile_size))
-                tx1 = min(ntx - 1, int(maxx // tile_size))
-                ty0 = max(0, int(miny // tile_size))
-                ty1 = min(nty - 1, int(maxy // tile_size))
-                if tx1 < tx0 or ty1 < ty0:
-                    continue
-                pw = g.to_wkb()
-                for ty in range(ty0, ty1 + 1):
-                    for tx in range(tx0, tx1 + 1):
-                        out_rows["tile_id"].append(ty * ntx + tx)
-                        out_rows["seq"].append(int(seqs[i]))
-                        out_rows["pix_wkb"].append(pw)
-                        if grouped:
-                            gv = gvs[i]
-                            out_rows["group_key"].append(
-                                None if gv is None else str(gv)
-                            )
-                        for m in meas:
-                            out_rows[m].append(mvals[m][i])
-            yield pd.DataFrame(out_rows, columns=cols)
+            rest = np.flatnonzero(~is_pt)
+            if len(rest):
+                out_rows = {c: [] for c in cols}
+                seqs = pdf["seq"].values
+                gvs = pdf["__group"].values if grouped else None
+                mvals = {m: pdf[m].values for m in meas}
+                for i in rest:
+                    blob = blobs[i]
+                    if blob is None:
+                        continue
+                    g = W.loads(bytes(blob)).transform(_to_pix)
+                    minx, miny, maxx, maxy = g.bounds()
+                    tx0 = max(0, int(minx // tile_size))
+                    tx1 = min(ntx - 1, int(maxx // tile_size))
+                    ty0 = max(0, int(miny // tile_size))
+                    ty1 = min(nty - 1, int(maxy // tile_size))
+                    if tx1 < tx0 or ty1 < ty0:
+                        continue
+                    pw = g.to_wkb()
+                    for ty in range(ty0, ty1 + 1):
+                        for tx in range(tx0, tx1 + 1):
+                            out_rows["tile_id"].append(ty * ntx + tx)
+                            out_rows["seq"].append(int(seqs[i]))
+                            out_rows["pix_wkb"].append(pw)
+                            if grouped:
+                                gv = gvs[i]
+                                out_rows["group_key"].append(
+                                    None if gv is None else str(gv)
+                                )
+                            for m in meas:
+                                out_rows[m].append(mvals[m][i])
+                frames.append(pd.DataFrame(out_rows, columns=cols))
+
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return work.mapInPandas(_cover, schema=schema)
 
@@ -504,6 +505,7 @@ _CHUNK_FIELDS = [
     T.StructField("w", T.IntegerType()),
     T.StructField("values", T.ArrayType(T.DoubleType())),
     T.StructField("n_geoms", T.LongType()),
+    T.StructField("n_cells_burned", T.LongType()),   # cell-touches (work)
     T.StructField("min_seq", T.LongType()),
     T.StructField("max_seq", T.LongType()),
 ]
@@ -525,6 +527,7 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         row0, col0 = ty * tile_size, tx * tile_size
         h = min(tile_size, gb.height - row0)
         w = min(tile_size, gb.width - col0)
+        hw = h * w
 
         pdf = pdf.sort_values("seq", kind="mergesort")  # replace order
         blobs = pdf["pix_wkb"].values
@@ -532,73 +535,102 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         min_seq = int(pdf["seq"].min()) if n_geoms else -1
         max_seq = int(pdf["seq"].max()) if n_geoms else -1
 
-        pts = W.try_parse_points(blobs) if n_geoms else None
-        if pts is not None:
-            # vectorized point burn: cell = (floor(y), floor(x)), same
-            # center rule as geometry_cells; merge without per-row loops
-            px, py = pts
+        # mixed-type handling: the vectorized point path applies to the
+        # point SUBSET of every batch, not only to all-point batches
+        is_pt, px, py = W.partition_points(blobs)
+
+        # point cells (tile-local flat index; -1 = outside this tile).
+        # cell = (floor(y), floor(x)) - same center rule as the scanline
+        flat_pt = np.full(int(is_pt.sum()), -1, dtype=np.int64)
+        if len(px):
             cc = np.floor(px).astype(np.int64) - col0
             rr = np.floor(py).astype(np.int64) - row0
-            m_in = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
-            flat = rr[m_in] * w + cc[m_in]
-            out = []
-            for m in meas:
-                f = fills[m]
-                band = np.full(h * w, f, dtype=np.float64)
-                vals = pdf[m].values.astype(np.float64)[m_in]
-                if filter_nan:
-                    keep = ~np.isnan(vals)
-                    fl, vv = flat[keep], vals[keep]
-                else:
-                    fl, vv = flat, vals
-                if merge_alg == "replace":
-                    # last write (max seq) wins: first occurrence in the
-                    # reversed seq-sorted order
-                    u, first_rev = np.unique(fl[::-1], return_index=True)
-                    band[u] = vv[::-1][first_rev]
-                else:
-                    np.add.at(band, fl, vv)
-                out.append(
-                    {
-                        "measurement": m,
-                        "group_key": gkey,
-                        "zoom": zoom,
-                        "tile_id": tile_id,
-                        "row0": row0,
-                        "col0": col0,
-                        "h": h,
-                        "w": w,
-                        "values": band,
-                        "n_geoms": n_geoms,
-                        "min_seq": min_seq,
-                        "max_seq": max_seq,
-                    }
-                )
-            return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
+            ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            flat_pt[ok] = rr[ok] * w + cc[ok]
 
-        geoms = [W.loads(bytes(b)) for b in blobs]
-        # translate to tile-local pixel coords
-        geoms = [g.transform(lambda x, y: (x - col0, y - row0)) for g in geoms]
-        covers = [
-            geometry_cells(g, h, w, all_touched) for g in geoms
-        ]
+        # polygon/line covers once per geometry (reused across bands),
+        # flat-indexed so merges are single-fancy-index writes
+        poly_pos = np.flatnonzero(~is_pt)
+        covers = []
+        for i in poly_pos:
+            b = blobs[i]
+            if b is None:
+                covers.append(None)
+                continue
+            g = W.loads(bytes(b)).transform(
+                lambda x, y: (x - col0, y - row0)
+            )
+            rows, cols = geometry_cells(g, h, w, all_touched)
+            covers.append(rows * w + cols)
+
+        n_burned = int((flat_pt >= 0).sum()) + sum(
+            len(c) for c in covers if c is not None
+        )
+
+        # positions: pdf index -> index into flat_pt / covers
+        pt_of = np.cumsum(is_pt) - 1
+        poly_of = np.cumsum(~is_pt) - 1
 
         out = []
         for m in meas:
             f = fills[m]
-            band = np.full((h, w), f, dtype=np.float64)
-            vals = pdf[m].values
-            for (rows, cols), v in zip(covers, vals):
-                if len(rows) == 0:
-                    continue
-                if v is None or (isinstance(v, float) and np.isnan(v)):
+            vals = pdf[m].values.astype(np.float64)
+            band = np.full(hw, f, dtype=np.float64)
+            if merge_alg == "add":
+                # order-free: polygons by single fancy-index adds (a
+                # geometry never covers a cell twice), points by one
+                # bincount (cells untouched add 0.0 -> stay fill)
+                for ci, i in enumerate(poly_pos):
+                    fl = covers[ci]
+                    if fl is None or len(fl) == 0:
+                        continue
+                    v = vals[i]
+                    if np.isnan(v):
+                        if filter_nan:
+                            continue
+                        v = np.nan
+                    band[fl] += v
+                sel = flat_pt >= 0
+                if sel.any():
+                    fl = flat_pt[sel]
+                    vv = vals[is_pt][sel]
                     if filter_nan:
-                        continue           # reference _remove_missing_data
-                    v = np.nan
-                if merge_alg == "replace":
-                    band[rows, cols] = v
-                else:
-                    band[rows, cols] += v
+                        k = ~np.isnan(vv)
+                        fl, vv = fl[k], vv[k]
+                    if len(fl):
+                        band += np.bincount(fl, weights=vv, minlength=hw)
+            else:
+                # replace: last (max seq) wins. Walk runs of same type
+                # in seq order - point runs merge vectorized (reversed
+                # unique = last occurrence), polygons write in order
+                if n_geoms:
+                    change = np.flatnonzero(np.diff(is_pt.astype(np.int8))) + 1
+                    edges = np.concatenate(([0], change, [n_geoms]))
+                    for a, b2 in zip(edges[:-1], edges[1:]):
+                        if is_pt[a]:
+                            fl = flat_pt[pt_of[a:b2]]
+                            vv = vals[a:b2]
+                            sel = fl >= 0
+                            fl, vv = fl[sel], vv[sel]
+                            if filter_nan:
+                                k = ~np.isnan(vv)
+                                fl, vv = fl[k], vv[k]
+                            if len(fl):
+                                u, first_rev = np.unique(
+                                    fl[::-1], return_index=True
+                                )
+                                band[u] = vv[::-1][first_rev]
+                        else:
+                            for i in range(a, b2):
+                                fl = covers[poly_of[i]]
+                                if fl is None or len(fl) == 0:
+                                    continue
+                                v = vals[i]
+                                if np.isnan(v):
+                                    if filter_nan:
+                                        continue
+                                    v = np.nan
+                                band[fl] = v
             out.append(
                 {
                     "measurement": m,
@@ -609,8 +641,9 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
                     "col0": col0,
                     "h": h,
                     "w": w,
-                    "values": band.ravel(),
+                    "values": band,
                     "n_geoms": n_geoms,
+                    "n_cells_burned": n_burned,
                     "min_seq": min_seq,
                     "max_seq": max_seq,
                 }
@@ -701,6 +734,7 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
                     "w": w,
                     "values": band.ravel(),
                     "n_geoms": len(pdf),
+                    "n_cells_burned": int(h * w),
                     "min_seq": int(pdf["seq"].min()) if len(pdf) else -1,
                     "max_seq": int(pdf["seq"].max()) if len(pdf) else -1,
                 }
@@ -759,6 +793,7 @@ def _interpolate_na_cube(cube: GeoCube, method: str) -> GeoCube:
                     "w": tw,
                     "values": sub.ravel(),
                     "n_geoms": int(pdf["n_geoms"].sum()) if len(pdf) else 0,
+                    "n_cells_burned": int(th * tw),
                     "min_seq": int(pdf["min_seq"].min()) if len(pdf) else -1,
                     "max_seq": int(pdf["max_seq"].max()) if len(pdf) else -1,
                 }

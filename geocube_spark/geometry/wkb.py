@@ -407,6 +407,36 @@ def try_parse_points(blobs):
     return x, y
 
 
+def partition_points(blobs):
+    """Split a mixed batch by geometry type: returns ``(is_pt, x, y)``
+    where ``is_pt`` is a bool mask over ``blobs`` and ``x``/``y`` are
+    float64 coords aligned with ``blobs[is_pt]``. Lets callers run the
+    vectorized point path on point rows even when a batch mixes points
+    with polygons/lines (the common interleaved-corpus case)."""
+    n = len(blobs)
+    is_pt = np.zeros(n, dtype=bool)
+    pts = []
+    for i in range(n):
+        b = blobs[i]
+        if b is not None and len(b) == 21:
+            bb = bytes(b)
+            if (
+                bb[0] == 1
+                and bb[1] == POINT
+                and bb[2] == 0
+                and bb[3] == 0
+                and bb[4] == 0
+            ):
+                is_pt[i] = True
+                pts.append(bb)
+    if not pts:
+        return is_pt, np.empty(0, np.float64), np.empty(0, np.float64)
+    raw = np.frombuffer(b"".join(pts), dtype=np.uint8).reshape(-1, 21)
+    x = raw[:, 5:13].copy().view("<f8").ravel()
+    y = raw[:, 13:21].copy().view("<f8").ravel()
+    return is_pt, x, y
+
+
 def batch_bounds(blobs) -> np.ndarray:
     """Per-blob envelopes (minx, miny, maxx, maxy), point-vectorized."""
     pts = try_parse_points(blobs)
