@@ -45,13 +45,33 @@ def run(spark=None, sf_dir: str = None) -> dict:
         rows[name] = fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
 
-    # north-star throughput: cells burned/sec on the flagship world burn
-    # (360x180 deg grid, all events rasterized, add merge)
-    from geocube_spark.operators.geocube_queries import _burn_events
+    # north-star throughput: cells burned/sec on a scaled synthetic
+    # burn (400k interleaved docs, 8192^2 grid, add merge) -
+    # deterministic, cached, same generator as scripts/scaling_bench.py
+    from scripts.scaling_bench import GEOM, GRID, TILE, _ensure_input
+    from geocube_spark.cube import make_geocube
 
+    docs_path = _ensure_input(spark, n_docs=400_000)
+    burn_docs = spark.read.parquet(docs_path)
+    res = 1.0 / GRID
+    burn_cube = make_geocube(
+        burn_docs, geom=GEOM, resolution=(-res, res), fill=0.0,
+        merge_alg="add", tile_size=TILE,
+    )
     t0 = time.time()
-    n_cells = _burn_events(spark, sf_dir, "add", 0.0).count()
+    row = burn_cube.chunks.selectExpr(
+        "sum(n_cells_burned) AS t", "count(*) AS n"
+    ).collect()[0]
     burn_sec = time.time() - t0
+    n_cells = int(row["t"] or 0)
+
+    scaling = None
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling = json.load(f)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -65,6 +85,7 @@ def run(spark=None, sf_dir: str = None) -> dict:
         "burn_cells": n_cells,
         "burn_sec": round(burn_sec, 3),
         "burn_cells_per_sec": round(n_cells / max(burn_sec, 1e-9), 1),
+        "scaling": scaling,
         "rows": rows,
     }
 

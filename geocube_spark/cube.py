@@ -44,7 +44,12 @@ from .geometry.crs import CRS, transform as crs_transform
 from .grid.geobox import GeoBox, GeoBoxMaker
 from .kernels.dtypes import is_numeric, minimize_dtype
 from .kernels.interpolate import griddata_interp, interpolate_na, rbf_interp
-from .kernels.rasterize import geometry_cells
+from .kernels.rasterize import (
+    _multi_arange,
+    batch_polygon_cells,
+    edges_from_rings,
+    geometry_cells,
+)
 
 logger = logging.getLogger("geocube_spark")
 
@@ -242,10 +247,10 @@ def make_geocube(
     reference rasterize.py:67-133), 'points_griddata'
     (rasterize.py:136-191), 'points_radial' (rasterize.py:194-239).
     """
-    from .extract import extract_vector_table, validate_vector_df
+    from .extract import extract_vector_table_sql, validate_vector_df
 
     if "spans" in vector_data.columns:
-        vector_df = extract_vector_table(vector_data)
+        vector_df = extract_vector_table_sql(vector_data)
     else:
         vector_df = vector_data
     validate_vector_df(vector_df)
@@ -453,6 +458,77 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
 
             rest = np.flatnonzero(~is_pt)
             if len(rest):
+                # batched path for single-ring polygons: vectorized
+                # parse -> reproject -> pixel transform -> envelope ->
+                # tile-range explode, no per-geometry Python
+                smask, groups = W.batch_parse_simple_polygons(
+                    [blobs[i] for i in rest]
+                )
+                seqs_all = pdf["seq"].values
+                gvs_all = pdf["__group"].values if grouped else None
+                for idx, coords in groups:
+                    pos = rest[idx]
+                    gx = coords[:, :, 0].ravel()
+                    gy = coords[:, :, 1].ravel()
+                    if reproject:
+                        gx, gy = crs_transform(src, dst, gx, gy)
+                    pxc = inv.c + inv.a * gx + inv.b * gy
+                    pyc = inv.f + inv.d * gx + inv.e * gy
+                    k = coords.shape[1]
+                    pix = np.stack(
+                        [pxc.reshape(-1, k), pyc.reshape(-1, k)], axis=2
+                    )
+                    minx = pix[:, :, 0].min(axis=1)
+                    maxx = pix[:, :, 0].max(axis=1)
+                    miny = pix[:, :, 1].min(axis=1)
+                    maxy = pix[:, :, 1].max(axis=1)
+                    tx0 = np.maximum(
+                        0, np.floor(minx / tile_size).astype(np.int64)
+                    )
+                    tx1 = np.minimum(
+                        ntx - 1, np.floor(maxx / tile_size).astype(np.int64)
+                    )
+                    ty0 = np.maximum(
+                        0, np.floor(miny / tile_size).astype(np.int64)
+                    )
+                    ty1 = np.minimum(
+                        nty - 1, np.floor(maxy / tile_size).astype(np.int64)
+                    )
+                    ok = (tx1 >= tx0) & (ty1 >= ty0)
+                    if not ok.any():
+                        continue
+                    pos = pos[ok]
+                    pix = pix[ok]
+                    tx0, tx1 = tx0[ok], tx1[ok]
+                    ty0, ty1 = ty0[ok], ty1[ok]
+                    pws = np.empty(len(pos), dtype=object)
+                    pws[:] = W.encode_simple_polygons(pix)
+                    nx = tx1 - tx0 + 1
+                    counts = nx * (ty1 - ty0 + 1)
+                    rep = np.repeat(np.arange(len(pos)), counts)
+                    j = _multi_arange(
+                        np.zeros(len(pos), dtype=np.int64), counts
+                    )
+                    tids = (ty0[rep] + j // nx[rep]) * ntx + (
+                        tx0[rep] + j % nx[rep]
+                    )
+                    out = pd.DataFrame(
+                        {
+                            "tile_id": tids,
+                            "seq": seqs_all[pos][rep].astype("int64"),
+                            "pix_wkb": pws[rep],
+                        }
+                    )
+                    if grouped:
+                        gv = gvs_all[pos][rep]
+                        out["group_key"] = [
+                            None if v is None else str(v) for v in gv
+                        ]
+                    for m in meas:
+                        out[m] = pdf[m].values[pos][rep]
+                    frames.append(out[cols])
+                rest = rest[~smask]
+            if len(rest):
                 out_rows = {c: [] for c in cols}
                 seqs = pdf["seq"].values
                 gvs = pdf["__group"].values if grouped else None
@@ -535,102 +611,93 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         min_seq = int(pdf["seq"].min()) if n_geoms else -1
         max_seq = int(pdf["seq"].max()) if n_geoms else -1
 
-        # mixed-type handling: the vectorized point path applies to the
-        # point SUBSET of every batch, not only to all-point batches
-        is_pt, px, py = W.partition_points(blobs)
+        # ---- gather (cell, source-row) contributions, fully batched --
+        # points: vectorized floor; simple polygons: ONE batched
+        # scanline for the whole tile (length-grouped WKB parse, no
+        # per-geometry Python); holes/multiparts/lines: per-geometry
+        # fallback. Every contribution carries its pdf position so both
+        # merge algebras reduce to single numpy ops per band.
+        contrib_flat: list = []
+        contrib_pos: list = []
 
-        # point cells (tile-local flat index; -1 = outside this tile).
-        # cell = (floor(y), floor(x)) - same center rule as the scanline
-        flat_pt = np.full(int(is_pt.sum()), -1, dtype=np.int64)
+        is_pt, px, py = W.partition_points(blobs)
         if len(px):
             cc = np.floor(px).astype(np.int64) - col0
             rr = np.floor(py).astype(np.int64) - row0
             ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
-            flat_pt[ok] = rr[ok] * w + cc[ok]
+            if ok.any():
+                contrib_flat.append(rr[ok] * w + cc[ok])
+                contrib_pos.append(np.flatnonzero(is_pt)[ok])
 
-        # polygon/line covers once per geometry (reused across bands),
-        # flat-indexed so merges are single-fancy-index writes
-        poly_pos = np.flatnonzero(~is_pt)
-        covers = []
-        for i in poly_pos:
+        rest = np.flatnonzero(~is_pt)
+        fallback = rest
+        if len(rest) and not all_touched:
+            smask, groups = W.batch_parse_simple_polygons(
+                [blobs[i] for i in rest]
+            )
+            edge_parts = []
+            for idx, coords in groups:
+                coords[:, :, 0] -= col0
+                coords[:, :, 1] -= row0
+                edge_parts.append(
+                    edges_from_rings(coords, rest[idx])
+                )
+            if edge_parts:
+                x1 = np.concatenate([p[0] for p in edge_parts])
+                y1 = np.concatenate([p[1] for p in edge_parts])
+                x2 = np.concatenate([p[2] for p in edge_parts])
+                y2 = np.concatenate([p[3] for p in edge_parts])
+                own = np.concatenate([p[4] for p in edge_parts])
+                fl, powner = batch_polygon_cells(x1, y1, x2, y2, own, h, w)
+                if len(fl):
+                    contrib_flat.append(fl)
+                    contrib_pos.append(powner)
+            fallback = rest[~smask]
+
+        for i in fallback:
             b = blobs[i]
             if b is None:
-                covers.append(None)
                 continue
             g = W.loads(bytes(b)).transform(
                 lambda x, y: (x - col0, y - row0)
             )
             rows, cols = geometry_cells(g, h, w, all_touched)
-            covers.append(rows * w + cols)
+            if len(rows):
+                contrib_flat.append(rows * w + cols)
+                contrib_pos.append(np.full(len(rows), i, dtype=np.int64))
 
-        n_burned = int((flat_pt >= 0).sum()) + sum(
-            len(c) for c in covers if c is not None
-        )
-
-        # positions: pdf index -> index into flat_pt / covers
-        pt_of = np.cumsum(is_pt) - 1
-        poly_of = np.cumsum(~is_pt) - 1
+        if contrib_flat:
+            flat_all = np.concatenate(contrib_flat)
+            pos_all = np.concatenate(contrib_pos)
+        else:
+            flat_all = np.empty(0, dtype=np.int64)
+            pos_all = np.empty(0, dtype=np.int64)
+        n_burned = int(len(flat_all))
+        if merge_alg != "add" and len(pos_all):
+            # seq (= pdf position) order so fancy assignment's documented
+            # last-write-wins reproduces MergeAlg.replace
+            order = np.argsort(pos_all, kind="stable")
+            flat_all = flat_all[order]
+            pos_all = pos_all[order]
 
         out = []
         for m in meas:
             f = fills[m]
             vals = pdf[m].values.astype(np.float64)
             band = np.full(hw, f, dtype=np.float64)
-            if merge_alg == "add":
-                # order-free: polygons by single fancy-index adds (a
-                # geometry never covers a cell twice), points by one
-                # bincount (cells untouched add 0.0 -> stay fill)
-                for ci, i in enumerate(poly_pos):
-                    fl = covers[ci]
-                    if fl is None or len(fl) == 0:
-                        continue
-                    v = vals[i]
-                    if np.isnan(v):
-                        if filter_nan:
-                            continue
-                        v = np.nan
-                    band[fl] += v
-                sel = flat_pt >= 0
-                if sel.any():
-                    fl = flat_pt[sel]
-                    vv = vals[is_pt][sel]
-                    if filter_nan:
-                        k = ~np.isnan(vv)
-                        fl, vv = fl[k], vv[k]
-                    if len(fl):
+            if len(flat_all):
+                vv = vals[pos_all]
+                fl = flat_all
+                if filter_nan:
+                    k = ~np.isnan(vv)
+                    fl, vv = fl[k], vv[k]
+                if len(fl):
+                    if merge_alg == "add":
+                        # untouched cells add 0.0 -> stay fill; NaN
+                        # weights poison exactly their cells (+= parity)
                         band += np.bincount(fl, weights=vv, minlength=hw)
-            else:
-                # replace: last (max seq) wins. Walk runs of same type
-                # in seq order - point runs merge vectorized (reversed
-                # unique = last occurrence), polygons write in order
-                if n_geoms:
-                    change = np.flatnonzero(np.diff(is_pt.astype(np.int8))) + 1
-                    edges = np.concatenate(([0], change, [n_geoms]))
-                    for a, b2 in zip(edges[:-1], edges[1:]):
-                        if is_pt[a]:
-                            fl = flat_pt[pt_of[a:b2]]
-                            vv = vals[a:b2]
-                            sel = fl >= 0
-                            fl, vv = fl[sel], vv[sel]
-                            if filter_nan:
-                                k = ~np.isnan(vv)
-                                fl, vv = fl[k], vv[k]
-                            if len(fl):
-                                u, first_rev = np.unique(
-                                    fl[::-1], return_index=True
-                                )
-                                band[u] = vv[::-1][first_rev]
-                        else:
-                            for i in range(a, b2):
-                                fl = covers[poly_of[i]]
-                                if fl is None or len(fl) == 0:
-                                    continue
-                                v = vals[i]
-                                if np.isnan(v):
-                                    if filter_nan:
-                                        continue
-                                    v = np.nan
-                                band[fl] = v
+                    else:
+                        band[fl] = vv
             out.append(
                 {
                     "measurement": m,
@@ -651,6 +718,17 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
 
     keys = ["tile_id", "group_key"] if grouped else ["tile_id"]
+    # Pin the burn-shuffle partition count. The cover rows are tiny in
+    # BYTES but each tile is heavy in COMPUTE, so AQE's size-based
+    # coalescing would collapse the stage to ~1 task and serialize the
+    # burn. An explicit repartition count is exempt from coalescing and
+    # satisfies the groupBy's clustering, so no second exchange is
+    # added. Cap at the tile count so we never make empty-heavy plans.
+    sc = cover.sparkSession.sparkContext
+    gb = GeoBox.from_dict(gb_dict)
+    n_tiles, _, _ = gb.n_tiles(tile_size)
+    n_parts = max(1, min(int(n_tiles), 4 * sc.defaultParallelism))
+    cover = cover.repartition(n_parts, *keys)
     if grouped:
         return cover.groupBy(*keys).applyInPandas(
             lambda key, pdf: _burn(key, pdf), schema=CHUNK_SCHEMA
@@ -742,6 +820,10 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
 
     keys = ["measurement", "group_key"] if grouped else ["measurement"]
+    # one heavy task per (band, group): pin the partition count so AQE's
+    # size-based coalescing can't serialize bands into one task
+    sc = long_df.sparkSession.sparkContext
+    long_df = long_df.repartition(sc.defaultParallelism, *keys)
     return long_df.groupBy(*keys).applyInPandas(
         (lambda key, pdf: _interp(key, pdf))
         if grouped
@@ -801,8 +883,11 @@ def _interpolate_na_cube(cube: GeoCube, method: str) -> GeoCube:
         return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
 
     keys = ["measurement", "group_key"]
-    fixed = cube.chunks.groupBy(*keys).applyInPandas(
-        lambda key, pdf: _fix(key, pdf), schema=CHUNK_SCHEMA
+    sc = cube.chunks.sparkSession.sparkContext
+    fixed = (
+        cube.chunks.repartition(sc.defaultParallelism, *keys)
+        .groupBy(*keys)
+        .applyInPandas(lambda key, pdf: _fix(key, pdf), schema=CHUNK_SCHEMA)
     )
     return GeoCube(
         chunks=fixed, geobox=cube.geobox, bands=cube.bands,

@@ -183,6 +183,72 @@ def extract_vector_table(
     return documents.mapInPandas(_extract, schema=out_schema)
 
 
+def extract_vector_table_sql(
+    documents: DataFrame,
+    measurements: Optional[Sequence[tuple]] = None,
+) -> DataFrame:
+    """documents(spans) -> vector table with ZERO Python workers.
+
+    Pure-Catalyst twin of ``extract_vector_table``: span filtering,
+    offset ordering, JSON-fragment merging (last fragment wins, like
+    dict.update), WKB unhex and the seq ordinal are all JVM array HOFs
+    / ``from_json`` / ``unhex`` — whole-stage-friendly, no
+    JVM<->Python crossing, no GIL. This is the production path; the
+    pandas variant remains for odd schemas and as a differential-test
+    oracle.
+    """
+    if measurements is None:
+        measurements = infer_measurements(documents)
+    meas = [(n, t) for n, t in measurements]
+
+    spark = documents.sparkSession
+    # dict.update semantics for repeated keys across fragments
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+    attrs_sorted = (
+        "array_sort(filter(spans, s -> s.kind = 'attr'), "
+        "(a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
+        "WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
+    )
+    merged = (
+        f"aggregate({attrs_sorted}, "
+        "from_json('{}', 'map<string,string>'), "
+        "(acc, s) -> map_concat(acc, "
+        "coalesce(from_json(s.text, 'map<string,string>'), "
+        "from_json('{}', 'map<string,string>'))))"
+    )
+    geom = (
+        "unhex(element_at(filter(spans, s -> s.kind = 'geom'), 1)"
+        ".media_ref)"
+    )
+    seq = (
+        "coalesce(cast(nullif(regexp_extract(doc_id, '([0-9]+)[ ]*$', 1), "
+        "'') as bigint), -1)"
+    )
+
+    sql_types = {
+        "double": "double", "float64": "double", "float32": "float",
+        "float": "float", "int64": "bigint", "long": "bigint",
+        "int32": "int", "int": "int", "int16": "smallint",
+        "int8": "tinyint", "string": "string", "str": "string",
+        "bool": "boolean", "timestamp": "timestamp",
+    }
+    cols = [
+        F.col("doc_id"),
+        F.expr(seq).alias("seq"),
+        F.expr(geom).alias("geometry_wkb"),
+        F.expr(merged).alias("__attrs"),
+    ]
+    out = documents.select(*cols)
+    meas_cols = [
+        F.expr(
+            f"cast(__attrs['{n}'] as {sql_types[t]})"
+        ).alias(n)
+        for n, t in meas
+    ]
+    return out.select("doc_id", "seq", "geometry_wkb", *meas_cols)
+
+
 def validate_vector_df(vector_df: DataFrame, geometry_column: str = "geometry_wkb"):
     """Reference input validation (geobox.py:78-90): empty table or
     missing geometry column -> VectorDataError."""

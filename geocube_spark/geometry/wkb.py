@@ -437,6 +437,76 @@ def partition_points(blobs):
     return is_pt, x, y
 
 
+def batch_parse_simple_polygons(blobs):
+    """Vectorized parse of single-ring little-endian polygons.
+
+    Groups blobs by byte length (same-length single-ring polygons share
+    a point count K: len == 13 + 16*K) and decodes each group with one
+    ``frombuffer`` — no per-geometry Python in the common case.
+
+    Returns ``(mask, groups)``: ``mask[i]`` True when ``blobs[i]`` was
+    parsed here; ``groups`` is a list of ``(idx, coords)`` with ``idx``
+    an int64 array of positions into ``blobs`` and ``coords`` a
+    ``(n, K, 2)`` float64 array (rings closed, first == last point).
+    Blobs with holes, multi-parts, or non-polygon types are left to the
+    caller's per-geometry fallback.
+    """
+    n = len(blobs)
+    mask = np.zeros(n, dtype=bool)
+    by_len: dict = {}
+    for i in range(n):
+        b = blobs[i]
+        if b is None:
+            continue
+        lb = len(b)
+        if lb >= 61 and (lb - 13) % 16 == 0:
+            by_len.setdefault(lb, []).append(i)
+    groups = []
+    for lb, idxs in by_len.items():
+        k = (lb - 13) // 16
+        raw = np.frombuffer(
+            b"".join(bytes(blobs[i]) for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), lb)
+        hdr_ok = (
+            (raw[:, 0] == 1)
+            & (raw[:, 1] == POLYGON)
+            & (raw[:, 2] == 0)
+            & (raw[:, 3] == 0)
+            & (raw[:, 4] == 0)
+        )
+        counts = raw[:, 5:13].copy().view("<u4").reshape(len(idxs), 2)
+        ok = hdr_ok & (counts[:, 0] == 1) & (counts[:, 1] == k)
+        if not ok.any():
+            continue
+        idx = np.asarray(idxs, dtype=np.int64)[ok]
+        coords = (
+            raw[ok, 13:].copy().view("<f8").reshape(len(idx), k, 2)
+        )
+        mask[idx] = True
+        groups.append((idx, coords))
+    return mask, groups
+
+
+def encode_simple_polygons(coords: np.ndarray) -> list:
+    """Vectorized WKB encode of ``(n, K, 2)`` closed rings -> list of
+    ``bytes`` (single-ring polygons). Inverse of the batch parser."""
+    n, k, _ = coords.shape
+    lb = 13 + 16 * k
+    out = np.empty((n, lb), dtype=np.uint8)
+    out[:, 0] = 1
+    hdr = np.empty(3, dtype="<u4")
+    hdr[0] = POLYGON
+    hdr[1] = 1
+    hdr[2] = k
+    out[:, 1:13] = np.frombuffer(hdr.tobytes(), dtype=np.uint8)
+    out[:, 13:] = (
+        np.ascontiguousarray(coords, dtype="<f8")
+        .view(np.uint8)
+        .reshape(n, 16 * k)
+    )
+    return [r.tobytes() for r in out]
+
+
 def batch_bounds(blobs) -> np.ndarray:
     """Per-blob envelopes (minx, miny, maxx, maxy), point-vectorized."""
     pts = try_parse_points(blobs)

@@ -117,6 +117,77 @@ def _polygon_interior_cells(rings, height: int, width: int):
     return rows_out, cols
 
 
+def batch_polygon_cells(x1, y1, x2, y2, owner, height, width):
+    """Batched scanline over edges of MANY polygons at once.
+
+    Same center/even-odd semantics as ``_polygon_interior_cells``, but
+    one vectorized pass covers every polygon in a tile: the crossing
+    pairing runs inside ``(owner, row)`` groups via a 3-key lexsort, so
+    per-geometry Python loops disappear from the burn hot path.
+
+    x1/y1/x2/y2: float64 edge endpoints (pixel space), ``owner``:
+    int64 id per edge (all rings of a polygon share one owner — holes
+    get even-odd for free). Returns ``(flat_cells, cell_owner)``.
+    """
+    ymin = np.minimum(y1, y2)
+    ymax = np.maximum(y1, y2)
+    r_lo = np.ceil(ymin - 0.5).astype(np.int64)
+    r_hi = np.ceil(ymax - 0.5).astype(np.int64)
+    r_lo = np.clip(r_lo, 0, height)
+    r_hi = np.clip(r_hi, 0, height)
+    counts = r_hi - r_lo
+    keep = counts > 0
+    if not keep.any():
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    owner = owner[keep]
+    r_lo, counts = r_lo[keep], counts[keep]
+
+    edge_idx = np.repeat(np.arange(len(x1)), counts)
+    rows = _multi_arange(r_lo, counts)
+    yc = rows + 0.5
+    dx = x2 - x1
+    dy = y2 - y1
+    xcross = x1[edge_idx] + (yc - y1[edge_idx]) * (dx[edge_idx] / dy[edge_idx])
+    own = owner[edge_idx]
+
+    # pair crossings even-odd within each (owner, row) group; closed
+    # rings guarantee an even crossing count per group
+    order = np.lexsort((xcross, rows, own))
+    rows = rows[order]
+    xcross = xcross[order]
+    own = own[order]
+    xa = xcross[0::2]
+    xb = xcross[1::2]
+    prow = rows[0::2]
+    pown = own[0::2]
+    c_lo = np.ceil(xa - 0.5).astype(np.int64)
+    c_hi = np.floor(xb - 0.5).astype(np.int64)
+    c_lo = np.clip(c_lo, 0, width)
+    c_hi = np.clip(c_hi, -1, width - 1)
+    ncols = c_hi - c_lo + 1
+    keep = ncols > 0
+    if not keep.any():
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    c_lo, ncols = c_lo[keep], ncols[keep]
+    prow, pown = prow[keep], pown[keep]
+    flat = _multi_arange(prow * width + c_lo, ncols)
+    cell_owner = np.repeat(pown, ncols)
+    return flat, cell_owner
+
+
+def edges_from_rings(coords: np.ndarray, owners: np.ndarray):
+    """(n, K, 2) closed rings + per-ring owner -> flat edge arrays
+    (x1, y1, x2, y2, owner) for ``batch_polygon_cells``."""
+    n, k, _ = coords.shape
+    x1 = coords[:, :-1, 0].ravel()
+    y1 = coords[:, :-1, 1].ravel()
+    x2 = coords[:, 1:, 0].ravel()
+    y2 = coords[:, 1:, 1].ravel()
+    own = np.repeat(np.asarray(owners, dtype=np.int64), k - 1)
+    return x1, y1, x2, y2, own
+
+
 def _segment_cells(x1, y1, x2, y2, height, width):
     """Supercover: all cells a segment passes through (numpy DDA)."""
     n = max(

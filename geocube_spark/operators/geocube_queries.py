@@ -358,7 +358,7 @@ def q_span_extract(spark, sf_dir):
     point geometry, runs extract_vector_table, decodes the WKB back to
     lon/lat. Oracle recomputes the formulas directly.
     """
-    from ..extract import extract_vector_table
+    from ..extract import extract_vector_table_sql
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -402,7 +402,7 @@ def q_span_extract(spark, sf_dir):
             yield pd.DataFrame(rows)
 
     spans_df = docs.mapInPandas(_mk, schema=span_schema)
-    vec = extract_vector_table(spans_df, measurements=[("n_chars", "long")])
+    vec = extract_vector_table_sql(spans_df, measurements=[("n_chars", "long")])
 
     dec_schema = "doc_id bigint, seq bigint, n_chars bigint, lon double, lat double"
 

@@ -71,6 +71,9 @@ def vectorize(cube: GeoCube, measurement: str = None) -> DataFrame:
             )
         return pd.DataFrame(out, columns=[f.name for f in VECTOR_SCHEMA.fields])
 
-    return chunks.groupBy("measurement", "group_key").applyInPandas(
-        _shapes, schema=VECTOR_SCHEMA
+    sc = chunks.sparkSession.sparkContext
+    return (
+        chunks.repartition(sc.defaultParallelism, "measurement", "group_key")
+        .groupBy("measurement", "group_key")
+        .applyInPandas(_shapes, schema=VECTOR_SCHEMA)
     )

@@ -330,3 +330,25 @@ def test_extract_seq_deterministic(spark):
     vec = extract_vector_table(docs).select("doc_id", "seq").toPandas()
     vec = vec.sort_values("doc_id").reset_index(drop=True)
     assert vec["seq"].tolist() == list(range(7))
+
+
+def test_sql_extract_matches_pandas_extract(spark):
+    """The zero-Python Catalyst extraction must be value-identical to
+    the pandas reference implementation on every fixture shape (split
+    JSON fragments, nulls, strings, timestamps)."""
+    from geocube_spark import datagen as DG
+    from geocube_spark.extract import (
+        extract_vector_table,
+        extract_vector_table_sql,
+    )
+
+    for pdf in (
+        DG.flat_polygon_docs(),
+        DG.grouped_polygon_docs(),
+        DG.point_docs(with_null=True),
+    ):
+        docs = DG.to_spark(spark, pdf)
+        a = extract_vector_table(docs).orderBy("doc_id").toPandas()
+        b = extract_vector_table_sql(docs).orderBy("doc_id").toPandas()
+        assert list(a.columns) == list(b.columns)
+        assert a.equals(b)
