@@ -233,6 +233,7 @@ def make_geocube(
     merge_alg: str = "replace",
     all_touched: bool = False,
     filter_nan: bool = False,
+    salt: int = 0,          # >1: two-phase salted burn for dense-tile skew
     interp_method: Optional[str] = None,   # griddata: nearest|linear|cubic; radial: rbf function
     rescale: bool = False,
 ) -> GeoCube:
@@ -367,6 +368,7 @@ def make_geocube(
         chunks = _burn_chunks(
             work, meas, gb_dict, in_crs.epsg, tile_size, zoom, fill,
             merge_alg, all_touched, filter_nan, bands, bool(group_by),
+            salt=salt,
         )
     elif rasterize_function in ("points_griddata", "points_radial"):
         chunks = _interp_chunks(
@@ -588,11 +590,82 @@ _CHUNK_FIELDS = [
 CHUNK_SCHEMA = T.StructType(_CHUNK_FIELDS)
 
 
+def merge_partial_chunks(pdf: pd.DataFrame, fills: dict, merge_alg: str,
+                         out_cols) -> pd.DataFrame:
+    """Combine partial chunk rows of ONE (tile, group) into final chunks.
+
+    Partials carry an ``aux`` band: touch counts for 'add' (partials
+    are burned with neutral fill 0.0, so the merged cell is
+    fill + sum over partials, untouched cells stay fill), or the
+    winning input ``seq`` per cell for 'replace' (argmax across
+    partials picks the cell value with the globally-latest seq -
+    distributed last-write-wins). Shared by the salted-skew burn and
+    the streaming incremental cube.
+    """
+    out = []
+    for m in pdf["measurement"].unique():
+        sub = pdf[pdf["measurement"] == m]
+        first = sub.iloc[0]
+        f = fills[m]
+        arrs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in sub["values"]]
+        )
+        aux = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in sub["aux"]]
+        )
+        if merge_alg == "add":
+            vsum = arrs.sum(axis=0)
+            touched = aux.sum(axis=0) > 0
+            band = np.where(touched, f + vsum, f)
+        else:
+            win = aux.argmax(axis=0)
+            band = np.take_along_axis(arrs, win[None, :], axis=0)[0]
+        seq_lo = sub["min_seq"].values
+        seq_lo = seq_lo[seq_lo >= 0]
+        out.append(
+            {
+                "measurement": m,
+                "group_key": first["group_key"],
+                "zoom": int(first["zoom"]),
+                "tile_id": int(first["tile_id"]),
+                "row0": int(first["row0"]),
+                "col0": int(first["col0"]),
+                "h": int(first["h"]),
+                "w": int(first["w"]),
+                "values": band,
+                "n_geoms": int(sub["n_geoms"].sum()),
+                "n_cells_burned": int(sub["n_cells_burned"].sum()),
+                "min_seq": int(seq_lo.min()) if len(seq_lo) else -1,
+                "max_seq": int(sub["max_seq"].max()),
+            }
+        )
+    return pd.DataFrame(out, columns=out_cols)
+
+
 def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
-                 merge_alg, all_touched, filter_nan, bands, grouped):
+                 merge_alg, all_touched, filter_nan, bands, grouped,
+                 salt: int = 0, emit_aux: bool = False):
+    """salt > 1 splits every tile's input across ``salt`` sub-keys of
+    the deterministic ``seq`` and merges the partial burns in a second
+    (cheap, per-tile) stage - the skew escape hatch when one dense tile
+    would otherwise dominate a task (north rule: salted repartitioning
+    for dense-geometry skew). Results match the unsalted burn:
+    bit-identical for 'replace', 1-ulp for 'add' (partial sums
+    reassociate FP addition). ``emit_aux`` keeps the aux
+    band on the output (used by the streaming incremental sink, which
+    merges partials across micro-batches later)."""
     cover = _cover_df(work, meas, gb_dict, src_epsg, tile_size, grouped)
 
     fills = {m: bands[m].fill for m in meas}
+    salted = salt and salt > 1
+    aux_mode = None
+    if salted or emit_aux:
+        aux_mode = "count" if merge_alg == "add" else "seq"
+    # salted 'add' partials burn on a neutral 0.0 background so the
+    # final merge can reconstruct fill + sum exactly
+    burn_fills = (
+        {m: 0.0 for m in meas} if aux_mode == "count" else fills
+    )
 
     def _burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gb = GeoBox.from_dict(gb_dict)
@@ -680,42 +753,59 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
             flat_all = flat_all[order]
             pos_all = pos_all[order]
 
+        seqs_arr = pdf["seq"].values.astype(np.int64)
         out = []
         for m in meas:
-            f = fills[m]
+            f = burn_fills[m]
             vals = pdf[m].values.astype(np.float64)
             band = np.full(hw, f, dtype=np.float64)
+            aux = None
             if len(flat_all):
                 vv = vals[pos_all]
                 fl = flat_all
+                pp = pos_all
                 if filter_nan:
                     k = ~np.isnan(vv)
-                    fl, vv = fl[k], vv[k]
+                    fl, vv, pp = fl[k], vv[k], pp[k]
                 if len(fl):
                     if merge_alg == "add":
                         # untouched cells add 0.0 -> stay fill; NaN
                         # weights poison exactly their cells (+= parity)
                         band += np.bincount(fl, weights=vv, minlength=hw)
+                        if aux_mode == "count":
+                            aux = np.bincount(
+                                fl, minlength=hw
+                            ).astype(np.float64)
                     else:
                         band[fl] = vv
-            out.append(
-                {
-                    "measurement": m,
-                    "group_key": gkey,
-                    "zoom": zoom,
-                    "tile_id": tile_id,
-                    "row0": row0,
-                    "col0": col0,
-                    "h": h,
-                    "w": w,
-                    "values": band,
-                    "n_geoms": n_geoms,
-                    "n_cells_burned": n_burned,
-                    "min_seq": min_seq,
-                    "max_seq": max_seq,
-                }
-            )
-        return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
+                        if aux_mode == "seq":
+                            aux = np.full(hw, -1.0, dtype=np.float64)
+                            aux[fl] = seqs_arr[pp].astype(np.float64)
+            if aux_mode and aux is None:
+                aux = (
+                    np.zeros(hw, dtype=np.float64)
+                    if aux_mode == "count"
+                    else np.full(hw, -1.0, dtype=np.float64)
+                )
+            row = {
+                "measurement": m,
+                "group_key": gkey,
+                "zoom": zoom,
+                "tile_id": tile_id,
+                "row0": row0,
+                "col0": col0,
+                "h": h,
+                "w": w,
+                "values": band,
+                "n_geoms": n_geoms,
+                "n_cells_burned": n_burned,
+                "min_seq": min_seq,
+                "max_seq": max_seq,
+            }
+            if aux_mode:
+                row["aux"] = aux
+            out.append(row)
+        return pd.DataFrame(out, columns=out_fields)
 
     keys = ["tile_id", "group_key"] if grouped else ["tile_id"]
     # Pin the burn-shuffle partition count. The cover rows are tiny in
@@ -728,13 +818,50 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
     gb = GeoBox.from_dict(gb_dict)
     n_tiles, _, _ = gb.n_tiles(tile_size)
     n_parts = max(1, min(int(n_tiles), 4 * sc.defaultParallelism))
+
+    out_schema = CHUNK_SCHEMA
+    if aux_mode:
+        out_schema = T.StructType(
+            _CHUNK_FIELDS + [T.StructField("aux", T.ArrayType(T.DoubleType()))]
+        )
+    out_fields = [f.name for f in out_schema.fields]
+    # _burn closes over out_fields/aux_mode/burn_fills defined above
+
+    if salted:
+        stage_keys = keys + ["__salt"]
+        cover = cover.withColumn(
+            "__salt", F.pmod(F.col("seq"), F.lit(int(salt)))
+        )
+        n1 = max(1, min(int(n_tiles) * int(salt), 4 * sc.defaultParallelism))
+        partial = (
+            cover.repartition(n1, *stage_keys)
+            .groupBy(*stage_keys)
+            .applyInPandas(
+                (lambda key, pdf: _burn((key[0], key[1]), pdf))
+                if grouped
+                else (lambda key, pdf: _burn((key[0], None), pdf)),
+                schema=out_schema,
+            )
+        )
+        merge_cols = [f.name for f in _CHUNK_FIELDS]
+
+        def _merge(key, pdf):
+            return merge_partial_chunks(pdf, fills, merge_alg, merge_cols)
+
+        final = (
+            partial.repartition(n_parts, *keys)
+            .groupBy(*keys)
+            .applyInPandas(_merge, schema=CHUNK_SCHEMA)
+        )
+        return final
+
     cover = cover.repartition(n_parts, *keys)
     if grouped:
         return cover.groupBy(*keys).applyInPandas(
-            lambda key, pdf: _burn(key, pdf), schema=CHUNK_SCHEMA
+            lambda key, pdf: _burn(key, pdf), schema=out_schema
         )
     return cover.groupBy(*keys).applyInPandas(
-        lambda key, pdf: _burn((key[0], None), pdf), schema=CHUNK_SCHEMA
+        lambda key, pdf: _burn((key[0], None), pdf), schema=out_schema
     )
 
 

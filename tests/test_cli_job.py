@@ -1,0 +1,64 @@
+"""spark-submit --py-files CLI job (north rule execution contract).
+
+Runs scripts/make_geocube_job.py through the real spark-submit binary
+with the package shipped as a zip — the exact deployment shape the
+north rule demands — and checks the committed cube plus the resume
+no-op on re-run.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from geocube_spark import datagen as DG
+from geocube_spark.plans import checkpoint as CP
+
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JOB = os.path.join(REPO, "scripts", "make_geocube_job.py")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not installed"
+)
+def test_spark_submit_job_and_resume(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    docs_path = str(tmp / "docs")
+    out_path = str(tmp / "cube")
+    DG.to_spark(spark, DG.flat_polygon_docs(n=9)).write.parquet(docs_path)
+
+    from geocube_spark.session import package_zip
+
+    cmd = [
+        SPARK_SUBMIT, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", package_zip(),
+        JOB,
+        "--input", docs_path, "--output", out_path,
+        "--output-crs", "epsg:32615", "--resolution", "-10", "10",
+        "--fill", "-9999.0", "--merge-alg", "replace",
+        "--tile-size", "64", "--commit-batches", "2",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(summary["committed"]) == 2
+    assert summary["bands"] == sorted(
+        ["om_r", "sandtotal_r", "silttotal_r", "claytotal_r", "cec7_r",
+         "ph1to1h2o_r", "dbthirdbar_r", "awc_r"]
+    )
+    back = CP.read_cube(spark, out_path)
+    assert back.count() > 0
+    assert os.path.exists(os.path.join(out_path, "_geobox.json"))
+
+    # re-run = resume: everything already committed, nothing rewritten
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary2["committed"] == []
+    assert sorted(summary2["skipped"]) == [0, 1]
