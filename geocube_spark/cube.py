@@ -234,6 +234,7 @@ def make_geocube(
     all_touched: bool = False,
     filter_nan: bool = False,
     salt: int = 0,          # >1: two-phase salted burn for dense-tile skew
+    _emit_partials: bool = False,   # internal: keep aux bands (streaming)
     interp_method: Optional[str] = None,   # griddata: nearest|linear|cubic; radial: rbf function
     rescale: bool = False,
 ) -> GeoCube:
@@ -368,7 +369,7 @@ def make_geocube(
         chunks = _burn_chunks(
             work, meas, gb_dict, in_crs.epsg, tile_size, zoom, fill,
             merge_alg, all_touched, filter_nan, bands, bool(group_by),
-            salt=salt,
+            salt=salt, emit_aux=_emit_partials,
         )
     elif rasterize_function in ("points_griddata", "points_radial"):
         chunks = _interp_chunks(
@@ -843,6 +844,8 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
                 schema=out_schema,
             )
         )
+        if emit_aux:
+            return partial  # streaming sink merges across micro-batches
         merge_cols = [f.name for f in _CHUNK_FIELDS]
 
         def _merge(key, pdf):
