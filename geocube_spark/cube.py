@@ -377,6 +377,16 @@ def make_geocube(
             rasterize_function, interp_method, rescale, filter_nan,
             bool(group_by),
         )
+    elif callable(rasterize_function):
+        # reference §2.9 extension point: any f(*, geometry_array,
+        # data_values, geobox, grid_coords, fill, **ignored) -> ndarray
+        chunks = _custom_chunks(
+            work, meas, gb_dict, in_crs.epsg, tile_size, zoom, fill,
+            rasterize_function,
+            dict(merge_alg=merge_alg, all_touched=all_touched,
+                 filter_nan=filter_nan),
+            bool(group_by),
+        )
     else:
         raise ValueError(f"unknown rasterize_function {rasterize_function!r}")
 
@@ -958,6 +968,97 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         (lambda key, pdf: _interp(key, pdf))
         if grouped
         else (lambda key, pdf: _interp((key[0], None), pdf)),
+        schema=CHUNK_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom rasterize_function strategy (reference §2.9 extension point)
+# ---------------------------------------------------------------------------
+
+def _custom_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
+                   func, func_kwargs, grouped):
+    """Run a user rasterize function once per (measurement, group) with
+    the reference signature — the distributed formulation of the
+    reference's per-band loop (vector_to_cube.py:325-344): bands and
+    groups execute in parallel, each band call is single-task like the
+    reference is single-node. ``None`` return skips the band
+    (vector_to_cube.py:338-342)."""
+    melted = []
+    for m in meas:
+        cols = [
+            F.lit(m).alias("measurement"),
+            F.col("seq"),
+            F.col("geometry_wkb"),
+            F.col(m).alias("value"),
+        ]
+        if grouped:
+            cols.append(F.col("__group").cast("string").alias("group_key"))
+        melted.append(work.select(*cols))
+    long_df = melted[0]
+    for df in melted[1:]:
+        long_df = long_df.unionByName(df)
+
+    def _run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gb = GeoBox.from_dict(gb_dict)
+        src = CRS(src_epsg)
+        reproject = src.epsg != gb.crs.epsg
+        m = str(key[0])
+        gkey = (
+            str(key[1])
+            if grouped and len(key) > 1 and key[1] is not None
+            else None
+        )
+        pdf = pdf.sort_values("seq", kind="mergesort")
+        geoms = []
+        for blob in pdf["geometry_wkb"].values:
+            g = W.loads(bytes(blob))
+            if reproject:
+                g = g.transform(
+                    lambda x, y: crs_transform(src, gb.crs, x, y)
+                )
+            geoms.append(g)
+        band = func(
+            geometry_array=geoms,
+            data_values=pdf["value"].values.astype(np.float64),
+            geobox=gb,
+            grid_coords=gb.coords(),
+            fill=fill,
+            **func_kwargs,
+        )
+        if band is None:   # band skipped (vector_to_cube.py:338-342)
+            return pd.DataFrame(
+                [], columns=[f.name for f in _CHUNK_FIELDS]
+            )
+        band = np.asarray(band, dtype=np.float64)
+        out = []
+        for tile_id, row0, col0, h, w in gb.tile_grid(tile_size):
+            out.append(
+                {
+                    "measurement": m,
+                    "group_key": gkey,
+                    "zoom": zoom,
+                    "tile_id": tile_id,
+                    "row0": row0,
+                    "col0": col0,
+                    "h": h,
+                    "w": w,
+                    "values": band[row0:row0 + h, col0:col0 + w].ravel(),
+                    "n_geoms": len(pdf),
+                    "n_cells_burned": int(h * w),
+                    "min_seq": int(pdf["seq"].min()) if len(pdf) else -1,
+                    "max_seq": int(pdf["seq"].max()) if len(pdf) else -1,
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
+
+    keys = ["measurement", "group_key"] if grouped else ["measurement"]
+    sc = long_df.sparkSession.sparkContext
+    long_df = long_df.repartition(sc.defaultParallelism, *keys)
+    return long_df.groupBy(*keys).applyInPandas(
+        (lambda key, pdf: _run(key, pdf))
+        if grouped
+        else (lambda key, pdf: _run((key[0], None), pdf)),
         schema=CHUNK_SCHEMA,
     )
 

@@ -677,6 +677,45 @@ FROM r WHERE rn = 1 ORDER BY row, col
 """
 
 
+def _interp_query(spark, sf_dir, function, method):
+    from ..cube import make_geocube
+
+    vec = _event_vector_df(spark, sf_dir).filter(F.col("seq") % 97 == 0)
+    cube = make_geocube(
+        vec,
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-5.0, 5.0),
+        fill=-9999.0,
+        rasterize_function=function,
+        interp_method=method,
+        tile_size=64,
+    )
+    cell = cube.chunks.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    )
+    return cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
+        F.round("val", 6).alias("val"),
+    ).orderBy("row", "col")
+
+
+def q_interp_linear(spark, sf_dir):
+    """rasterize_points_griddata(method='linear'): Delaunay barycentric
+    interpolation (rasterize.py:136-191). No SQL oracle (triangulation
+    is not SQL-expressible); rows-only here, exactness-on-linear-field
+    pinned in tests/test_kernels.py."""
+    return _interp_query(spark, sf_dir, "points_griddata", "linear")
+
+
+def q_interp_rbf(spark, sf_dir):
+    """rasterize_points_radial: global RBF solve (rasterize.py:194-239).
+    Rows-only (dense linear solve not SQL-expressible); node-exactness
+    pinned in tests/test_kernels.py."""
+    return _interp_query(spark, sf_dir, "points_radial", "linear")
+
+
 def q_vectorize_components(spark, sf_dir):
     """Inverse path raster -> polygons (vector.py:15-70): burn, then
     connected-component polygonize, return per-value component counts.
@@ -718,5 +757,7 @@ QUERIES = {
     "burn_grouped_replace": (q_burn_grouped_replace, SQL_BURN_GROUPED),
     "tile_lineage": (q_tile_lineage, SQL_TILE_LINEAGE),
     "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
+    "interp_linear": (q_interp_linear, None),
+    "interp_rbf": (q_interp_rbf, None),
     "vectorize_components": (q_vectorize_components, None),
 }
