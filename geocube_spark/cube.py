@@ -600,37 +600,59 @@ _CHUNK_FIELDS = [
 ]
 CHUNK_SCHEMA = T.StructType(_CHUNK_FIELDS)
 
+# sparse partial chunks (salted burn stage 1 / streaming micro-batches):
+# only touched cells travel - cells (flat tile idx), vals, aux (touch
+# counts for 'add', winning seq for 'replace')
+_PARTIAL_FIELDS = [
+    f for f in _CHUNK_FIELDS if f.name != "values"
+] + [
+    T.StructField("cells", T.ArrayType(T.LongType())),
+    T.StructField("vals", T.ArrayType(T.DoubleType())),
+    T.StructField("aux", T.ArrayType(T.DoubleType())),
+]
+PARTIAL_SCHEMA = T.StructType(_PARTIAL_FIELDS)
+
 
 def merge_partial_chunks(pdf: pd.DataFrame, fills: dict, merge_alg: str,
                          out_cols) -> pd.DataFrame:
-    """Combine partial chunk rows of ONE (tile, group) into final chunks.
+    """Combine SPARSE partial chunk rows of ONE (tile, group) into
+    final dense chunks.
 
-    Partials carry an ``aux`` band: touch counts for 'add' (partials
-    are burned with neutral fill 0.0, so the merged cell is
-    fill + sum over partials, untouched cells stay fill), or the
-    winning input ``seq`` per cell for 'replace' (argmax across
-    partials picks the cell value with the globally-latest seq -
-    distributed last-write-wins). Shared by the salted-skew burn and
-    the streaming incremental cube.
+    Partials carry only their touched cells: ``cells`` (flat tile
+    indices), ``vals`` (partial cell values) and ``aux`` — touch
+    counts for 'add' (merged cell = fill + sum over partials), or the
+    winning input ``seq`` per cell for 'replace' (global max-seq per
+    cell = distributed last-write-wins). Sparseness makes the merge
+    shuffle O(touches), never O(tile_area x partials). Shared by the
+    salted-skew burn and the streaming incremental cube.
     """
     out = []
     for m in pdf["measurement"].unique():
         sub = pdf[pdf["measurement"] == m]
         first = sub.iloc[0]
         f = fills[m]
-        arrs = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in sub["values"]]
+        hw = int(first["h"]) * int(first["w"])
+        cells = np.concatenate(
+            [np.asarray(c, dtype=np.int64) for c in sub["cells"]]
         )
-        aux = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in sub["aux"]]
+        vals = np.concatenate(
+            [np.asarray(v, dtype=np.float64) for v in sub["vals"]]
         )
-        if merge_alg == "add":
-            vsum = arrs.sum(axis=0)
-            touched = aux.sum(axis=0) > 0
-            band = np.where(touched, f + vsum, f)
-        else:
-            win = aux.argmax(axis=0)
-            band = np.take_along_axis(arrs, win[None, :], axis=0)[0]
+        aux = np.concatenate(
+            [np.asarray(a, dtype=np.float64) for a in sub["aux"]]
+        )
+        band = np.full(hw, f, dtype=np.float64)
+        if len(cells):
+            if merge_alg == "add":
+                sums = np.bincount(cells, weights=vals, minlength=hw)
+                counts = np.bincount(cells, weights=aux, minlength=hw)
+                band = np.where(counts > 0, f + sums, f)
+            else:
+                order = np.lexsort((aux, cells))
+                c = cells[order]
+                v = vals[order]
+                u, first_rev = np.unique(c[::-1], return_index=True)
+                band[u] = v[::-1][first_rev]
         seq_lo = sub["min_seq"].values
         seq_lo = seq_lo[seq_lo >= 0]
         out.append(
@@ -669,14 +691,11 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
 
     fills = {m: bands[m].fill for m in meas}
     salted = salt and salt > 1
+    # partial mode emits SPARSE rows (touched cells only) so the merge
+    # shuffle is O(touches), never O(tile_area x partials)
     aux_mode = None
     if salted or emit_aux:
         aux_mode = "count" if merge_alg == "add" else "seq"
-    # salted 'add' partials burn on a neutral 0.0 background so the
-    # final merge can reconstruct fill + sum exactly
-    burn_fills = (
-        {m: 0.0 for m in meas} if aux_mode == "count" else fills
-    )
 
     def _burn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gb = GeoBox.from_dict(gb_dict)
@@ -767,37 +786,13 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         seqs_arr = pdf["seq"].values.astype(np.int64)
         out = []
         for m in meas:
-            f = burn_fills[m]
             vals = pdf[m].values.astype(np.float64)
-            band = np.full(hw, f, dtype=np.float64)
-            aux = None
-            if len(flat_all):
-                vv = vals[pos_all]
-                fl = flat_all
-                pp = pos_all
-                if filter_nan:
-                    k = ~np.isnan(vv)
-                    fl, vv, pp = fl[k], vv[k], pp[k]
-                if len(fl):
-                    if merge_alg == "add":
-                        # untouched cells add 0.0 -> stay fill; NaN
-                        # weights poison exactly their cells (+= parity)
-                        band += np.bincount(fl, weights=vv, minlength=hw)
-                        if aux_mode == "count":
-                            aux = np.bincount(
-                                fl, minlength=hw
-                            ).astype(np.float64)
-                    else:
-                        band[fl] = vv
-                        if aux_mode == "seq":
-                            aux = np.full(hw, -1.0, dtype=np.float64)
-                            aux[fl] = seqs_arr[pp].astype(np.float64)
-            if aux_mode and aux is None:
-                aux = (
-                    np.zeros(hw, dtype=np.float64)
-                    if aux_mode == "count"
-                    else np.full(hw, -1.0, dtype=np.float64)
-                )
+            fl = flat_all
+            vv = vals[pos_all]
+            pp = pos_all
+            if filter_nan and len(fl):
+                k = ~np.isnan(vv)
+                fl, vv, pp = fl[k], vv[k], pp[k]
             row = {
                 "measurement": m,
                 "group_key": gkey,
@@ -807,14 +802,44 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
                 "col0": col0,
                 "h": h,
                 "w": w,
-                "values": band,
                 "n_geoms": n_geoms,
                 "n_cells_burned": n_burned,
                 "min_seq": min_seq,
                 "max_seq": max_seq,
             }
             if aux_mode:
-                row["aux"] = aux
+                # sparse partial: only touched cells travel
+                if len(fl) == 0:
+                    cells = np.empty(0, dtype=np.int64)
+                    pvals = np.empty(0, dtype=np.float64)
+                    paux = np.empty(0, dtype=np.float64)
+                elif merge_alg == "add":
+                    sums = np.bincount(fl, weights=vv, minlength=hw)
+                    counts = np.bincount(fl, minlength=hw)
+                    cells = np.flatnonzero(counts)
+                    pvals = sums[cells]
+                    paux = counts[cells].astype(np.float64)
+                else:
+                    # fl is pos-ordered (sorted above for replace):
+                    # reversed-unique keeps the per-cell winner
+                    u, first_rev = np.unique(fl[::-1], return_index=True)
+                    cells = u
+                    pvals = vv[::-1][first_rev]
+                    paux = seqs_arr[pp][::-1][first_rev].astype(np.float64)
+                row["cells"] = cells
+                row["vals"] = pvals
+                row["aux"] = paux
+            else:
+                f = fills[m]
+                band = np.full(hw, f, dtype=np.float64)
+                if len(fl):
+                    if merge_alg == "add":
+                        # untouched cells add 0.0 -> stay fill; NaN
+                        # weights poison exactly their cells (+= parity)
+                        band += np.bincount(fl, weights=vv, minlength=hw)
+                    else:
+                        band[fl] = vv
+                row["values"] = band
             out.append(row)
         return pd.DataFrame(out, columns=out_fields)
 
@@ -830,11 +855,7 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
     n_tiles, _, _ = gb.n_tiles(tile_size)
     n_parts = max(1, min(int(n_tiles), 4 * sc.defaultParallelism))
 
-    out_schema = CHUNK_SCHEMA
-    if aux_mode:
-        out_schema = T.StructType(
-            _CHUNK_FIELDS + [T.StructField("aux", T.ArrayType(T.DoubleType()))]
-        )
+    out_schema = PARTIAL_SCHEMA if aux_mode else CHUNK_SCHEMA
     out_fields = [f.name for f in out_schema.fields]
     # _burn closes over out_fields/aux_mode/burn_fills defined above
 
