@@ -1,0 +1,109 @@
+"""Property-based tests for the scanline rasterizer (hypothesis).
+
+Two independent oracles protect the engine's most custom math:
+
+1. brute force: a cell center is inside a polygon iff a ray crossing
+   count is odd (even-odd rule evaluated per cell, O(cells x edges));
+2. the per-geometry scanline (`_polygon_interior_cells`) must agree
+   with the batched multi-polygon scanline (`batch_polygon_cells`)
+   on every random polygon soup.
+
+GDAL boundary convention: cells whose center lies exactly on an edge
+are implementation-defined, so generated coordinates are kept off the
+half-integer lattice (± offsets never hit .5 exactly).
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geocube_spark.geometry import wkb as W
+from geocube_spark.kernels.rasterize import (
+    _polygon_interior_cells,
+    batch_polygon_cells,
+    edges_from_rings,
+    geometry_cells,
+)
+
+H = Wd = 24
+
+coord = st.floats(
+    min_value=-3.9, max_value=27.9, allow_nan=False, allow_infinity=False
+).map(lambda v: round(v, 2) + 0.001)  # keep off the x.5 center lattice
+
+
+def _brute_force_cells(ring, h, w):
+    """Even-odd crossing count per cell center (the textbook test)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    rows, cols = [], []
+    for r in range(h):
+        yc = r + 0.5
+        crosses = (np.minimum(y1, y2) <= yc) & (yc < np.maximum(y1, y2))
+        if not crosses.any():
+            continue
+        xs = x1[crosses] + (yc - y1[crosses]) * (
+            (x2[crosses] - x1[crosses]) / (y2[crosses] - y1[crosses])
+        )
+        for c in range(w):
+            xc = c + 0.5
+            if (xs > xc).sum() % 2 == 1:
+                rows.append(r)
+                cols.append(c)
+    return set(zip(rows, cols))
+
+
+@st.composite
+def quad(draw):
+    """A random (possibly self-intersecting) closed quad."""
+    pts = [(draw(coord), draw(coord)) for _ in range(4)]
+    return np.array(pts + [pts[0]], dtype=np.float64)
+
+
+@given(st.lists(quad(), min_size=1, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_scanline_matches_brute_force(rings):
+    for ring in rings:
+        got_r, got_c = _polygon_interior_cells([ring], H, Wd)
+        got = set(zip(got_r.tolist(), got_c.tolist()))
+        want = _brute_force_cells(ring, H, Wd)
+        assert got == want
+
+
+@given(st.lists(quad(), min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_batched_scanline_matches_per_geometry(rings):
+    coords = np.stack(rings)
+    owners = np.arange(len(rings), dtype=np.int64)
+    x1, y1, x2, y2, own = edges_from_rings(coords, owners)
+    flat, cell_own = batch_polygon_cells(x1, y1, x2, y2, own, H, Wd)
+    got = {
+        (int(o), int(f)) for o, f in zip(cell_own.tolist(), flat.tolist())
+    }
+    want = set()
+    for i, ring in enumerate(rings):
+        r, c = _polygon_interior_cells([ring], H, Wd)
+        want |= {(i, int(rr) * Wd + int(cc)) for rr, cc in zip(r, c)}
+    assert got == want
+
+
+@given(st.lists(quad(), min_size=1, max_size=5))
+@settings(max_examples=40, deadline=None)
+def test_wkb_batch_parse_matches_loads(rings):
+    blobs = [W.polygon(r).to_wkb() for r in rings]
+    mask, groups = W.batch_parse_simple_polygons(blobs)
+    assert mask.all()
+    seen = {}
+    for idx, coords in groups:
+        for j, i in enumerate(idx.tolist()):
+            seen[i] = coords[j]
+    for i, ring in enumerate(rings):
+        np.testing.assert_allclose(seen[i], ring)
+        # and the cells derived from either parse agree
+        g = W.loads(blobs[i])
+        r1, c1 = geometry_cells(g, H, Wd, False)
+        r2, c2 = _polygon_interior_cells([ring], H, Wd)
+        f1 = set((r1 * Wd + c1).tolist())
+        f2 = set((r2 * Wd + c2).tolist())
+        assert f1 == f2
