@@ -352,3 +352,22 @@ def test_sql_extract_matches_pandas_extract(spark):
         b = extract_vector_table_sql(docs).orderBy("doc_id").toPandas()
         assert list(a.columns) == list(b.columns)
         assert a.equals(b)
+
+
+def test_all_touched_superset(spark):
+    """all_touched=True burns every cell the boundary touches on top of
+    the interior (reference rasterize.py:96-100,129)."""
+    from geocube_spark import datagen as DG
+    from geocube_spark.cube import make_geocube
+
+    docs = DG.to_spark(spark, DG.flat_polygon_docs(n=5))
+    kw = dict(
+        measurements=["om_r"], output_crs="EPSG:32615",
+        resolution=(-30.0, 30.0), fill=-9999.0, tile_size=32,
+    )
+    base = make_geocube(docs, **kw).assemble()["om_r"]
+    touched = make_geocube(docs, all_touched=True, **kw).assemble()["om_r"]
+    base_mask = base != -9999.0
+    touched_mask = touched != -9999.0
+    assert (touched_mask | base_mask).sum() == touched_mask.sum()  # superset
+    assert touched_mask.sum() > base_mask.sum()  # boundary adds cells
