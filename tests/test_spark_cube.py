@@ -371,3 +371,35 @@ def test_all_touched_superset(spark):
     touched_mask = touched != -9999.0
     assert (touched_mask | base_mask).sum() == touched_mask.sum()  # superset
     assert touched_mask.sum() > base_mask.sum()  # boundary adds cells
+
+
+def test_utm_bounds_end_to_end_reference_fixture(spark):
+    """Full pipeline vs the reference's exact grid-bounds assertion
+    (test_core_integration.py:789-798): wgs84_geom.geojson features ->
+    spans docs -> extract -> distributed bounds agg (WKB decode +
+    closed-form TM reprojection) -> snap -> epsg:32614 1m grid."""
+    import json as _json
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    fx = "/root/reference/test/test_data/input/wgs84_geom.geojson"
+    if not os.path.exists(fx):
+        _pytest.skip("reference fixture not available")
+    gj = _json.load(open(fx))
+    from geocube_spark import datagen as DG
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.geometry.wkb import from_geojson
+
+    geoms = [from_geojson(f["geometry"]) for f in gj["features"]]
+    attrs = [{"id": int(f["properties"]["id"])} for f in gj["features"]]
+    docs = DG.to_spark(spark, DG._doc_rows("wgs", geoms, attrs))
+    cube = make_geocube(
+        docs, measurements=["id"], output_crs="epsg:32614",
+        resolution=(-1.0, 1.0), fill=-9999.0,
+    )
+    assert cube.geobox.bounds() == _pytest.approx(
+        (1665478.0, 7018306.0, 1665945.0, 7018509.0)
+    )
+    assert (cube.geobox.width, cube.geobox.height) == (467, 203)
