@@ -36,7 +36,18 @@ def run(spark=None, sf_dir: str = None) -> dict:
     from pyspark.sql import functions as _F
 
     warm = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
-    warm.mapInPandas(lambda it: it, schema=warm.schema).count()
+
+    def _warm(it):
+        # pull the engine (numpy/pandas + geocube_spark) into every
+        # python worker so the first timed query isn't charged imports
+        import geocube_spark.cube  # noqa: F401
+        import geocube_spark.geometry.wkb  # noqa: F401
+
+        yield from it
+
+    warm.repartition(int(CPUS)).mapInPandas(
+        _warm, schema=warm.schema
+    ).count()
 
     qs = E.queries()
     times, rows = {}, {}

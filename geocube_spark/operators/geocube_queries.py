@@ -701,6 +701,79 @@ def _interp_query(spark, sf_dir, function, method):
     ).orderBy("row", "col")
 
 
+def q_interpolate_na(spark, sf_dir):
+    """interpolate_na post-pass (vector_to_cube.py:291-292 via
+    rioxarray): burn points with replace, then fill every nodata cell
+    from its nearest valid cell. Oracle replays the exact two-level
+    argmin (cell-center distances, row-major tie-break)."""
+    from ..cube import make_geocube
+
+    vec = _event_vector_df(spark, sf_dir).filter(F.col("seq") % 97 == 0)
+    cube = make_geocube(
+        vec,
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-5.0, 5.0),
+        fill=-9999.0,
+        merge_alg="replace",
+        interpolate_na_method="nearest",
+        tile_size=64,
+    )
+    cell = cube.chunks.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    )
+    return cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
+        "val",
+    ).orderBy("row", "col")
+
+
+# burn on the 72x36 5-degree grid: col = floor((lon+180)/5),
+# row = floor((90-lat)/5); centers x=-180+5(c+.5), y=90-5(r+.5)
+SQL_INTERPOLATE_NA = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value
+  FROM events WHERE event_id % 97 = 0
+),
+burned AS (
+  SELECT CAST(floor((90.0 - lat) / 5.0) AS INT) AS row,
+         CAST(floor((lon + 180.0) / 5.0) AS INT) AS col,
+         arg_max(value, event_id) AS val
+  FROM pts GROUP BY 1, 2
+),
+cells AS (
+  SELECT CAST(r.range AS INT) AS row, CAST(c.range AS INT) AS col,
+         -180.0 + 5.0 * (c.range + 0.5) AS gx,
+         90.0 - 5.0 * (r.range + 0.5) AS gy
+  FROM range(0, 36) r, range(0, 72) c
+),
+valid AS (
+  SELECT b.row, b.col, b.val,
+         -180.0 + 5.0 * (b.col + 0.5) AS vx,
+         90.0 - 5.0 * (b.row + 0.5) AS vy
+  FROM burned b
+),
+filled AS (
+  SELECT c.row, c.col, v.val,
+         row_number() OVER (
+           PARTITION BY c.row, c.col
+           ORDER BY (c.gx - v.vx) * (c.gx - v.vx)
+                  + (c.gy - v.vy) * (c.gy - v.vy), v.row, v.col
+         ) AS rn
+  FROM cells c, valid v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM burned b WHERE b.row = c.row AND b.col = c.col
+  )
+)
+SELECT row, col, val FROM (
+  SELECT row, col, val FROM burned
+  UNION ALL
+  SELECT row, col, val FROM filled WHERE rn = 1
+) ORDER BY row, col
+"""
+
+
 def q_interp_linear(spark, sf_dir):
     """rasterize_points_griddata(method='linear'): Delaunay barycentric
     interpolation (rasterize.py:136-191). No SQL oracle (triangulation
@@ -757,6 +830,7 @@ QUERIES = {
     "burn_grouped_replace": (q_burn_grouped_replace, SQL_BURN_GROUPED),
     "tile_lineage": (q_tile_lineage, SQL_TILE_LINEAGE),
     "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
+    "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
     "interp_linear": (q_interp_linear, None),
     "interp_rbf": (q_interp_rbf, None),
     "vectorize_components": (q_vectorize_components, None),
