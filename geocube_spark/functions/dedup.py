@@ -260,7 +260,9 @@ def simhash_near_pairs(df: DataFrame, *, max_hamming: int = 8,
     so candidates come from an equi-join, then the true distance is
     checked with bit_count(xor). For max_hamming > bands-1 recall
     needs more bands; we verify exactly so precision is always 1."""
-    sig = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    # persist: both sides of the banded self-join read the signatures,
+    # and exchange reuse across the aliases is not guaranteed
+    sig = simhash(df, bits=bits, text_col=text_col, id_col=id_col).persist()
     seg = bits // bands
     segs = F.array(
         *[
