@@ -33,11 +33,16 @@ coord = st.floats(
 
 
 def _brute_force_cells(ring, h, w):
-    """Even-odd crossing count per cell center (the textbook test)."""
+    """Even-odd crossing count per cell center (the textbook test).
+
+    Returns (inside, ambiguous): a cell whose center lies EXACTLY on a
+    boundary crossing is implementation-defined (GDAL convention
+    varies) and lands in ``ambiguous`` instead of being asserted.
+    """
     ring = np.asarray(ring, dtype=np.float64)
     x1, y1 = ring[:-1, 0], ring[:-1, 1]
     x2, y2 = ring[1:, 0], ring[1:, 1]
-    rows, cols = [], []
+    inside, ambiguous = set(), set()
     for r in range(h):
         yc = r + 0.5
         crosses = (np.minimum(y1, y2) <= yc) & (yc < np.maximum(y1, y2))
@@ -48,10 +53,11 @@ def _brute_force_cells(ring, h, w):
         )
         for c in range(w):
             xc = c + 0.5
-            if (xs > xc).sum() % 2 == 1:
-                rows.append(r)
-                cols.append(c)
-    return set(zip(rows, cols))
+            if (xs == xc).any():
+                ambiguous.add((r, c))
+            elif (xs > xc).sum() % 2 == 1:
+                inside.add((r, c))
+    return inside, ambiguous
 
 
 @st.composite
@@ -67,8 +73,8 @@ def test_scanline_matches_brute_force(rings):
     for ring in rings:
         got_r, got_c = _polygon_interior_cells([ring], H, Wd)
         got = set(zip(got_r.tolist(), got_c.tolist()))
-        want = _brute_force_cells(ring, H, Wd)
-        assert got == want
+        want, ambiguous = _brute_force_cells(ring, H, Wd)
+        assert (got ^ want) <= ambiguous
 
 
 @given(st.lists(quad(), min_size=1, max_size=8))
