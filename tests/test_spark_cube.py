@@ -403,3 +403,37 @@ def test_utm_bounds_end_to_end_reference_fixture(spark):
         (1665478.0, 7018306.0, 1665945.0, 7018509.0)
     )
     assert (cube.geobox.width, cube.geobox.height) == (467, 203)
+
+
+def test_multipolygon_burn_matches_parts(spark):
+    """MultiPolygon features (the reference group fixture's geometry
+    type) burn identically to their exploded Polygon parts — covers
+    the per-geometry fallback path through the full Spark pipeline."""
+    import numpy as np
+
+    from geocube_spark import datagen as DG
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.geometry import wkb as W
+
+    rng = np.random.RandomState(9)
+    quads = DG._jitter_polygons(rng, 6)
+    multis = [
+        W.multipolygon([quads[i].parts, quads[i + 1].parts])
+        for i in range(0, 6, 2)
+    ]
+    kw = dict(
+        measurements=["v"], output_crs="EPSG:32615",
+        resolution=(-30.0, 30.0), fill=-9999.0, merge_alg="add",
+        tile_size=32,
+    )
+    vals = [{"v": float(10 * (i + 1))} for i in range(3)]
+    multi_docs = DG.to_spark(spark, DG._doc_rows("mp", multis, vals))
+    multi = make_geocube(multi_docs, **kw).assemble()["v"]
+
+    part_vals = [{"v": float(10 * (i // 2 + 1))} for i in range(6)]
+    part_docs = DG.to_spark(spark, DG._doc_rows("pp", quads, part_vals))
+    parts = make_geocube(part_docs, **kw).assemble()["v"]
+
+    # identical because this seed's paired parts don't overlap (a
+    # multi dedupes cells across its own parts, separate docs don't)
+    np.testing.assert_array_equal(multi, parts)
