@@ -55,6 +55,9 @@ def run(spark=None, sf_dir: str = None) -> dict:
         t0 = time.time()
         rows[name] = fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
+        # dedup queries persist intermediates (self-join reuse); keep
+        # the long-lived bench session from accumulating caches
+        spark.catalog.clearCache()
 
     # north-star throughput: cells burned/sec on a scaled synthetic
     # burn (400k interleaved docs, 8192^2 grid, add merge) -

@@ -201,29 +201,25 @@ def extract_vector_table_sql(
         measurements = infer_measurements(documents)
     meas = [(n, t) for n, t in measurements]
 
-    spark = documents.sparkSession
-    # dict.update semantics for repeated keys across fragments
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-
-    attrs_sorted = (
-        "array_sort(filter(spans, s -> s.kind = 'attr'), "
+    by_offset = (
         "(a, b) -> CASE WHEN a.offset < b.offset THEN -1 "
-        "WHEN a.offset > b.offset THEN 1 ELSE 0 END)"
+        "WHEN a.offset > b.offset THEN 1 ELSE 0 END"
     )
-    merged = (
-        f"aggregate({attrs_sorted}, "
-        "from_json('{}', 'map<string,string>'), "
-        "(acc, s) -> map_concat(acc, "
-        "coalesce(from_json(s.text, 'map<string,string>'), "
-        "from_json('{}', 'map<string,string>'))))"
+    attrs_sorted = (
+        f"array_sort(filter(spans, s -> s.kind = 'attr'), {by_offset})"
     )
+    # pandas parity: the LAST geom span (offset order) with a non-empty
+    # media_ref wins; try_element_at is ANSI-safe on geometry-less docs
     geom = (
-        "unhex(element_at(filter(spans, s -> s.kind = 'geom'), 1)"
-        ".media_ref)"
+        "unhex(try_element_at(array_sort("
+        "filter(spans, s -> s.kind = 'geom' AND s.media_ref IS NOT NULL "
+        "AND s.media_ref != ''), "
+        f"{by_offset}), -1).media_ref)"
     )
+    # same regex as doc_seq (\d+\s*$); '' -> -1
     seq = (
-        "coalesce(cast(nullif(regexp_extract(doc_id, '([0-9]+)[ ]*$', 1), "
-        "'') as bigint), -1)"
+        r"coalesce(cast(nullif(regexp_extract(doc_id, '([0-9]+)\\s*$', 1),"
+        " '') as bigint), -1)"
     )
 
     sql_types = {
@@ -233,20 +229,24 @@ def extract_vector_table_sql(
         "int8": "tinyint", "string": "string", "str": "string",
         "bool": "boolean", "timestamp": "timestamp",
     }
-    cols = [
+
+    def _meas_expr(name: str, typ: str) -> str:
+        # dict.update semantics without maps (and without touching the
+        # session's mapKeyDedupPolicy): the last fragment mentioning
+        # the key wins
+        vals = (
+            f"filter(transform({attrs_sorted}, "
+            f"s -> get_json_object(s.text, '$.{name}')), "
+            "x -> x IS NOT NULL)"
+        )
+        return f"cast(try_element_at({vals}, -1) as {sql_types[typ]})"
+
+    return documents.select(
         F.col("doc_id"),
         F.expr(seq).alias("seq"),
         F.expr(geom).alias("geometry_wkb"),
-        F.expr(merged).alias("__attrs"),
-    ]
-    out = documents.select(*cols)
-    meas_cols = [
-        F.expr(
-            f"cast(__attrs['{n}'] as {sql_types[t]})"
-        ).alias(n)
-        for n, t in meas
-    ]
-    return out.select("doc_id", "seq", "geometry_wkb", *meas_cols)
+        *[F.expr(_meas_expr(n, t)).alias(n) for n, t in meas],
+    )
 
 
 def validate_vector_df(vector_df: DataFrame, geometry_column: str = "geometry_wkb"):

@@ -23,6 +23,12 @@ Five strategies, all DataFrame-first:
 
 Every kernel uses the engine-portable ``h60`` hash so DuckDB oracles
 can replay the exact same arithmetic.
+
+Caching note: the Jaccard/LSH builders ``persist()`` the shared
+shingle-hash sets so self-joins don't re-shingle; the cache lives
+until the session drops it. Long-lived sessions issuing many dedup
+queries should call ``spark.catalog.clearCache()`` (or unpersist)
+after materializing each result.
 """
 
 from __future__ import annotations
@@ -142,6 +148,10 @@ def minhash_signatures(df: DataFrame, *, num_hashes: int = 64,
             x * F.lit(a) + F.lit(b), F.lit(MERSENNE31)
         )
 
+    # parity with the old explode+groupBy form (and no NULL signatures
+    # banding together as spurious LSH candidates): docs with no
+    # shingles are omitted
+    sets = sets.filter(F.size("sh_hashes") > 0)
     # reduce each shingle hash mod P once, then run the 64 affine maps
     # over the reduced array (same values, 1/3 the HOF arithmetic)
     pre = sets.select(

@@ -482,6 +482,15 @@ def batch_parse_simple_polygons(blobs):
         coords = (
             raw[ok, 13:].copy().view("<f8").reshape(len(idx), k, 2)
         )
+        # unclosed rings would give odd crossing counts and corrupt the
+        # batched scanline's global even-odd pairing for OTHER polygons
+        # in the tile - route them to the per-geometry fallback instead
+        closed = (coords[:, 0, :] == coords[:, -1, :]).all(axis=1)
+        if not closed.all():
+            idx = idx[closed]
+            coords = coords[closed]
+            if len(idx) == 0:
+                continue
         mask[idx] = True
         groups.append((idx, coords))
     return mask, groups

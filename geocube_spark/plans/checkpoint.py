@@ -149,6 +149,9 @@ def write_cube(
     withb = chunks.withColumn(
         "cell_bucket", F.pmod(F.col("tile_id"), F.lit(n_buckets))
     )
+    # one materialization of the (expensive) upstream pipeline; the
+    # per-batch filters below read the cache instead of re-burning
+    withb = withb.persist()
 
     report = WriteReport(path=path)
     parent = prior[-1]["snapshot_id"] if prior else None
@@ -167,16 +170,17 @@ def write_cube(
             F.pmod(F.col("cell_bucket"), F.lit(commit_batches)) == batch
         )
         data_dir = os.path.join(path, "data", f"snap={snapshot_id}")
+        part = part.persist()
         (
             part.write.mode("overwrite")
             .partitionBy("zoom", "cell_bucket")
             .parquet(data_dir)
         )
-        # per-tile lineage from the files just written (read-back keeps
-        # the lineage consistent with what is actually on disk)
-        spark = chunks.sparkSession
-        written = spark.read.parquet(data_dir)
-        lineage = written.groupBy(
+        # per-tile lineage from the same cached rows that were written
+        # (an empty batch - e.g. a single-tile cube missing a residue
+        # class - writes only _SUCCESS, which parquet can't re-read;
+        # stats from the cached slice side-step that entirely)
+        lineage = part.groupBy(
             "zoom", "cell_bucket", "tile_id", "group_key"
         ).agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -186,10 +190,11 @@ def write_cube(
         )
         lin_dir = os.path.join(path, "lineage", f"snap={snapshot_id}")
         lineage.write.mode("overwrite").parquet(lin_dir)
-        stats = written.agg(
+        stats = part.agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.col("h").cast("long") * F.col("w")).alias("cells"),
         ).collect()[0]
+        part.unpersist()
         manifest = {
             "snapshot_id": snapshot_id,
             "parent_id": parent,
@@ -209,15 +214,24 @@ def write_cube(
         new_commits += 1
         report.committed_snapshots.append(snapshot_id)
         report.metrics[snapshot_id] = manifest["metrics"]
+    withb.unpersist()
     return report
 
 
 def read_cube(spark: SparkSession, path: str) -> DataFrame:
-    """Read ONLY committed snapshots (manifest-listed data dirs)."""
+    """Read ONLY committed snapshots (manifest-listed data dirs).
+    Empty snapshots (0-row batches) are skipped - their dirs hold just
+    _SUCCESS, which parquet cannot infer a schema from."""
     manifests = _list_manifests(path)
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {path}")
-    dirs = [os.path.join(path, m["data_dir"]) for m in manifests]
+    dirs = [
+        os.path.join(path, m["data_dir"])
+        for m in manifests
+        if m.get("metrics", {}).get("rows", 1) > 0
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"all committed snapshots empty: {path}")
     return spark.read.option("basePath", path).parquet(*dirs)
 
 
@@ -225,7 +239,13 @@ def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     manifests = _list_manifests(path)
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {path}")
-    dirs = [os.path.join(path, m["lineage_dir"]) for m in manifests]
+    dirs = [
+        os.path.join(path, m["lineage_dir"])
+        for m in manifests
+        if m.get("metrics", {}).get("rows", 1) > 0
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"all committed snapshots empty: {path}")
     return spark.read.option("basePath", path).parquet(*dirs)
 
 

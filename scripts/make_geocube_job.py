@@ -64,9 +64,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.getOrCreate()  # spark-submit provides conf
+    if SparkConf().get("spark.master", None):
+        # under spark-submit: use the submitted conf (--py-files ships
+        # the package)
+        spark = SparkSession.builder.getOrCreate()
+    else:
+        # direct `python scripts/make_geocube_job.py ...`: the session
+        # helper sets a local master and ships the package zip itself
+        from geocube_spark.session import get_spark
+
+        spark = get_spark(app="make-geocube-job")
     spark.sparkContext.setLogLevel("WARN")
 
     from geocube_spark.cube import make_geocube

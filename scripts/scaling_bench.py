@@ -215,6 +215,11 @@ def main():
                 capture_output=True, text=True, cwd=REPO,
                 env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
             )
+            if out.returncode != 0 or not out.stdout.strip():
+                raise RuntimeError(
+                    f"level local[{cpus}] failed "
+                    f"(rc={out.returncode}):\n{out.stderr[-2000:]}"
+                )
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             if (

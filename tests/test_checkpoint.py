@@ -108,3 +108,22 @@ def test_uncommitted_garbage_collected_on_resume(spark, cube, tmp_path):
     snaps = CP.snapshots(path)
     assert [m["batch"] for m in snaps] == sorted(m["batch"] for m in snaps)
     assert len(snaps) == 4
+
+
+def test_single_tile_cube_empty_batches(spark, sf_dir, tmp_path):
+    """A cube whose tiles miss some pmod residue classes (e.g. a
+    single-tile grid) must still write/commit/read: empty commit
+    batches produce 0-row snapshots that readers skip."""
+    from geocube_spark.operators.geocube_queries import _spans_docs
+
+    small = make_geocube(
+        _spans_docs(spark, sf_dir).limit(50),
+        measurements=["n_chars"],
+        output_crs="EPSG:4326", resolution=(-90.0, 90.0),  # 4x2 grid
+        fill=-9999.0, tile_size=64,                        # -> 1 tile
+    )
+    path = str(tmp_path / "tiny")
+    report = small.write(path, commit_batches=4)
+    assert len(report.committed_snapshots) == 4
+    back = CP.read_cube(spark, path)
+    assert back.count() == small.chunks.count() > 0

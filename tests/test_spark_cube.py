@@ -437,3 +437,33 @@ def test_multipolygon_burn_matches_parts(spark):
     # identical because this seed's paired parts don't overlap (a
     # multi dedupes cells across its own parts, separate docs don't)
     np.testing.assert_array_equal(multi, parts)
+
+
+def test_sql_extract_geometry_less_docs(spark):
+    """Text-only documents (no geom span) must yield geometry_wkb NULL,
+    not an ANSI element_at crash (pandas-path parity)."""
+    import pandas as pd
+
+    from geocube_spark.extract import (
+        extract_vector_table,
+        extract_vector_table_sql,
+    )
+
+    rows = [
+        {"doc_id": "t-1", "spans": [
+            {"kind": "attr", "text": '{"v": 1}', "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "no geometry here", "media_ref": "", "offset": 1},
+        ]},
+        {"doc_id": "t-2", "spans": [
+            {"kind": "geom", "text": "Point", "media_ref": "", "offset": 0},
+            {"kind": "attr", "text": '{"v": 2}', "media_ref": "", "offset": 1},
+        ]},
+    ]
+    from geocube_spark.datagen import SPANS_SCHEMA
+
+    docs = spark.createDataFrame(pd.DataFrame(rows), schema=SPANS_SCHEMA)
+    a = extract_vector_table(docs, [("v", "long")]).orderBy("doc_id").toPandas()
+    b = extract_vector_table_sql(docs, [("v", "long")]).orderBy("doc_id").toPandas()
+    assert a["geometry_wkb"].isna().all()
+    assert b["geometry_wkb"].isna().all()
+    assert a.equals(b)
