@@ -140,6 +140,45 @@ FROM c ORDER BY event_id
 """
 
 
+def q_tile_rollup(spark, sf_dir):
+    """Hierarchical tile rollup: zoom-12 cell stats aggregated to their
+    zoom-5 parents (hypertable-rollup pattern over the H3/S2-style
+    index; one map-side-combined shuffle, no joins)."""
+    pts = _event_points(spark, sf_dir)
+    cell = equirect_cell_id_col(F.col("lon"), F.col("lat"), 12)
+    n, pn, shift = 1 << 12, 1 << 5, 7
+    parent = (
+        (cell / n).cast("long") / (1 << shift)
+    ).cast("long") * pn + ((cell % n) / (1 << shift)).cast("long")
+    return (
+        pts.select(parent.alias("parent_id"), "value")
+        .groupBy("parent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("parent_id")
+    )
+
+
+SQL_TILE_ROLLUP = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value FROM events
+), c AS (
+  SELECT value,
+    CAST(least(4095, greatest(0, floor((lon + 180.0) / 360.0 * 4096.0))) AS BIGINT) AS x,
+    CAST(least(4095, greatest(0, floor((90.0 - lat) / 180.0 * 4096.0))) AS BIGINT) AS y
+  FROM pts
+)
+SELECT CAST(floor(y / 128) AS BIGINT) * 32 + CAST(floor(x / 128) AS BIGINT) AS parent_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM c GROUP BY 1 ORDER BY parent_id
+"""
+
+
 def _burn_events(spark, sf_dir, merge_alg, fill):
     from ..cube import make_geocube
 
@@ -819,6 +858,7 @@ def q_vectorize_components(spark, sf_dir):
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
+    "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
     "burn_points_add": (q_burn_points_add, SQL_BURN_ADD),
     "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),
     "grid_snap": (q_grid_snap, SQL_GRID_SNAP),

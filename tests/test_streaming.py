@@ -77,3 +77,83 @@ def test_incremental_refresh_equals_batch(spark, tmp_path, merge_alg):
             np.testing.assert_array_equal(want[m], got[m])
         else:
             np.testing.assert_allclose(want[m], got[m], rtol=1e-12)
+
+
+def test_windowed_watermark_stream(spark, tmp_path):
+    """Watermarked tumbling windows over a 2-batch event stream: after
+    the event-time high-water mark advances past window+watermark, the
+    finalized windows are emitted exactly once; a too-late row is
+    dropped (never emitted, never retracted)."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geocube_spark.streaming.windows import (
+        run_windowed_stream,
+        windowed_counts,
+    )
+
+    def _ev(eid, hour, minute, etype, value):
+        return {
+            "event_id": eid, "user_id": eid % 5, "event_type": etype,
+            "ts": dt.datetime(2026, 1, 1, hour, minute), "value": value,
+            "props": "{}",
+        }
+
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    os.makedirs(in_dir)
+
+    b1 = pd.DataFrame(
+        [_ev(1, 0, 10, "view", 1.0), _ev(2, 0, 40, "view", 2.0),
+         _ev(3, 1, 5, "click", 3.0)]
+    )
+    spark.createDataFrame(b1).coalesce(1).write.parquet(f"{in_dir}/b1")
+    run_windowed_stream(
+        spark, f"{in_dir}/*", out_dir, ckpt,
+        window="1 hour", watermark="30 minutes",
+    )
+
+    # batch 2: advances event time to 05:00 -> after this micro-batch
+    # the watermark is 04:30 and all earlier windows finalize
+    b2 = pd.DataFrame([_ev(4, 5, 0, "view", 4.0)])
+    spark.createDataFrame(b2).coalesce(1).write.parquet(f"{in_dir}/b2")
+    run_windowed_stream(
+        spark, f"{in_dir}/*", out_dir, ckpt,
+        window="1 hour", watermark="30 minutes",
+    )
+    # batch 3: a row for hour 0, far behind the 04:30 watermark ->
+    # dropped (watermarks update at micro-batch boundaries, so the
+    # late row must arrive in a LATER batch than the time-advancer)
+    b3 = pd.DataFrame([_ev(5, 0, 50, "view", 100.0)])
+    spark.createDataFrame(b3).coalesce(1).write.parquet(f"{in_dir}/b3")
+    run_windowed_stream(
+        spark, f"{in_dir}/*", out_dir, ckpt,
+        window="1 hour", watermark="30 minutes",
+    )
+
+    got = spark.read.parquet(out_dir)
+    rows = {
+        (r["window_start"].hour, r["event_type"]): (
+            r["n_events"], r["sum_value"]
+        )
+        for r in got.collect()
+    }
+    # hour-0 view window: late event 5 dropped -> 2 events, sum 3.0
+    assert rows[(0, "view")] == (2, 3.0)
+    assert rows[(1, "click")] == (1, 3.0)
+    # batch/stream parity on the on-time subset
+    batch = windowed_counts(
+        spark.createDataFrame(pd.concat([b1, b2], ignore_index=True))
+    )
+    want = {
+        (r["window_start"].hour, r["event_type"]): (
+            r["n_events"], r["sum_value"]
+        )
+        for r in batch.collect()
+        if r["window_start"].hour < 5
+    }
+    assert {k: v for k, v in rows.items() if k[0] < 5} == want
