@@ -96,19 +96,27 @@ def shingle_sets(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, *, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3,
-                        sets: DataFrame | None = None) -> DataFrame:
+                        sets: DataFrame | None = None,
+                        prefix_filter: bool = False) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted-index self-join.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b. Correct for any
     threshold > 0 (a pair with J > 0 shares a shingle, so the index
     join has perfect recall). The per-doc shingle-hash sets are
     persisted so the self-join's two branches share one shingling
-    pass. Scale note: at 100 TB add prefix filtering (index only the
-    |s|-ceil(t*|s|)+1 globally-rarest shingles per doc — PPJoin) to
-    bound hot-shingle pair blowup; at the bench scale the blowup is
-    measured small (~4M pre-agg pairs) so the exact index join wins."""
+    pass.
+
+    ``prefix_filter=True`` switches to the AllPairs/PPJoin scale path:
+    each doc indexes only its |s| - ceil(t*|s|) + 1 globally-RAREST
+    shingles (global document-frequency order) — any pair with J >= t
+    provably shares a prefix shingle, so recall is exact while hot
+    shingles (the quadratic-blowup culprits at corpus scale) never
+    enter the join; candidates are then verified with the full-set
+    intersection. Same output, sub-quadratic candidate generation."""
     if sets is None:
         sets = shingle_hash_sets(df, text_col, id_col, k).persist()
+    if prefix_filter:
+        return _jaccard_prefix_filtered(sets, threshold)
     idx = shingle_sets(df, text_col, id_col, k, sets=sets)
     a = idx.alias("a")
     b = idx.alias("b")
@@ -128,6 +136,80 @@ def ngram_jaccard_pairs(df: DataFrame, *, threshold: float = 0.5,
         inter.select(
             "id_a", "id_b", F.round(jac, 6).alias("jaccard")
         )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _jaccard_prefix_filtered(sets: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin-style exact Jaccard with prefix filtering.
+
+    Proof sketch: J(a,b) >= t implies overlap o >= t*|a| (and t*|b|).
+    If a's prefix — its |a| - ceil(t*|a|) + 1 first shingles in a
+    GLOBAL total order — contained no intersection element, all o
+    intersecting shingles would sit in the last ceil(t*|a|) - 1
+    positions, so o <= ceil(t*|a|) - 1 < t*|a| <= o: contradiction.
+    Ordering globally by (document frequency, hash) makes the prefix
+    the rarest shingles, so high-DF shingles never generate candidate
+    pairs. Verification via full-set array_intersect keeps the output
+    exact (identical to the unfiltered join)."""
+    from pyspark.sql import Window
+
+    idx = sets.select(
+        "id", "set_size", F.explode("sh_hashes").alias("sh_hash")
+    )
+    dfreq = idx.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        idx.join(dfreq, "sh_hash")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df", "sh_hash")
+            ),
+        )
+    )
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(float(threshold)) * F.col("set_size"))
+        + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        "id", "set_size", "sh_hash"
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    # size filter: J >= t forces t*|a| <= |b| <= |a|/t
+    cand = (
+        l.join(
+            r,
+            (F.col("l.sh_hash") == F.col("r.sh_hash"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (
+                F.col("r.set_size")
+                >= F.lit(float(threshold)) * F.col("l.set_size")
+            )
+            & (
+                F.col("l.set_size")
+                >= F.lit(float(threshold)) * F.col("r.set_size")
+            ),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("set_size").alias("na"),
+        F.col("sh_hashes").alias("ha"),
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("set_size").alias("nb"),
+        F.col("sh_hashes").alias("hb"),
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

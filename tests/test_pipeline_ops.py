@@ -178,3 +178,21 @@ def test_frame_sample_stride(spark, sf_dir, docs):
         expect = int(np.ceil(nch.loc[did, "n_chars"] / 64))
         assert c == expect
     assert fs["frame_byte"].between(0, 255).all()
+
+
+def test_prefix_filtered_jaccard_exact_parity(spark, sf_dir):
+    """The AllPairs/PPJoin prefix-filter scale path must return exactly
+    the same pairs+values as the unfiltered inverted-index join."""
+    corpus = P.corpus_neardup(spark, sf_dir)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    filt = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            corpus, threshold=0.5, prefix_filter=True
+        ).collect()
+    }
+    assert full == filt
+    assert len(full) > 0
