@@ -115,3 +115,97 @@ def frame_sample(media_df: DataFrame, stride: int = 64) -> DataFrame:
             )
 
     return media_df.mapInPandas(_sample, schema=schema)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, *, out_w: int = 32, out_h: int = 32,
+                 codec: str = "stub") -> DataFrame:
+    """Resize plumbing: binary -> fixed-shape pixel buffer per doc.
+
+    The Spark-side contract is real — one ``out_h*out_w``-byte buffer
+    per row, Arrow-batched, schema fixed so a downstream trainer can
+    ``np.frombuffer(...).reshape(out_h, out_w)`` every row. The codec
+    is stubbed (``codec='real'`` = PIL/opencv integration point,
+    NotImplementedError here): the stub nearest-neighbor-samples the
+    raw bytes into the target shape, deterministically.
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "real image resizing requires PIL/opencv; use codec='stub'"
+        )
+    if codec != "stub":
+        raise ValueError(f"unknown codec {codec!r}")
+    size = out_w * out_h
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, blob in zip(pdf["doc_id"].values, pdf["media"].values):
+                if blob is None or len(blob) == 0:
+                    buf = bytes(size)
+                else:
+                    src = np.frombuffer(bytes(blob), dtype=np.uint8)
+                    idx = (
+                        np.arange(size, dtype=np.float64)
+                        * len(src) / size
+                    ).astype(np.int64)
+                    buf = src[idx].tobytes()
+                out.append({"doc_id": did, "out_w": out_w,
+                            "out_h": out_h, "pixels": buf})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return media_df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(media_df: DataFrame, *, dim: int = 64,
+                     codec: str = "stub") -> DataFrame:
+    """Feature-extraction plumbing: binary -> float32 embedding per doc
+    (the array<float> shape the similarity/ANN operators consume).
+
+    ``codec='real'`` is the model-inference integration point (torch /
+    onnxruntime, absent here). The stub computes a deterministic
+    byte-histogram projection: real batch shape, real schema, directly
+    feedable into functions.similarity."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real feature extraction requires an inference runtime; "
+            "use codec='stub'"
+        )
+    if codec != "stub":
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for did, blob in zip(pdf["doc_id"].values, pdf["media"].values):
+                if blob is None:
+                    continue
+                src = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(src % dim, minlength=dim).astype(
+                    np.float64
+                )
+                norm = np.linalg.norm(hist)
+                ids.append(did)
+                feats.append((hist / (norm or 1.0)).astype(np.float32))
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return media_df.mapInPandas(_feat, schema=FEATURE_SCHEMA)

@@ -196,3 +196,31 @@ def test_prefix_filtered_jaccard_exact_parity(spark, sf_dir):
     }
     assert full == filt
     assert len(full) > 0
+
+
+def test_resize_media_shape_and_determinism(spark, docs):
+    out = M.resize_media(M.with_media_bytes(docs), out_w=8, out_h=6).toPandas()
+    assert (out["out_w"] == 8).all() and (out["out_h"] == 6).all()
+    assert out["pixels"].map(len).eq(48).all()
+    again = M.resize_media(M.with_media_bytes(docs), out_w=8, out_h=6).toPandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+    with pytest.raises(NotImplementedError):
+        M.resize_media(M.with_media_bytes(docs), codec="real")
+
+
+def test_extract_features_feeds_similarity(spark, docs):
+    feats = M.extract_features(M.with_media_bytes(docs), dim=16)
+    pdf = feats.toPandas()
+    assert pdf["features"].map(len).eq(16).all()
+    norms = pdf["features"].map(lambda v: float(np.linalg.norm(v)))
+    assert ((norms - 1.0).abs() < 1e-5).all()
+    # the output shape plugs directly into the ANN operators
+    emb = feats.select(
+        F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    top = S.brute_force_topk(emb, k=1).toPandas()
+    assert len(top) == len(pdf)
+    with pytest.raises(NotImplementedError):
+        M.extract_features(M.with_media_bytes(docs), codec="real")
