@@ -124,11 +124,16 @@ def grouped_polygon_docs(n_groups=11, per_group=7, seed=42) -> pd.DataFrame:
         :n_groups
     ]
     geoms, attrs = [], []
-    for gk in group_keys:
-        for g in footprints:
+    for gi, gk in enumerate(group_keys):
+        for fi, g in enumerate(footprints):
             geoms.append(g)
             attrs.append(
                 {
+                    # string attrs like the reference fixture's
+                    # cokey/mukey/drclassdcd (non-numeric -> skipped)
+                    "cokey": f"co-{gi:02d}{fi:02d}",
+                    "mukey": f"mu-{fi:03d}",
+                    "drclassdcd": ["Well drained", "Poorly drained"][fi % 2],
                     "hzdept_r": gk,
                     "hzdepb_r": gk + 5.0,
                     "claytotal_r": round(float(rng.uniform(0, 60)), 6),

@@ -110,8 +110,15 @@ def test_grouped_cube(spark):
     arrs = cube.assemble()
     assert arrs["claytotal_r"].shape == (4,) + cube.geobox.shape
     # per-group slice equals a local burn of only that group's rows
+    def _merged(spans):
+        out = {}
+        for s in sorted(spans, key=lambda x: x["offset"]):
+            if s["kind"] == "attr" and s["text"]:
+                out.update(json.loads(s["text"]))
+        return out
+
     rows0 = pdf[pdf["spans"].apply(
-        lambda s: json.loads(s[0]["text"]).get("hzdept_r") == 15.0
+        lambda s: _merged(s).get("hzdept_r") == 15.0
     )]
     expected = _local_burn(rows0, cube.geobox, "claytotal_r")
     np.testing.assert_allclose(arrs["claytotal_r"][2], expected)
@@ -467,3 +474,17 @@ def test_sql_extract_geometry_less_docs(spark):
     assert a["geometry_wkb"].isna().all()
     assert b["geometry_wkb"].isna().all()
     assert a.equals(b)
+
+
+def test_grouped_string_attrs_skipped(spark):
+    """Grouped fixture now carries the reference's string attr columns
+    (cokey/mukey/drclassdcd): default measurement selection must skip
+    them with a warning, numeric bands unaffected."""
+    docs = datagen.to_spark(spark, datagen.grouped_polygon_docs(n_groups=3))
+    cube = make_geocube(
+        docs, group_by="hzdept_r", output_crs="epsg:32615", geom=GARS,
+        resolution=(-10, 10), fill=-9999.0,
+    )
+    assert "cokey" not in cube.bands
+    assert "drclassdcd" not in cube.bands
+    assert "claytotal_r" in cube.bands and "hzdepb_r" in cube.bands
