@@ -274,3 +274,157 @@ def ann_lsh_topk(corpus: DataFrame, *, k: int = 1, dim: int,
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "cos")
     )
+
+
+# -- IVF ANN -------------------------------------------------------------------
+
+def ivf_centroids(corpus: DataFrame, *, k: int = 16, iters: int = 5,
+                  sample: int = 4096, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic IVF coarse quantizer: Lloyd's k-means on a
+    driver-side sample (the id-sorted first ``sample`` vectors - at
+    corpus scale a sample is how IVF training works anyway), numpy
+    only. Returns (k, dim) L2-normalized centroids, stable across runs
+    and executors."""
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .toPandas()
+    )
+    m = _normalize(_to_matrix(pdf, vec_col))
+    cents = m[:k].copy()                      # deterministic init
+    for _ in range(iters):
+        sims = m @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ann_ivf_topk(corpus: DataFrame, *, k: int = 1, n_lists: int = 16,
+                 nprobe: int = 4, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 centroids: np.ndarray = None) -> DataFrame:
+    """IVF approximate top-k: vectors are assigned to their nearest
+    centroid list (one matmul per Arrow batch, narrow map); each query
+    probes its ``nprobe`` closest lists, candidates meet through an
+    equi-join on list id, and exact cosine re-ranks per bucket - the
+    inverted-file counterpart of ``ann_lsh_topk``. Shuffle cost ~
+    sum of probed-list sizes, not corpus^2; list sizes are balanced by
+    the k-means quantizer, skew falls to AQE otherwise."""
+    from pyspark.sql import Window
+
+    C = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            corpus, k=n_lists, id_col=id_col, vec_col=vec_col
+        )
+    ).T  # (dim, n_lists)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_to_matrix(pdf, vec_col))
+            lists = np.argmax(m @ C, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "list_id": lists,
+                    "v": list(m),
+                }
+            )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_to_matrix(pdf, vec_col))
+            order = np.argsort(-(m @ C), axis=1)[:, :nprobe].astype(np.int32)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), nprobe
+                    ),
+                    "list_id": order.ravel(),
+                    "v": [m[i] for i in range(n) for _ in range(nprobe)],
+                }
+            )
+
+    src = corpus.select(id_col, vec_col)
+    lists = src.mapInPandas(_assign, schema=assign_schema)
+    probes = src.mapInPandas(_probe, schema=probe_schema)
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def _bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["side"] == 1]
+        d = pdf[pdf["side"] == 0]
+        if not len(q) or not len(d):
+            return pd.DataFrame({"qid": [], "nid": [], "cos": []}).astype(
+                {"qid": "int64", "nid": "int64", "cos": "float64"}
+            )
+        qm = np.stack(q["v"].values)
+        dm = np.stack(d["v"].values)
+        sims = np.round(qm @ dm.T, 6)
+        qids = q["id"].to_numpy(dtype=np.int64)
+        dids = d["id"].to_numpy(dtype=np.int64)
+        sims[qids[:, None] == dids[None, :]] = -np.inf
+        out = []
+        kk = min(k, sims.shape[1])
+        order = np.lexsort(
+            (dids[None, :].repeat(len(qids), 0), -sims), axis=1
+        )[:, :kk]
+        out = pd.DataFrame(
+            {
+                "qid": np.repeat(qids, kk),
+                "nid": dids[order].ravel(),
+                "cos": np.take_along_axis(sims, order, 1).ravel(),
+            }
+        )
+        return out[out["cos"] > -np.inf]
+
+    both = lists.withColumn("side", F.lit(0)).unionByName(
+        probes.withColumn("side", F.lit(1))
+    )
+    cand = (
+        both.groupBy("list_id")
+        .applyInPandas(lambda key, pdf: _bucket(key, pdf),
+                       schema=cand_schema)
+        .groupBy("qid", "nid")
+        .agg(F.max("cos").alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cos")
+    )

@@ -276,6 +276,17 @@ ORDER BY id_a, id_b
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file, nprobe) ANN — the second scale path next to
+    LSH. No SQL oracle (approximate by construction); rows-only here,
+    recall floor vs brute force in tests."""
+    from ..functions.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _emb(spark, sf_dir), k=1, n_lists=16, nprobe=4
+    ).orderBy("qid")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate NN — no SQL oracle (LSH recall is probabilistic);
     driver records rows-only, pytest checks recall vs brute force."""
@@ -469,6 +480,7 @@ QUERIES = {
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
     "embedding_dedup_cosine": (q_embedding_dedup_cosine, SQL_EMB_DEDUP),
     "ann_lsh_topk": (q_ann_lsh_topk, None),  # probabilistic recall
+    "ann_ivf_topk": (q_ann_ivf_topk, None),  # probabilistic recall
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -224,3 +224,23 @@ def test_extract_features_feeds_similarity(spark, docs):
     assert len(top) == len(pdf)
     with pytest.raises(NotImplementedError):
         M.extract_features(M.with_media_bytes(docs), codec="real")
+
+
+def test_ann_ivf_recall(spark, sf_dir, emb):
+    """IVF (nprobe) ANN: every query answered; recall vs brute force
+    above the floor for 16 lists / 4 probes on sf vectors."""
+    bf = P.q_ann_topk_bruteforce(spark, sf_dir).filter(F.col("rank") == 1)
+    truth = {r["qid"]: r["nid"] for r in bf.collect()}
+    approx = {
+        r["qid"]: r["nid"]
+        for r in S.ann_ivf_topk(emb, k=1, n_lists=16, nprobe=4).collect()
+    }
+    assert len(approx) == len(truth)
+    hits = sum(1 for q, n in truth.items() if approx.get(q) == n)
+    assert hits >= 0.6 * len(truth)
+
+
+def test_ann_ivf_deterministic(spark, sf_dir, emb):
+    a = sorted(map(tuple, S.ann_ivf_topk(emb, k=1).collect()))
+    b = sorted(map(tuple, S.ann_ivf_topk(emb, k=1).collect()))
+    assert a == b
