@@ -33,6 +33,7 @@ after materializing each result.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,21 +64,75 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def shingle_hash_sets(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", k: int = 3,
+                      engine: str = "numpy") -> DataFrame:
     """(id, set_size, sh_hashes: array<long>) — one row per document
     with its distinct-shingle h60 hashes. Computed ONCE and shared by
     Jaccard (exploded inverted index), MinHash (array-HOF min, no
     shuffle) and candidate verification (array_intersect), so the
-    expensive shingling map never runs twice."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k).alias("sh"),
+    expensive shingling map never runs twice.
+
+    ``engine='numpy'`` (default) runs the tokenize/shingle/md5 pipe in
+    an Arrow-batched pandas UDF — the Catalyst HOF chain costs
+    ~150us/shingle of interpreter overhead, ~10x the Python loop.
+    ``engine='jvm'`` keeps the pure-Column form; a differential test
+    pins the two engines value-identical (same split regex semantics,
+    same first-occurrence-distinct order, same h60)."""
+    if engine == "jvm":
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), k).alias("sh"),
+        )
+        return sh.select(
+            "id",
+            F.size("sh").alias("set_size"),
+            F.transform("sh", lambda s: h60(s)).alias("sh_hashes"),
+        )
+    if engine != "numpy":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import numpy as np
+
+    ws = re.compile(r"\s+")  # parity: Spark split(trim(x), '\\s+')
+    schema = (
+        "id long, set_size int, sh_hashes array<long>"
+        if dict(df.dtypes).get(id_col) in ("bigint", "int")
+        else "id string, set_size int, sh_hashes array<long>"
     )
-    return sh.select(
-        "id",
-        F.size("sh").alias("set_size"),
-        F.transform("sh", lambda s: h60(s)).alias("sh_hashes"),
-    )
+
+    def _sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, hash_arrays = [], [], []
+            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if text is None:
+                    continue
+                toks = ws.split(text.strip())
+                n = len(toks)
+                m = max(1, n - (k - 1))
+                seen = dict.fromkeys(
+                    " ".join(toks[i:i + k]) for i in range(m)
+                )
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        for s in seen
+                    ),
+                    dtype=np.int64,
+                    count=len(seen),
+                )
+                ids.append(did)
+                sizes.append(len(seen))
+                hash_arrays.append(hs)
+            yield pd.DataFrame(
+                {"id": ids, "set_size": pd.Series(sizes, dtype="int32"),
+                 "sh_hashes": hash_arrays}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_sh, schema=schema)
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text",

@@ -244,3 +244,22 @@ def test_ann_ivf_deterministic(spark, sf_dir, emb):
     a = sorted(map(tuple, S.ann_ivf_topk(emb, k=1).collect()))
     b = sorted(map(tuple, S.ann_ivf_topk(emb, k=1).collect()))
     assert a == b
+
+
+def test_shingle_engines_identical(spark, sf_dir):
+    """The numpy shingle/hash engine must be value-identical to the
+    Catalyst HOF engine: same tokenization, same first-occurrence
+    distinct order, same h60 hashes."""
+    corpus = P.corpus_neardup(spark, sf_dir)
+    jvm = (
+        D.shingle_hash_sets(corpus, engine="jvm")
+        .orderBy("id").toPandas()
+    )
+    npy = (
+        D.shingle_hash_sets(corpus, engine="numpy")
+        .orderBy("id").toPandas()
+    )
+    assert list(jvm["id"]) == list(npy["id"])
+    assert list(jvm["set_size"]) == list(npy["set_size"])
+    for a, b in zip(jvm["sh_hashes"], npy["sh_hashes"]):
+        assert list(a) == list(b)
