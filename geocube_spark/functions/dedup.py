@@ -371,29 +371,79 @@ def minhash_lsh_pairs(df: DataFrame, *, threshold: float = 0.5,
 
 
 def simhash(df: DataFrame, *, bits: int = 60, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id", engine: str = "numpy") -> DataFrame:
     """60-bit SimHash over whitespace tokens (token multiset, h60 bit
-    pattern, sign-sum per bit). One explode + one groupBy with 60
-    conditional sums — all codegen'd, no Python workers."""
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.col(text_col))).alias("t"),
-    ).select("id", h60(F.col("t")).alias("h"))
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    agg = tok.groupBy("id").agg(*sums)
-    sim = None
-    for b in range(bits):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << b).cast("long")
-        sim = bit if sim is None else sim + bit
-    return agg.select("id", sim.alias("simhash"))
+    pattern, sign-sum per bit).
+
+    ``engine='jvm'``: one explode + one groupBy with 60 conditional
+    sums (pure Column). ``engine='numpy'`` (default): the same
+    arithmetic per Arrow batch - token md5s, bit unpack, column sums,
+    sign - no shuffle at all; a differential test pins the engines
+    identical and the DuckDB oracle replays the values either way."""
+    if engine == "jvm":
+        tok = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("t"),
+        ).select("id", h60(F.col("t")).alias("h"))
+        sums = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+        agg = tok.groupBy("id").agg(*sums)
+        sim = None
+        for b in range(bits):
+            bit = F.when(
+                F.col(f"s{b}") > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long")
+            sim = bit if sim is None else sim + bit
+        return agg.select("id", sim.alias("simhash"))
+    if engine != "numpy":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import numpy as np
+
+    ws = re.compile(r"\s+")
+    schema = (
+        "id long, simhash long"
+        if dict(df.dtypes).get(id_col) in ("bigint", "int")
+        else "id string, simhash long"
+    )
+    powers = (1 << np.arange(bits)).astype(np.int64)
+
+    def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sims = [], []
+            for did, text in zip(pdf[id_col].values, pdf[text_col].values):
+                if text is None:
+                    continue
+                toks = ws.split(text.strip())
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(t.encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                bitsm = (hs[:, None] >> np.arange(bits)) & 1  # (n, bits)
+                score = (2 * bitsm - 1).sum(axis=0)
+                ids.append(did)
+                sims.append(int(((score > 0) * powers).sum()))
+            yield pd.DataFrame({"id": ids, "simhash": sims})
+
+    return df.select(id_col, text_col).mapInPandas(_sim, schema=schema)
 
 
 def simhash_near_pairs(df: DataFrame, *, max_hamming: int = 8,

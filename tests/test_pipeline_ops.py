@@ -263,3 +263,10 @@ def test_shingle_engines_identical(spark, sf_dir):
     assert list(jvm["set_size"]) == list(npy["set_size"])
     for a, b in zip(jvm["sh_hashes"], npy["sh_hashes"]):
         assert list(a) == list(b)
+
+
+def test_simhash_engines_identical(spark, sf_dir):
+    corpus = P.corpus_neardup(spark, sf_dir)
+    jvm = D.simhash(corpus, engine="jvm").orderBy("id").toPandas()
+    npy = D.simhash(corpus, engine="numpy").orderBy("id").toPandas()
+    assert jvm.equals(npy)
