@@ -230,21 +230,36 @@ def extract_vector_table_sql(
         "bool": "boolean", "timestamp": "timestamp",
     }
 
+    # parse each attr fragment ONCE into a map (offset order), shared
+    # by every measurement column; per-measurement lookup is then a
+    # cheap map access. ``m['k']`` is key-literal-safe (no JSON-path
+    # metacharacter issues with dotted/spaced measurement names).
+    # Known narrowing vs the pandas path: an explicit JSON null in a
+    # later fragment cannot override an earlier value here (map lookup
+    # can't distinguish key-absent from key:null) - our corpora encode
+    # missing values by key omission, which both paths treat the same.
+    maps = (
+        f"transform({attrs_sorted}, "
+        "s -> coalesce(from_json(s.text, 'map<string,string>'), "
+        "from_json('{}', 'map<string,string>')))"
+    )
+
     def _meas_expr(name: str, typ: str) -> str:
-        # dict.update semantics without maps (and without touching the
-        # session's mapKeyDedupPolicy): the last fragment mentioning
-        # the key wins
+        key = name.replace("'", "\\'")
         vals = (
-            f"filter(transform({attrs_sorted}, "
-            f"s -> get_json_object(s.text, '$.{name}')), "
+            f"filter(transform(__attr_maps, m -> m['{key}']), "
             "x -> x IS NOT NULL)"
         )
         return f"cast(try_element_at({vals}, -1) as {sql_types[typ]})"
 
-    return documents.select(
+    staged = documents.select(
         F.col("doc_id"),
         F.expr(seq).alias("seq"),
         F.expr(geom).alias("geometry_wkb"),
+        F.expr(maps).alias("__attr_maps"),
+    )
+    return staged.select(
+        "doc_id", "seq", "geometry_wkb",
         *[F.expr(_meas_expr(n, t)).alias(n) for n, t in meas],
     )
 

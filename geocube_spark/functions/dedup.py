@@ -79,7 +79,7 @@ def shingle_hash_sets(df: DataFrame, text_col: str = "text",
     pins the two engines value-identical (same split regex semantics,
     same first-occurrence-distinct order, same h60)."""
     if engine == "jvm":
-        sh = df.select(
+        sh = df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("id"),
             shingles(F.col(text_col), k).alias("sh"),
         )
@@ -97,12 +97,13 @@ def shingle_hash_sets(df: DataFrame, text_col: str = "text",
 
     import numpy as np
 
-    ws = re.compile(r"\s+")  # parity: Spark split(trim(x), '\\s+')
-    schema = (
-        "id long, set_size int, sh_hashes array<long>"
-        if dict(df.dtypes).get(id_col) in ("bigint", "int")
-        else "id string, set_size int, sh_hashes array<long>"
-    )
+    # exact Java parity: Spark trim() strips 0x20 only; Java regex \s
+    # is the ASCII class [ \t\n\x0B\f\r] (not Unicode-aware like
+    # Python's \s); Spark split keeps empty edge tokens (limit=-1),
+    # as does re.split
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    id_type = dict(df.dtypes).get(id_col, "string")
+    schema = f"id {id_type}, set_size int, sh_hashes array<long>"
 
     def _sh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,7 +111,7 @@ def shingle_hash_sets(df: DataFrame, text_col: str = "text",
             for did, text in zip(pdf[id_col].values, pdf[text_col].values):
                 if text is None:
                     continue
-                toks = ws.split(text.strip())
+                toks = ws.split(text.strip(" "))
                 n = len(toks)
                 m = max(1, n - (k - 1))
                 seen = dict.fromkeys(
@@ -381,7 +382,7 @@ def simhash(df: DataFrame, *, bits: int = 60, text_col: str = "text",
     sign - no shuffle at all; a differential test pins the engines
     identical and the DuckDB oracle replays the values either way."""
     if engine == "jvm":
-        tok = df.select(
+        tok = df.filter(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("id"),
             F.explode(tokens(F.col(text_col))).alias("t"),
         ).select("id", h60(F.col("t")).alias("h"))
@@ -411,12 +412,9 @@ def simhash(df: DataFrame, *, bits: int = 60, text_col: str = "text",
 
     import numpy as np
 
-    ws = re.compile(r"\s+")
-    schema = (
-        "id long, simhash long"
-        if dict(df.dtypes).get(id_col) in ("bigint", "int")
-        else "id string, simhash long"
-    )
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")  # Java \s parity
+    id_type = dict(df.dtypes).get(id_col, "string")
+    schema = f"id {id_type}, simhash long"
     powers = (1 << np.arange(bits)).astype(np.int64)
 
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -425,7 +423,7 @@ def simhash(df: DataFrame, *, bits: int = 60, text_col: str = "text",
             for did, text in zip(pdf[id_col].values, pdf[text_col].values):
                 if text is None:
                     continue
-                toks = ws.split(text.strip())
+                toks = ws.split(text.strip(" "))
                 hs = np.fromiter(
                     (
                         int(

@@ -197,7 +197,11 @@ def extract_features(media_df: DataFrame, *, dim: int = 64,
         for pdf in batches:
             ids, feats = [], []
             for did, blob in zip(pdf["doc_id"].values, pdf["media"].values):
-                if blob is None:
+                if blob is None or len(blob) == 0:
+                    # null/empty media -> zero vector (doc kept; same
+                    # convention as resize_media's zero buffer)
+                    ids.append(did)
+                    feats.append(np.zeros(dim, dtype=np.float32))
                     continue
                 src = np.frombuffer(bytes(blob), dtype=np.uint8)
                 hist = np.bincount(src % dim, minlength=dim).astype(

@@ -326,56 +326,47 @@ def ann_ivf_topk(corpus: DataFrame, *, k: int = 1, n_lists: int = 16,
         )
     ).T  # (dim, n_lists)
 
-    assign_schema = T.StructType(
+    # ONE corpus pass: the assignment list is exactly the probe
+    # ranking's first column, so a single mapInPandas emits the data-
+    # side row (side=0, nearest list) and all nprobe query-side rows
+    # (side=1) per vector - no second scan/normalize/matmul
+    sided_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
             T.StructField("list_id", T.IntegerType()),
+            T.StructField("side", T.IntegerType()),
             T.StructField("v", T.ArrayType(T.DoubleType())),
         ]
     )
 
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = _normalize(_to_matrix(pdf, vec_col))
-            lists = np.argmax(m @ C, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "list_id": lists,
-                    "v": list(m),
-                }
-            )
-
-    probe_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("list_id", T.IntegerType()),
-            T.StructField("v", T.ArrayType(T.DoubleType())),
-        ]
-    )
-
-    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _sides(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             m = _normalize(_to_matrix(pdf, vec_col))
             order = np.argsort(-(m @ C), axis=1)[:, :nprobe].astype(np.int32)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
             n = len(pdf)
             yield pd.DataFrame(
                 {
-                    "id": np.repeat(
-                        pdf[id_col].to_numpy(dtype=np.int64), nprobe
+                    "id": np.concatenate([ids, np.repeat(ids, nprobe)]),
+                    "list_id": np.concatenate(
+                        [order[:, 0], order.ravel()]
                     ),
-                    "list_id": order.ravel(),
-                    "v": [m[i] for i in range(n) for _ in range(nprobe)],
+                    "side": np.concatenate(
+                        [
+                            np.zeros(n, dtype=np.int32),
+                            np.ones(n * nprobe, dtype=np.int32),
+                        ]
+                    ),
+                    "v": list(m) + [m[i] for i in range(n)
+                                    for _ in range(nprobe)],
                 }
             )
 
-    src = corpus.select(id_col, vec_col)
-    lists = src.mapInPandas(_assign, schema=assign_schema)
-    probes = src.mapInPandas(_probe, schema=probe_schema)
+    sided = corpus.select(id_col, vec_col).mapInPandas(
+        _sides, schema=sided_schema
+    )
 
     cand_schema = T.StructType(
         [
@@ -398,7 +389,6 @@ def ann_ivf_topk(corpus: DataFrame, *, k: int = 1, n_lists: int = 16,
         qids = q["id"].to_numpy(dtype=np.int64)
         dids = d["id"].to_numpy(dtype=np.int64)
         sims[qids[:, None] == dids[None, :]] = -np.inf
-        out = []
         kk = min(k, sims.shape[1])
         order = np.lexsort(
             (dids[None, :].repeat(len(qids), 0), -sims), axis=1
@@ -412,13 +402,9 @@ def ann_ivf_topk(corpus: DataFrame, *, k: int = 1, n_lists: int = 16,
         )
         return out[out["cos"] > -np.inf]
 
-    both = lists.withColumn("side", F.lit(0)).unionByName(
-        probes.withColumn("side", F.lit(1))
-    )
     cand = (
-        both.groupBy("list_id")
-        .applyInPandas(lambda key, pdf: _bucket(key, pdf),
-                       schema=cand_schema)
+        sided.groupBy("list_id")
+        .applyInPandas(_bucket, schema=cand_schema)
         .groupBy("qid", "nid")
         .agg(F.max("cos").alias("cos"))
     )

@@ -155,6 +155,17 @@ def write_cube(
 
     report = WriteReport(path=path)
     parent = prior[-1]["snapshot_id"] if prior else None
+    try:
+        return _write_batches(
+            withb, path, n_buckets, commit_batches, fail_after,
+            done_batches, parent, report,
+        )
+    finally:
+        withb.unpersist()
+
+
+def _write_batches(withb, path, n_buckets, commit_batches, fail_after,
+                   done_batches, parent, report):
     new_commits = 0
     for batch in range(commit_batches):
         if batch in done_batches:
@@ -171,52 +182,58 @@ def write_cube(
         )
         data_dir = os.path.join(path, "data", f"snap={snapshot_id}")
         part = part.persist()
-        (
-            part.write.mode("overwrite")
-            .partitionBy("zoom", "cell_bucket")
-            .parquet(data_dir)
-        )
-        # per-tile lineage from the same cached rows that were written
-        # (an empty batch - e.g. a single-tile cube missing a residue
-        # class - writes only _SUCCESS, which parquet can't re-read;
-        # stats from the cached slice side-step that entirely)
-        lineage = part.groupBy(
-            "zoom", "cell_bucket", "tile_id", "group_key"
-        ).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("h").cast("long") * F.col("w")).alias("n_cells"),
-            F.min("min_seq").alias("min_seq"),
-            F.max("max_seq").alias("max_seq"),
-        )
-        lin_dir = os.path.join(path, "lineage", f"snap={snapshot_id}")
-        lineage.write.mode("overwrite").parquet(lin_dir)
-        stats = part.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col("h").cast("long") * F.col("w")).alias("cells"),
-        ).collect()[0]
-        part.unpersist()
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "parent_id": parent,
-            "batch": batch,
-            "n_buckets": n_buckets,
-            "commit_batches": commit_batches,
-            "data_dir": f"data/snap={snapshot_id}",
-            "lineage_dir": f"lineage/snap={snapshot_id}",
-            "metrics": {
-                "rows": int(stats["rows"] or 0),
-                "cells": int(stats["cells"] or 0),
-                "wall_sec": round(time.time() - t0, 3),
-            },
-        }
-        _commit_manifest(path, manifest)
+        try:
+            _commit_one(part, path, data_dir, snapshot_id, parent, batch,
+                        n_buckets, commit_batches, t0, report)
+        finally:
+            part.unpersist()
         parent = snapshot_id
         new_commits += 1
-        report.committed_snapshots.append(snapshot_id)
-        report.metrics[snapshot_id] = manifest["metrics"]
-    withb.unpersist()
     return report
 
+
+def _commit_one(part, path, data_dir, snapshot_id, parent, batch,
+            n_buckets, commit_batches, t0, report):
+    (
+        part.write.mode("overwrite")
+        .partitionBy("zoom", "cell_bucket")
+        .parquet(data_dir)
+    )
+    # per-tile lineage from the same cached rows that were written
+    # (an empty batch - e.g. a single-tile cube missing a residue
+    # class - writes only _SUCCESS, which parquet can't re-read;
+    # stats from the cached slice side-step that entirely)
+    lineage = part.groupBy(
+        "zoom", "cell_bucket", "tile_id", "group_key"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("h").cast("long") * F.col("w")).alias("n_cells"),
+        F.min("min_seq").alias("min_seq"),
+        F.max("max_seq").alias("max_seq"),
+    )
+    lin_dir = os.path.join(path, "lineage", f"snap={snapshot_id}")
+    lineage.write.mode("overwrite").parquet(lin_dir)
+    stats = part.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("h").cast("long") * F.col("w")).alias("cells"),
+    ).collect()[0]
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_id": parent,
+        "batch": batch,
+        "n_buckets": n_buckets,
+        "commit_batches": commit_batches,
+        "data_dir": f"data/snap={snapshot_id}",
+        "lineage_dir": f"lineage/snap={snapshot_id}",
+        "metrics": {
+            "rows": int(stats["rows"] or 0),
+            "cells": int(stats["cells"] or 0),
+            "wall_sec": round(time.time() - t0, 3),
+        },
+    }
+    _commit_manifest(path, manifest)
+    report.committed_snapshots.append(snapshot_id)
+    report.metrics[snapshot_id] = manifest["metrics"]
 
 def read_cube(spark: SparkSession, path: str) -> DataFrame:
     """Read ONLY committed snapshots (manifest-listed data dirs).

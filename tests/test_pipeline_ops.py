@@ -248,9 +248,27 @@ def test_ann_ivf_deterministic(spark, sf_dir, emb):
 
 def test_shingle_engines_identical(spark, sf_dir):
     """The numpy shingle/hash engine must be value-identical to the
-    Catalyst HOF engine: same tokenization, same first-occurrence
-    distinct order, same h60 hashes."""
+    Catalyst HOF engine: same tokenization (Java \\s semantics, trim
+    = 0x20 only), same first-occurrence distinct order, same h60
+    hashes - including hostile whitespace and null text."""
+    import pandas as pd
+
     corpus = P.corpus_neardup(spark, sf_dir)
+    hostile = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9000001, 9000002, 9000003, 9000004, 9000005],
+                "text": [
+                    "hello world\n",              # trailing newline
+                    "\ttabbed  start and end\t",  # tabs + double space
+                    "nbsp\u00a0joined tokens",     # unicode nbsp
+                    "one",                         # fewer than k tokens
+                    None,                          # null text
+                ],
+            }
+        )
+    )
+    corpus = corpus.unionByName(hostile)
     jvm = (
         D.shingle_hash_sets(corpus, engine="jvm")
         .orderBy("id").toPandas()
@@ -266,7 +284,18 @@ def test_shingle_engines_identical(spark, sf_dir):
 
 
 def test_simhash_engines_identical(spark, sf_dir):
-    corpus = P.corpus_neardup(spark, sf_dir)
+    import pandas as pd
+
+    corpus = P.corpus_neardup(spark, sf_dir).unionByName(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [9000001, 9000002, 9000003],
+                    "text": ["trailing ws\n", "a\u00a0b c", None],
+                }
+            )
+        )
+    )
     jvm = D.simhash(corpus, engine="jvm").orderBy("id").toPandas()
     npy = D.simhash(corpus, engine="numpy").orderBy("id").toPandas()
     assert jvm.equals(npy)
