@@ -390,3 +390,10 @@ def test_vectorize_affine():
     aff = Affine(10, 0, 100.0, 0, -10, 200.0)
     out = list(V.shapes(arr, nodata=np.nan, affine=aff))
     assert out[0][0].bounds() == (100.0, 180.0, 120.0, 200.0)
+
+
+def test_show_versions():
+    import geocube_spark
+
+    out = geocube_spark.show_versions()
+    assert "pyspark" in out and "geocube_spark" in out
