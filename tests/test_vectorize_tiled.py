@@ -74,3 +74,42 @@ def test_vectorize_tiled_matches_single(spark, cube):
     assert any(r["n_parts"] > 1 for r in tiled)
     # and nothing was merged that shouldn't be: same component count
     assert len(tiled) == len(single)
+
+
+def test_vectorize_tiled_donut_across_tiles(spark):
+    """A polygon with a hole spanning several tiles: the tiled dissolve
+    must reproduce the single-task component structure (the ring and
+    the hole's island stay separate components; cells match)."""
+    import json
+
+    import pandas as pd
+
+    from geocube_spark import datagen as DG
+
+    outer = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+    )
+    hole = np.array(
+        [[0.3, 0.3], [0.7, 0.3], [0.7, 0.7], [0.3, 0.7], [0.3, 0.3]]
+    )
+    ring_geom = W.polygon(outer, holes=[hole])
+    island = W.polygon(hole * 0.5 + 0.25)  # smaller box inside the hole
+    pdf = DG._doc_rows(
+        "donut", [ring_geom, island], [{"v": 1.0}, {"v": 1.0}]
+    )
+    docs = DG.to_spark(spark, pdf)
+    cube = make_geocube(
+        docs, measurements=["v"], output_crs="EPSG:4326",
+        resolution=(-0.02, 0.02), fill=-9999.0, tile_size=8,
+    )
+    single = vectorize(cube, "v").collect()
+    tiled = vectorize_tiled(cube, "v").collect()
+    # both see 2 components of value 1.0 (ring + island, not merged)
+    assert len(single) == 2 and len(tiled) == 2
+    s_cells = sorted(
+        round(_geom_area(W.loads(bytes(r["geometry_wkb"]))) / 0.0004)
+        for r in single
+    )
+    t_cells = sorted(int(r["n_cells"]) for r in tiled)
+    assert s_cells == t_cells
+    assert any(r["n_parts"] > 1 for r in tiled)  # donut spans tiles
