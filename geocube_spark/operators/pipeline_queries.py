@@ -438,11 +438,22 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# The engine strides over the UTF-8 *byte* payload (media is opaque
+# binary), so the oracle must too: hex-encode the blob and read every
+# 64th byte as its hex pair. strpos('123456789ABCDEF', c) maps a hex
+# digit to its value (0 for '0' since strpos returns 0 on no-match).
 SQL_FRAME_SAMPLE = """
-SELECT doc_id, len(idx) AS n_frames,
-  list_sum(list_transform(idx, i -> ord(substr(text, CAST(i AS INT), 1))))
-    AS sum_bytes
-FROM (SELECT doc_id, text, range(1, n_chars + 1, 64) AS idx FROM documents)
+SELECT doc_id, CAST(len(idx) AS BIGINT) AS n_frames,
+  CAST(list_sum(list_transform(idx,
+    i -> strpos('123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) * 16
+       + strpos('123456789ABCDEF', substr(h, CAST(2*i AS INT), 1))
+  )) AS BIGINT) AS sum_bytes
+FROM (
+  SELECT doc_id, hex(encode(text)) AS h,
+         range(1, octet_length(encode(text)) + 1, 64) AS idx
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+)
 ORDER BY doc_id
 """
 
