@@ -271,6 +271,10 @@ def make_geocube(
             raise VectorDataError(f"measurements not found: {missing}")
     if group_by is not None and group_by not in schema:
         raise VectorDataError(f"group_by column not found: {group_by!r}")
+    if group_by in meas:
+        # the group key becomes a coordinate, never a band (reference
+        # vector_to_cube.py measurement handling)
+        meas.remove(group_by)
 
     categorical_enums = categorical_enums or {}
     datetime_measurements = list(datetime_measurements or [])
@@ -319,13 +323,27 @@ def make_geocube(
             m, F.coalesce(mexpr.getItem(F.col(m)), F.lit(-1)).cast("double")
         )
     for m in datetime_measurements:
-        if m in schema and m in bands:
+        # the group_by column converts too: group keys must sort
+        # chronologically (reference sorts datetime64 group coords)
+        if m in schema and (m in bands or m == group_by):
             # reference: datetime64[ns] -> numeric epoch ns as float64
-            # (vector_to_cube.py:20-44); Spark timestamps are micros
+            # (vector_to_cube.py:20-44); Spark timestamps are micros.
+            # Accept ISO strings AND the US "M/d/yyyy h:mm:ss a XXX"
+            # offset form of the reference fixtures; tz-aware values
+            # normalize to UTC (session timezone).
+            ts = F.coalesce(
+                F.try_to_timestamp(F.col(m).cast("string")),
+                F.try_to_timestamp(
+                    F.col(m).cast("string"),
+                    F.lit("M/d/yyyy h:mm:ss a XXX"),
+                ),
+                F.try_to_timestamp(
+                    F.col(m).cast("string"),
+                    F.lit("M/d/yyyy h:mm:ss a"),
+                ),
+            )
             work = work.withColumn(
-                m,
-                (F.unix_micros(F.to_timestamp(F.col(m))) * F.lit(1000))
-                .cast("double"),
+                m, (F.unix_micros(ts) * F.lit(1000)).cast("double")
             )
     cast_meas = [
         F.col(m).cast("double").alias(m) for m in meas
