@@ -821,6 +821,15 @@ def q_interp_linear(spark, sf_dir):
     return _interp_query(spark, sf_dir, "points_griddata", "linear")
 
 
+def q_interp_cubic(spark, sf_dir):
+    """rasterize_points_griddata(method='cubic'): C1 Clough-Tocher on
+    Delaunay with globally-estimated gradients (rasterize.py:136-191,
+    scipy CT2D semantics). No SQL oracle (Bezier patches are not
+    SQL-expressible); rows-only here, quadratic-reproduction and
+    accuracy-vs-linear pinned in tests/test_kernels.py."""
+    return _interp_query(spark, sf_dir, "points_griddata", "cubic")
+
+
 def q_interp_rbf(spark, sf_dir):
     """rasterize_points_radial: global RBF solve (rasterize.py:194-239).
     Rows-only (dense linear solve not SQL-expressible); node-exactness
@@ -872,6 +881,7 @@ QUERIES = {
     "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
     "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
     "interp_linear": (q_interp_linear, None),
+    "interp_cubic": (q_interp_cubic, None),
     "interp_rbf": (q_interp_rbf, None),
     "vectorize_components": (q_vectorize_components, None),
 }

@@ -334,6 +334,65 @@ def test_griddata_linear_exact_on_linear_field():
     np.testing.assert_allclose(out[m], (3 * GX - GY + 2)[m], atol=1e-9)
 
 
+def test_cubic_reproduces_quadratic_with_exact_gradients():
+    """Clough-Tocher machinery check: reduced HCT reproduces any
+    quadratic exactly when the true vertex gradients are supplied."""
+    from geocube_spark.kernels.delaunay import cubic_interpolate
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(0, 1, (30, 2))
+    x, y = pts[:, 0], pts[:, 1]
+    v = 2 + 3 * x - y + 0.5 * x * x + x * y - 2 * y * y
+    grads = np.column_stack([3 + x + y, -1 + x - 4 * y])
+    q = rng.uniform(0.2, 0.8, (400, 2))
+    got = cubic_interpolate(pts, v, q[:, 0], q[:, 1], gradients=grads)
+    qx, qy = q[:, 0], q[:, 1]
+    exact = 2 + 3 * qx - qy + 0.5 * qx * qx + qx * qy - 2 * qy * qy
+    m = ~np.isnan(got)
+    assert m.sum() > 300
+    np.testing.assert_allclose(got[m], exact[m], atol=1e-9)
+
+
+def test_cubic_beats_linear_and_within_reference_tolerance():
+    """CT with estimated gradients: distinct from linear, materially
+    more accurate on a smooth field, and within the reference's 0.1
+    comparison envelope (test_core_integration.py:836-841)."""
+    from geocube_spark.kernels.delaunay import (
+        cubic_interpolate,
+        linear_interpolate,
+    )
+
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(0, 1, (40, 2))
+    v = np.sin(3 * pts[:, 0]) * np.cos(2 * pts[:, 1])
+    q = rng.uniform(0.15, 0.85, (600, 2))
+    exact = np.sin(3 * q[:, 0]) * np.cos(2 * q[:, 1])
+    lin = linear_interpolate(pts, v, q[:, 0], q[:, 1])
+    cub = cubic_interpolate(pts, v, q[:, 0], q[:, 1])
+    m = ~np.isnan(cub)
+    lin_err = np.abs(lin[m] - exact[m]).max()
+    cub_err = np.abs(cub[m] - exact[m]).max()
+    assert cub_err < 0.1                      # reference tolerance
+    assert cub_err < 0.5 * lin_err            # materially better
+    assert np.abs(cub[m] - lin[m]).max() > 0.01   # distinct kernels
+
+
+def test_griddata_cubic_path():
+    """method='cubic' routes to CT, stays exact on linear fields (a
+    linear field is a quadratic with zero curvature; estimated
+    gradients are exact for it)."""
+    rng = np.random.RandomState(7)
+    px, py = rng.rand(25) * 10, rng.rand(25) * 10
+    v = 3 * px - py + 2
+    gx = np.arange(10) + 0.5
+    gy = np.arange(10) + 0.5
+    out = griddata_interp(px, py, v, gx, gy, method="cubic", fill=np.nan)
+    GX, GY = np.meshgrid(gx, gy)
+    m = ~np.isnan(out)
+    assert m.sum() > 20
+    np.testing.assert_allclose(out[m], (3 * GX - GY + 2)[m], atol=1e-6)
+
+
 def test_rbf_exact_at_nodes():
     rng = np.random.RandomState(1)
     px, py = rng.rand(15) * 10, rng.rand(15) * 10
