@@ -46,8 +46,10 @@ from .kernels.dtypes import is_numeric, minimize_dtype
 from .kernels.interpolate import griddata_interp, interpolate_na, rbf_interp
 from .kernels.rasterize import (
     _multi_arange,
+    batch_outline_cells,
     batch_polygon_cells,
     edges_from_rings,
+    edges_from_varying_rings,
     geometry_cells,
 )
 
@@ -492,27 +494,14 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                 # batched path for single-ring polygons: vectorized
                 # parse -> reproject -> pixel transform -> envelope ->
                 # tile-range explode, no per-geometry Python
-                smask, groups = W.batch_parse_simple_polygons(
-                    [blobs[i] for i in rest]
-                )
+                rest_blobs = [blobs[i] for i in rest]
+                smask, groups = W.batch_parse_simple_polygons(rest_blobs)
                 seqs_all = pdf["seq"].values
                 gvs_all = pdf["__group"].values if grouped else None
-                for idx, coords in groups:
-                    pos = rest[idx]
-                    gx = coords[:, :, 0].ravel()
-                    gy = coords[:, :, 1].ravel()
-                    if reproject:
-                        gx, gy = crs_transform(src, dst, gx, gy)
-                    pxc = inv.c + inv.a * gx + inv.b * gy
-                    pyc = inv.f + inv.d * gx + inv.e * gy
-                    k = coords.shape[1]
-                    pix = np.stack(
-                        [pxc.reshape(-1, k), pyc.reshape(-1, k)], axis=2
-                    )
-                    minx = pix[:, :, 0].min(axis=1)
-                    maxx = pix[:, :, 0].max(axis=1)
-                    miny = pix[:, :, 1].min(axis=1)
-                    maxy = pix[:, :, 1].max(axis=1)
+
+                def _explode_tiles(pos, pws, minx, miny, maxx, maxy):
+                    """Envelope -> covered tile ids; returns a frame of
+                    (tile_id, seq, pix_wkb [, group, meas...]) rows."""
                     tx0 = np.maximum(
                         0, np.floor(minx / tile_size).astype(np.int64)
                     )
@@ -527,13 +516,11 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                     )
                     ok = (tx1 >= tx0) & (ty1 >= ty0)
                     if not ok.any():
-                        continue
+                        return None
                     pos = pos[ok]
-                    pix = pix[ok]
+                    pws = pws[ok]
                     tx0, tx1 = tx0[ok], tx1[ok]
                     ty0, ty1 = ty0[ok], ty1[ok]
-                    pws = np.empty(len(pos), dtype=object)
-                    pws[:] = W.encode_simple_polygons(pix)
                     nx = tx1 - tx0 + 1
                     counts = nx * (ty1 - ty0 + 1)
                     rep = np.repeat(np.arange(len(pos)), counts)
@@ -557,8 +544,62 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                         ]
                     for m in meas:
                         out[m] = pdf[m].values[pos][rep]
-                    frames.append(out[cols])
-                rest = rest[~smask]
+                    return out[cols]
+
+                for idx, coords in groups:
+                    pos = rest[idx]
+                    gx = coords[:, :, 0].ravel()
+                    gy = coords[:, :, 1].ravel()
+                    if reproject:
+                        gx, gy = crs_transform(src, dst, gx, gy)
+                    pxc = inv.c + inv.a * gx + inv.b * gy
+                    pyc = inv.f + inv.d * gx + inv.e * gy
+                    k = coords.shape[1]
+                    pix = np.stack(
+                        [pxc.reshape(-1, k), pyc.reshape(-1, k)], axis=2
+                    )
+                    pws = np.empty(len(pos), dtype=object)
+                    pws[:] = W.encode_simple_polygons(pix)
+                    out = _explode_tiles(
+                        pos, pws,
+                        pix[:, :, 0].min(axis=1),
+                        pix[:, :, 1].min(axis=1),
+                        pix[:, :, 0].max(axis=1),
+                        pix[:, :, 1].max(axis=1),
+                    )
+                    if out is not None:
+                        frames.append(out)
+
+                # multi-ring path (holes / multi parts): ONE transform
+                # over every coordinate of the batch, per-blob envelope
+                # via reduceat, structure-preserving pixel-space WKB
+                mmask, parsed = W.batch_parse_polygons(
+                    [None if smask[j] else rest_blobs[j]
+                     for j in range(len(rest_blobs))]
+                )
+                if parsed is not None:
+                    gx = parsed["coords"][:, 0]
+                    gy = parsed["coords"][:, 1]
+                    if reproject:
+                        gx, gy = crs_transform(src, dst, gx, gy)
+                    pxc = inv.c + inv.a * gx + inv.b * gy
+                    pyc = inv.f + inv.d * gx + inv.e * gy
+                    starts = np.zeros(len(parsed["pos"]), dtype=np.int64)
+                    np.cumsum(parsed["blob_pts"][:-1], out=starts[1:])
+                    pws = np.empty(len(parsed["pos"]), dtype=object)
+                    pws[:] = W.encode_polygons(
+                        parsed["structs"], np.column_stack([pxc, pyc])
+                    )
+                    out = _explode_tiles(
+                        rest[parsed["pos"]], pws,
+                        np.minimum.reduceat(pxc, starts),
+                        np.minimum.reduceat(pyc, starts),
+                        np.maximum.reduceat(pxc, starts),
+                        np.maximum.reduceat(pyc, starts),
+                    )
+                    if out is not None:
+                        frames.append(out)
+                rest = rest[~smask & ~mmask]
             if len(rest):
                 out_rows = {c: [] for c in cols}
                 seqs = pdf["seq"].values
@@ -752,16 +793,34 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
 
         rest = np.flatnonzero(~is_pt)
         fallback = rest
-        if len(rest) and not all_touched:
-            smask, groups = W.batch_parse_simple_polygons(
-                [blobs[i] for i in rest]
-            )
+        if len(rest):
+            rest_blobs = [blobs[i] for i in rest]
+            smask, groups = W.batch_parse_simple_polygons(rest_blobs)
             edge_parts = []
             for idx, coords in groups:
                 coords[:, :, 0] -= col0
                 coords[:, :, 1] -= row0
                 edge_parts.append(
                     edges_from_rings(coords, rest[idx])
+                )
+            # multi-ring path: holes and multi-part polygons feed the
+            # SAME batched scanline — all rings of a geometry share one
+            # owner, so even-odd pairing gives hole subtraction free
+            mmask, parsed = W.batch_parse_polygons(
+                [None if smask[j] else rest_blobs[j]
+                 for j in range(len(rest_blobs))]
+            )
+            if parsed is not None:
+                mc = parsed["coords"].copy()
+                mc[:, 0] -= col0
+                mc[:, 1] -= row0
+                ring_owner_global = rest[
+                    parsed["pos"][parsed["ring_owner"]]
+                ]
+                edge_parts.append(
+                    edges_from_varying_rings(
+                        mc, parsed["ring_len"], ring_owner_global
+                    )
                 )
             if edge_parts:
                 x1 = np.concatenate([p[0] for p in edge_parts])
@@ -770,10 +829,23 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
                 y2 = np.concatenate([p[3] for p in edge_parts])
                 own = np.concatenate([p[4] for p in edge_parts])
                 fl, powner = batch_polygon_cells(x1, y1, x2, y2, own, h, w)
+                if all_touched:
+                    # boundary supercover, then dedupe per owner so the
+                    # 'add' algebra burns each geometry once per cell
+                    # (matches geometry_cells' per-geometry unique)
+                    fo, fown = batch_outline_cells(
+                        x1, y1, x2, y2, own, h, w
+                    )
+                    fl = np.concatenate([fl, fo])
+                    powner = np.concatenate([powner, fown])
+                    if len(fl):
+                        key = np.unique(powner * np.int64(hw) + fl)
+                        powner = key // hw
+                        fl = key % hw
                 if len(fl):
                     contrib_flat.append(fl)
                     contrib_pos.append(powner)
-            fallback = rest[~smask]
+            fallback = rest[~smask & ~mmask]
 
         for i in fallback:
             b = blobs[i]

@@ -516,6 +516,149 @@ def encode_simple_polygons(coords: np.ndarray) -> list:
     return [r.tobytes() for r in out]
 
 
+def batch_parse_polygons(blobs):
+    """Structure-walking parse of POLYGON/MULTIPOLYGON blobs with any
+    ring structure (holes, multi parts).
+
+    Complements ``batch_parse_simple_polygons`` (which stays the fast
+    path for single-ring polygons): the Python loop here touches only
+    ring HEADERS (a handful per geometry); every coordinate moves via
+    ``np.frombuffer`` views, so cost is O(#rings) Python + O(#points)
+    numpy — not O(#points) Python like a full ``loads``.
+
+    Returns ``(mask, parsed)``; ``parsed`` is None when nothing matched,
+    else a dict with:
+      pos        (B,)  int64   blob positions parsed
+      coords     (P,2) float64 all ring points, blob-major order
+      ring_len   (R,)  int64   points per ring (rings closed)
+      ring_owner (R,)  int64   index into ``pos`` per ring
+      blob_pts   (B,)  int64   total points per blob
+      structs    list  per-blob [[ring lens of part 0], [part 1], ...]
+    Unclosed rings / big-endian / other types are left unparsed for the
+    caller's fallback.
+    """
+    n = len(blobs)
+    mask = np.zeros(n, dtype=bool)
+    pos, structs, blob_pts = [], [], []
+    coord_parts, ring_len, ring_owner = [], [], []
+    for i in range(n):
+        b = blobs[i]
+        if b is None or len(b) < 9:
+            continue
+        bb = bytes(b)
+        if bb[0] != 1:
+            continue
+        gtype = int.from_bytes(bb[1:5], "little")
+        try:
+            if gtype == POLYGON:
+                parts_off = [(0, 5)]
+            elif gtype == MULTIPOLYGON:
+                nparts = int.from_bytes(bb[5:9], "little")
+                parts_off = []
+                off = 9
+                for _ in range(nparts):
+                    if bb[off] != 1 or int.from_bytes(
+                        bb[off + 1 : off + 5], "little"
+                    ) != POLYGON:
+                        raise ValueError
+                    parts_off.append((off, off + 5))
+                    # skim to find the end of this part
+                    nr = int.from_bytes(bb[off + 5 : off + 9], "little")
+                    o = off + 9
+                    for _ in range(nr):
+                        k = int.from_bytes(bb[o : o + 4], "little")
+                        o += 4 + 16 * k
+                    off = o
+            else:
+                continue
+            blob_coords, blob_struct, total = [], [], 0
+            ok = True
+            for _, hdr in parts_off:
+                nr = int.from_bytes(bb[hdr : hdr + 4], "little")
+                o = hdr + 4
+                lens = []
+                for _ in range(nr):
+                    k = int.from_bytes(bb[o : o + 4], "little")
+                    o += 4
+                    if k < 4 or o + 16 * k > len(bb):
+                        ok = False
+                        break
+                    ring = np.frombuffer(
+                        bb, dtype="<f8", count=2 * k, offset=o
+                    ).reshape(k, 2)
+                    if not (ring[0] == ring[-1]).all():
+                        ok = False
+                        break
+                    blob_coords.append(ring)
+                    lens.append(k)
+                    total += k
+                    o += 16 * k
+                if not ok:
+                    break
+                blob_struct.append(lens)
+            if not ok or total == 0:
+                continue
+        except (ValueError, IndexError):
+            continue
+        bidx = len(pos)
+        pos.append(i)
+        structs.append(blob_struct)
+        blob_pts.append(total)
+        coord_parts.extend(blob_coords)
+        for lens in blob_struct:
+            for k in lens:
+                ring_len.append(k)
+                ring_owner.append(bidx)
+        mask[i] = True
+    if not pos:
+        return mask, None
+    return mask, {
+        "pos": np.asarray(pos, dtype=np.int64),
+        "coords": np.ascontiguousarray(
+            np.concatenate(coord_parts, axis=0), dtype=np.float64
+        ),
+        "ring_len": np.asarray(ring_len, dtype=np.int64),
+        "ring_owner": np.asarray(ring_owner, dtype=np.int64),
+        "blob_pts": np.asarray(blob_pts, dtype=np.int64),
+        "structs": structs,
+    }
+
+
+def encode_polygons(structs, coords: np.ndarray) -> list:
+    """Re-encode parsed polygons (``batch_parse_polygons`` layout) to
+    WKB after a coordinate transform. ``coords``: (P, 2) transformed
+    points in the same blob-major order. Returns list of bytes."""
+    out = []
+    o = 0
+    cbytes = np.ascontiguousarray(coords, dtype="<f8")
+    for blob_struct in structs:
+        parts = []
+        for lens in blob_struct:
+            rings = []
+            for k in lens:
+                rings.append(
+                    int(k).to_bytes(4, "little")
+                    + cbytes[o : o + k].tobytes()
+                )
+                o += k
+            parts.append(
+                b"\x01"
+                + POLYGON.to_bytes(4, "little")
+                + len(lens).to_bytes(4, "little")
+                + b"".join(rings)
+            )
+        if len(blob_struct) == 1:
+            out.append(parts[0])
+        else:
+            out.append(
+                b"\x01"
+                + MULTIPOLYGON.to_bytes(4, "little")
+                + len(parts).to_bytes(4, "little")
+                + b"".join(parts)
+            )
+    return out
+
+
 def batch_bounds(blobs) -> np.ndarray:
     """Per-blob envelopes (minx, miny, maxx, maxy), point-vectorized."""
     pts = try_parse_points(blobs)

@@ -188,6 +188,47 @@ def edges_from_rings(coords: np.ndarray, owners: np.ndarray):
     return x1, y1, x2, y2, own
 
 
+def edges_from_varying_rings(coords, ring_len, ring_owner):
+    """Concatenated closed rings of varying length -> flat edge arrays.
+
+    ``coords`` (P, 2), ``ring_len`` (R,) points per ring, ``ring_owner``
+    (R,) owner id per ring (all rings of one geometry share an owner so
+    ``batch_polygon_cells``' even-odd pairing handles holes and
+    multi-part polygons for free). Returns (x1, y1, x2, y2, owner).
+    """
+    P = len(coords)
+    ends = np.cumsum(ring_len)
+    valid_start = np.ones(P, dtype=bool)
+    valid_start[ends - 1] = False       # ring-final points start no edge
+    idx = np.flatnonzero(valid_start)
+    x1 = coords[idx, 0]
+    y1 = coords[idx, 1]
+    x2 = coords[idx + 1, 0]
+    y2 = coords[idx + 1, 1]
+    own = np.repeat(np.asarray(ring_owner, dtype=np.int64), ring_len - 1)
+    return x1, y1, x2, y2, own
+
+
+def batch_outline_cells(x1, y1, x2, y2, owner, height, width):
+    """Batched supercover of many edges (the ``all_touched`` boundary
+    pass). Samples each edge at the same density as ``_segment_cells``
+    (2 samples per unit of max-axis travel + 1) so results match the
+    per-geometry fallback exactly. Returns (flat_cells, cell_owner) —
+    callers dedupe per owner together with the interior cells.
+    """
+    span = np.maximum(np.abs(x2 - x1), np.abs(y2 - y1))
+    nsteps = np.maximum(2, (np.ceil(span) * 2 + 1).astype(np.int64))
+    rep = np.repeat(np.arange(len(x1)), nsteps)
+    j = _multi_arange(np.zeros(len(x1), dtype=np.int64), nsteps)
+    t = j / (nsteps[rep] - 1)
+    xs = x1[rep] + (x2 - x1)[rep] * t
+    ys = y1[rep] + (y2 - y1)[rep] * t
+    cols = np.floor(xs).astype(np.int64)
+    rows = np.floor(ys).astype(np.int64)
+    m = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
+    return rows[m] * width + cols[m], owner[rep][m]
+
+
 def _segment_cells(x1, y1, x2, y2, height, width):
     """Supercover: all cells a segment passes through (numpy DDA)."""
     n = max(

@@ -308,6 +308,95 @@ def test_burn_line():
 
 
 # ---------------------------------------------------------------------------
+# batched multi-ring scanline == per-geometry fallback
+# ---------------------------------------------------------------------------
+
+def _batched_cells_via_wkb(geoms, h, w, all_touched=False):
+    """Run the batched burn-path machinery (WKB parse -> edges ->
+    batch_polygon_cells [+ outline]) and return per-owner cell sets."""
+    from geocube_spark.geometry.wkb import batch_parse_polygons
+    from geocube_spark.kernels.rasterize import (
+        batch_outline_cells,
+        batch_polygon_cells,
+        edges_from_varying_rings,
+    )
+
+    blobs = [g.to_wkb() for g in geoms]
+    mask, parsed = batch_parse_polygons(blobs)
+    assert mask.all(), "all inputs should take the batched path"
+    x1, y1, x2, y2, own = edges_from_varying_rings(
+        parsed["coords"], parsed["ring_len"],
+        parsed["pos"][parsed["ring_owner"]],
+    )
+    fl, powner = batch_polygon_cells(x1, y1, x2, y2, own, h, w)
+    if all_touched:
+        fo, fown = batch_outline_cells(x1, y1, x2, y2, own, h, w)
+        fl = np.concatenate([fl, fo])
+        powner = np.concatenate([powner, fown])
+        key = np.unique(powner * np.int64(h * w) + fl)
+        powner, fl = key // (h * w), key % (h * w)
+    out = {}
+    for o in np.unique(powner):
+        out[int(o)] = set(fl[powner == o].tolist())
+    return out
+
+
+@pytest.mark.parametrize("all_touched", [False, True])
+def test_batched_multiring_matches_fallback(all_touched):
+    """Donuts and multipolygons through the batched scanline produce
+    exactly the per-geometry geometry_cells result."""
+    donut = W.polygon(
+        [(2.2, 2.2), (17.8, 2.2), (17.8, 17.8), (2.2, 17.8), (2.2, 2.2)],
+        holes=[[(6.1, 6.1), (13.9, 6.1), (13.9, 13.9), (6.1, 13.9),
+                (6.1, 6.1)]],
+    )
+    mp = W.multipolygon([
+        [[(0.5, 0.5), (4.5, 0.5), (4.5, 4.5), (0.5, 4.5), (0.5, 0.5)]],
+        [[(14.5, 14.5), (19.2, 14.5), (19.2, 19.2), (14.5, 19.2),
+          (14.5, 14.5)],
+         [(16.0, 16.0), (18.0, 16.0), (18.0, 18.0), (16.0, 18.0),
+          (16.0, 16.0)]],
+    ])
+    tri_hole = W.polygon(
+        [(1.0, 9.0), (19.0, 9.5), (10.0, 19.5), (1.0, 9.0)],
+        holes=[[(8.0, 11.0), (12.0, 11.5), (10.0, 14.0), (8.0, 11.0)]],
+    )
+    geoms = [donut, mp, tri_hole]
+    h = w = 20
+    batched = _batched_cells_via_wkb(geoms, h, w, all_touched)
+    for i, g in enumerate(geoms):
+        rows, cols = geometry_cells(g, h, w, all_touched)
+        expected = set((rows * w + cols).tolist())
+        assert batched.get(i, set()) == expected, f"geom {i} differs"
+
+
+def test_batch_parse_polygons_structure_roundtrip():
+    """encode_polygons(parse(wkb)) preserves ring structure + coords."""
+    from geocube_spark.geometry.wkb import (
+        batch_parse_polygons,
+        encode_polygons,
+    )
+
+    donut = W.polygon(
+        [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+        holes=[[(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]],
+    )
+    mp = W.multipolygon([
+        [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]],
+        [[(5, 5), (8, 5), (8, 8), (5, 8), (5, 5)],
+         [(6, 6), (7, 6), (7, 7), (6, 7), (6, 6)]],
+    ])
+    blobs = [donut.to_wkb(), mp.to_wkb()]
+    mask, parsed = batch_parse_polygons(blobs)
+    assert mask.all()
+    again = encode_polygons(parsed["structs"], parsed["coords"])
+    for orig, enc in zip([donut, mp], again):
+        a, b = W.loads(orig.to_wkb()), W.loads(enc)
+        assert [r.tolist() for rings in a.polygons() for r in rings] == \
+               [r.tolist() for rings in b.polygons() for r in rings]
+
+
+# ---------------------------------------------------------------------------
 # interpolation
 # ---------------------------------------------------------------------------
 
