@@ -153,22 +153,22 @@ def ngram_jaccard_pairs(df: DataFrame, *, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3,
                         sets: DataFrame | None = None,
-                        prefix_filter: bool = False) -> DataFrame:
-    """Exact n-gram Jaccard >= threshold via inverted-index self-join.
+                        prefix_filter: bool = True) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold, prefix-filtered by default.
 
-    Output: (id_a, id_b, jaccard) with id_a < id_b. Correct for any
-    threshold > 0 (a pair with J > 0 shares a shingle, so the index
-    join has perfect recall). The per-doc shingle-hash sets are
-    persisted so the self-join's two branches share one shingling
-    pass.
+    Output: (id_a, id_b, jaccard) with id_a < id_b. The DEFAULT path is
+    the AllPairs/PPJoin prefix filter: each doc indexes only its
+    |s| - ceil(t*|s|) + 1 globally-RAREST shingles (global document-
+    frequency order) — any pair with J >= t provably shares a prefix
+    shingle, so recall is exact while hot shingles (a boilerplate
+    shingle shared by 10^6 docs would make the naive index join
+    quadratic in that bucket) never generate candidates; candidates are
+    then verified with the full-set intersection, so the output is
+    identical to the naive join. This is the 100 TB-safe default.
 
-    ``prefix_filter=True`` switches to the AllPairs/PPJoin scale path:
-    each doc indexes only its |s| - ceil(t*|s|) + 1 globally-RAREST
-    shingles (global document-frequency order) — any pair with J >= t
-    provably shares a prefix shingle, so recall is exact while hot
-    shingles (the quadratic-blowup culprits at corpus scale) never
-    enter the join; candidates are then verified with the full-set
-    intersection. Same output, sub-quadratic candidate generation."""
+    ``prefix_filter=False`` selects the plain inverted-index self-join
+    (fewer stages; fine when the corpus has no high-DF shingles). Both
+    paths share one shingling pass via the persisted ``sets`` frame."""
     if sets is None:
         sets = shingle_hash_sets(df, text_col, id_col, k).persist()
     if prefix_filter:

@@ -186,16 +186,68 @@ def test_prefix_filtered_jaccard_exact_parity(spark, sf_dir):
     corpus = P.corpus_neardup(spark, sf_dir)
     full = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in D.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+        for r in D.ngram_jaccard_pairs(
+            corpus, threshold=0.5, prefix_filter=False
+        ).collect()
     }
     filt = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in D.ngram_jaccard_pairs(
-            corpus, threshold=0.5, prefix_filter=True
-        ).collect()
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
     }
     assert full == filt
     assert len(full) > 0
+
+
+def test_prefix_filter_kills_hot_shingle_candidates(spark):
+    """A boilerplate shingle shared by every document must not enter
+    the candidate join: with prefix filtering the candidate-pair count
+    stays O(true pairs), not O(n^2) in the hot bucket."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    n = 400
+    rows = []
+    for i in range(n):
+        # every doc shares the 'common boilerplate header' text; bodies
+        # are distinct except 5 exact-duplicate pairs
+        body = f"unique body text number {i:05d} with filler"
+        if i < 5:
+            body = f"duplicated body text pair {i % 5}"
+        elif 5 <= i < 10:
+            body = f"duplicated body text pair {i - 5}"
+        rows.append({"doc_id": i, "text": "COMMONHEADER " + body})
+    corpus = spark.createDataFrame(pd.DataFrame(rows))
+
+    t = 0.8
+    sets = D.shingle_hash_sets(corpus, "text", "doc_id", 3).persist()
+    # replicate the candidate stage of _jaccard_prefix_filtered and
+    # count the join rows the hot shingles survive into
+    idx = sets.select(
+        "id", "set_size", F.explode("sh_hashes").alias("sh_hash")
+    )
+    dfreq = idx.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("df"))
+    ranked = idx.join(dfreq, "sh_hash").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "sh_hash")),
+    )
+    plen = (
+        F.col("set_size") - F.ceil(F.lit(t) * F.col("set_size")) + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= plen)
+    l, r = prefix.alias("l"), prefix.alias("r")
+    n_cand = (
+        l.join(r, (F.col("l.sh_hash") == F.col("r.sh_hash"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select("l.id", "r.id").distinct().count()
+    )
+    # without the filter the COMMONHEADER shingles alone give n*(n-1)/2
+    # = 79800 candidates; the prefix keeps only rare-shingle collisions
+    assert n_cand < 1000, f"hot shingle leaked into candidates: {n_cand}"
+
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=t, sets=sets).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(i, i + 5) for i in range(5)}
+    sets.unpersist()
 
 
 def test_resize_media_shape_and_determinism(spark, docs):
