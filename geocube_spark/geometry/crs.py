@@ -1,17 +1,29 @@
 """Minimal CRS registry + vectorized numpy reprojection (no pyproj).
 
 The engine supports the CRS families exercised by the reference test
-suite (SURVEY.md §2.8 "CRS reproject"):
+suite plus the common national-grid families (SURVEY.md §2.8
+"CRS reproject"; the reference accepts any pyproj CRS,
+vector_to_cube.py:112-113):
 
-* EPSG:4326 / CRS84            — geographic lon/lat, WGS84
-* EPSG:326xx / 327xx           — WGS84 / UTM zone xx N / S
-* EPSG:3857                    — spherical web mercator
+* EPSG:4326 / CRS84 / 4258 / 4269  — geographic lon/lat
+* EPSG:326xx / 327xx               — WGS84 / UTM zone xx N / S
+* EPSG:258xx                       — ETRS89 / UTM (GRS80)
+* EPSG:3857                        — spherical web mercator
+* EPSG:27700                       — British National Grid
+                                     (Airy 1830 + OSGB36 Helmert)
+* EPSG:2154                        — RGF93 / Lambert-93 (LCC 2SP)
+* EPSG:5070                        — NAD83 / CONUS Albers
+* EPSG:3035                        — ETRS89-LAEA Europe
+* EPSG:2180                        — ETRS89 / Poland CS92 (TM)
 
 Transforms are closed-form numpy over coordinate arrays — exactly what
-a vectorized pandas UDF wants. The UTM path uses Karney's 6th-order
-Krüger series (public: C. F. F. Karney, "Transverse Mercator with an
-accuracy of a few nanometers", J. Geodesy 85, 2011), giving sub-µm
-agreement with PROJ for the |λ−λ0| ≤ 3.5° band UTM is defined on.
+a vectorized pandas UDF wants. Transverse Mercator uses Karney's
+6th-order Krüger series (public: C. F. F. Karney, "Transverse Mercator
+with an accuracy of a few nanometers", J. Geodesy 85, 2011), with
+series coefficients computed per ellipsoid. LCC 2SP / Albers / LAEA
+follow the published EPSG Guidance Note 7-2 formulas. Datum changes go
+through a 7-parameter Helmert on geocentric coordinates
+(position-vector convention, EPSG parameter sets).
 
 Reference parity: geocube reprojects the whole vector table to the
 target grid CRS (reference geocube/vector_to_cube.py:112-113) and
@@ -22,102 +34,450 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
-# WGS84 ellipsoid
-_A = 6378137.0
-_F = 1.0 / 298.257223563
-_E2 = _F * (2 - _F)
-_E = np.sqrt(_E2)
+# ---------------------------------------------------------------------------
+# ellipsoids & datums
+# ---------------------------------------------------------------------------
 
-# Krüger series, n = third flattening
-_N = _F / (2.0 - _F)
-_N2, _N3, _N4, _N5, _N6 = _N**2, _N**3, _N**4, _N**5, _N**6
-# rectifying radius
-_A1 = _A / (1 + _N) * (1 + _N2 / 4 + _N4 / 64 + _N6 / 256)
+ELLPS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "airy": (6377563.396, 1.0 / 299.3249646),
+    "intl": (6378388.0, 1.0 / 297.0),
+}
 
-_ALPHA = np.array(
-    [
-        _N / 2 - 2 * _N2 / 3 + 5 * _N3 / 16 + 41 * _N4 / 180 - 127 * _N5 / 288
-        + 7891 * _N6 / 37800,
-        13 * _N2 / 48 - 3 * _N3 / 5 + 557 * _N4 / 1440 + 281 * _N5 / 630
-        - 1983433 * _N6 / 1935360,
-        61 * _N3 / 240 - 103 * _N4 / 140 + 15061 * _N5 / 26880
-        + 167603 * _N6 / 181440,
-        49561 * _N4 / 161280 - 179 * _N5 / 168 + 6601661 * _N6 / 7257600,
-        34729 * _N5 / 80640 - 3418889 * _N6 / 1995840,
-        212378941 * _N6 / 319334400,
-    ]
-)
-_BETA = np.array(
-    [
-        _N / 2 - 2 * _N2 / 3 + 37 * _N3 / 96 - _N4 / 360 - 81 * _N5 / 512
-        + 96199 * _N6 / 604800,
-        _N2 / 48 + _N3 / 15 - 437 * _N4 / 1440 + 46 * _N5 / 105
-        - 1118711 * _N6 / 3870720,
-        17 * _N3 / 480 - 37 * _N4 / 840 - 209 * _N5 / 4480 + 5569 * _N6 / 90720,
-        4397 * _N4 / 161280 - 11 * _N5 / 504 - 830251 * _N6 / 7257600,
-        4583 * _N5 / 161280 - 108847 * _N6 / 3991680,
-        20648693 * _N6 / 638668800,
-    ]
-)
-
-_K0 = 0.9996
-_FE = 500000.0
-_FN_SOUTH = 10000000.0
+# 7-parameter Helmert to WGS84, position-vector convention:
+# (tx, ty, tz [m], rx, ry, rz [arc-sec], ds [ppm]).  None = identity
+# (WGS84 / ETRS89 / NAD83 agree within the engine's tolerance).
+DATUM_TO_WGS84 = {
+    "WGS84": None,
+    "ETRS89": None,
+    "NAD83": None,
+    # OSGB36 -> WGS84 (EPSG transformation 1314, ~2 m accuracy)
+    "OSGB36": (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+}
 
 _R_SPHERE = 6378137.0  # web mercator sphere radius
 
 
-def _tm_forward(lon_deg, lat_deg, lon0_deg: float):
+@lru_cache(maxsize=16)
+def _kruger(ellps: str):
+    """Karney 2011 6th-order alpha/beta series + rectifying radius for
+    an ellipsoid (third flattening n)."""
+    a, f = ELLPS[ellps]
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    a1 = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = np.array(
+        [
+            n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180
+            - 127 * n5 / 288 + 7891 * n6 / 37800,
+            13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+            - 1983433 * n6 / 1935360,
+            61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+            + 167603 * n6 / 181440,
+            49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+            34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+            212378941 * n6 / 319334400,
+        ]
+    )
+    beta = np.array(
+        [
+            n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+            + 96199 * n6 / 604800,
+            n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+            - 1118711 * n6 / 3870720,
+            17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480
+            + 5569 * n6 / 90720,
+            4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+            4583 * n5 / 161280 - 108847 * n6 / 3991680,
+            20648693 * n6 / 638668800,
+        ]
+    )
+    return a1, alpha, beta
+
+
+def _eccentricity(ellps: str):
+    a, f = ELLPS[ellps]
+    e2 = f * (2 - f)
+    return a, e2, np.sqrt(e2)
+
+
+# ---------------------------------------------------------------------------
+# transverse Mercator (Karney/Krüger series, any ellipsoid)
+# ---------------------------------------------------------------------------
+
+def _tm_forward(lon_deg, lat_deg, lon0_deg: float, ellps: str = "WGS84"):
     """Geographic -> transverse Mercator (unscaled easting/northing)."""
+    a1, alpha, _ = _kruger(ellps)
+    _, _, e = _eccentricity(ellps)
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
     sphi = np.sin(phi)
     # conformal latitude tangent
-    t = np.sinh(
-        np.arctanh(sphi) - _E * np.arctanh(_E * sphi)
-    )
+    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
     xip = np.arctan2(t, np.cos(lam))
     etap = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
     xi = xip.copy()
     eta = etap.copy()
     for j in range(6):
         k = 2.0 * (j + 1)
-        xi += _ALPHA[j] * np.sin(k * xip) * np.cosh(k * etap)
-        eta += _ALPHA[j] * np.cos(k * xip) * np.sinh(k * etap)
-    return _A1 * eta, _A1 * xi  # (easting', northing')
+        xi += alpha[j] * np.sin(k * xip) * np.cosh(k * etap)
+        eta += alpha[j] * np.cos(k * xip) * np.sinh(k * etap)
+    return a1 * eta, a1 * xi  # (easting', northing')
 
 
-def _tm_inverse(x, y, lon0_deg: float):
+def _tm_inverse(x, y, lon0_deg: float, ellps: str = "WGS84"):
     """Transverse Mercator (unscaled) -> geographic lon/lat degrees."""
-    eta = np.asarray(x, dtype=np.float64) / _A1
-    xi = np.asarray(y, dtype=np.float64) / _A1
+    a1, _, beta = _kruger(ellps)
+    _, e2, e = _eccentricity(ellps)
+    eta = np.asarray(x, dtype=np.float64) / a1
+    xi = np.asarray(y, dtype=np.float64) / a1
     xip = xi.copy()
     etap = eta.copy()
     for j in range(6):
         k = 2.0 * (j + 1)
-        xip -= _BETA[j] * np.sin(k * xi) * np.cosh(k * eta)
-        etap -= _BETA[j] * np.cos(k * xi) * np.sinh(k * eta)
+        xip -= beta[j] * np.sin(k * xi) * np.cosh(k * eta)
+        etap -= beta[j] * np.cos(k * xi) * np.sinh(k * eta)
     se = np.sinh(etap)
     cx = np.cos(xip)
     taup = np.sin(xip) / np.hypot(se, cx)
     lam = np.arctan2(se, cx)
 
     # invert conformal latitude: Newton on tau (Karney 2011 eq. 19-21)
-    tau = taup / np.sqrt(1 - _E2)  # first guess
+    tau = taup / np.sqrt(1 - e2)  # first guess
     for _ in range(5):
-        sig = np.sinh(_E * np.arctanh(_E * tau / np.hypot(1.0, tau)))
+        sig = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
         taup_i = tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau)
         dtau = (
             (taup - taup_i)
-            * (1 + (1 - _E2) * tau**2)
-            / ((1 - _E2) * np.hypot(1.0, taup_i) * np.hypot(1.0, tau))
+            * (1 + (1 - e2) * tau**2)
+            / ((1 - e2) * np.hypot(1.0, taup_i) * np.hypot(1.0, tau))
         )
         tau = tau + dtau
     phi = np.arctan(tau)
     return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic (2SP), Albers equal-area, Lambert azimuthal
+# equal-area — EPSG Guidance Note 7-2 closed forms
+# ---------------------------------------------------------------------------
+
+def _lcc_consts(ellps, lat0, sp1, sp2):
+    a, e2, e = _eccentricity(ellps)
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+    def t(phi):
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / (
+            (1 - e * s) / (1 + e * s)
+        ) ** (e / 2)
+
+    p0, p1, p2 = np.radians([lat0, sp1, sp2])
+    m1, m2 = m(p1), m(p2)
+    t0, t1, t2 = t(p0), t(p1), t(p2)
+    if abs(sp1 - sp2) < 1e-12:
+        nn = np.sin(p1)
+    else:
+        nn = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    F = m1 / (nn * t1**nn)
+    rho0 = a * F * t0**nn
+    return a, e, nn, F, rho0, t
+
+
+def _lcc_forward(lon, lat, p):
+    a, e, nn, F, rho0, t = _lcc_consts(
+        p["ellps"], p["lat0"], p["sp1"], p["sp2"]
+    )
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = a * F * t(phi) ** nn
+    th = nn * np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    return rho * np.sin(th), rho0 - rho * np.cos(th)
+
+
+def _lcc_inverse(x, y, p):
+    a, e, nn, F, rho0, _ = _lcc_consts(
+        p["ellps"], p["lat0"], p["sp1"], p["sp2"]
+    )
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.sign(nn) * np.hypot(x, rho0 - y)
+    th = np.arctan2(np.sign(nn) * x, np.sign(nn) * (rho0 - y))
+    tp = (rho / (a * F)) ** (1.0 / nn)
+    # invert isometric latitude by fixed point (EPSG 7-2)
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            tp * ((1 - s) / (1 + s)) ** (e / 2)
+        )
+    return np.degrees(th / nn) + p["lon0"], np.degrees(phi)
+
+
+def _albers_consts(ellps, lat0, sp1, sp2):
+    a, e2, e = _eccentricity(ellps)
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+    def q(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    p0, p1, p2 = np.radians([lat0, sp1, sp2])
+    m1, m2 = m(p1), m(p2)
+    q0, q1, q2 = q(p0), q(p1), q(p2)
+    if abs(sp1 - sp2) < 1e-12:
+        nn = np.sin(p1)
+    else:
+        nn = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + nn * q1
+    rho0 = a * np.sqrt(C - nn * q0) / nn
+    return a, e, e2, nn, C, rho0, q
+
+
+def _albers_forward(lon, lat, p):
+    a, e, e2, nn, C, rho0, q = _albers_consts(
+        p["ellps"], p["lat0"], p["sp1"], p["sp2"]
+    )
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = a * np.sqrt(C - nn * q(phi)) / nn
+    th = nn * np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    return rho * np.sin(th), rho0 - rho * np.cos(th)
+
+
+def _albers_inverse(x, y, p):
+    a, e, e2, nn, C, rho0, _ = _albers_consts(
+        p["ellps"], p["lat0"], p["sp1"], p["sp2"]
+    )
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x, rho0 - y)
+    qv = (C - (rho * nn / a) ** 2) / nn
+    th = np.arctan2(x, rho0 - y)
+    # invert authalic latitude (Snyder 3-16 iteration)
+    phi = np.arcsin(np.clip(qv / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = phi + (
+            (1 - e2 * s * s) ** 2
+            / (2 * np.cos(phi) + 1e-300)
+            * (
+                qv / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        )
+    return np.degrees(th / nn) + p["lon0"], np.degrees(phi)
+
+
+def _laea_forward(lon, lat, p):
+    a, e2, e = _eccentricity(p["ellps"])
+
+    def q(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    qp = q(np.pi / 2)
+    p0 = np.radians(p["lat0"])
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    b0 = np.arcsin(q(p0) / qp)
+    bb = np.arcsin(np.clip(q(phi) / qp, -1, 1))
+    rq = a * np.sqrt(qp / 2)
+    D = a * (np.cos(p0) / np.sqrt(1 - e2 * np.sin(p0) ** 2)) / (
+        rq * np.cos(b0)
+    )
+    B = rq * np.sqrt(
+        2
+        / (
+            1
+            + np.sin(b0) * np.sin(bb)
+            + np.cos(b0) * np.cos(bb) * np.cos(lam)
+        )
+    )
+    x = B * D * np.cos(bb) * np.sin(lam)
+    y = (B / D) * (
+        np.cos(b0) * np.sin(bb) - np.sin(b0) * np.cos(bb) * np.cos(lam)
+    )
+    return x, y
+
+
+def _laea_inverse(x, y, p):
+    a, e2, e = _eccentricity(p["ellps"])
+
+    def q(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    qp = q(np.pi / 2)
+    p0 = np.radians(p["lat0"])
+    b0 = np.arcsin(q(p0) / qp)
+    rq = a * np.sqrt(qp / 2)
+    D = a * (np.cos(p0) / np.sqrt(1 - e2 * np.sin(p0) ** 2)) / (
+        rq * np.cos(b0)
+    )
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x / D, D * y)
+    ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        bb = np.where(
+            rho == 0,
+            b0,
+            np.arcsin(
+                np.cos(ce) * np.sin(b0)
+                + (D * y * np.sin(ce) * np.cos(b0)) / np.where(rho == 0, 1, rho)
+            ),
+        )
+        lam = np.arctan2(
+            x * np.sin(ce),
+            D * rho * np.cos(b0) * np.cos(ce)
+            - D * D * y * np.sin(b0) * np.sin(ce),
+        )
+    qv = qp * np.sin(bb)
+    phi = bb.copy()
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = phi + (
+            (1 - e2 * s * s) ** 2
+            / (2 * np.cos(phi) + 1e-300)
+            * (
+                qv / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        )
+    return np.degrees(lam) + p["lon0"], np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# datum shift: geodetic <-> geocentric + 7-parameter Helmert
+# ---------------------------------------------------------------------------
+
+def _geodetic_to_geocentric(lon, lat, ellps):
+    a, e2, _ = _eccentricity(ellps)
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s, c = np.sin(phi), np.cos(phi)
+    nu = a / np.sqrt(1 - e2 * s * s)
+    return nu * c * np.cos(lam), nu * c * np.sin(lam), nu * (1 - e2) * s
+
+
+def _geocentric_to_geodetic(X, Y, Z, ellps):
+    a, e2, _ = _eccentricity(ellps)
+    lam = np.arctan2(Y, X)
+    pr = np.hypot(X, Y)
+    phi = np.arctan2(Z, pr * (1 - e2))
+    for _ in range(12):  # converges geometrically; 12 gives < 0.1 nm
+        s = np.sin(phi)
+        nu = a / np.sqrt(1 - e2 * s * s)
+        phi = np.arctan2(Z + e2 * nu * s, pr)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert(X, Y, Z, params, inverse=False):
+    tx, ty, tz, rx, ry, rz, ds = params
+    rx, ry, rz = np.radians(np.array([rx, ry, rz]) / 3600.0)
+    m = 1.0 + ds * 1e-6
+    if inverse:
+        # exact inverse of the (small-angle) position-vector transform
+        Xs = (np.asarray(X) - tx)
+        Ys = (np.asarray(Y) - ty)
+        Zs = (np.asarray(Z) - tz)
+        # solve m * R v = s with R = I + skew(r): invert linearly
+        det = 1 + rx * rx + ry * ry + rz * rz
+        vx = (Xs * (1 + rx * rx) + Ys * (rz + rx * ry)
+              + Zs * (rx * rz - ry)) / (m * det)
+        vy = (Xs * (rx * ry - rz) + Ys * (1 + ry * ry)
+              + Zs * (ry * rz + rx)) / (m * det)
+        vz = (Xs * (ry + rx * rz) + Ys * (ry * rz - rx)
+              + Zs * (1 + rz * rz)) / (m * det)
+        return vx, vy, vz
+    Xp = tx + m * (np.asarray(X) - rz * np.asarray(Y) + ry * np.asarray(Z))
+    Yp = ty + m * (rz * np.asarray(X) + np.asarray(Y) - rx * np.asarray(Z))
+    Zp = tz + m * (-ry * np.asarray(X) + rx * np.asarray(Y) + np.asarray(Z))
+    return Xp, Yp, Zp
+
+
+def _datum_to_wgs84(lon, lat, ellps, datum):
+    params = DATUM_TO_WGS84.get(datum)
+    if params is None:
+        return lon, lat
+    X, Y, Z = _geodetic_to_geocentric(lon, lat, ellps)
+    X, Y, Z = _helmert(X, Y, Z, params)
+    return _geocentric_to_geodetic(X, Y, Z, "WGS84")
+
+
+def _wgs84_to_datum(lon, lat, ellps, datum):
+    params = DATUM_TO_WGS84.get(datum)
+    if params is None:
+        return lon, lat
+    X, Y, Z = _geodetic_to_geocentric(lon, lat, "WGS84")
+    X, Y, Z = _helmert(X, Y, Z, params, inverse=True)
+    return _geocentric_to_geodetic(X, Y, Z, ellps)
+
+
+# ---------------------------------------------------------------------------
+# projected CRS registry (parameters are public EPSG definitions)
+# ---------------------------------------------------------------------------
+
+def _tm_def(lon0, lat0, k0, fe, fn, ellps="WGS84", datum="WGS84"):
+    return {"kind": "tm", "lon0": lon0, "lat0": lat0, "k0": k0,
+            "fe": fe, "fn": fn, "ellps": ellps, "datum": datum}
+
+
+CRS_DEFS: dict = {
+    4326: {"kind": "geographic", "ellps": "WGS84", "datum": "WGS84"},
+    4258: {"kind": "geographic", "ellps": "GRS80", "datum": "ETRS89"},
+    4269: {"kind": "geographic", "ellps": "GRS80", "datum": "NAD83"},
+    3857: {"kind": "webmerc"},
+    # OSGB36 / British National Grid
+    27700: _tm_def(-2.0, 49.0, 0.9996012717, 400000.0, -100000.0,
+                   "airy", "OSGB36"),
+    # ETRS89 / Poland CS92
+    2180: _tm_def(19.0, 0.0, 0.9993, 500000.0, -5300000.0,
+                  "GRS80", "ETRS89"),
+    # RGF93 / Lambert-93
+    2154: {"kind": "lcc", "lon0": 3.0, "lat0": 46.5, "sp1": 44.0,
+           "sp2": 49.0, "fe": 700000.0, "fn": 6600000.0,
+           "ellps": "GRS80", "datum": "ETRS89"},
+    # NAD83 / CONUS Albers
+    5070: {"kind": "albers", "lon0": -96.0, "lat0": 23.0, "sp1": 29.5,
+           "sp2": 45.5, "fe": 0.0, "fn": 0.0,
+           "ellps": "GRS80", "datum": "NAD83"},
+    # ETRS89-extended / LAEA Europe
+    3035: {"kind": "laea", "lon0": 10.0, "lat0": 52.0,
+           "fe": 4321000.0, "fn": 3210000.0,
+           "ellps": "GRS80", "datum": "ETRS89"},
+}
+
+# WGS84 / UTM north + south and ETRS89 / UTM
+for _z in range(1, 61):
+    CRS_DEFS[32600 + _z] = _tm_def(-183.0 + 6.0 * _z, 0.0, 0.9996,
+                                   500000.0, 0.0)
+    CRS_DEFS[32700 + _z] = _tm_def(-183.0 + 6.0 * _z, 0.0, 0.9996,
+                                   500000.0, 10000000.0)
+for _z in range(28, 39):
+    CRS_DEFS[25800 + _z] = _tm_def(-183.0 + 6.0 * _z, 0.0, 0.9996,
+                                   500000.0, 0.0, "GRS80", "ETRS89")
 
 
 @dataclass(frozen=True)
@@ -154,8 +514,21 @@ class CRS:
 
     # ---- properties -----------------------------------------------------
     @property
+    def _def(self) -> dict:
+        try:
+            return CRS_DEFS[self.epsg]
+        except KeyError:
+            raise ValueError(
+                f"unsupported projected CRS EPSG:{self.epsg} — supported "
+                "families: geographic (4326/4258/4269), UTM (326xx/327xx/"
+                "258xx), web mercator (3857), TM national grids (27700, "
+                "2180), LCC (2154), Albers (5070), LAEA (3035); extend "
+                "geometry.crs.CRS_DEFS with public EPSG parameters"
+            ) from None
+
+    @property
     def is_geographic(self) -> bool:
-        return self.epsg == 4326
+        return self._def["kind"] == "geographic"
 
     @property
     def is_utm(self) -> bool:
@@ -193,39 +566,82 @@ class CRS:
 
     # ---- projection core --------------------------------------------------
     def _to_lonlat(self, x, y):
-        if self.epsg == 4326:
-            return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
-        if self.epsg == 3857:
+        """Projected/native -> WGS84 lon/lat degrees."""
+        d = self._def
+        kind = d["kind"]
+        if kind == "geographic":
+            lon = np.asarray(x, dtype=np.float64)
+            lat = np.asarray(y, dtype=np.float64)
+            return _datum_to_wgs84(lon, lat, d["ellps"], d["datum"])
+        if kind == "webmerc":
             lon = np.degrees(np.asarray(x, dtype=np.float64) / _R_SPHERE)
             lat = np.degrees(
                 2 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / _R_SPHERE))
                 - np.pi / 2
             )
             return lon, lat
-        if self.is_utm:
-            fe = np.asarray(x, dtype=np.float64) - _FE
-            fn = np.asarray(y, dtype=np.float64) - (
-                _FN_SOUTH if self.utm_south else 0.0
+        if kind == "tm":
+            fe = np.asarray(x, dtype=np.float64) - d["fe"]
+            fn = np.asarray(y, dtype=np.float64) - d["fn"]
+            if d["lat0"] != 0.0:
+                _, n0 = _tm_forward(d["lon0"], d["lat0"], d["lon0"],
+                                    d["ellps"])
+                fn = fn + d["k0"] * n0
+            lon, lat = _tm_inverse(fe / d["k0"], fn / d["k0"], d["lon0"],
+                                   d["ellps"])
+            return _datum_to_wgs84(lon, lat, d["ellps"], d["datum"])
+        if kind == "lcc":
+            lon, lat = _lcc_inverse(
+                np.asarray(x, dtype=np.float64) - d["fe"],
+                np.asarray(y, dtype=np.float64) - d["fn"], d,
             )
-            return _tm_inverse(fe / _K0, fn / _K0, self.central_meridian)
+            return _datum_to_wgs84(lon, lat, d["ellps"], d["datum"])
+        if kind == "albers":
+            lon, lat = _albers_inverse(
+                np.asarray(x, dtype=np.float64) - d["fe"],
+                np.asarray(y, dtype=np.float64) - d["fn"], d,
+            )
+            return _datum_to_wgs84(lon, lat, d["ellps"], d["datum"])
+        if kind == "laea":
+            lon, lat = _laea_inverse(
+                np.asarray(x, dtype=np.float64) - d["fe"],
+                np.asarray(y, dtype=np.float64) - d["fn"], d,
+            )
+            return _datum_to_wgs84(lon, lat, d["ellps"], d["datum"])
         raise ValueError(f"unsupported projected CRS EPSG:{self.epsg}")
 
     def _from_lonlat(self, lon, lat):
-        if self.epsg == 4326:
+        """WGS84 lon/lat degrees -> projected/native."""
+        d = self._def
+        kind = d["kind"]
+        if kind == "geographic":
+            lon, lat = _wgs84_to_datum(lon, lat, d["ellps"], d["datum"])
             return (
                 np.asarray(lon, dtype=np.float64),
                 np.asarray(lat, dtype=np.float64),
             )
-        if self.epsg == 3857:
+        if kind == "webmerc":
             x = _R_SPHERE * np.radians(np.asarray(lon, dtype=np.float64))
             latr = np.radians(np.asarray(lat, dtype=np.float64))
             y = _R_SPHERE * np.log(np.tan(np.pi / 4 + latr / 2))
             return x, y
-        if self.is_utm:
-            e, n = _tm_forward(lon, lat, self.central_meridian)
-            x = _FE + _K0 * e
-            y = _K0 * n + (_FN_SOUTH if self.utm_south else 0.0)
-            return x, y
+        lon, lat = _wgs84_to_datum(lon, lat, d["ellps"], d["datum"])
+        if kind == "tm":
+            e, n = _tm_forward(lon, lat, d["lon0"], d["ellps"])
+            if d["lat0"] != 0.0:
+                _, n0 = _tm_forward(d["lon0"], d["lat0"], d["lon0"],
+                                    d["ellps"])
+                n = n - n0
+            return d["fe"] + d["k0"] * e, d["fn"] + d["k0"] * n
+        if kind == "lcc":
+            x, y = _lcc_forward(lon, lat, d)
+            return x + d["fe"], y + d["fn"]
+        if kind == "albers":
+            x, y = _albers_forward(lon, lat, d)
+            return x + d["fe"], y + d["fn"]
+        if kind == "laea":
+            x, y = _laea_forward(lon, lat, d)
+            return x + d["fe"], y + d["fn"]
         raise ValueError(f"unsupported projected CRS EPSG:{self.epsg}")
 
 

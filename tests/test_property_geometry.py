@@ -37,6 +37,74 @@ def test_utm_roundtrip_property(lat, dlon, zone):
     assert abs(lat2[0] - lat) < 1e-9
 
 
+_NATIONAL_GRIDS = {
+    # epsg: (lon range, lat range, roundtrip tolerance in degrees).
+    # Datum-shifted CRS (27700) tolerate ~2e-8: the 2D Helmert drops
+    # ellipsoidal height, a mm-level roundtrip effect PROJ shares.
+    27700: ((-5.5, 1.5), (50.2, 57.5), 1e-7),
+    2180: ((14.2, 24.0), (49.1, 54.7), 1e-9),
+    25832: ((6.1, 11.9), (47.5, 54.9), 1e-9),
+    2154: ((-4.5, 8.0), (42.5, 50.8), 1e-9),
+    5070: ((-120.0, -75.0), (25.0, 48.0), 1e-9),
+    3035: ((-8.0, 25.0), (36.0, 60.0), 1e-9),
+}
+
+
+@given(
+    st.sampled_from(sorted(_NATIONAL_GRIDS)),
+    st.floats(min_value=0.0, max_value=1.0),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_national_grid_roundtrip_property(epsg, fx, fy):
+    """National grids (TM incl. non-UTM params + datum shift, LCC 2SP,
+    Albers, LAEA) roundtrip through WGS84 within each grid's domain."""
+    (lo0, lo1), (la0, la1), tol = _NATIONAL_GRIDS[epsg]
+    lon = lo0 + fx * (lo1 - lo0)
+    lat = la0 + fy * (la1 - la0)
+    c, wgs = CRS(epsg), CRS(4326)
+    x, y = transform(wgs, c, np.array([lon]), np.array([lat]))
+    lon2, lat2 = transform(c, wgs, x, y)
+    assert abs(lon2[0] - lon) < tol
+    assert abs(lat2[0] - lat) < tol
+
+
+def test_osgb_published_example():
+    """Projection-core check against the published OS worked example
+    (OSGB36 lat 52d39'27.2531\"N lon 1d43'4.5177\"E ->
+    E 651409.903 N 313177.270; 'A guide to coordinate systems in
+    Great Britain', Ordnance Survey)."""
+    from geocube_spark.geometry.crs import CRS_DEFS, _tm_forward
+
+    d = CRS_DEFS[27700]
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = _tm_forward(lon, lat, d["lon0"], d["ellps"])
+    _, n0 = _tm_forward(d["lon0"], d["lat0"], d["lon0"], d["ellps"])
+    E = d["fe"] + d["k0"] * e
+    N = d["fn"] + d["k0"] * (n - n0)
+    assert abs(E - 651409.903) < 0.01
+    assert abs(N - 313177.270) < 0.01
+
+
+def test_projection_natural_origins():
+    """Forward transforms hit each projection's published origin."""
+    wgs = CRS(4326)
+    x, y = transform(wgs, CRS(2154), np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700000) < 0.5 and abs(y[0] - 6600000) < 0.5
+    x, y = transform(wgs, CRS(5070), np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 0.5 and abs(y[0]) < 0.5
+    x, y = transform(wgs, CRS(3035), np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4321000) < 0.5 and abs(y[0] - 3210000) < 0.5
+
+
+def test_unsupported_crs_raises_with_guidance():
+    import pytest
+
+    with pytest.raises(ValueError, match="CRS_DEFS"):
+        CRS(9999)._to_lonlat(np.array([0.0]), np.array([0.0]))
+
+
 @given(st.lists(st.tuples(finite, finite), min_size=1, max_size=8))
 @settings(max_examples=100, deadline=None)
 def test_wkb_multipoint_roundtrip(points):
