@@ -116,24 +116,31 @@ TILED_VECTOR_SCHEMA = T.StructType(
 )
 
 
-def vectorize_tiled(cube: GeoCube, measurement: str = None) -> DataFrame:
+def vectorize_tiled(cube: GeoCube, measurement: str = None,
+                    max_iters: int = 50,
+                    driver_cap: int = 200_000) -> DataFrame:
     """Distributed raster -> vector: each TILE polygonizes locally
     (parallel across tiles x bands x groups), then components touching
-    across tile borders are dissolved globally.
+    across tile borders are dissolved globally into single OGC
+    polygons — identical component structure to the single-task
+    ``vectorize``, with memory per task bounded by tile size instead of
+    band size.
 
-    Components that span tiles come back as one MULTIPOLYGON row whose
-    parts are the tile-clipped pieces: identical cell set, value, and
-    component structure as the single-task ``vectorize`` (the
-    `test_vectorize_tiled_matches_single` parity test asserts equal
-    per-value component cell-count multisets), with memory per task
-    bounded by tile size instead of band size.
-
-    Dissolve plan: border-cell rows (O(perimeter), tiny vs O(area))
-    pair up across adjacent tiles by (boundary line, position, value);
-    the resulting (tile,label)~(tile,label) edges - thousands, not
-    billions - feed a driver-side union-find whose mapping is
-    broadcast back. This mirrors how Iceberg keeps partition-level
-    metadata small relative to data."""
+    Dissolve plan (no driver bottleneck):
+    1. border-cell rows (O(perimeter), tiny vs O(area)) pair up across
+       adjacent tiles by (boundary line, position, value), yielding
+       (tile,label)~(tile,label) adjacency edges as a DataFrame;
+    2. components are connected via distributed min-label propagation
+       with pointer jumping (hash-to-min style; O(log diameter)
+       rounds, each round a couple of shuffles over the EDGE set, never
+       the cell set);
+    3. each component's tile parts meet in one reduce task where
+       opposite-direction boundary unit segments cancel (the two sides
+       of an internal tile border traverse it in opposite directions)
+       and the surviving segments re-chain into the true merged
+       exterior/hole rings — a single OGC POLYGON per component, not a
+       MULTIPOLYGON of clipped parts.
+    """
     gb_dict = cube.geobox.to_dict()
     fills = {m: b.fill for m, b in cube.bands.items()}
     tile_size = cube.tile_size
@@ -145,7 +152,6 @@ def vectorize_tiled(cube: GeoCube, measurement: str = None) -> DataFrame:
     sc = spark.sparkContext
 
     def _stage1(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        gb = GeoBox.from_dict(gb_dict)
         m = str(key[0])
         gkey = key[1]
         nodata = fills[m]
@@ -170,10 +176,11 @@ def vectorize_tiled(cube: GeoCube, measurement: str = None) -> DataFrame:
                 ordered = [rings[ext]] + [
                     r for i, r in enumerate(rings) if i != ext
                 ]
-                world = [
-                    np.column_stack(
-                        gb.affine.xy(r[:, 0] + col0, r[:, 1] + row0)
-                    )
+                # GLOBAL PIXEL coords — the dissolve needs the integer
+                # lattice to cancel boundary segments; the affine is
+                # applied once at the end
+                pix = [
+                    np.column_stack([r[:, 0] + col0, r[:, 1] + row0])
                     for r in ordered
                 ]
                 out.append(
@@ -181,7 +188,7 @@ def vectorize_tiled(cube: GeoCube, measurement: str = None) -> DataFrame:
                         "measurement": m, "group_key": gkey,
                         "tile_id": tid, "kind": "poly", "label": lab,
                         "value": float(band[rc[0, 0], rc[0, 1]]),
-                        "geometry_wkb": Geometry(POLYGON, world).to_wkb(),
+                        "geometry_wkb": Geometry(POLYGON, pix).to_wkb(),
                         "n_cells": int(len(rc)),
                         "axis": None, "bcoord": None, "pos": None,
                         "side": None,
@@ -233,9 +240,13 @@ def vectorize_tiled(cube: GeoCube, measurement: str = None) -> DataFrame:
         .persist()
     )
 
-    # adjacency: same boundary line+position+value, one side each
+    # adjacency: same boundary line+position+value, one side each.
+    # node id = tile_id * 2^22 + label (labels per tile are bounded by
+    # tile_area/2 << 2^22; tile ids fit 2^41)
+    _L = np.int64(1) << 22
     edges = stage1.filter(F.col("kind") == "edge")
-    pair_rows = (
+    node = lambda e: F.col(f"{e}.tile_id") * int(_L) + F.col(f"{e}.label")
+    pairs = (
         edges.groupBy("measurement", "group_key", "axis", "bcoord",
                       "pos", "value")
         .agg(
@@ -244,79 +255,73 @@ def vectorize_tiled(cube: GeoCube, measurement: str = None) -> DataFrame:
             ).alias("ends")
         )
         .filter(F.size("ends") == 2)
-        .select("measurement", "group_key", "ends")
+        .select(
+            "measurement", "group_key",
+            F.element_at("ends", 1).alias("e1"),
+            F.element_at("ends", 2).alias("e2"),
+        )
+        .filter(F.col("e1.side") != F.col("e2.side"))
+        .select(
+            "measurement", "group_key",
+            node("e1").alias("a"), node("e2").alias("b"),
+        )
         .distinct()
-        .collect()
     )
 
-    # driver union-find over (measurement, group, tile, label) nodes
-    parent: dict = {}
+    # distributed connected components: min-label propagation + pointer
+    # jumping over the EDGE set (never the cells). Converges in
+    # O(log diameter) label-stable rounds. group_key may be NULL
+    # (ungrouped cubes) -> every key equality is null-safe; node ids
+    # are globally unique across bands anyway, so cross-band joins on
+    # node alone cannot mix components — keys ride along for locality.
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def _same(a, b):
+        return (
+            F.col(f"{a}.measurement") == F.col(f"{b}.measurement")
+        ) & F.col(f"{a}.group_key").eqNullSafe(F.col(f"{b}.group_key"))
 
-    for r in pair_rows:
-        (s0, t0, l0), (s1, t1, l1) = [
-            (e["side"], e["tile_id"], e["label"]) for e in r["ends"]
-        ]
-        if s0 == s1:
-            continue  # same side twice = not an adjacency
-        a = (r["measurement"], r["group_key"], t0, l0)
-        b = (r["measurement"], r["group_key"], t1, l1)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-    mapping = {k: find(k) for k in list(parent)}
-    bmap = sc.broadcast(mapping)
+    pairs = pairs.persist()
+    # hybrid: a small adjacency set (the overwhelmingly common case —
+    # O(components touching tile borders), not O(cells)) resolves in a
+    # driver union-find in one job; a large one (striped rasters,
+    # adversarial tile alignments) takes the distributed loop, so no
+    # driver memory bound exists on any input.
+    n_pairs = pairs.limit(driver_cap + 1).count()
+    if n_pairs <= driver_cap:
+        labels = _driver_union_find_labels(spark, pairs)
+    else:
+        labels = _propagate_labels(pairs, _same, max_iters)
 
-    polys = stage1.filter(F.col("kind") == "poly")
-
-    comp_schema = T.StructType(
-        _TILED_STAGE1.fields[:1]
-        + [_TILED_STAGE1.fields[1]]
-        + [
-            T.StructField("component", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("geometry_wkb", T.BinaryType()),
-            T.StructField("n_cells", T.LongType()),
-        ]
+    polys = stage1.filter(F.col("kind") == "poly").withColumn(
+        "node", F.col("tile_id") * int(_L) + F.col("label")
     )
-
-    def _assign(batches):
-        mp = bmap.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            comps = []
-            for _, r in pdf.iterrows():
-                key = (
-                    r["measurement"], r["group_key"],
-                    int(r["tile_id"]), int(r["label"]),
-                )
-                root = mp.get(key, key)
-                comps.append(f"{root[2]}:{root[3]}")
-            yield pd.DataFrame(
-                {
-                    "measurement": pdf["measurement"],
-                    "group_key": pdf["group_key"],
-                    "component": comps,
-                    "value": pdf["value"],
-                    "geometry_wkb": pdf["geometry_wkb"],
-                    "n_cells": pdf["n_cells"],
-                }
-            )
-
-    assigned = polys.mapInPandas(_assign, schema=comp_schema)
+    assigned = (
+        polys.alias("q")
+        .join(labels.alias("r"),
+              _same("q", "r") & (F.col("q.node") == F.col("r.node")),
+              "left")
+        .select(
+            F.col("q.measurement").alias("measurement"),
+            F.col("q.group_key").alias("group_key"),
+            F.coalesce(F.col("r.label"), F.col("q.node")).cast("string")
+            .alias("component"),
+            F.col("q.value").alias("value"),
+            F.col("q.geometry_wkb").alias("geometry_wkb"),
+            F.col("q.n_cells").alias("n_cells"),
+        )
+    )
 
     def _dissolve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gb = GeoBox.from_dict(gb_dict)
         parts = [W.loads(bytes(b)) for b in pdf["geometry_wkb"]]
         if len(parts) == 1:
-            geom = parts[0]
+            rings = list(parts[0].parts)
         else:
-            geom = W.multipolygon([p.parts for p in parts])
+            rings = _merge_part_rings(parts)
+        world = [
+            np.column_stack(gb.affine.xy(r[:, 0], r[:, 1])) for r in rings
+        ]
+        geom = Geometry(POLYGON, world)
         return pd.DataFrame(
             [
                 {
@@ -339,3 +344,163 @@ def vectorize_tiled(cube: GeoCube, measurement: str = None) -> DataFrame:
         .groupBy("measurement", "group_key", "component")
         .applyInPandas(_dissolve, schema=TILED_VECTOR_SCHEMA)
     )
+
+
+def _driver_union_find_labels(spark, pairs: DataFrame) -> DataFrame:
+    """Small-adjacency path: classic union-find over collected pairs,
+    returned as the same (measurement, group_key, node, label) frame
+    the distributed path produces."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = pairs.collect()
+    for r in rows:
+        ka = (r["measurement"], r["group_key"], r["a"])
+        kb = (r["measurement"], r["group_key"], r["b"])
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            parent[rb] = ra
+    # min node id per root = stable component label (matches the
+    # distributed loop's min-label convention)
+    root_min: dict = {}
+    for k in parent:
+        root = find(k)
+        cur = root_min.get(root)
+        if cur is None or k[2] < cur:
+            root_min[root] = k[2]
+    out = [
+        (k[0], k[1], int(k[2]), int(root_min[find(k)])) for k in parent
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("measurement", T.StringType()),
+            T.StructField("group_key", T.StringType()),
+            T.StructField("node", T.LongType()),
+            T.StructField("label", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
+def _propagate_labels(pairs: DataFrame, _same, max_iters: int) -> DataFrame:
+    """Distributed connected components: min-label propagation with
+    pointer jumping over the edge set. O(log diameter) label-stable
+    rounds, each a couple of edge-set shuffles — never touches cells,
+    never collects to the driver."""
+    adj = pairs.union(
+        pairs.select("measurement", "group_key",
+                     F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        adj.select("measurement", "group_key", F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        prop = (
+            adj.alias("e")
+            .join(labels.alias("l"),
+                  _same("e", "l") & (F.col("e.a") == F.col("l.node")))
+            .select(
+                F.col("e.measurement").alias("measurement"),
+                F.col("e.group_key").alias("group_key"),
+                F.col("e.b").alias("node"), F.col("l.label").alias("label"),
+            )
+        )
+        merged = (
+            labels.unionByName(prop)
+            .groupBy("measurement", "group_key", "node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label <- label(label)
+        jumped = (
+            merged.alias("m")
+            .join(
+                merged.alias("p"),
+                _same("m", "p") & (F.col("m.label") == F.col("p.node")),
+                "left",
+            )
+            .select(
+                F.col("m.measurement").alias("measurement"),
+                F.col("m.group_key").alias("group_key"),
+                F.col("m.node").alias("node"),
+                F.coalesce(F.col("p.label"), F.col("m.label"))
+                .alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            jumped.alias("j")
+            .join(labels.alias("o"),
+                  _same("j", "o") & (F.col("j.node") == F.col("o.node")))
+            .filter(F.col("j.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def _merge_part_rings(parts) -> list:
+    """Dissolve tile-clipped parts of one component into its true
+    rings (pixel space, integer corners).
+
+    Every part ring was traced interior-left, so the two sides of an
+    internal tile border traverse the same unit segments in OPPOSITE
+    directions: expanding all rings to directed unit segments and
+    cancelling reversed pairs leaves exactly the merged component's
+    boundary, which re-chains into closed rings (largest |area| =
+    exterior, rest holes — same convention as kernels.vectorize)."""
+    segs: dict = {}
+    for p in parts:
+        for ring in p.parts:
+            r = np.asarray(ring)
+            for i in range(len(r) - 1):
+                x0, y0 = r[i]
+                x1, y1 = r[i + 1]
+                n = int(round(max(abs(x1 - x0), abs(y1 - y0))))
+                dx = (x1 - x0) / n
+                dy = (y1 - y0) / n
+                for j in range(n):
+                    a = (round(x0 + j * dx), round(y0 + j * dy))
+                    b = (round(x0 + (j + 1) * dx), round(y0 + (j + 1) * dy))
+                    if segs.pop((b, a), None) is not None:
+                        continue  # cancelled internal border segment
+                    segs[(a, b)] = True
+    # chain surviving directed segments into rings
+    outs: dict = {}
+    for (a, b) in segs:
+        outs.setdefault(a, []).append(b)
+    rings = []
+    while outs:
+        start = next(iter(outs))
+        ring = [start]
+        cur = start
+        while True:
+            nxts = outs.get(cur)
+            if not nxts:
+                break
+            nxt = nxts.pop()
+            if not nxts:
+                del outs[cur]
+            ring.append(nxt)
+            cur = nxt
+            if cur == start:
+                break
+        if len(ring) > 3 and ring[0] == ring[-1]:
+            rings.append(
+                V._simplify_collinear(np.asarray(ring, dtype=np.float64))
+            )
+    if not rings:
+        return [np.asarray(p.parts[0]) for p in parts[:1]]
+    areas = [abs(V._ring_area(r)) for r in rings]
+    ext = int(np.argmax(areas))
+    return [rings[ext]] + [r for i, r in enumerate(rings) if i != ext]

@@ -75,6 +75,37 @@ def test_vectorize_tiled_matches_single(spark, cube):
     # and nothing was merged that shouldn't be: same component count
     assert len(tiled) == len(single)
 
+    # FULL geometry equality: every dissolved component is the same
+    # single OGC polygon the whole-band trace produces (rings compared
+    # in canonical rotation, direction preserved)
+    assert sorted(map(_canon_geom, single), key=repr) == \
+           sorted(map(_canon_geom, tiled), key=repr)
+
+
+def _canon_ring(r):
+    """Closed ring -> tuple rotated so the smallest vertex is first
+    (drop the duplicate closing vertex; keep travel direction)."""
+    pts = [tuple(v) for v in np.asarray(r)[:-1].tolist()]
+    k = min(range(len(pts)), key=lambda i: pts[i])
+    return tuple(pts[k:] + pts[:k])
+
+
+def _canon_geom(row):
+    g = W.loads(bytes(row["geometry_wkb"]))
+    rings = sorted(
+        _canon_ring(r) for rings in g.polygons() for r in rings
+    )
+    return (round(row["value"], 9), tuple(rings))
+
+
+def test_vectorize_tiled_distributed_labels(spark, cube):
+    """driver_cap=0 forces the distributed min-label-propagation path;
+    output must be identical to the driver union-find path."""
+    fast = vectorize_tiled(cube, "om_r").collect()
+    dist = vectorize_tiled(cube, "om_r", driver_cap=0).collect()
+    assert sorted(map(_canon_geom, fast), key=repr) == \
+           sorted(map(_canon_geom, dist), key=repr)
+
 
 def test_vectorize_tiled_donut_across_tiles(spark):
     """A polygon with a hole spanning several tiles: the tiled dissolve
