@@ -40,17 +40,22 @@ from ..geometry.wkb import (
 )
 
 
-def _multi_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Concatenate arange(s, s+c) for each (s, c) without a Python loop."""
+def _multi_arange(starts: np.ndarray, counts: np.ndarray,
+                  dtype=np.int64) -> np.ndarray:
+    """Concatenate arange(s, s+c) for each (s, c) without a Python loop.
+
+    ``dtype=np.int32`` halves memory traffic for tile-local values
+    (anything < 2^31 — cell indexes within a tile always are); the
+    cumsum stays exact because every prefix value is a valid index."""
     total = int(counts.sum())
     if total == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=dtype)
     ends = counts.cumsum()
-    out = np.ones(total, dtype=np.int64)
+    out = np.ones(total, dtype=dtype)
     out[0] = starts[0]
     idx = ends[:-1]
-    out[idx] = starts[1:] - (starts[:-1] + counts[:-1] - 1)
-    return out.cumsum()
+    out[idx] = (starts[1:] - (starts[:-1] + counts[:-1] - 1)).astype(dtype)
+    return out.cumsum(dtype=dtype)
 
 
 def _polygon_interior_cells(rings, height: int, width: int):
@@ -121,9 +126,13 @@ def batch_polygon_cells(x1, y1, x2, y2, owner, height, width):
     """Batched scanline over edges of MANY polygons at once.
 
     Same center/even-odd semantics as ``_polygon_interior_cells``, but
-    one vectorized pass covers every polygon in a tile: the crossing
-    pairing runs inside ``(owner, row)`` groups via a 3-key lexsort, so
-    per-geometry Python loops disappear from the burn hot path.
+    one vectorized pass covers every polygon in a tile, so per-geometry
+    Python loops disappear from the burn hot path. Crossing pairing
+    runs inside ``(owner, row)`` groups; the group key and a clipped
+    x-crossing pack into ONE float64 sort key (exact while
+    group_count * (width + 4) < 2^52 — owners per tile times tile
+    height stays far below that), so the pairing costs a single
+    argsort instead of a 3-key lexsort — the kernel's dominant op.
 
     x1/y1/x2/y2: float64 edge endpoints (pixel space), ``owner``:
     int64 id per edge (all rings of a polygon share one owner — holes
@@ -139,28 +148,34 @@ def batch_polygon_cells(x1, y1, x2, y2, owner, height, width):
     keep = counts > 0
     if not keep.any():
         return (np.empty(0, np.int64), np.empty(0, np.int64))
-    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    x1, y1 = x1[keep], y1[keep]
+    x2, y2 = x2[keep], y2[keep]
     owner = owner[keep]
     r_lo, counts = r_lo[keep], counts[keep]
+
+    # owners are arbitrary ids; compress to dense group indexes so the
+    # composite key stays small and the final gather is cheap
+    uown, own_dense = np.unique(owner, return_inverse=True)
 
     edge_idx = np.repeat(np.arange(len(x1)), counts)
     rows = _multi_arange(r_lo, counts)
     yc = rows + 0.5
-    dx = x2 - x1
-    dy = y2 - y1
-    xcross = x1[edge_idx] + (yc - y1[edge_idx]) * (dx[edge_idx] / dy[edge_idx])
-    own = owner[edge_idx]
+    slope = (x2 - x1) / (y2 - y1)          # one divide per edge
+    xcross = x1[edge_idx] + (yc - y1[edge_idx]) * slope[edge_idx]
 
-    # pair crossings even-odd within each (owner, row) group; closed
-    # rings guarantee an even crossing count per group
-    order = np.lexsort((xcross, rows, own))
+    # composite sort key: (owner, row) group then x within the group.
+    # clipping xcross to [-1, width+1] preserves both pair ordering and
+    # the burned column range (ceil/floor hit the same clip bounds)
+    xclip = np.clip(xcross, -1.0, width + 1.0)
+    group = own_dense[edge_idx].astype(np.float64) * height + rows
+    order = np.argsort(group * (width + 4.0) + (xclip + 2.0))
     rows = rows[order]
-    xcross = xcross[order]
-    own = own[order]
-    xa = xcross[0::2]
-    xb = xcross[1::2]
+    xclip = xclip[order]
+    og = own_dense[edge_idx][order]
+    xa = xclip[0::2]
+    xb = xclip[1::2]
     prow = rows[0::2]
-    pown = own[0::2]
+    pown = og[0::2]
     c_lo = np.ceil(xa - 0.5).astype(np.int64)
     c_hi = np.floor(xb - 0.5).astype(np.int64)
     c_lo = np.clip(c_lo, 0, width)
@@ -171,8 +186,11 @@ def batch_polygon_cells(x1, y1, x2, y2, owner, height, width):
         return (np.empty(0, np.int64), np.empty(0, np.int64))
     c_lo, ncols = c_lo[keep], ncols[keep]
     prow, pown = prow[keep], pown[keep]
-    flat = _multi_arange(prow * width + c_lo, ncols)
-    cell_owner = np.repeat(pown, ncols)
+    # int32 expansion: tile-local cell indexes and dense owner indexes
+    # both fit; halves the bandwidth of the kernel's largest arrays
+    flat = _multi_arange(prow * width + c_lo, ncols, dtype=np.int32)
+    cell_owner = uown.astype(np.int32)[np.repeat(pown.astype(np.int32),
+                                                 ncols)]
     return flat, cell_owner
 
 
