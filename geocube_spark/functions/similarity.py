@@ -63,10 +63,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _collect_corpus(corpus: DataFrame, id_col: str, vec_col: str):
+# broadcast budget for the exact paths: same order as Spark's default
+# autoBroadcastJoinThreshold philosophy but sized for a numpy matrix on
+# every executor. Above it, exactness-by-broadcast is a scale bug, not
+# a feature — callers fall back to the bucketed paths.
+DEFAULT_BROADCAST_BUDGET = 512 * 1024 * 1024  # bytes of float64 matrix
+
+
+def corpus_broadcast_bytes(corpus: DataFrame, vec_col: str) -> int:
+    """Estimated bytes of the normalized corpus matrix (rows x dim x 8).
+    One cheap agg job; at 100 TB the count comes from table metadata."""
+    row = corpus.select(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vec_col)).alias("dim"),
+    ).collect()[0]
+    return int(row["n"] or 0) * int(row["dim"] or 0) * 8
+
+
+def _collect_corpus(corpus: DataFrame, id_col: str, vec_col: str,
+                    budget: int = DEFAULT_BROADCAST_BUDGET):
     """Driver-side collect of the broadcast side (like building the
     hash relation of a broadcast join). Returns (ids, normalized
-    matrix) sorted by id for determinism."""
+    matrix) sorted by id for determinism. Raises when the corpus
+    exceeds ``budget`` — callers either route to a bucketed path or
+    surface the error."""
+    est = corpus_broadcast_bytes(corpus, vec_col)
+    if est > budget:
+        raise ValueError(
+            f"corpus matrix ~{est / 1e6:.0f} MB exceeds the broadcast "
+            f"budget ({budget / 1e6:.0f} MB); use ann_ivf_topk / "
+            "ann_lsh_topk (bucketed, no broadcast), or raise `budget`"
+        )
     pdf = corpus.select(id_col, vec_col).toPandas().sort_values(id_col)
     ids = pdf[id_col].to_numpy(dtype=np.int64)
     mat = _normalize(_to_matrix(pdf, vec_col))
@@ -86,13 +113,36 @@ _TOPK_SCHEMA = T.StructType(
 def brute_force_topk(corpus: DataFrame, *, k: int = 3,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     queries: DataFrame = None) -> DataFrame:
+                     queries: DataFrame = None,
+                     broadcast_budget: int = DEFAULT_BROADCAST_BUDGET,
+                     on_oversize: str = "ivf") -> DataFrame:
     """Exact cosine top-k neighbors for every query (default:
     corpus x corpus, self-matches excluded).
 
     Deterministic ranking: (round(cos, 6) DESC, neighbor id ASC) so
-    float noise below 1e-6 can never flip the output."""
-    c_ids, c_mat = _collect_corpus(corpus, id_col, vec_col)
+    float noise below 1e-6 can never flip the output.
+
+    The corpus matrix must fit ``broadcast_budget`` bytes on every
+    executor; an oversize corpus automatically routes to the bucketed
+    IVF path (``on_oversize='ivf'``, approximate — a warning is
+    logged) or raises (``on_oversize='error'``)."""
+    try:
+        c_ids, c_mat = _collect_corpus(
+            corpus, id_col, vec_col, budget=broadcast_budget
+        )
+    except ValueError:
+        if on_oversize == "ivf" and queries is None:
+            import logging
+
+            logging.getLogger("geocube_spark").warning(
+                "brute_force_topk: corpus exceeds the %d MB broadcast "
+                "budget; falling back to ann_ivf_topk (approximate)",
+                broadcast_budget // (1024 * 1024),
+            )
+            return ann_ivf_topk(
+                corpus, k=k, id_col=id_col, vec_col=vec_col
+            )
+        raise
     q = (queries or corpus).select(id_col, vec_col)
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -302,6 +352,79 @@ def ivf_centroids(corpus: DataFrame, *, k: int = 16, iters: int = 5,
             if len(members):
                 cents[c] = members.mean(axis=0)
         cents = _normalize(cents)
+    return cents
+
+
+def ivf_centroids_distributed(corpus: DataFrame, *, k: int = 16,
+                              iters: int = 5, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus: per-iteration
+    each Arrow batch assigns its vectors to the nearest centroid and
+    emits per-cluster partial (count, sum) rows — a map-side combine —
+    which tree-aggregate to k tiny rows; only k x dim floats ever reach
+    the driver. Deterministic init (first k vectors by id), so results
+    are reproducible across runs and cluster sizes.
+
+    Use when the driver-sample quantizer (``ivf_centroids``) would
+    under-represent a corpus with many rare modes; cost is ``iters``
+    corpus passes."""
+    first = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).toPandas()
+    )
+    cents = _normalize(_to_matrix(first, vec_col))
+    dim = cents.shape[1]
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    for _ in range(iters):
+        Ct = cents.T
+
+        def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = _normalize(_to_matrix(pdf, vec_col))
+                assign = np.argmax(m @ Ct, axis=1)
+                rows = []
+                for c in np.unique(assign):
+                    members = m[assign == c]
+                    rows.append(
+                        {
+                            "cluster": int(c),
+                            "cnt": int(len(members)),
+                            "vsum": members.sum(axis=0),
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=["cluster", "cnt", "vsum"])
+
+        agg = (
+            corpus.select(vec_col)
+            .mapInPandas(_partials, schema=part_schema)
+            .groupBy("cluster")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.array(
+                    *[
+                        F.sum(F.element_at("vsum", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ]
+                ).alias("vsum"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in agg:
+            if r["cnt"]:
+                new[r["cluster"]] = (
+                    np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
+                )
+        cents = _normalize(new)
     return cents
 
 

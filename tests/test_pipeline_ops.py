@@ -298,6 +298,51 @@ def test_ann_ivf_deterministic(spark, sf_dir, emb):
     assert a == b
 
 
+def test_brute_force_oversize_routes_to_ivf(spark, sf_dir, emb):
+    """Corpus above the broadcast budget: brute force must refuse the
+    driver collect and fall back to the bucketed IVF path."""
+    routed = sorted(
+        map(tuple, S.brute_force_topk(emb, k=1, broadcast_budget=1)
+            .collect())
+    )
+    direct = sorted(map(tuple, S.ann_ivf_topk(emb, k=1).collect()))
+    assert routed == direct  # same deterministic IVF result
+
+    with pytest.raises(ValueError, match="broadcast budget"):
+        S.brute_force_topk(
+            emb, k=1, broadcast_budget=1, on_oversize="error"
+        ).collect()
+    with pytest.raises(ValueError, match="broadcast budget"):
+        # explicit queries side cannot silently change semantics
+        S.brute_force_topk(
+            emb, k=1, broadcast_budget=1, queries=emb
+        ).collect()
+
+
+def test_ivf_centroids_distributed_matches_driver(spark):
+    """Tree-aggregated k-means == driver-sample k-means on a corpus
+    that fits the sample (well-separated clusters, deterministic
+    init), so swapping quantizers is behavior-preserving where both
+    apply."""
+    import pandas as pd
+
+    rng = np.random.RandomState(0)
+    centers = np.array(
+        [[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]]
+    )
+    rows = []
+    for i in range(300):
+        c = centers[i % 3]
+        rows.append(
+            {"vec_id": i,
+             "embedding": (c + rng.normal(0, 0.1, 4)).tolist()}
+        )
+    corpus = spark.createDataFrame(pd.DataFrame(rows))
+    drv = S.ivf_centroids(corpus, k=3, sample=300)
+    dist = S.ivf_centroids_distributed(corpus, k=3)
+    np.testing.assert_allclose(dist, drv, atol=1e-6)
+
+
 def test_shingle_engines_identical(spark, sf_dir):
     """The numpy shingle/hash engine must be value-identical to the
     Catalyst HOF engine: same tokenization (Java \\s semantics, trim
