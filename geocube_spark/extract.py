@@ -234,10 +234,18 @@ def extract_vector_table_sql(
     # by every measurement column; per-measurement lookup is then a
     # cheap map access. ``m['k']`` is key-literal-safe (no JSON-path
     # metacharacter issues with dotted/spaced measurement names).
-    # Known narrowing vs the pandas path: an explicit JSON null in a
-    # later fragment cannot override an earlier value here (map lookup
-    # can't distinguish key-absent from key:null) - our corpora encode
-    # missing values by key omission, which both paths treat the same.
+    # Known narrowings vs the pandas path (both benign for span-schema
+    # corpora, both documented):
+    # 1. an explicit JSON null in a later fragment cannot override an
+    #    earlier value (map lookup can't distinguish key-absent from
+    #    key:null) - our corpora encode missing values by key omission,
+    #    which both paths treat the same;
+    # 2. a fragment containing a NESTED object/array value makes
+    #    from_json(..., 'map<string,string>') return null for the WHOLE
+    #    fragment, dropping its scalar keys too (the pandas twin would
+    #    keep them). Attr fragments in the span schema are flat
+    #    scalar maps by contract; feed nested payloads through the
+    #    json_props operator (get_json_object) instead.
     maps = (
         f"transform({attrs_sorted}, "
         "s -> coalesce(from_json(s.text, 'map<string,string>'), "

@@ -143,6 +143,23 @@ def write_cube(
     """
     os.makedirs(path, exist_ok=True)
     prior = _list_manifests(path)
+    # resume safety: skipping a committed batch is only valid when the
+    # deterministic row->batch split is THE SAME split the prior
+    # manifests were written with — otherwise rows silently go missing
+    # or double. Both parameters are recorded in every manifest.
+    for m in prior:
+        if (m.get("n_buckets"), m.get("commit_batches")) != (
+            n_buckets, commit_batches,
+        ):
+            raise ValueError(
+                f"resume parameter mismatch at {path}: prior snapshot "
+                f"{m.get('snapshot_id')} was written with "
+                f"n_buckets={m.get('n_buckets')}, "
+                f"commit_batches={m.get('commit_batches')}; this call "
+                f"uses n_buckets={n_buckets}, "
+                f"commit_batches={commit_batches}. Use the original "
+                "parameters or write to a fresh path"
+            )
     done_batches = {m["batch"] for m in prior}
     _gc_uncommitted(path, {str(m["snapshot_id"]) for m in prior})
 

@@ -27,6 +27,7 @@ Design (Spark-first):
 
 from __future__ import annotations
 
+import json
 import os
 
 import pandas as pd
@@ -39,14 +40,29 @@ from ..grid.geobox import GeoBox
 
 
 class IncrementalCube:
-    """Streamed, resumable, incrementally-refreshed raster cube."""
+    """Streamed, resumable, incrementally-refreshed raster cube.
+
+    With ``event_time_col`` + ``watermark`` set, ingestion is
+    event-time aware: documents arriving more than ``watermark`` behind
+    the max seen event time are DROPPED before the burn (the stateful
+    ``dropDuplicatesWithinWatermark`` applies Structured Streaming's
+    late-record filter, and deduplicates doc ids within the watermark
+    as a bonus), so the compacted cube reflects only in-watermark data.
+    The watermark itself persists in the stream checkpoint across
+    ``refresh`` calls / restarts."""
 
     def __init__(self, output_path: str, geobox: GeoBox, *,
                  measurements=None, fill: float = 0.0,
                  merge_alg: str = "add", tile_size: int = 256,
-                 input_schema: str = SPANS_SCHEMA):
+                 input_schema: str = SPANS_SCHEMA,
+                 event_time_col: str = None, watermark: str = None,
+                 id_col: str = "doc_id"):
         if merge_alg not in ("add", "replace"):
             raise ValueError(f"unsupported merge_alg {merge_alg!r}")
+        if (event_time_col is None) != (watermark is None):
+            raise ValueError(
+                "event_time_col and watermark must be set together"
+            )
         self.output_path = output_path
         self.geobox = geobox
         self.measurements = measurements
@@ -54,6 +70,9 @@ class IncrementalCube:
         self.merge_alg = merge_alg
         self.tile_size = tile_size
         self.input_schema = input_schema
+        self.event_time_col = event_time_col
+        self.watermark = watermark
+        self.id_col = id_col
         self._fills: dict = {}
 
     # -- write side --------------------------------------------------------
@@ -83,16 +102,26 @@ class IncrementalCube:
             self.output_path, "partials", f"batch={batch_id}"
         )
         self._burn_partials(docs).write.mode("overwrite").parquet(part_dir)
+        # fills sidecar: compact() after a crash/restart must use the
+        # per-band fills the burn planned, not the constructor default
+        # (categorical -> -1, datetime -> 0.0 overrides would otherwise
+        # silently merge wrong)
+        with open(os.path.join(self.output_path, "fills.json"), "w") as f:
+            json.dump(self._fills, f)
 
     def refresh(self, spark: SparkSession, input_path: str,
                 checkpoint: str) -> None:
         """Process all currently-available new files, then stop
         (Trigger.AvailableNow): an incremental batch refresh that
-        resumes from the stream checkpoint."""
+        resumes from the stream checkpoint (including the event-time
+        watermark, when configured)."""
+        src = spark.readStream.schema(self.input_schema).parquet(input_path)
+        if self.event_time_col is not None:
+            src = src.withWatermark(
+                self.event_time_col, self.watermark
+            ).dropDuplicatesWithinWatermark([self.id_col])
         stream = (
-            spark.readStream.schema(self.input_schema)
-            .parquet(input_path)
-            .writeStream.foreachBatch(self.process_batch)
+            src.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
@@ -110,6 +139,14 @@ class IncrementalCube:
         """Fold every partial into final chunks (CHUNK_SCHEMA)."""
         parts = self.partials(spark)
         fills = dict(self._fills)
+        if not fills:
+            # crash/restart path: read the sidecar written by
+            # process_batch; only a cube with no batches at all falls
+            # back to the constructor fill
+            sidecar = os.path.join(self.output_path, "fills.json")
+            if os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    fills = json.load(f)
         if not fills:
             fills = {
                 r["measurement"]: self.fill

@@ -95,6 +95,22 @@ def test_kill_resume_skips_committed_batches(spark, cube, tmp_path):
     assert CP.read_cube(spark, path).count() == full
 
 
+def test_resume_rejects_changed_parameters(spark, cube, tmp_path):
+    """Resuming a partial write with different n_buckets/commit_batches
+    would silently skip batches whose row subsets no longer match the
+    pmod split — it must raise instead."""
+    path = str(tmp_path / "cube")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        cube.write(path, commit_batches=4, fail_after=2)
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        cube.write(path, commit_batches=8)
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        cube.write(path, n_buckets=16, commit_batches=4)
+    # original parameters still resume fine
+    report = cube.write(path, commit_batches=4)
+    assert sorted(report.skipped_snapshots) == [0, 1]
+
+
 def test_uncommitted_garbage_collected_on_resume(spark, cube, tmp_path):
     path = str(tmp_path / "cube")
     with pytest.raises(RuntimeError):

@@ -79,6 +79,120 @@ def test_incremental_refresh_equals_batch(spark, tmp_path, merge_alg):
             np.testing.assert_allclose(want[m], got[m], rtol=1e-12)
 
 
+def test_incremental_watermark_drops_late_docs(spark, tmp_path):
+    """Event-time watermark on document ingestion: a document arriving
+    beyond the watermark (after the high-water mark advanced in an
+    EARLIER refresh — watermarks advance at micro-batch boundaries) is
+    excluded from the compacted cube; an in-watermark document in the
+    same late batch still lands."""
+    import datetime as dt
+
+    import pandas as pd
+
+    def _stamp(pdf, ts):
+        pdf = pdf.copy()
+        pdf["ts"] = ts
+        return pdf
+
+    pdf1 = DG.flat_polygon_docs(n=8, seed=1)
+    late = DG.flat_polygon_docs(n=3, seed=2)
+    late["doc_id"] = [d.replace("soil_flat-", "late-") for d in late["doc_id"]]
+    ontime = DG.flat_polygon_docs(n=3, seed=3)
+    ontime["doc_id"] = [
+        d.replace("soil_flat-", "ontime-") for d in ontime["doc_id"]
+    ]
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "cube_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    geobox = _grid(spark)
+    schema = DG.SPANS_SCHEMA + ", ts timestamp"
+
+    def _write(pdf, ts, name):
+        df = spark.createDataFrame(_stamp(pdf, ts), schema=schema)
+        df.coalesce(1).write.parquet(f"{in_dir}/{name}")
+
+    inc = IncrementalCube(
+        out_dir, geobox, measurements=["om_r"], fill=0.0,
+        merge_alg="add", tile_size=32, input_schema=schema,
+        event_time_col="ts", watermark="1 hour",
+    )
+
+    # refresh 1: event time advances to 12:00 -> watermark = 11:00
+    _write(pdf1, dt.datetime(2026, 1, 1, 12, 0), "b1")
+    inc.refresh(spark, f"{in_dir}/*", ckpt)
+
+    # refresh 2: one doc 3h late (dropped), one in-watermark (kept)
+    _write(late, dt.datetime(2026, 1, 1, 9, 0), "b2_late")
+    _write(ontime, dt.datetime(2026, 1, 1, 11, 30), "b2_ok")
+    inc.refresh(spark, f"{in_dir}/*", ckpt)
+
+    final = inc.compact(spark)
+
+    # oracle: batch burn over pdf1 + ontime ONLY
+    all_docs = DG.to_spark(
+        spark, pd.concat([pdf1, ontime], ignore_index=True)
+    )
+    batch_cube = make_geocube(
+        all_docs, measurements=["om_r"], like=geobox, fill=0.0,
+        merge_alg="add", tile_size=32,
+    )
+    want = batch_cube.assemble()
+    got = GeoCube(
+        chunks=final, geobox=geobox, bands=batch_cube.bands,
+        tile_size=32, fill=0.0,
+    ).assemble()
+    np.testing.assert_allclose(want["om_r"], got["om_r"], rtol=1e-12)
+
+    # the late docs alone would have changed the cube (guard against a
+    # vacuous pass)
+    with_late = make_geocube(
+        DG.to_spark(
+            spark, pd.concat([pdf1, ontime, late], ignore_index=True)
+        ),
+        measurements=["om_r"], like=geobox, fill=0.0,
+        merge_alg="add", tile_size=32,
+    ).assemble()
+    assert not np.allclose(with_late["om_r"], want["om_r"])
+
+
+def test_compact_after_restart_uses_sidecar_fills(spark, tmp_path):
+    """compact() on a FRESH IncrementalCube instance (simulated
+    restart: in-memory _fills empty) must use the per-band fills the
+    burn planned, via the fills.json sidecar."""
+    pdf = DG.flat_polygon_docs(n=8, seed=1)
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "cube_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    geobox = _grid(spark)
+    inc = IncrementalCube(
+        out_dir, geobox, measurements=["om_r"], fill=-9999.0,
+        merge_alg="replace", tile_size=32,
+    )
+    DG.to_spark(spark, pdf).coalesce(1).write.parquet(f"{in_dir}/b1")
+    inc.refresh(spark, f"{in_dir}/*", ckpt)
+    assert os.path.exists(f"{out_dir}/fills.json")
+
+    # restart: new instance with a DIFFERENT (wrong) constructor fill
+    inc2 = IncrementalCube(
+        out_dir, geobox, measurements=["om_r"], fill=0.0,
+        merge_alg="replace", tile_size=32,
+    )
+    final = inc2.compact(spark)
+    batch_cube = make_geocube(
+        DG.to_spark(spark, pdf), measurements=["om_r"], like=geobox,
+        fill=-9999.0, merge_alg="replace", tile_size=32,
+    )
+    got = GeoCube(
+        chunks=final, geobox=geobox, bands=batch_cube.bands,
+        tile_size=32, fill=-9999.0,
+    ).assemble()
+    np.testing.assert_array_equal(batch_cube.assemble()["om_r"], got["om_r"])
+
+
 def test_windowed_watermark_stream(spark, tmp_path):
     """Watermarked tumbling windows over a 2-batch event stream: after
     the event-time high-water mark advances past window+watermark, the
