@@ -153,24 +153,40 @@ def ngram_jaccard_pairs(df: DataFrame, *, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3,
                         sets: DataFrame | None = None,
-                        prefix_filter: bool = True) -> DataFrame:
-    """Exact n-gram Jaccard >= threshold, prefix-filtered by default.
+                        prefix_filter="auto",
+                        hot_df_cap: int = 256) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold, hot-shingle-safe by default.
 
-    Output: (id_a, id_b, jaccard) with id_a < id_b. The DEFAULT path is
-    the AllPairs/PPJoin prefix filter: each doc indexes only its
-    |s| - ceil(t*|s|) + 1 globally-RAREST shingles (global document-
-    frequency order) — any pair with J >= t provably shares a prefix
-    shingle, so recall is exact while hot shingles (a boilerplate
-    shingle shared by 10^6 docs would make the naive index join
-    quadratic in that bucket) never generate candidates; candidates are
-    then verified with the full-set intersection, so the output is
-    identical to the naive join. This is the 100 TB-safe default.
+    Output: (id_a, id_b, jaccard) with id_a < id_b. Two provably-
+    identical physical plans:
 
-    ``prefix_filter=False`` selects the plain inverted-index self-join
-    (fewer stages; fine when the corpus has no high-DF shingles). Both
-    paths share one shingling pass via the persisted ``sets`` frame."""
+    * plain inverted-index self-join — fewest stages, but quadratic in
+      any hot-shingle bucket (a boilerplate shingle shared by 10^6 docs
+      emits 10^12/2 join rows);
+    * AllPairs/PPJoin prefix filter — each doc indexes only its
+      |s| - ceil(t*|s|) + 1 globally-RAREST shingles (global document-
+      frequency order); any pair with J >= t provably shares a prefix
+      shingle, so recall is exact while hot shingles never generate
+      candidates; candidates verify against the full sets.
+
+    ``prefix_filter='auto'`` (default) measures the max document
+    frequency with one small agg over the index and picks the prefix
+    plan only when some shingle exceeds ``hot_df_cap`` — benign corpora
+    keep the cheap plan, adversarial ones stay sub-quadratic, output is
+    identical either way. True/False force a plan. Both paths share
+    one shingling pass via the persisted ``sets`` frame."""
     if sets is None:
         sets = shingle_hash_sets(df, text_col, id_col, k).persist()
+    if prefix_filter == "auto":
+        idx = sets.select(F.explode("sh_hashes").alias("sh_hash"))
+        hot = (
+            idx.groupBy("sh_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > hot_df_cap)
+            .limit(1)
+            .count()
+        )
+        prefix_filter = hot > 0
     if prefix_filter:
         return _jaccard_prefix_filtered(sets, threshold)
     idx = shingle_sets(df, text_col, id_col, k, sets=sets)

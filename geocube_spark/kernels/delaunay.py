@@ -95,31 +95,44 @@ def estimate_gradients(points, values, tris, maxiter=400, tol=1e-6):
     vals = np.asarray(values, dtype=np.float64)
     n = len(pts)
     grads = np.zeros((n, 2), dtype=np.float64)
-    neighbors: list[set] = [set() for _ in range(n)]
-    for t in tris:
-        for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-            neighbors[a].add(b)
-            neighbors[b].add(a)
-    nbr = [np.fromiter(s, dtype=np.int64) for s in neighbors]
+    # undirected edge set -> directed (src, dst) arrays, fully numpy
+    if len(tris) == 0:
+        return grads
+    und = np.concatenate(
+        [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0
+    )
+    und = np.unique(np.sort(und, axis=1), axis=0)
+    src = np.concatenate([und[:, 0], und[:, 1]])
+    dst = np.concatenate([und[:, 1], und[:, 0]])
+    e = pts[dst] - pts[src]                           # (E, 2)
+    L3 = np.maximum(np.hypot(e[:, 0], e[:, 1]), 1e-300) ** 3
+    w = 1.0 / L3
+    # per-vertex 2x2 normal matrices Q = sum 2 e e^T / L^3 (fixed)
+    qxx = np.zeros(n)
+    qxy = np.zeros(n)
+    qyy = np.zeros(n)
+    np.add.at(qxx, src, 2.0 * w * e[:, 0] * e[:, 0])
+    np.add.at(qxy, src, 2.0 * w * e[:, 0] * e[:, 1])
+    np.add.at(qyy, src, 2.0 * w * e[:, 1] * e[:, 1])
+    det = qxx * qyy - qxy * qxy
+    det[det == 0] = 1.0
+    df = 3.0 * (vals[src] - vals[dst])
+    # Jacobi iteration (vectorized): every vertex solves its 2x2 system
+    # against the neighbors' previous gradients simultaneously — same
+    # fixed point as Gauss-Seidel, each sweep O(E) numpy
     for _ in range(maxiter):
-        max_change = 0.0
-        for p in range(n):
-            idx = nbr[p]
-            if len(idx) == 0:
-                continue
-            e = pts[idx] - pts[p]                     # (k, 2)
-            L3 = np.maximum(np.hypot(e[:, 0], e[:, 1]), 1e-300) ** 3
-            Q = (2.0 * e.T * (1.0 / L3)) @ e          # (2, 2)
-            d2 = np.einsum("kj,kj->k", grads[idx], e)
-            r = -(((3.0 * (vals[p] - vals[idx]) + d2) / L3)[:, None]
-                  * e).sum(axis=0)
-            try:
-                g = np.linalg.solve(Q, r)
-            except np.linalg.LinAlgError:
-                g = np.linalg.lstsq(Q, r, rcond=None)[0]
-            max_change = max(max_change, np.abs(g - grads[p]).max())
-            grads[p] = g
-        if max_change < tol * (1.0 + np.abs(grads).max()):
+        d2 = grads[dst, 0] * e[:, 0] + grads[dst, 1] * e[:, 1]
+        coef = (df + d2) * w
+        rx = np.zeros(n)
+        ry = np.zeros(n)
+        np.add.at(rx, src, -coef * e[:, 0])
+        np.add.at(ry, src, -coef * e[:, 1])
+        gx = (qyy * rx - qxy * ry) / det
+        gy = (qxx * ry - qxy * rx) / det
+        new = np.column_stack([gx, gy])
+        change = np.abs(new - grads).max()
+        grads = new
+        if change < tol * (1.0 + np.abs(grads).max()):
             break
     return grads
 
