@@ -33,9 +33,13 @@ after materializing each result.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..textops.analysis import h60, shingles, tokens
 
@@ -289,38 +293,76 @@ def _jaccard_prefix_filtered(sets: DataFrame, threshold: float) -> DataFrame:
 def minhash_signatures(df: DataFrame, *, num_hashes: int = 64,
                        text_col: str = "text", id_col: str = "doc_id",
                        k: int = 3,
-                       sets: DataFrame | None = None) -> DataFrame:
-    """64 minhashes per doc, entirely JVM-side with ZERO shuffle: the
-    affine hash family is evaluated per document over its shingle-hash
-    array (`transform` + `array_min`), a narrow map over the scan.
-    The old explode + groupBy formulation shuffled |docs|*|shingles|
-    rows; this one shuffles nothing and produces identical values."""
+                       sets: DataFrame | None = None,
+                       engine: str = "numpy") -> DataFrame:
+    """64 minhashes per doc with ZERO shuffle — a narrow map over the
+    per-doc shingle-hash arrays (the old explode + groupBy form
+    shuffled |docs|*|shingles| rows).
+
+    ``engine='numpy'`` (default): one Arrow batch -> concatenate the
+    arrays, one vectorized affine pass + ``np.minimum.reduceat`` per
+    hash function. ``engine='jvm'``: the pure-Column HOF form
+    (`transform` + `array_min`); interpreted lambdas cost ~100x per
+    element, kept for the differential parity test. Values identical.
+
+    Docs with no shingles are omitted (parity with the explode form,
+    and no NULL signatures banding together as spurious candidates)."""
     if sets is None:
         sets = shingle_hash_sets(df, text_col, id_col, k)
-    def _affine(a: int, b: int):
-        return lambda x: F.pmod(
-            x * F.lit(a) + F.lit(b), F.lit(MERSENNE31)
-        )
-
-    # parity with the old explode+groupBy form (and no NULL signatures
-    # banding together as spurious LSH candidates): docs with no
-    # shingles are omitted
     sets = sets.filter(F.size("sh_hashes") > 0)
-    # reduce each shingle hash mod P once, then run the 64 affine maps
-    # over the reduced array (same values, 1/3 the HOF arithmetic)
-    pre = sets.select(
-        "id",
-        F.transform(
-            "sh_hashes", lambda x: F.pmod(x, F.lit(MERSENNE31))
-        ).alias("hmod"),
-    )
-    cols = []
-    for j in range(num_hashes):
-        a, b = _minhash_params(j)
-        cols.append(
-            F.array_min(F.transform("hmod", _affine(a, b))).alias(f"mh_{j}")
+    ab = np.array([_minhash_params(j) for j in range(num_hashes)],
+                  dtype=np.int64)
+
+    if engine == "jvm":
+        def _affine(a: int, b: int):
+            return lambda x: F.pmod(
+                x * F.lit(a) + F.lit(b), F.lit(MERSENNE31)
+            )
+
+        # reduce each shingle hash mod P once, then run the affine maps
+        # over the reduced array (same values, 1/3 the HOF arithmetic)
+        pre = sets.select(
+            "id",
+            F.transform(
+                "sh_hashes", lambda x: F.pmod(x, F.lit(MERSENNE31))
+            ).alias("hmod"),
         )
-    return pre.select("id", *cols)
+        cols = [
+            F.array_min(
+                F.transform("hmod", _affine(int(a), int(b)))
+            ).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(ab)
+        ]
+        return pre.select("id", *cols)
+    if engine != "numpy":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType())]
+        + [T.StructField(f"mh_{j}", T.LongType())
+           for j in range(num_hashes)]
+    )
+
+    def _sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = pdf["sh_hashes"].values
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                               count=len(arrs))
+            flat = np.concatenate([np.asarray(a, dtype=np.int64)
+                                   for a in arrs])
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            hmod = flat % MERSENNE31  # < 2^31: a*h+b stays in int64
+            out = {"id": pdf["id"].to_numpy(dtype=np.int64)}
+            for j, (a, b) in enumerate(ab):
+                out[f"mh_{j}"] = np.minimum.reduceat(
+                    (hmod * a + b) % MERSENNE31, starts
+                )
+            yield pd.DataFrame(out)
+
+    return sets.select("id", "sh_hashes").mapInPandas(_sigs, schema=schema)
 
 
 def minhash_lsh_pairs(df: DataFrame, *, threshold: float = 0.5,

@@ -343,6 +343,17 @@ def test_ivf_centroids_distributed_matches_driver(spark):
     np.testing.assert_allclose(dist, drv, atol=1e-6)
 
 
+def test_minhash_engines_identical(spark, sf_dir):
+    """The numpy reduceat minhash engine must be value-identical to the
+    Catalyst HOF engine over the real near-dup corpus."""
+    corpus = P.corpus_neardup(spark, sf_dir)
+    a = sorted(map(tuple,
+                   D.minhash_signatures(corpus, engine="numpy").collect()))
+    b = sorted(map(tuple,
+                   D.minhash_signatures(corpus, engine="jvm").collect()))
+    assert len(a) > 0 and a == b
+
+
 def test_shingle_engines_identical(spark, sf_dir):
     """The numpy shingle/hash engine must be value-identical to the
     Catalyst HOF engine: same tokenization (Java \\s semantics, trim
