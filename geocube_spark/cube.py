@@ -426,7 +426,13 @@ def make_geocube(
 _COVER_FIELDS = [
     T.StructField("tile_id", T.LongType()),
     T.StructField("seq", T.LongType()),
-    T.StructField("pix_wkb", T.BinaryType()),
+    T.StructField("pix_wkb", T.BinaryType()),   # polygons/lines only
+    # point fast path: pixel coords as plain doubles (NaN for
+    # non-points). Points skip WKB entirely — no per-row bytes objects
+    # through the shuffle, and the burn side gets a vectorized isnan
+    # mask instead of a per-blob type scan.
+    T.StructField("px", T.DoubleType()),
+    T.StructField("py", T.DoubleType()),
 ]
 
 
@@ -455,14 +461,16 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
 
         for pdf in batches:
             blobs = pdf["geometry_wkb"].values
-            cols = ["tile_id", "seq", "pix_wkb"]
+            cols = ["tile_id", "seq", "pix_wkb", "px", "py"]
             if grouped:
                 cols.append("group_key")
             cols += list(meas)
 
             frames = []
             # vectorized path for the POINT SUBSET of the batch (mixed
-            # corpora stay on the numpy path for their point rows)
+            # corpora stay on the numpy path for their point rows).
+            # Points travel as plain double columns — no WKB objects
+            # through the shuffle
             is_pt, x, y = W.partition_points(blobs)
             if len(x):
                 if reproject:
@@ -477,7 +485,9 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                     {
                         "tile_id": ty[m_in] * ntx + tx[m_in],
                         "seq": sub["seq"].values[m_in].astype("int64"),
-                        "pix_wkb": W.points_to_wkb(px[m_in], py[m_in]),
+                        "pix_wkb": None,
+                        "px": px[m_in],
+                        "py": py[m_in],
                     }
                 )
                 if grouped:
@@ -535,6 +545,8 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                             "tile_id": tids,
                             "seq": seqs_all[pos][rep].astype("int64"),
                             "pix_wkb": pws[rep],
+                            "px": np.nan,
+                            "py": np.nan,
                         }
                     )
                     if grouped:
@@ -623,6 +635,8 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                             out_rows["tile_id"].append(ty * ntx + tx)
                             out_rows["seq"].append(int(seqs[i]))
                             out_rows["pix_wkb"].append(pw)
+                            out_rows["px"].append(np.nan)
+                            out_rows["py"].append(np.nan)
                             if grouped:
                                 gv = gvs[i]
                                 out_rows["group_key"].append(
@@ -782,13 +796,17 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         contrib_flat: list = []
         contrib_pos: list = []
 
-        is_pt, px, py = W.partition_points(blobs)
-        if len(px):
-            cc = np.floor(px).astype(np.int64) - col0
-            rr = np.floor(py).astype(np.int64) - row0
+        # points arrive as plain double columns (cover fast path) — a
+        # vectorized NaN mask instead of a per-blob WKB type scan
+        pxs = pdf["px"].values
+        pys = pdf["py"].values
+        is_pt = ~np.isnan(pxs)
+        if is_pt.any():
+            cc = np.floor(pxs[is_pt]).astype(np.int64) - col0
+            rr = np.floor(pys[is_pt]).astype(np.int64) - row0
             ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
             if ok.any():
-                contrib_flat.append(rr[ok] * w + cc[ok])
+                contrib_flat.append((rr[ok] * w + cc[ok]).astype(np.int32))
                 contrib_pos.append(np.flatnonzero(is_pt)[ok])
 
         rest = np.flatnonzero(~is_pt)
@@ -856,7 +874,7 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
             )
             rows, cols = geometry_cells(g, h, w, all_touched)
             if len(rows):
-                contrib_flat.append(rows * w + cols)
+                contrib_flat.append((rows * w + cols).astype(np.int32))
                 contrib_pos.append(np.full(len(rows), i, dtype=np.int64))
 
         if contrib_flat:
