@@ -48,6 +48,17 @@ def run(spark=None, sf_dir: str = None) -> dict:
     warm.repartition(int(CPUS)).mapInPandas(
         _warm, schema=warm.schema
     ).count()
+    # ALSO warm the grouped-map (applyInPandas) eval path + the burn
+    # closure itself with a 7-doc micro-burn: the first timed query
+    # otherwise pays ~2s of one-time codegen/worker specialization
+    from geocube_spark import datagen as _DG
+    from geocube_spark.cube import make_geocube as _mg
+
+    _mg(
+        _DG.to_spark(spark, _DG.flat_polygon_docs(n=7)),
+        measurements=["om_r"], output_crs="epsg:32615",
+        resolution=(-50, 50), fill=0.0, tile_size=64,
+    ).chunks.count()
 
     qs = E.queries()
     times, rows = {}, {}
