@@ -207,6 +207,59 @@ def cosine_dup_pairs(corpus: DataFrame, *, threshold: float = 0.99,
     )
 
 
+def cosine_dup_pairs_lsh(corpus: DataFrame, *, threshold: float = 0.99,
+                         dim: int, bits: int = 32, bands: int = 8,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Bucketed near-duplicate pairs — the 100 TB path beside the
+    broadcast-exact ``cosine_dup_pairs``. Candidates share >=1 LSH band
+    segment (equi-join, sub-quadratic); exact cosine verification per
+    bucket, so precision is perfect and recall grows with ``bands``
+    (near-identical vectors agree on almost every hyperplane sign, so
+    recall at dup-grade thresholds is high by construction)."""
+    sig = lsh_signatures(
+        corpus, dim=dim, bits=bits, id_col=id_col, vec_col=vec_col
+    )
+    seg = bits // bands
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("sig"), i * seg)
+                .bitwiseAND(F.lit((1 << seg) - 1))
+                .alias("sv"),
+            )
+            for i in range(bands)
+        ]
+    )
+    bkt = sig.select("id", "v", F.explode(segs).alias("s")).select(
+        "id", "v", F.col("s.band").alias("band"), F.col("s.sv").alias("sv")
+    )
+
+    def _bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["v"].values).astype(np.float64)
+        sims = np.round(m @ m.T, 6)
+        ai, bj = np.nonzero(
+            (sims >= threshold) & (ids[:, None] < ids[None, :])
+        )
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bj], "cos": sims[ai, bj]}
+        )
+
+    return (
+        bkt.groupBy("band", "sv")
+        .applyInPandas(_bucket_pairs, schema=_PAIRS_SCHEMA)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos").alias("cos"))
+    )
+
+
 # -- LSH ANN -------------------------------------------------------------------
 
 def _hyperplane(dim: int, bit: int, d: int) -> float:

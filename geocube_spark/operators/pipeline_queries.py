@@ -180,6 +180,70 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _minhash_lsh_sql(num_hashes: int = 64, bands: int = 16,
+                     tau: float = 0.5) -> str:
+    """SQL replay of functions.dedup.minhash_lsh_pairs bit-for-bit:
+    the whole pipeline (minhash signatures -> banded buckets -> exact
+    Jaccard verification) is a deterministic function of the corpus, so
+    it oracles like any other query — only RECALL vs true near-dups is
+    probabilistic, and that is pinned separately in tests."""
+    from ..functions.dedup import MERSENNE31, _minhash_params
+
+    rows = num_hashes // bands
+    mh_cols = ",\n         ".join(
+        f"min(((sh_hash % {MERSENNE31}) * {a} + {b}) % {MERSENNE31})"
+        f" AS mh_{j}"
+        for j, (a, b) in (
+            (j, _minhash_params(j)) for j in range(num_hashes)
+        )
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT id, {bi} AS band, md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(mh_{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + ")) AS bh FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+sig AS (
+  SELECT id, {mh_cols}
+  FROM idx GROUP BY id
+),
+buckets AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+),
+szs AS (SELECT id, any_value(set_size) AS set_size FROM idx GROUP BY id),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         any_value(sa.set_size) AS na, any_value(sb.set_size) AS nb,
+         count(*) AS n_inter
+  FROM cand c
+  JOIN idx a ON a.id = c.id_a
+  JOIN idx b ON b.id = c.id_b AND b.sh_hash = a.sh_hash
+  JOIN szs sa ON sa.id = c.id_a
+  JOIN szs sb ON sb.id = c.id_b
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (na + nb - n_inter), 6) AS jaccard
+FROM ver
+WHERE round(n_inter / (na + nb - n_inter), 6) >= {tau}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = (
+    f"WITH {CORPUS_NEARDUP_SQL}, {SHINGLE_IDX_SQL}, "
+    + _minhash_lsh_sql()[1:]  # strip leading newline before 'sig AS'
+)
+
+
 def q_dedup_simhash(spark, sf_dir):
     from ..functions.dedup import simhash
 
@@ -276,6 +340,89 @@ ORDER BY id_a, id_b
 """
 
 
+def q_embedding_dedup_lsh(spark, sf_dir):
+    """Bucketed embedding near-dup pairs (the 100 TB path beside the
+    broadcast-exact embedding_dedup_cosine). Deterministic pipeline ->
+    full SQL oracle."""
+    from ..functions.similarity import cosine_dup_pairs_lsh
+
+    e = _emb(spark, sf_dir)
+    pert = e.select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(
+                F.element_at("embedding", 1)
+                + F.lit(0.25).cast("float")
+            ),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(pert)
+    return (
+        cosine_dup_pairs_lsh(
+            corpus, threshold=0.9, dim=64, bits=32, bands=8
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _emb_dedup_lsh_sql(dim: int = 64, bits: int = 32, bands: int = 8,
+                       threshold: float = 0.9) -> str:
+    """SQL replay of q_embedding_dedup_lsh (deterministic hyperplanes,
+    band collisions, exact cosine verify)."""
+    from ..functions.similarity import hyperplane_matrix
+
+    H = hyperplane_matrix(dim, bits)
+    hp_rows = ",\n    ".join(
+        f"({b}, {d}, {H[b, d]!r})"
+        for b in range(bits) for d in range(dim)
+    )
+    seg = bits // bands
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT id, {i} AS band, (sig >> {i * seg}) & {(1 << seg) - 1}"
+        " AS sv FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+WITH hp(bit, d, w) AS (VALUES
+    {hp_rows}
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id AS id, v FROM base
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET},
+         list_concat([v[1] + CAST(CAST(0.25 AS FLOAT) AS DOUBLE)], v[2:{dim}])
+  FROM base
+),
+dots AS (
+  SELECT e.id, hp.bit, sum(hp.w * e.v[hp.d + 1]) AS dp
+  FROM e, hp GROUP BY e.id, hp.bit
+),
+sig AS (
+  SELECT id,
+         sum(CASE WHEN dp >= 0 THEN 1::BIGINT << bit ELSE 0 END) AS sig
+  FROM dots GROUP BY id
+),
+buckets AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.sv = r.sv AND l.id < r.id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_EMB_DEDUP_LSH = _emb_dedup_lsh_sql()
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF (inverted-file, nprobe) ANN — the second scale path next to
     LSH. No SQL oracle (approximate by construction); rows-only here,
@@ -288,13 +435,75 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate NN — no SQL oracle (LSH recall is probabilistic);
-    driver records rows-only, pytest checks recall vs brute force."""
+    """Random-hyperplane LSH ANN. Deterministic end-to-end (Weyl-
+    sequence hyperplanes, exact band collisions, exact cosine re-rank),
+    so it gets a full SQL oracle; only RECALL vs the true neighbors is
+    probabilistic, pinned separately in tests."""
     from ..functions.similarity import ann_lsh_topk
 
     return ann_lsh_topk(
         _emb(spark, sf_dir), k=1, dim=64, bits=32, bands=8
     ).orderBy("qid")
+
+
+def _ann_lsh_sql(dim: int = 64, bits: int = 32, bands: int = 8,
+                 k: int = 1) -> str:
+    """SQL replay of functions.similarity.ann_lsh_topk: the hyperplane
+    matrix is the same deterministic Weyl sequence, inlined as VALUES;
+    per-bucket local top-k in the engine is provably equivalent to the
+    global top-k over all bucket-coincident pairs computed here."""
+    from ..functions.similarity import hyperplane_matrix
+
+    H = hyperplane_matrix(dim, bits)  # (bits, dim)
+    hp_rows = ",\n    ".join(
+        f"({b}, {d}, {H[b, d]!r})"
+        for b in range(bits) for d in range(dim)
+    )
+    seg = bits // bands
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT id, {i} AS band, (sig >> {i * seg}) & {(1 << seg) - 1}"
+        " AS sv FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+WITH hp(bit, d, w) AS (VALUES
+    {hp_rows}
+),
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (
+  SELECT e.id, hp.bit, sum(hp.w * e.v[hp.d + 1]) AS dp
+  FROM e, hp GROUP BY e.id, hp.bit
+),
+sig AS (
+  SELECT id,
+         sum(CASE WHEN dp >= 0 THEN 1::BIGINT << bit ELSE 0 END) AS sig
+  FROM dots GROUP BY id
+),
+buckets AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT l.id AS qid, r.id AS nid
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.sv = r.sv AND l.id <> r.id
+),
+scored AS (
+  SELECT c.qid, c.nid,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM cand c JOIN e a ON a.id = c.qid JOIN e b ON b.id = c.nid
+),
+r AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY cos DESC, nid
+         ) AS rank
+  FROM scored
+)
+SELECT qid, rank, nid, cos FROM r WHERE rank <= {k} ORDER BY qid
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -485,12 +694,13 @@ FROM events GROUP BY 1 ORDER BY event_type
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),  # recall: see tests
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_PAIRS),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
     "embedding_dedup_cosine": (q_embedding_dedup_cosine, SQL_EMB_DEDUP),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # probabilistic recall
+    "embedding_dedup_lsh": (q_embedding_dedup_lsh, SQL_EMB_DEDUP_LSH),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # probabilistic recall
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -343,6 +343,24 @@ def test_ivf_centroids_distributed_matches_driver(spark):
     np.testing.assert_allclose(dist, drv, atol=1e-6)
 
 
+def test_cosine_dup_pairs_lsh_recall(spark, sf_dir):
+    """Bucketed near-dup pairs: perfect precision (exact cosine verify)
+    and high recall vs the broadcast-exact path at dup-grade
+    thresholds (cos>=0.9: per-band collision ~0.54, >=1 of 8 bands
+    ~0.998)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in P.q_embedding_dedup_cosine(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in P.q_embedding_dedup_lsh(spark, sf_dir).collect()
+    }
+    assert approx <= exact                    # perfect precision
+    assert len(approx) >= 0.95 * len(exact)   # recall floor
+    assert len(exact) > 0
+
+
 def test_minhash_engines_identical(spark, sf_dir):
     """The numpy reduceat minhash engine must be value-identical to the
     Catalyst HOF engine over the real near-dup corpus."""
