@@ -815,10 +815,81 @@ SELECT row, col, val FROM (
 
 def q_interp_linear(spark, sf_dir):
     """rasterize_points_griddata(method='linear'): Delaunay barycentric
-    interpolation (rasterize.py:136-191). No SQL oracle (triangulation
-    is not SQL-expressible); rows-only here, exactness-on-linear-field
-    pinned in tests/test_kernels.py."""
+    interpolation (rasterize.py:136-191). Oracle: the Delaunay
+    triangulation re-derived in SQL from its defining property (a
+    triangle is Delaunay iff its circumcircle is point-free — O(n^3)
+    triples, fine at oracle scale), then the same barycentric formula
+    per cell; outside-hull cells keep the fill. Exactness-on-linear-
+    field additionally pinned in tests/test_kernels.py."""
     return _interp_query(spark, sf_dir, "points_griddata", "linear")
+
+
+SQL_INTERP_LINEAR = f"""
+WITH pts AS (
+  SELECT event_id AS id, {_LON_SQL} AS x, {_LAT_SQL} AS y, value
+  FROM events WHERE event_id % 97 = 0
+),
+tri AS (
+  SELECT a.id ia, b.id ib, c.id ic,
+         a.x p1x, a.y p1y, b.x p2x, b.y p2y, c.x p3x, c.y p3y,
+         a.value v1, b.value v2, c.value v3,
+         2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y)
+              + c.x * (a.y - b.y)) AS dd,
+         a.x * a.x + a.y * a.y AS q1,
+         b.x * b.x + b.y * b.y AS q2,
+         c.x * c.x + c.y * c.y AS q3
+  FROM pts a, pts b, pts c
+  WHERE a.id < b.id AND b.id < c.id
+),
+cc AS (
+  SELECT *,
+         (q1 * (p2y - p3y) + q2 * (p3y - p1y) + q3 * (p1y - p2y)) / dd
+           AS ux,
+         (q1 * (p3x - p2x) + q2 * (p1x - p3x) + q3 * (p2x - p1x)) / dd
+           AS uy
+  FROM tri WHERE dd <> 0
+),
+dtri AS (
+  SELECT cc.*,
+         (p1x - ux) * (p1x - ux) + (p1y - uy) * (p1y - uy) AS r2
+  FROM cc
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts p
+    WHERE p.id NOT IN (cc.ia, cc.ib, cc.ic)
+      AND (p.x - cc.ux) * (p.x - cc.ux)
+        + (p.y - cc.uy) * (p.y - cc.uy)
+        < (p1x - cc.ux) * (p1x - cc.ux) + (p1y - cc.uy) * (p1y - cc.uy)
+  )
+),
+cells AS (
+  SELECT r.range AS row, c.range AS col,
+         -180.0 + 5.0 * (c.range + 0.5) AS gx,
+         90.0 - 5.0 * (r.range + 0.5) AS gy
+  FROM range(0, 36) r, range(0, 72) c
+),
+bary AS (
+  SELECT cells.row, cells.col,
+         ((p2y - p3y) * (gx - p3x) + (p3x - p2x) * (gy - p3y))
+           / ((p2y - p3y) * (p1x - p3x) + (p3x - p2x) * (p1y - p3y)) AS l1,
+         ((p3y - p1y) * (gx - p3x) + (p1x - p3x) * (gy - p3y))
+           / ((p2y - p3y) * (p1x - p3x) + (p3x - p2x) * (p1y - p3y)) AS l2,
+         v1, v2, v3
+  FROM cells, dtri
+  WHERE (p2y - p3y) * (p1x - p3x) + (p3x - p2x) * (p1y - p3y) <> 0
+),
+inside AS (
+  SELECT row, col,
+         l1 * v1 + l2 * v2 + (1 - l1 - l2) * v3 AS v,
+         row_number() OVER (PARTITION BY row, col) AS rn
+  FROM bary
+  WHERE l1 >= -1e-12 AND l2 >= -1e-12 AND (1 - l1 - l2) >= -1e-12
+)
+SELECT CAST(cells.row AS INT) AS row, CAST(cells.col AS INT) AS col,
+       coalesce(i.v, -9999.0) AS val
+FROM cells LEFT JOIN (SELECT * FROM inside WHERE rn = 1) i
+  ON i.row = cells.row AND i.col = cells.col
+ORDER BY row, col
+"""
 
 
 def q_interp_cubic(spark, sf_dir):
@@ -840,8 +911,9 @@ def q_interp_rbf(spark, sf_dir):
 def q_vectorize_components(spark, sf_dir):
     """Inverse path raster -> polygons (vector.py:15-70): burn, then
     connected-component polygonize, return per-value component counts.
-    No SQL oracle (connected components are not SQL-expressible);
-    rows-only check here, cell-exact roundtrip in tests."""
+    Oracle: the same nearest-interp grid in SQL, then 4-connected
+    components via a recursive reachability CTE (min reachable cell id
+    = component label), counted per value."""
     from ..cube import make_geocube
     from ..vector import vectorize
 
@@ -864,6 +936,59 @@ def q_vectorize_components(spark, sf_dir):
     )
 
 
+# connected components in SQL: plain reachability closure (UNION
+# dedup terminates it) over the same-value 4-neighbor graph; the
+# minimum reachable cell id is the component label — exactly
+# kernels.vectorize.label_components' equivalence classes
+SQL_VECTORIZE_COMPONENTS = f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value
+  FROM events WHERE event_id % 97 = 0
+),
+cells AS (
+  SELECT r.range AS row, c.range AS col,
+         -180.0 + 5.0 * (c.range + 0.5) AS gx,
+         90.0 - 5.0 * (r.range + 0.5) AS gy
+  FROM range(0, 36) r, range(0, 72) c
+),
+d AS (
+  SELECT row, col, value, event_id,
+         (gx - lon) * (gx - lon) + (gy - lat) * (gy - lat) AS d2
+  FROM cells, pts
+),
+rr AS (
+  SELECT row, col, value,
+         row_number() OVER (PARTITION BY row, col
+                            ORDER BY d2, event_id) AS rn
+  FROM d
+),
+grid AS (
+  SELECT row, col, value, row * 72 + col AS cid FROM rr WHERE rn = 1
+),
+adj AS (
+  SELECT a.cid AS src, b.cid AS dst
+  FROM grid a JOIN grid b
+    ON a.value = b.value
+   AND ((abs(a.row - b.row) = 1 AND a.col = b.col)
+     OR (a.row = b.row AND abs(a.col - b.col) = 1))
+),
+reach AS (
+  SELECT cid, cid AS r FROM grid
+  UNION
+  SELECT adj.dst AS cid, reach.r
+  FROM reach JOIN adj ON adj.src = reach.cid
+),
+lab AS (SELECT cid, min(r) AS label FROM reach GROUP BY cid),
+comp AS (
+  SELECT g.value, l.label
+  FROM grid g JOIN lab l ON l.cid = g.cid
+  GROUP BY 1, 2
+)
+SELECT value, count(*) AS n_components
+FROM comp GROUP BY 1 ORDER BY value
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -880,8 +1005,9 @@ QUERIES = {
     "tile_lineage": (q_tile_lineage, SQL_TILE_LINEAGE),
     "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
     "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
-    "interp_linear": (q_interp_linear, None),
+    "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "interp_cubic": (q_interp_cubic, None),
     "interp_rbf": (q_interp_rbf, None),
-    "vectorize_components": (q_vectorize_components, None),
+    "vectorize_components": (q_vectorize_components,
+                             SQL_VECTORIZE_COMPONENTS),
 }
