@@ -221,6 +221,11 @@ class GeoBoxMaker:
                 return like
             if isinstance(like, dict):
                 return GeoBox.from_dict(like)
+            if isinstance(like, str):
+                # reference CLI `-l previous_output.nc` parity: reuse
+                # the grid of an existing netCDF (read without h5py by
+                # sources.hdf5)
+                return geobox_from_netcdf(like)
             raise ValueError(f"unsupported 'like' value: {like!r}")
 
         if self.resolution is None:
@@ -282,3 +287,30 @@ def assume_crs_if_missing(crs) -> CRS:
         )
         return CRS(4326)
     return CRS.from_user_input(crs)
+
+
+def geobox_from_netcdf(path: str) -> GeoBox:
+    """Grid of an existing netCDF output (reference `like=` / CLI `-l`
+    parity, test_core_integration.py:279-296): x/y coordinate vars give
+    the affine, `spatial_ref`'s WKT gives the CRS. Read by the
+    pure-Python HDF5 reader — no h5py/netCDF4 needed."""
+    from ..sources.hdf5 import open_netcdf
+
+    f = open_netcdf(path)
+    if "x" not in f.datasets or "y" not in f.datasets:
+        raise ValueError(f"{path}: no x/y coordinate variables")
+    x = np.asarray(f.datasets["x"].values, dtype=np.float64)
+    y = np.asarray(f.datasets["y"].values, dtype=np.float64)
+    if len(x) < 2 or len(y) < 2:
+        raise ValueError(f"{path}: degenerate grid {len(y)}x{len(x)}")
+    rx = float(x[1] - x[0])
+    ry = float(y[1] - y[0])
+    affine = Affine(rx, 0.0, float(x[0]) - rx / 2.0,
+                    0.0, ry, float(y[0]) - ry / 2.0)
+    crs = CRS(4326)
+    sr = f.datasets.get("spatial_ref")
+    if sr is not None:
+        wkt = sr.attrs.get("crs_wkt") or sr.attrs.get("spatial_ref")
+        if wkt:
+            crs = CRS.from_user_input(wkt)
+    return GeoBox(len(x), len(y), affine, crs)

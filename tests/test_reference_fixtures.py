@@ -185,6 +185,20 @@ def test_flat_soil_golden_no_geom(spark):
     assert_matches_golden(cube, "soil_grid_flat_no_geom.nc")
 
 
+def test_flat_soil_golden_like_netcdf(spark):
+    """`like=` pointed at the reference's own netCDF output reproduces
+    its grid and values exactly (test_core_integration.py:279-296 /
+    CLI -l flag; the .nc grid is read by sources.hdf5)."""
+    docs = datagen.to_spark(spark, geojson_docs("soil_data_flat"))
+    cube = make_geocube(
+        docs, measurements=SOIL8,
+        like=f"{REF}/compare/soil_grid_flat.nc",
+        fill=-9999.0, tile_size=64,
+    )
+    assert cube.geobox.crs.epsg == 32615
+    assert_matches_golden(cube, "soil_grid_flat.nc")
+
+
 # ---------------------------------------------------------------------------
 # soil_data_group.geojson (77 MultiPolygons, 11 hzdept_r groups)
 # ---------------------------------------------------------------------------
