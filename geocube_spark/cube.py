@@ -132,6 +132,68 @@ class GeoCube:
             c[self.group_by] = list(self.group_keys)
         return c
 
+    def to_netcdf(self, path: str) -> None:
+        """Write the cube as a netCDF file (reference ``Dataset.
+        to_netcdf`` parity, api/core.py usage in every integration
+        test). Classic CDF-2 format — no HDF5/netCDF library needed,
+        readable by xarray/netCDF4/GDAL/ncdump — with the reference's
+        variable structure: x/y (+ group) coordinates, ``spatial_ref``
+        grid mapping carrying the CRS WKT, per-band ``_FillValue`` /
+        ``grid_mapping`` / ``units`` attrs, and categorical enums as a
+        ``categories`` attribute. Driver-side (assembles the cube) —
+        the distributed sink is ``write()``; this is the
+        interchange-format hatch."""
+        from .sources.netcdf_classic import write_netcdf
+
+        arrs = self.assemble()
+        coords = self.geobox.coords()
+        dims = {}
+        variables = {}
+        if self.group_by:
+            dims[self.group_by] = len(self.group_keys)
+            variables[self.group_by] = (
+                (self.group_by,),
+                np.asarray(self.group_keys, dtype="float64"),
+                {"NAME": self.group_by},
+            )
+        dims["y"] = self.geobox.height
+        dims["x"] = self.geobox.width
+        variables["y"] = (
+            ("y",), np.asarray(coords["y"], dtype="float64"),
+            {"long_name": "y coordinate of projection",
+             "standard_name": "projection_y_coordinate", "units": "m",
+             "axis": "Y"},
+        )
+        variables["x"] = (
+            ("x",), np.asarray(coords["x"], dtype="float64"),
+            {"long_name": "x coordinate of projection",
+             "standard_name": "projection_x_coordinate", "units": "m",
+             "axis": "X"},
+        )
+        wkt = self.geobox.crs.to_wkt()
+        variables["spatial_ref"] = (
+            (), np.int32(0),
+            {"spatial_ref": wkt, "crs_wkt": wkt},
+        )
+        band_dims = (
+            (self.group_by, "y", "x") if self.group_by else ("y", "x")
+        )
+        for m, meta in self.bands.items():
+            attrs = {
+                "_FillValue": np.asarray(meta.fill, dtype=meta.dtype),
+                "name": m, "long_name": m,
+                "grid_mapping": "spatial_ref",
+            }
+            if meta.units:
+                attrs["units"] = meta.units
+            if meta.categories:
+                attrs["categories"] = ",".join(meta.categories)
+            variables[m] = (band_dims, arrs[m], attrs)
+        write_netcdf(
+            path, dims=dims, variables=variables,
+            global_attrs={"Conventions": "CF-1.8"},
+        )
+
     def write(self, path: str, *, n_buckets: int = 64,
               commit_batches: int = 4, fail_after: Optional[int] = None):
         """Persist the cube as committed snapshots partitioned by

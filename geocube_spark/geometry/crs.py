@@ -552,14 +552,97 @@ class CRS:
         return f"EPSG:{self.epsg}"
 
     def to_wkt(self) -> str:
-        """Minimal WKT2-ish identification (metadata only)."""
-        if self.epsg == 4326:
-            return (
-                'GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
-                'ELLIPSOID["WGS 84",6378137,298.257223563]],'
-                'ID["EPSG",4326]]'
+        """WKT2 with real projection parameters (from CRS_DEFS), so
+        files carrying this WKT are interpretable by GDAL/pyproj."""
+        d = self._def
+
+        def _geog(name_id=None):
+            ellps = d.get("ellps", "WGS84")
+            a, f = ELLPS[ellps]
+            datum = d.get("datum", "WGS84")
+            names = {
+                "WGS84": ("WGS 84", "World Geodetic System 1984",
+                          "WGS 84"),
+                "ETRS89": ("ETRS89", "European Terrestrial Reference "
+                           "System 1989", "GRS 1980"),
+                "NAD83": ("NAD83", "North American Datum 1983",
+                          "GRS 1980"),
+                "OSGB36": ("OSGB36", "Ordnance Survey of Great Britain "
+                           "1936", "Airy 1830"),
+            }
+            gname, dname, ename = names.get(datum, (datum, datum, ellps))
+            inner = (
+                f'BASEGEOGCRS["{gname}",DATUM["{dname}",'
+                f'ELLIPSOID["{ename}",{a!r},{1.0 / f!r},'
+                'LENGTHUNIT["metre",1]]],'
+                'PRIMEM["Greenwich",0,ANGLEUNIT["degree",'
+                "0.0174532925199433]]]"
             )
-        return f'PROJCRS["EPSG:{self.epsg}",ID["EPSG",{self.epsg}]]'
+            return inner
+
+        if d["kind"] == "geographic":
+            g = _geog().replace("BASEGEOGCRS", "GEOGCRS", 1)[:-1]
+            return (
+                g + ',CS[ellipsoidal,2],AXIS["latitude",north],'
+                'AXIS["longitude",east],ANGLEUNIT["degree",'
+                "0.0174532925199433],"
+                f'ID["EPSG",{self.epsg}]]'
+            )
+        if d["kind"] == "webmerc":
+            return (
+                f'PROJCRS["WGS 84 / Pseudo-Mercator",'
+                'BASEGEOGCRS["WGS 84",DATUM["World Geodetic System '
+                '1984",ELLIPSOID["WGS 84",6378137,298.257223563,'
+                'LENGTHUNIT["metre",1]]]],'
+                'CONVERSION["Popular Visualisation Pseudo-Mercator",'
+                'METHOD["Popular Visualisation Pseudo Mercator",'
+                'ID["EPSG",1024]],'
+                'PARAMETER["Latitude of natural origin",0],'
+                'PARAMETER["Longitude of natural origin",0],'
+                'PARAMETER["False easting",0],'
+                'PARAMETER["False northing",0]],'
+                "CS[Cartesian,2],"
+                'AXIS["easting (X)",east],AXIS["northing (Y)",north],'
+                'LENGTHUNIT["metre",1],'
+                f'ID["EPSG",{self.epsg}]]'
+            )
+        method = {
+            "tm": ('Transverse Mercator', 9807),
+            "lcc": ('Lambert Conic Conformal (2SP)', 9802),
+            "albers": ('Albers Equal Area', 9822),
+            "laea": ('Lambert Azimuthal Equal Area', 9820),
+        }[d["kind"]]
+        params = [
+            ("Latitude of natural origin"
+             if d["kind"] in ("tm", "laea")
+             else "Latitude of false origin", d.get("lat0", 0.0)),
+            ("Longitude of natural origin"
+             if d["kind"] in ("tm", "laea")
+             else "Longitude of false origin", d.get("lon0", 0.0)),
+        ]
+        if d["kind"] == "tm":
+            params.append(
+                ("Scale factor at natural origin", d.get("k0", 1.0))
+            )
+        if d["kind"] in ("lcc", "albers"):
+            params.append(("Latitude of 1st standard parallel",
+                           d["sp1"]))
+            params.append(("Latitude of 2nd standard parallel",
+                           d["sp2"]))
+        params.append(("False easting", d.get("fe", 0.0)))
+        params.append(("False northing", d.get("fn", 0.0)))
+        pw = ",".join(
+            f'PARAMETER["{n}",{v!r}]' for n, v in params
+        )
+        return (
+            f'PROJCRS["EPSG:{self.epsg}",{_geog()},'
+            f'CONVERSION["{method[0]}",METHOD["{method[0]}",'
+            f'ID["EPSG",{method[1]}]],{pw}],'
+            "CS[Cartesian,2],"
+            'AXIS["easting (E)",east],AXIS["northing (N)",north],'
+            'LENGTHUNIT["metre",1],'
+            f'ID["EPSG",{self.epsg}]]'
+        )
 
     def __str__(self):
         return self.to_string()

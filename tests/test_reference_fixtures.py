@@ -256,6 +256,75 @@ def test_grouped_soil_golden_original_crs(spark):
     assert_matches_golden(cube, "soil_grid_grouped_original_crs.nc")
 
 
+def test_to_netcdf_roundtrip_matches_golden(spark, tmp_path):
+    """to_netcdf (reference Dataset.to_netcdf parity, classic CDF-2):
+    the written file round-trips through the classic reader with the
+    golden's band values, coords, fills, and a parseable CRS WKT."""
+    from geocube_spark.sources.netcdf_classic import read_netcdf
+    from geocube_spark.geometry.crs import CRS
+
+    docs = datagen.to_spark(spark, geojson_docs("soil_data_flat"))
+    cube = make_geocube(
+        docs, measurements=SOIL8, output_crs="epsg:32615", geom=GARS,
+        resolution=(-10, 10), fill=-9999.0, tile_size=64,
+    )
+    out = str(tmp_path / "soil.nc")
+    cube.to_netcdf(out)
+    f = read_netcdf(out)
+    g = open_netcdf(f"{REF}/compare/soil_grid_flat.nc")
+    assert f.dims == {"y": 188, "x": 144}
+    for b in SOIL8:
+        np.testing.assert_allclose(
+            f.variables[b].values.astype("float64"),
+            g.datasets[b].values.astype("float64"),
+            rtol=1e-5, equal_nan=True, err_msg=b,
+        )
+        assert f.variables[b].attrs["grid_mapping"] == "spatial_ref"
+    np.testing.assert_allclose(
+        f.variables["x"].values, g.datasets["x"].values
+    )
+    np.testing.assert_allclose(
+        f.variables["y"].values, g.datasets["y"].values
+    )
+    assert float(f.variables["om_r"].attrs["_FillValue"]) == -9999.0
+    wkt = f.variables["spatial_ref"].attrs["crs_wkt"]
+    assert CRS.from_user_input(wkt).epsg == 32615
+    assert "Transverse Mercator" in wkt
+
+
+def test_to_netcdf_grouped_and_categorical(spark, tmp_path):
+    from geocube_spark.sources.netcdf_classic import read_netcdf
+
+    docs = datagen.to_spark(spark, geojson_docs(
+        "soil_data_group",
+        extra_props={"soil_type": [
+            "sand", "bob", "clay", "sand", "silt", "clay", "sand",
+        ]},
+    ))
+    cube = make_geocube(
+        docs,
+        measurements=["sandtotal_r", "soil_type"],
+        output_crs="epsg:32615", geom=GARS, group_by="hzdept_r",
+        resolution=(-10, 10),
+        categorical_enums={"soil_type": ("sand", "silt", "clay")},
+        fill=-9999.0, tile_size=64,
+    )
+    out = str(tmp_path / "grouped.nc")
+    cube.to_netcdf(out)
+    f = read_netcdf(out)
+    assert f.dims["hzdept_r"] == 11
+    assert f.variables["sandtotal_r"].shape == (11, 188, 144)
+    assert f.variables["soil_type"].dtype.name in ("int8", "uint8")
+    assert f.variables["soil_type"].attrs["categories"] == \
+        "clay,sand,silt,nodata"
+    np.testing.assert_allclose(
+        f.variables["hzdept_r"].values, cube.group_keys
+    )
+    got = f.variables["sandtotal_r"].values.astype("float64")
+    want = cube.assemble()["sandtotal_r"].astype("float64")
+    np.testing.assert_allclose(got, want, equal_nan=True)
+
+
 # ---------------------------------------------------------------------------
 # time_vector_data / naive_time_vector_data (20 points, datetime attr)
 # ---------------------------------------------------------------------------
