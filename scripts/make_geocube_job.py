@@ -84,14 +84,20 @@ def main(argv=None) -> dict:
 
     like = None
     if args.like:
-        from geocube_spark.grid.geobox import GeoBox
+        from geocube_spark.grid.geobox import GeoBox, geobox_from_netcdf
 
-        manifests = CP.snapshots(args.like)
-        if not manifests:
-            raise SystemExit(f"--like: no committed cube at {args.like}")
-        meta_path = os.path.join(args.like, "_geobox.json")
-        with open(meta_path) as f:
-            like = GeoBox.from_dict(json.load(f))
+        if os.path.isfile(args.like):
+            # a netCDF file (reference CLI -l parity): reuse its grid
+            like = geobox_from_netcdf(args.like)
+        else:
+            manifests = CP.snapshots(args.like)
+            if not manifests:
+                raise SystemExit(
+                    f"--like: no committed cube at {args.like}"
+                )
+            meta_path = os.path.join(args.like, "_geobox.json")
+            with open(meta_path) as f:
+                like = GeoBox.from_dict(json.load(f))
 
     docs = spark.read.parquet(args.input)
     cube = make_geocube(
@@ -110,6 +116,18 @@ def main(argv=None) -> dict:
         tile_size=args.tile_size,
         salt=args.salt,
     )
+    if args.output.endswith(".nc"):
+        # reference CLI parity: `geocube make-geocube IN out.nc` writes
+        # a netCDF file (classic CDF-2, driver-side assemble)
+        cube.to_netcdf(args.output)
+        summary = {
+            "output": args.output,
+            "format": "netcdf",
+            "grid": {"shape": list(cube.geobox.shape)},
+            "bands": sorted(cube.bands),
+        }
+        print(json.dumps(summary))
+        return summary
     report = cube.write(
         args.output, n_buckets=args.n_buckets,
         commit_batches=args.commit_batches,

@@ -62,3 +62,21 @@ def test_spark_submit_job_and_resume(spark, tmp_path_factory):
     summary2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert summary2["committed"] == []
     assert sorted(summary2["skipped"]) == [0, 1]
+
+    # .nc output path (reference `geocube make-geocube IN out.nc`
+    # parity) with --like pointed at the cube written above
+    nc_out = str(tmp / "out.nc")
+    cmd_nc = cmd[:cmd.index("--output") + 1] + [nc_out] + [
+        "--like", out_path, "--fill", "-9999.0",
+        "--merge-alg", "replace", "--tile-size", "64",
+        "--measurements", "om_r",
+    ]
+    r3 = subprocess.run(cmd_nc, capture_output=True, text=True,
+                        timeout=420)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    summary3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert summary3["format"] == "netcdf"
+    from geocube_spark.sources.netcdf_classic import read_netcdf
+
+    f = read_netcdf(nc_out)
+    assert "om_r" in f.variables and f.dims["x"] > 0
