@@ -128,6 +128,7 @@ def write_cube(
     n_buckets: int = DEFAULT_N_BUCKETS,
     commit_batches: int = 4,
     fail_after: int | None = None,
+    verify_input: bool = False,
 ) -> WriteReport:
     """Write a chunk DataFrame as a sequence of committed snapshots.
 
@@ -169,6 +170,33 @@ def write_cube(
     # one materialization of the (expensive) upstream pipeline; the
     # per-batch filters below read the cache instead of re-burning
     withb = withb.persist()
+
+    if verify_input and prior:
+        # opt-in resume fingerprint: recompute each committed batch's
+        # (rows, cells) from the CURRENT input and compare with the
+        # manifest — catches resuming against changed upstream data at
+        # the cost of one filtered agg per committed batch
+        for m in prior:
+            part = withb.filter(
+                F.pmod(F.col("cell_bucket"), F.lit(commit_batches))
+                == m["batch"]
+            )
+            stats = part.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("h").cast("long") * F.col("w"))
+                .alias("cells"),
+            ).collect()[0]
+            want = m.get("metrics", {})
+            got = (int(stats["rows"] or 0), int(stats["cells"] or 0))
+            if got != (want.get("rows"), want.get("cells")):
+                withb.unpersist()
+                raise ValueError(
+                    f"resume input mismatch at {path}: committed batch "
+                    f"{m['batch']} covered rows/cells {want.get('rows')}"
+                    f"/{want.get('cells')} but the current input yields "
+                    f"{got[0]}/{got[1]} — the upstream data changed; "
+                    "write to a fresh path"
+                )
 
     report = WriteReport(path=path)
     parent = prior[-1]["snapshot_id"] if prior else None

@@ -95,6 +95,31 @@ def test_kill_resume_skips_committed_batches(spark, cube, tmp_path):
     assert CP.read_cube(spark, path).count() == full
 
 
+def test_resume_verify_input_fingerprint(spark, cube, tmp_path):
+    """verify_input=True: resuming against CHANGED upstream data raises
+    instead of committing a cube whose batches came from different
+    inputs; unchanged data resumes normally."""
+    path = str(tmp_path / "cube")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        CP.write_cube(cube.chunks, path, commit_batches=4, fail_after=2)
+    # same input: resume passes with verification on
+    report = CP.write_cube(
+        cube.chunks, path, commit_batches=4, verify_input=True
+    )
+    assert sorted(report.skipped_snapshots) == [0, 1]
+
+    # changed input (drop some rows): verification must catch it
+    path2 = str(tmp_path / "cube2")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        CP.write_cube(cube.chunks, path2, commit_batches=4, fail_after=2)
+    changed = cube.chunks.filter("tile_id % 7 != 3")
+    assert changed.count() < cube.chunks.count()
+    with pytest.raises(ValueError, match="resume input mismatch"):
+        CP.write_cube(
+            changed, path2, commit_batches=4, verify_input=True
+        )
+
+
 def test_resume_rejects_changed_parameters(spark, cube, tmp_path):
     """Resuming a partial write with different n_buckets/commit_batches
     would silently skip batches whose row subsets no longer match the
