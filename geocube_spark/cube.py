@@ -43,7 +43,7 @@ from .geometry import wkb as W
 from .geometry.crs import CRS, transform as crs_transform
 from .grid.geobox import GeoBox, GeoBoxMaker
 from .kernels.dtypes import is_numeric, minimize_dtype
-from .kernels.interpolate import griddata_interp, interpolate_na, rbf_interp
+from .kernels.interpolate import GridInterpolator, interpolate_na
 from .kernels.rasterize import (
     _multi_arange,
     batch_outline_cells,
@@ -1120,17 +1120,16 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         vals = pdf["value"].values.astype(np.float64)
 
         coords = gb.coords()
+        # fit the globally-coupled structures ONCE (Delaunay + CT
+        # gradients / RBF dense solve); the tile loop only evaluates
+        model = GridInterpolator(
+            function, method, px, py, vals, fill=fill, rescale=rescale,
+        )
         out = []
         for tile_id, row0, col0, h, w in gb.tile_grid(tile_size):
             gx = coords["x"][col0 : col0 + w]
             gy = coords["y"][row0 : row0 + h]
-            if function == "points_griddata":
-                band = griddata_interp(
-                    px, py, vals, gx, gy, method=method, fill=fill,
-                    rescale=rescale,
-                )
-            else:
-                band = rbf_interp(px, py, vals, gx, gy, function=method)
+            band = model(gx, gy)
             out.append(
                 {
                     "measurement": m,

@@ -14,11 +14,54 @@ from __future__ import annotations
 import numpy as np
 
 
+def _batch_circum(allp: np.ndarray, tri: np.ndarray):
+    """Vectorized circumcircles for (M, 3) triangles: (ux, uy, r2).
+
+    Degenerate (collinear) triangles get r2 = -1 so the in-circle test
+    never admits a point (matches the scalar form's sentinel).
+    """
+    a = allp[tri[:, 0]]
+    b = allp[tri[:, 1]]
+    c = allp[tri[:, 2]]
+    d = 2 * (
+        a[:, 0] * (b[:, 1] - c[:, 1])
+        + b[:, 0] * (c[:, 1] - a[:, 1])
+        + c[:, 0] * (a[:, 1] - b[:, 1])
+    )
+    bad = d == 0
+    dd = np.where(bad, 1.0, d)
+    a2 = a[:, 0] ** 2 + a[:, 1] ** 2
+    b2 = b[:, 0] ** 2 + b[:, 1] ** 2
+    c2 = c[:, 0] ** 2 + c[:, 1] ** 2
+    ux = (
+        a2 * (b[:, 1] - c[:, 1])
+        + b2 * (c[:, 1] - a[:, 1])
+        + c2 * (a[:, 1] - b[:, 1])
+    ) / dd
+    uy = (
+        a2 * (c[:, 0] - b[:, 0])
+        + b2 * (a[:, 0] - c[:, 0])
+        + c2 * (b[:, 0] - a[:, 0])
+    ) / dd
+    r2 = (a[:, 0] - ux) ** 2 + (a[:, 1] - uy) ** 2
+    ux = np.where(bad, np.inf, ux)
+    uy = np.where(bad, np.inf, uy)
+    r2 = np.where(bad, -1.0, r2)
+    return ux, uy, r2
+
+
 def delaunay(points: np.ndarray) -> np.ndarray:
     """Return (M, 3) int array of triangle vertex indices.
 
     points: (N, 2) float array, N >= 3. Degenerate (all-collinear)
     inputs return an empty triangle list.
+
+    Bowyer-Watson with the per-insertion circumcircle scan fully
+    vectorized over the live triangle arrays (the former dict/list form
+    cost ~1 s at n=1000; this one is ~milliseconds). Insertion order
+    (0..n-1) and the in-circle tolerance are unchanged, so co-circular
+    tie-breaks — and therefore the output triangulation — match the
+    previous implementation exactly.
     """
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
@@ -32,47 +75,73 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         [[cx - 20 * span, cy - span], [cx, cy + 20 * span], [cx + 20 * span, cy - span]]
     )
     allp = np.vstack([pts, st])
-    si = np.array([n, n + 1, n + 2])
 
-    tris = [tuple(si)]
+    cap = 4 * n + 16
+    tv = np.empty((cap, 3), dtype=np.int64)     # triangle vertices
+    ccx = np.empty(cap, dtype=np.float64)       # circumcenter x
+    ccy = np.empty(cap, dtype=np.float64)       # circumcenter y
+    cr2 = np.empty(cap, dtype=np.float64)       # circumradius^2
+    alive = np.zeros(cap, dtype=bool)
 
-    def circum(tri):
-        a, b, c = allp[tri[0]], allp[tri[1]], allp[tri[2]]
-        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
-        if d == 0:
-            return (np.inf, np.inf, -1.0)
-        a2, b2, c2 = a @ a, b @ b, c @ c
-        ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1]) + c2 * (a[1] - b[1])) / d
-        uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0]) + c2 * (b[0] - a[0])) / d
-        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
-        return (ux, uy, r2)
-
-    centers = {tuple(si): circum(si)}
+    tv[0] = (n, n + 1, n + 2)
+    ux0, uy0, r20 = _batch_circum(allp, tv[:1])
+    ccx[0], ccy[0], cr2[0] = ux0[0], uy0[0], r20[0]
+    alive[0] = True
+    ntri = 1
+    ekey_base = n + 3
 
     for i in range(n):
-        p = allp[i]
-        bad = []
-        for t in tris:
-            ux, uy, r2 = centers[t]
-            if (p[0] - ux) ** 2 + (p[1] - uy) ** 2 <= r2 * (1 + 1e-12):
-                bad.append(t)
-        # boundary polygon = edges appearing exactly once among bad tris
-        edge_count = {}
-        for t in bad:
-            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
-                k = (min(e), max(e))
-                edge_count[k] = edge_count.get(k, 0) + 1
-        for t in bad:
-            tris.remove(t)
-            del centers[t]
-        for (u, v), cnt in edge_count.items():
-            if cnt == 1:
-                nt = (u, v, i)
-                tris.append(nt)
-                centers[nt] = circum(nt)
+        px, py = allp[i]
+        d2 = (px - ccx[:ntri]) ** 2 + (py - ccy[:ntri]) ** 2
+        bad = np.flatnonzero(alive[:ntri] & (d2 <= cr2[:ntri] * (1 + 1e-12)))
+        if len(bad) == 0:
+            continue
+        bt = tv[bad]
+        e = np.concatenate([bt[:, [0, 1]], bt[:, [1, 2]], bt[:, [2, 0]]])
+        e.sort(axis=1)
+        key = e[:, 0] * ekey_base + e[:, 1]
+        uniq, counts = np.unique(key, return_counts=True)
+        single = uniq[counts == 1]      # boundary polygon edges
+        alive[bad] = False
+        nb = len(single)
+        if nb == 0:
+            continue
+        if ntri + nb > cap:
+            # compact dead slots (amortized; live count is ~2n bounded)
+            live = np.flatnonzero(alive[:ntri])
+            m = len(live)
+            tv[:m] = tv[live]
+            ccx[:m] = ccx[live]
+            ccy[:m] = ccy[live]
+            cr2[:m] = cr2[live]
+            alive[:ntri] = False
+            alive[:m] = True
+            ntri = m
+            if ntri + nb > cap:
+                cap = max(2 * cap, ntri + nb + 16)
+                tv = np.resize(tv, (cap, 3))
+                ccx = np.resize(ccx, cap)
+                ccy = np.resize(ccy, cap)
+                cr2 = np.resize(cr2, cap)
+                alive = np.resize(alive, cap)
+                alive[ntri:] = False
+        new = np.empty((nb, 3), dtype=np.int64)
+        new[:, 0] = single // ekey_base
+        new[:, 1] = single % ekey_base
+        new[:, 2] = i
+        sl = slice(ntri, ntri + nb)
+        tv[sl] = new
+        ux, uy, r2 = _batch_circum(allp, new)
+        ccx[sl] = ux
+        ccy[sl] = uy
+        cr2[sl] = r2
+        alive[sl] = True
+        ntri += nb
 
-    out = [t for t in tris if all(v < n for v in t)]
-    return np.asarray(out, dtype=np.int64) if out else np.empty((0, 3), np.int64)
+    live = np.flatnonzero(alive[:ntri])
+    out = tv[live]
+    out = out[(out < n).all(axis=1)]
+    return out if len(out) else np.empty((0, 3), np.int64)
 
 
 def estimate_gradients(points, values, tris, maxiter=400, tol=1e-6):
@@ -123,10 +192,9 @@ def estimate_gradients(points, values, tris, maxiter=400, tol=1e-6):
     for _ in range(maxiter):
         d2 = grads[dst, 0] * e[:, 0] + grads[dst, 1] * e[:, 1]
         coef = (df + d2) * w
-        rx = np.zeros(n)
-        ry = np.zeros(n)
-        np.add.at(rx, src, -coef * e[:, 0])
-        np.add.at(ry, src, -coef * e[:, 1])
+        # bincount is the fast scatter-add (np.add.at is ~10x slower)
+        rx = -np.bincount(src, weights=coef * e[:, 0], minlength=n)
+        ry = -np.bincount(src, weights=coef * e[:, 1], minlength=n)
         gx = (qyy * rx - qxy * ry) / det
         gy = (qxx * ry - qxy * rx) / det
         new = np.column_stack([gx, gy])
@@ -137,12 +205,12 @@ def estimate_gradients(points, values, tris, maxiter=400, tol=1e-6):
     return grads
 
 
-def _ct_patch_coeffs(V, f, g):
-    """Clough-Tocher control net for one triangle.
+def _ct_patch_nets(V, f, g):
+    """Clough-Tocher control nets, vectorized over many triangles.
 
-    V: (3,2) vertices, f: (3,) values, g: (3,2) gradients. Returns
-    (centroid, coeffs) with coeffs (3, 10): per mini-patch k (on outer
-    edge (Vk, Vk+1), internal vertex = centroid) the cubic Bezier
+    V: (T,3,2) vertices, f: (T,3) values, g: (T,3,2) gradients.
+    Returns (centroids (T,2), coeffs (T,3,10)): per mini-patch k (on
+    outer edge (Vk, Vk+1), internal vertex = centroid) the cubic Bezier
     coefficients ordered
       [b300, b030, b003, b210, b120, b201, b021, b111, b102, b012].
 
@@ -155,44 +223,55 @@ def _ct_patch_coeffs(V, f, g):
       u_i = (w_left + w_right + t_i) / 3,   c = (u0 + u1 + u2) / 3,
     where t_i = f_i + g_i . (V4 - V_i) / 3.
     """
-    V4 = V.mean(axis=0)
-    t = np.array([f[i] + g[i] @ (V4 - V[i]) / 3.0 for i in range(3)])
-    patches = []
-    w = np.empty(3)
+    V4 = V.mean(axis=1)                                   # (T, 2)
+    t = f + (g * ((V4[:, None, :] - V) / 3.0)).sum(axis=2)  # (T, 3)
+    T = len(V)
+    coeffs = np.empty((T, 3, 10), dtype=np.float64)
+    w = np.empty((T, 3), dtype=np.float64)
     for k in range(3):
         a, b = k, (k + 1) % 3
-        A, B = V[a], V[b]
-        b300 = f[a]
-        b030 = f[b]
-        b210 = f[a] + g[a] @ (B - A) / 3.0
-        b120 = f[b] + g[b] @ (A - B) / 3.0
-        b201 = t[a]
-        b021 = t[b]
-        # normal-derivative-linear condition -> b111
-        M = np.array([[B[0] - A[0], V4[0] - A[0]],
-                      [B[1] - A[1], V4[1] - A[1]]])
-        Minv = np.linalg.inv(M)
+        A, B = V[:, a], V[:, b]
         e = B - A
-        nrm = np.array([-e[1], e[0]])
-        dB, d4 = Minv[0] @ nrm, Minv[1] @ nrm
+        b300 = f[:, a]
+        b030 = f[:, b]
+        b210 = f[:, a] + (g[:, a] * e).sum(axis=1) / 3.0
+        b120 = f[:, b] - (g[:, b] * e).sum(axis=1) / 3.0
+        b201 = t[:, a]
+        b021 = t[:, b]
+        # normal-derivative-linear condition -> b111; the 2x2 system
+        # M = [[e, V4-A]] columns inverted in closed form
+        m00, m01 = e[:, 0], V4[:, 0] - A[:, 0]
+        m10, m11 = e[:, 1], V4[:, 1] - A[:, 1]
+        detM = m00 * m11 - m01 * m10
+        nx, ny = -e[:, 1], e[:, 0]
+        dB = (m11 * nx - m01 * ny) / detM
+        d4 = (-m10 * nx + m00 * ny) / detM
         dA = -dB - d4
         q0 = dA * b120 + dB * b030 + d4 * b021
         q2 = dA * b300 + dB * b210 + d4 * b201
-        w[k] = ((q0 + q2) / 2.0 - dA * b210 - dB * b120) / d4
-        patches.append([b300, b030, 0.0, b210, b120, b201, b021,
-                        w[k], 0.0, 0.0])
+        w[:, k] = ((q0 + q2) / 2.0 - dA * b210 - dB * b120) / d4
+        coeffs[:, k, 0] = b300
+        coeffs[:, k, 1] = b030
+        coeffs[:, k, 3] = b210
+        coeffs[:, k, 4] = b120
+        coeffs[:, k, 5] = b201
+        coeffs[:, k, 6] = b021
+        coeffs[:, k, 7] = w[:, k]
     # internal-edge points next to centroid (C1 across internal edges)
-    u = np.array([
-        (w[0] + w[2] + t[0]) / 3.0,
-        (w[0] + w[1] + t[1]) / 3.0,
-        (w[1] + w[2] + t[2]) / 3.0,
-    ])
-    c = u.mean()
+    u = np.stack(
+        [
+            (w[:, 0] + w[:, 2] + t[:, 0]) / 3.0,
+            (w[:, 0] + w[:, 1] + t[:, 1]) / 3.0,
+            (w[:, 1] + w[:, 2] + t[:, 2]) / 3.0,
+        ],
+        axis=1,
+    )
+    c = u.mean(axis=1)
     for k in range(3):
-        patches[k][2] = c
-        patches[k][8] = u[k]              # A-side internal edge point
-        patches[k][9] = u[(k + 1) % 3]    # B-side
-    return V4, np.asarray(patches)
+        coeffs[:, k, 2] = c
+        coeffs[:, k, 8] = u[:, k]             # A-side internal edge point
+        coeffs[:, k, 9] = u[:, (k + 1) % 3]   # B-side
+    return V4, coeffs
 
 
 def _ct_eval(coeffs, a, b, m):
@@ -208,6 +287,201 @@ def _ct_eval(coeffs, a, b, m):
     )
 
 
+class Triangulation:
+    """Fitted Delaunay interpolator: build once, evaluate many times.
+
+    The tile loop in the distributed interp stage calls ``evaluate``
+    once per tile; the Delaunay build, gradient estimation and
+    Clough-Tocher patch coefficients are computed once per (band,
+    group) instead of once per tile (the former per-tile rebuild cost
+    ~1 s/tile at 1k points). Point location is a uniform bbox-bin index
+    over the triangles, so each query touches only nearby candidates
+    instead of every triangle.
+
+    Semantics match the loop-over-triangles form exactly: the in-circle
+    tolerance is unchanged and a query inside several triangles (shared
+    edges) resolves to the HIGHEST triangle index — the 'last triangle
+    wins' behavior of the former sequential overwrite loop.
+    """
+
+    def __init__(self, points, values):
+        self.pts = np.asarray(points, dtype=np.float64)
+        self.vals = np.asarray(values, dtype=np.float64)
+        self.tris = delaunay(self.pts)
+        self._grads = None
+        t = self.tris
+        if len(t) == 0:
+            self._ok = False
+            return
+        a = self.pts[t[:, 0]]
+        b = self.pts[t[:, 1]]
+        c = self.pts[t[:, 2]]
+        det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (
+            c[:, 0] - b[:, 0]
+        ) * (a[:, 1] - c[:, 1])
+        self._det = np.where(det == 0, np.nan, det)
+        self._a, self._b, self._c = a, b, c
+        xs = np.stack([a[:, 0], b[:, 0], c[:, 0]])
+        ys = np.stack([a[:, 1], b[:, 1], c[:, 1]])
+        self._minx = xs.min(axis=0)
+        self._maxx = xs.max(axis=0)
+        self._miny = ys.min(axis=0)
+        self._maxy = ys.max(axis=0)
+        # uniform bins over the hull bbox; triangles registered in every
+        # bin their bbox overlaps (CSR layout)
+        self._gx0 = float(self._minx.min())
+        self._gy0 = float(self._miny.min())
+        spanx = max(float(self._maxx.max()) - self._gx0, 1e-300)
+        spany = max(float(self._maxy.max()) - self._gy0, 1e-300)
+        nb = max(1, int(np.sqrt(len(t))))
+        self._nbx = self._nby = nb
+        self._pad = 1e-9 * max(spanx, spany)
+        self._sx = nb / spanx
+        self._sy = nb / spany
+        bx0 = np.clip(((self._minx - self._gx0) * self._sx).astype(np.int64), 0, nb - 1)
+        bx1 = np.clip(((self._maxx - self._gx0) * self._sx).astype(np.int64), 0, nb - 1)
+        by0 = np.clip(((self._miny - self._gy0) * self._sy).astype(np.int64), 0, nb - 1)
+        by1 = np.clip(((self._maxy - self._gy0) * self._sy).astype(np.int64), 0, nb - 1)
+        counts = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+        rep = np.repeat(np.arange(len(t)), counts)
+        j = _dl_multi_arange(counts)
+        nx = (bx1 - bx0 + 1)[rep]
+        bins = (by0[rep] + j // nx) * nb + (bx0[rep] + j % nx)
+        order = np.argsort(bins, kind="stable")
+        self._bin_tri = rep[order]
+        self._bin_start = np.searchsorted(bins[order], np.arange(nb * nb + 1))
+        self._ok = True
+
+    def locate(self, qx, qy):
+        """Containing triangle index per query (-1 = outside hull).
+
+        Ties (queries on shared edges) resolve to the highest triangle
+        index, matching the former last-wins overwrite loop.
+        """
+        q = len(qx)
+        found = np.full(q, -1, dtype=np.int64)
+        if not self._ok or q == 0:
+            return found
+        nb = self._nbx
+        bx = np.clip(((qx - self._gx0) * self._sx).astype(np.int64), 0, nb - 1)
+        by = np.clip(((qy - self._gy0) * self._sy).astype(np.int64), 0, nb - 1)
+        qbin = by * nb + bx
+        s = self._bin_start
+        cnt = s[qbin + 1] - s[qbin]
+        # zero-count queries (empty bins) must be dropped BEFORE the
+        # offset expansion: _dl_multi_arange assumes positive counts
+        nz = np.flatnonzero(cnt > 0)
+        if not len(nz):
+            return found
+        rep = np.repeat(nz, cnt[nz])
+        j = _dl_multi_arange(cnt[nz])
+        cand = self._bin_tri[s[qbin[rep]] + j]
+        px = qx[rep]
+        py = qy[rep]
+        # cheap bbox reject before barycentric math; padded so the
+        # barycentric eps (-1e-12, relative to triangle scale) can never
+        # admit a point the bbox test rejected
+        pad = self._pad
+        m = (
+            (px >= self._minx[cand] - pad) & (px <= self._maxx[cand] + pad)
+            & (py >= self._miny[cand] - pad) & (py <= self._maxy[cand] + pad)
+        )
+        rep, cand, px, py = rep[m], cand[m], px[m], py[m]
+        if not len(rep):
+            return found
+        a, b, c = self._a[cand], self._b[cand], self._c[cand]
+        det = self._det[cand]
+        l1 = ((b[:, 1] - c[:, 1]) * (px - c[:, 0]) + (c[:, 0] - b[:, 0]) * (py - c[:, 1])) / det
+        l2 = ((c[:, 1] - a[:, 1]) * (px - c[:, 0]) + (a[:, 0] - c[:, 0]) * (py - c[:, 1])) / det
+        l3 = 1.0 - l1 - l2
+        eps = -1e-12
+        inside = (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+        np.maximum.at(found, rep[inside], cand[inside])
+        return found
+
+    def linear(self, qx, qy, fill=np.nan):
+        out = np.full(qx.shape, fill, dtype=np.float64)
+        loc = self.locate(qx, qy)
+        m = loc >= 0
+        if not m.any():
+            return out
+        t = self.tris[loc[m]]
+        a, b, c = self._a[loc[m]], self._b[loc[m]], self._c[loc[m]]
+        det = self._det[loc[m]]
+        px, py = qx[m], qy[m]
+        l1 = ((b[:, 1] - c[:, 1]) * (px - c[:, 0]) + (c[:, 0] - b[:, 0]) * (py - c[:, 1])) / det
+        l2 = ((c[:, 1] - a[:, 1]) * (px - c[:, 0]) + (a[:, 0] - c[:, 0]) * (py - c[:, 1])) / det
+        l3 = 1.0 - l1 - l2
+        out[m] = (
+            l1 * self.vals[t[:, 0]] + l2 * self.vals[t[:, 1]] + l3 * self.vals[t[:, 2]]
+        )
+        return out
+
+    def gradients(self):
+        if self._grads is None:
+            self._grads = estimate_gradients(self.pts, self.vals, self.tris)
+        return self._grads
+
+    def cubic(self, qx, qy, fill=np.nan, gradients=None):
+        out = np.full(qx.shape, fill, dtype=np.float64)
+        loc = self.locate(qx, qy)
+        mask = loc >= 0
+        if not mask.any():
+            return out
+        grads = (
+            np.asarray(gradients, dtype=np.float64)
+            if gradients is not None
+            else self.gradients()
+        )
+        ti = loc[mask]
+        ut, inv = np.unique(ti, return_inverse=True)
+        tri = self.tris[ut]
+        V = self.pts[tri]                       # (T', 3, 2)
+        V4, coeffs = _ct_patch_nets(V, self.vals[tri], grads[tri])
+        Vq, V4q = V[inv], V4[inv]
+        A, B, C = Vq[:, 0], Vq[:, 1], Vq[:, 2]
+        det = (B[:, 1] - C[:, 1]) * (A[:, 0] - C[:, 0]) + (
+            C[:, 0] - B[:, 0]
+        ) * (A[:, 1] - C[:, 1])
+        px, py = qx[mask], qy[mask]
+        l0 = ((B[:, 1] - C[:, 1]) * (px - C[:, 0])
+              + (C[:, 0] - B[:, 0]) * (py - C[:, 1])) / det
+        l1 = ((C[:, 1] - A[:, 1]) * (px - C[:, 0])
+              + (A[:, 0] - C[:, 0]) * (py - C[:, 1])) / det
+        lam = np.stack([l0, l1, 1.0 - l0 - l1])
+        # mini-patch k covers the region nearest outer edge (k, k+1),
+        # i.e. where the opposite coordinate lam[(k+2)%3] is minimal
+        patch = (np.argmin(lam, axis=0) + 1) % 3
+        qi = np.arange(len(px))
+        Pa = Vq[qi, patch]
+        Pb = Vq[qi, (patch + 1) % 3]
+        m00 = Pb[:, 0] - Pa[:, 0]
+        m01 = V4q[:, 0] - Pa[:, 0]
+        m10 = Pb[:, 1] - Pa[:, 1]
+        m11 = V4q[:, 1] - Pa[:, 1]
+        detM = m00 * m11 - m01 * m10
+        dx = px - Pa[:, 0]
+        dy = py - Pa[:, 1]
+        bb = (m11 * dx - m01 * dy) / detM
+        mm = (-m10 * dx + m00 * dy) / detM
+        cf = coeffs[inv, patch]                 # (Q, 10)
+        out[np.flatnonzero(mask)] = _ct_eval(cf.T, 1.0 - bb - mm, bb, mm)
+        return out
+
+
+def _dl_multi_arange(counts):
+    """Concatenated arange(0, c) per count (local copy to avoid a
+    circular import with kernels.rasterize)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = counts.cumsum()
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    out[ends[:-1]] = 1 - counts[:-1]
+    return out.cumsum()
+
+
 def cubic_interpolate(points, values, qx, qy, fill=np.nan, gradients=None):
     """griddata(method='cubic') equivalent: C1 Clough-Tocher on
     Delaunay with globally estimated gradients.
@@ -216,52 +490,10 @@ def cubic_interpolate(points, values, qx, qy, fill=np.nan, gradients=None):
     the convex hull get ``fill``. Pass ``gradients`` (N,2) to skip
     estimation (tests: exact gradients reproduce quadratics exactly).
     """
-    pts = np.asarray(points, dtype=np.float64)
-    vals = np.asarray(values, dtype=np.float64)
-    out = np.full(qx.shape, fill, dtype=np.float64)
-    tris = delaunay(pts)
-    if len(tris) == 0:
-        return out
-    if gradients is None:
-        gradients = estimate_gradients(pts, vals, tris)
-    grads = np.asarray(gradients, dtype=np.float64)
-    for tri in tris:
-        Vt = pts[tri]
-        A, B, C = Vt
-        det = (B[1] - C[1]) * (A[0] - C[0]) + (C[0] - B[0]) * (A[1] - C[1])
-        if det == 0:
-            continue
-        l0 = ((B[1] - C[1]) * (qx - C[0]) + (C[0] - B[0]) * (qy - C[1])) / det
-        l1 = ((C[1] - A[1]) * (qx - C[0]) + (A[0] - C[0]) * (qy - C[1])) / det
-        l2 = 1.0 - l0 - l1
-        eps = -1e-12
-        inside = (l0 >= eps) & (l1 >= eps) & (l2 >= eps)
-        if not inside.any():
-            continue
-        V4, patches = _ct_patch_coeffs(Vt, vals[tri], grads[tri])
-        lam = np.stack([l0[inside], l1[inside], l2[inside]])
-        # mini-patch k covers the region nearest outer edge (k, k+1),
-        # i.e. where the opposite coordinate lam[(k+2)%3] is minimal
-        patch_of = (np.argmin(lam, axis=0) + 1) % 3
-        vals_in = np.empty(lam.shape[1], dtype=np.float64)
-        for k in range(3):
-            sel = patch_of == k
-            if not sel.any():
-                continue
-            a, b = k, (k + 1) % 3
-            Pa, Pb = Vt[a], Vt[b]
-            Md = np.array([[Pb[0] - Pa[0], V4[0] - Pa[0]],
-                           [Pb[1] - Pa[1], V4[1] - Pa[1]]])
-            Mi = np.linalg.inv(Md)
-            dx = qx[inside][sel] - Pa[0]
-            dy = qy[inside][sel] - Pa[1]
-            bb = Mi[0, 0] * dx + Mi[0, 1] * dy
-            mm = Mi[1, 0] * dx + Mi[1, 1] * dy
-            aa = 1.0 - bb - mm
-            vals_in[sel] = _ct_eval(patches[k], aa, bb, mm)
-        out_idx = np.flatnonzero(inside)
-        out[out_idx] = vals_in
-    return out
+    return Triangulation(points, values).cubic(
+        np.asarray(qx, dtype=np.float64), np.asarray(qy, dtype=np.float64),
+        fill=fill, gradients=gradients,
+    )
 
 
 def linear_interpolate(points, values, qx, qy, fill=np.nan):
@@ -270,25 +502,7 @@ def linear_interpolate(points, values, qx, qy, fill=np.nan):
     points (N,2), values (N,), qx/qy flat query arrays. Points outside
     the convex hull get ``fill``.
     """
-    pts = np.asarray(points, dtype=np.float64)
-    vals = np.asarray(values, dtype=np.float64)
-    out = np.full(qx.shape, fill, dtype=np.float64)
-    tris = delaunay(pts)
-    if len(tris) == 0:
-        return out
-    # vectorized point-in-triangle over all triangles (tri count small)
-    for tri in tris:
-        a, b, c = pts[tri[0]], pts[tri[1]], pts[tri[2]]
-        det = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
-        if det == 0:
-            continue
-        l1 = ((b[1] - c[1]) * (qx - c[0]) + (c[0] - b[0]) * (qy - c[1])) / det
-        l2 = ((c[1] - a[1]) * (qx - c[0]) + (a[0] - c[0]) * (qy - c[1])) / det
-        l3 = 1.0 - l1 - l2
-        eps = -1e-12
-        m = (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
-        if m.any():
-            out[m] = (
-                l1[m] * vals[tri[0]] + l2[m] * vals[tri[1]] + l3[m] * vals[tri[2]]
-            )
-    return out
+    return Triangulation(points, values).linear(
+        np.asarray(qx, dtype=np.float64), np.asarray(qy, dtype=np.float64),
+        fill=fill,
+    )

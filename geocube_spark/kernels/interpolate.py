@@ -29,9 +29,81 @@ from __future__ import annotations
 
 import numpy as np
 
-from .delaunay import cubic_interpolate, linear_interpolate
+from .delaunay import Triangulation, cubic_interpolate, linear_interpolate
 
 _CHUNK = 262144  # grid cells per distance-matrix block: bounds memory
+
+
+class GridInterpolator:
+    """Fit-once / evaluate-per-tile interpolator.
+
+    The distributed interp stage (cube._interp) iterates the grid tile
+    by tile for bounded memory; the globally-coupled structures — the
+    Delaunay triangulation (+ CT gradients/patches) for
+    linear/cubic and the dense RBF weight solve — are computed ONCE
+    here and reused for every tile (previously rebuilt per tile:
+    ~1 s/tile at 1k points). ``nearest`` has no global fit; its
+    per-tile brute force is unchanged.
+    """
+
+    def __init__(self, function, method, px, py, values, *, fill=np.nan,
+                 rescale=False):
+        self.function = function
+        self.method = method
+        self.fill = fill
+        self.px = np.asarray(px, dtype=np.float64)
+        self.py = np.asarray(py, dtype=np.float64)
+        self.values = np.asarray(values, dtype=np.float64)
+        self.rescale = rescale
+        self._ox = self._oy = 0.0
+        self._sx = self._sy = 1.0
+        px_f, py_f = self.px, self.py
+        if rescale and len(self.px):
+            self._sx = self.px.ptp() or 1.0
+            self._sy = self.py.ptp() or 1.0
+            self._ox, self._oy = self.px.min(), self.py.min()
+            px_f = (self.px - self._ox) / self._sx
+            py_f = (self.py - self._oy) / self._sy
+        self._tri = None
+        self._rbf = None
+        if len(self.px) == 0:
+            return
+        if function == "points_griddata" and method in ("linear", "cubic"):
+            self._tri = Triangulation(
+                np.column_stack([px_f, py_f]), self.values
+            )
+        elif function == "points_radial":
+            self._rbf = _rbf_fit(self.px, self.py, self.values, method)
+
+    def __call__(self, grid_x, grid_y):
+        """Evaluate on a rectilinear tile; returns (H, W) float64."""
+        gx, gy = np.meshgrid(
+            np.asarray(grid_x, float), np.asarray(grid_y, float)
+        )
+        if len(self.px) == 0:
+            return np.full(gx.shape, self.fill, dtype=np.float64)
+        qx, qy = gx.ravel(), gy.ravel()
+        if self.function == "points_radial":
+            out = _rbf_eval(self._rbf, qx, qy)
+        elif self.method == "nearest":
+            px_f, py_f = self.px, self.py
+            if self.rescale:
+                px_f = (self.px - self._ox) / self._sx
+                py_f = (self.py - self._oy) / self._sy
+                qx = (qx - self._ox) / self._sx
+                qy = (qy - self._oy) / self._sy
+            out = nearest_interp(px_f, py_f, self.values, qx, qy)
+        elif self.method in ("linear", "cubic"):
+            if self.rescale:
+                qx = (qx - self._ox) / self._sx
+                qy = (qy - self._oy) / self._sy
+            if self.method == "linear":
+                out = self._tri.linear(qx, qy, fill=self.fill)
+            else:
+                out = self._tri.cubic(qx, qy, fill=self.fill)
+        else:
+            raise ValueError(f"unsupported method {self.method!r}")
+        return out.reshape(gx.shape)
 
 
 def _rescale(px, py, qx, qy):
@@ -114,15 +186,8 @@ def _rbf_kernel(r, function, epsilon):
     raise ValueError(f"unsupported RBF function {function!r}")
 
 
-def rbf_interp(px, py, values, grid_x, grid_y, *, function="linear"):
-    """scipy Rbf(x, y, v, function=...) evaluated on meshgrid.
-
-    Global dense solve O(n^3) — documented non-tileable, run per
-    (measurement, group) partition like the reference runs it
-    single-node (SURVEY.md §2.8 rasterize_points_radial).
-    """
-    px = np.asarray(px, dtype=np.float64)
-    py = np.asarray(py, dtype=np.float64)
+def _rbf_fit(px, py, values, function):
+    """Solve the dense RBF system once; returns the fitted model."""
     v = np.asarray(values, dtype=np.float64)
     n = len(px)
     dx = px[:, None] - px[None, :]
@@ -138,15 +203,37 @@ def rbf_interp(px, py, values, grid_x, grid_y, *, function="linear"):
     epsilon = np.power(np.prod(edges) / n, 1.0 / len(edges)) if len(edges) else 1.0
     A = _rbf_kernel(r, function, epsilon)
     w = np.linalg.solve(A, v)
-    gx, gy = np.meshgrid(np.asarray(grid_x, float), np.asarray(grid_y, float))
-    out = np.empty(gx.size, dtype=np.float64)
-    q = np.column_stack([gx.ravel(), gy.ravel()])
-    step = max(1, _CHUNK // max(1, n))
+    return {"px": px, "py": py, "w": w, "epsilon": epsilon,
+            "function": function}
+
+
+def _rbf_eval(model, qx, qy):
+    px, py = model["px"], model["py"]
+    w, epsilon = model["w"], model["epsilon"]
+    function = model["function"]
+    out = np.empty(qx.size, dtype=np.float64)
+    q = np.column_stack([qx, qy])
+    step = max(1, _CHUNK // max(1, len(px)))
     for i in range(0, len(q), step):
         rq = np.hypot(
             q[i : i + step, 0:1] - px[None, :], q[i : i + step, 1:2] - py[None, :]
         )
         out[i : i + step] = _rbf_kernel(rq, function, epsilon) @ w
+    return out
+
+
+def rbf_interp(px, py, values, grid_x, grid_y, *, function="linear"):
+    """scipy Rbf(x, y, v, function=...) evaluated on meshgrid.
+
+    Global dense solve O(n^3) — documented non-tileable, run per
+    (measurement, group) partition like the reference runs it
+    single-node (SURVEY.md §2.8 rasterize_points_radial).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    model = _rbf_fit(px, py, values, function)
+    gx, gy = np.meshgrid(np.asarray(grid_x, float), np.asarray(grid_y, float))
+    out = _rbf_eval(model, gx.ravel(), gy.ravel())
     return out.reshape(gx.shape)
 
 
