@@ -673,7 +673,37 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
                     )
                     if out is not None:
                         frames.append(out)
-                rest = rest[~smask & ~mmask]
+
+                # batched LINESTRING path: same vectorized transform /
+                # envelope-explode as simple polygons, open polylines
+                lmask, lgroups = W.batch_parse_simple_lines(
+                    [None if smask[j] or mmask[j] else rest_blobs[j]
+                     for j in range(len(rest_blobs))]
+                )
+                for idx, coords in lgroups:
+                    pos = rest[idx]
+                    gx = coords[:, :, 0].ravel()
+                    gy = coords[:, :, 1].ravel()
+                    if reproject:
+                        gx, gy = crs_transform(src, dst, gx, gy)
+                    pxc = inv.c + inv.a * gx + inv.b * gy
+                    pyc = inv.f + inv.d * gx + inv.e * gy
+                    k = coords.shape[1]
+                    pix = np.stack(
+                        [pxc.reshape(-1, k), pyc.reshape(-1, k)], axis=2
+                    )
+                    pws = np.empty(len(pos), dtype=object)
+                    pws[:] = W.encode_simple_lines(pix)
+                    out = _explode_tiles(
+                        pos, pws,
+                        pix[:, :, 0].min(axis=1),
+                        pix[:, :, 1].min(axis=1),
+                        pix[:, :, 0].max(axis=1),
+                        pix[:, :, 1].max(axis=1),
+                    )
+                    if out is not None:
+                        frames.append(out)
+                rest = rest[~smask & ~mmask & ~lmask]
             if len(rest):
                 out_rows = {c: [] for c in cols}
                 seqs = pdf["seq"].values
@@ -925,7 +955,35 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
                 if len(fl):
                     contrib_flat.append(fl)
                     contrib_pos.append(powner)
-            fallback = rest[~smask & ~mmask]
+
+            # batched LINESTRING path: supercover of every segment in
+            # the tile at the same sampling density as the per-geometry
+            # fallback (_segment_cells), then per-geometry dedupe so
+            # the 'add' algebra burns each line once per cell (matches
+            # geometry_cells' unique)
+            lmask, lgroups = W.batch_parse_simple_lines(
+                [None if smask[j] or mmask[j] else rest_blobs[j]
+                 for j in range(len(rest_blobs))]
+            )
+            line_parts = []
+            for idx, coords in lgroups:
+                coords[:, :, 0] -= col0
+                coords[:, :, 1] -= row0
+                line_parts.append(edges_from_rings(coords, rest[idx]))
+            if line_parts:
+                lx1 = np.concatenate([p[0] for p in line_parts])
+                ly1 = np.concatenate([p[1] for p in line_parts])
+                lx2 = np.concatenate([p[2] for p in line_parts])
+                ly2 = np.concatenate([p[3] for p in line_parts])
+                lown = np.concatenate([p[4] for p in line_parts])
+                fo, fown = batch_outline_cells(
+                    lx1, ly1, lx2, ly2, lown, h, w
+                )
+                if len(fo):
+                    key = np.unique(fown * np.int64(hw) + fo)
+                    contrib_flat.append((key % hw).astype(np.int32))
+                    contrib_pos.append(key // hw)
+            fallback = rest[~smask & ~mmask & ~lmask]
 
         for i in fallback:
             b = blobs[i]

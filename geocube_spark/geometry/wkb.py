@@ -516,6 +516,69 @@ def encode_simple_polygons(coords: np.ndarray) -> list:
     return [r.tobytes() for r in out]
 
 
+def batch_parse_simple_lines(blobs):
+    """Vectorized parse of little-endian LINESTRING blobs.
+
+    Same length-grouping trick as ``batch_parse_simple_polygons``:
+    a K-point linestring is exactly ``9 + 16*K`` bytes, so same-length
+    blobs decode with one ``frombuffer`` each. Returns ``(mask,
+    groups)`` with ``groups`` a list of ``(idx, coords)``, ``coords``
+    shaped ``(n, K, 2)`` (OPEN polylines). MULTILINESTRING and mixed
+    structures stay on the caller's per-geometry fallback.
+    """
+    n = len(blobs)
+    mask = np.zeros(n, dtype=bool)
+    by_len: dict = {}
+    for i in range(n):
+        b = blobs[i]
+        if b is None:
+            continue
+        lb = len(b)
+        if lb >= 41 and (lb - 9) % 16 == 0:   # >= 2 points
+            by_len.setdefault(lb, []).append(i)
+    groups = []
+    for lb, idxs in by_len.items():
+        k = (lb - 9) // 16
+        raw = np.frombuffer(
+            b"".join(bytes(blobs[i]) for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), lb)
+        hdr_ok = (
+            (raw[:, 0] == 1)
+            & (raw[:, 1] == LINESTRING)
+            & (raw[:, 2] == 0)
+            & (raw[:, 3] == 0)
+            & (raw[:, 4] == 0)
+        )
+        npts = raw[:, 5:9].copy().view("<u4").ravel()
+        ok = hdr_ok & (npts == k)
+        if not ok.any():
+            continue
+        idx = np.asarray(idxs, dtype=np.int64)[ok]
+        coords = raw[ok, 9:].copy().view("<f8").reshape(len(idx), k, 2)
+        mask[idx] = True
+        groups.append((idx, coords))
+    return mask, groups
+
+
+def encode_simple_lines(coords: np.ndarray) -> list:
+    """Vectorized WKB encode of ``(n, K, 2)`` polylines -> list of
+    ``bytes`` (LINESTRING). Inverse of ``batch_parse_simple_lines``."""
+    n, k, _ = coords.shape
+    lb = 9 + 16 * k
+    out = np.empty((n, lb), dtype=np.uint8)
+    out[:, 0] = 1
+    hdr = np.empty(2, dtype="<u4")
+    hdr[0] = LINESTRING
+    hdr[1] = k
+    out[:, 1:9] = np.frombuffer(hdr.tobytes(), dtype=np.uint8)
+    out[:, 9:] = (
+        np.ascontiguousarray(coords, dtype="<f8")
+        .view(np.uint8)
+        .reshape(n, 16 * k)
+    )
+    return [r.tobytes() for r in out]
+
+
 def batch_parse_polygons(blobs):
     """Structure-walking parse of POLYGON/MULTIPOLYGON blobs with any
     ring structure (holes, multi parts).

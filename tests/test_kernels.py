@@ -400,6 +400,56 @@ def test_batch_parse_polygons_structure_roundtrip():
 # interpolation
 # ---------------------------------------------------------------------------
 
+def test_batched_line_supercover_matches_fallback():
+    """batch_parse_simple_lines + batch_outline_cells (+ per-geometry
+    dedupe) yields exactly the same cell set as geometry_cells on the
+    same LINESTRINGs (the fallback path)."""
+    from geocube_spark.geometry import wkb as W
+    from geocube_spark.kernels.rasterize import (
+        batch_outline_cells,
+        edges_from_rings,
+        geometry_cells,
+    )
+
+    rng = np.random.RandomState(5)
+    h = w = 48
+    lines = []
+    for i in range(12):
+        k = 2 + (i % 4)
+        pts = rng.uniform(-5, 53, size=(k, 2))   # some outside the tile
+        lines.append(pts)
+    blobs = [W.linestring(p).to_wkb() for p in lines]
+    mask, groups = W.batch_parse_simple_lines(blobs)
+    assert mask.all()
+    got: dict = {}
+    for idx, coords in groups:
+        e = edges_from_rings(coords, idx)
+        fo, fown = batch_outline_cells(*e, h, w)
+        key = np.unique(fown * np.int64(h * w) + fo)
+        for o in np.unique(key // (h * w)):
+            got[int(o)] = set(
+                (key[key // (h * w) == o] % (h * w)).tolist()
+            )
+    for i, p in enumerate(lines):
+        rr, cc = geometry_cells(W.linestring(p), h, w)
+        expect = set((rr * w + cc).tolist())
+        assert got.get(i, set()) == expect, f"line {i} cell set differs"
+
+
+def test_batch_parse_simple_lines_rejects_non_lines():
+    from geocube_spark.geometry import wkb as W
+
+    quad = W.polygon(
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    ).to_wkb()
+    pt = W.point(1.0, 2.0).to_wkb()
+    ln = W.linestring(np.array([[0, 0], [3, 3]], float)).to_wkb()
+    mask, groups = W.batch_parse_simple_lines([quad, pt, ln, None])
+    assert mask.tolist() == [False, False, True, False]
+    (idx, coords), = groups
+    assert idx.tolist() == [2] and coords.shape == (1, 2, 2)
+
+
 def test_griddata_nearest_exact_at_cells():
     px = np.array([0.5, 9.5])
     py = np.array([0.5, 9.5])

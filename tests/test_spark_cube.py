@@ -446,6 +446,37 @@ def test_multipolygon_burn_matches_parts(spark):
     np.testing.assert_array_equal(multi, parts)
 
 
+def test_linestring_burn_matches_local(spark):
+    """LINESTRING features through the full Spark pipeline (batched
+    cover + batched supercover burn) match the single-process
+    numpy reference burn (which uses the per-geometry _segment_cells
+    fallback) cell-for-cell, for both merge algebras."""
+    from geocube_spark import datagen as DG
+
+    rng = np.random.RandomState(11)
+    lines = []
+    for i in range(8):
+        k = 3 + (i % 3)        # 3-5 points: several length groups
+        lon = rng.uniform(*DG.GARS_LON, size=k)
+        lat = rng.uniform(*DG.GARS_LAT, size=k)
+        lines.append(W.linestring(np.column_stack([lon, lat])))
+    vals = [{"v": float(i + 1)} for i in range(8)]
+    docs = DG.to_spark(spark, DG._doc_rows("ln", lines, vals))
+    for merge_alg in ("replace", "add"):
+        cube = make_geocube(
+            docs, measurements=["v"], output_crs="EPSG:32615",
+            geom=GARS, resolution=(-10.0, 10.0), fill=-9999.0,
+            merge_alg=merge_alg, tile_size=64,
+        )
+        got = cube.assemble()["v"]
+        expected = _local_burn(
+            DG._doc_rows("ln", lines, vals), cube.geobox, "v",
+            merge_alg=merge_alg,
+        )
+        np.testing.assert_allclose(got, expected, equal_nan=True)
+        assert (got != -9999.0).sum() > 50      # lines actually burned
+
+
 def test_sql_extract_geometry_less_docs(spark):
     """Text-only documents (no geom span) must yield geometry_wkb NULL,
     not an ANSI element_at crash (pandas-path parity)."""
