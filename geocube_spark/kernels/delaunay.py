@@ -50,23 +50,38 @@ def _batch_circum(allp: np.ndarray, tri: np.ndarray):
     return ux, uy, r2
 
 
+_BFS_THRESHOLD = 4096    # above this, the O(n^2) scan loses to the walk
+
+
 def delaunay(points: np.ndarray) -> np.ndarray:
     """Return (M, 3) int array of triangle vertex indices.
 
     points: (N, 2) float array, N >= 3. Degenerate (all-collinear)
     inputs return an empty triangle list.
 
-    Bowyer-Watson with the per-insertion circumcircle scan fully
-    vectorized over the live triangle arrays (the former dict/list form
-    cost ~1 s at n=1000; this one is ~milliseconds). Insertion order
-    (0..n-1) and the in-circle tolerance are unchanged, so co-circular
-    tie-breaks — and therefore the output triangulation — match the
-    previous implementation exactly.
+    Two builds share the same super-triangle and in-circle tolerance:
+
+    * n <= _BFS_THRESHOLD: Bowyer-Watson with the per-insertion
+      circumcircle scan fully vectorized over the live triangle arrays
+      (the former dict/list form cost ~1 s at n=1000; this is
+      ~milliseconds). Insertion order (0..n-1) matches the original
+      implementation, so co-circular tie-breaks are stable.
+    * larger n: adjacency-walk Bowyer-Watson — locate the containing
+      triangle by a visibility walk from the previous insertion, grow
+      the cavity by BFS over triangle neighbors, retriangulate the
+      boundary fan. Insertions go in Morton (Z-curve) order so the
+      walk starts adjacent to its target: expected O(1) steps per
+      insertion, O(n) overall vs the scan's O(n^2). In general
+      position both builds produce THE Delaunay triangulation; they
+      can differ only on exactly co-circular quadruples (where any
+      diagonal is valid).
     """
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if n < 3:
         return np.empty((0, 3), dtype=np.int64)
+    if n > _BFS_THRESHOLD:
+        return _delaunay_walk(pts)
 
     # super-triangle containing all points
     cx, cy = pts.mean(axis=0)
@@ -287,6 +302,158 @@ def _ct_eval(coeffs, a, b, m):
     )
 
 
+def _morton_argsort(pts: np.ndarray) -> np.ndarray:
+    """Z-curve ordering of points (16-bit grid): successive points are
+    spatial neighbors, so the locate-walk starts next to its target."""
+    x, y = pts[:, 0], pts[:, 1]
+    sx = x.ptp() or 1.0
+    sy = y.ptp() or 1.0
+    nx = ((x - x.min()) / sx * 65535.0).astype(np.uint64)
+    ny = ((y - y.min()) / sy * 65535.0).astype(np.uint64)
+
+    def spread(v):
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x33333333)
+        v = (v | (v << 1)) & np.uint64(0x55555555)
+        return v
+
+    code = (spread(nx) << np.uint64(1)) | spread(ny)
+    return np.argsort(code, kind="stable")
+
+
+def _delaunay_walk(pts: np.ndarray) -> np.ndarray:
+    """Adjacency-walk Bowyer-Watson (see ``delaunay`` docstring).
+
+    Pure-Python scalar hot loop (lists of floats beat numpy scalars at
+    per-insertion granularity); expected O(1) walk + O(cavity) update
+    per insertion with Morton-ordered input.
+    """
+    n = len(pts)
+    cx, cy = pts.mean(axis=0)
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1e-12) * 100.0
+    px = pts[:, 0].tolist() + [cx - 20 * span, cx, cx + 20 * span]
+    py = pts[:, 1].tolist() + [cy - span, cy + 20 * span, cy - span]
+
+    def circum(a, b, c):
+        ax, ay, bx, by, cxx, cyy = px[a], py[a], px[b], py[b], px[c], py[c]
+        d = 2 * (ax * (by - cyy) + bx * (cyy - ay) + cxx * (ay - by))
+        if d == 0:
+            return (float("inf"), float("inf"), -1.0)
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        c2 = cxx * cxx + cyy * cyy
+        ux = (a2 * (by - cyy) + b2 * (cyy - ay) + c2 * (ay - by)) / d
+        uy = (a2 * (cxx - bx) + b2 * (ax - cxx) + c2 * (bx - ax)) / d
+        r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+        return (ux, uy, r2)
+
+    tv = [(n, n + 1, n + 2)]
+    nbr = [[-1, -1, -1]]
+    cc = [circum(n, n + 1, n + 2)]
+    alive = [True]
+    last = 0
+
+    def in_circle(t, x, y):
+        ux, uy, r2 = cc[t]
+        return (x - ux) ** 2 + (y - uy) ** 2 <= r2 * (1 + 1e-12)
+
+    def locate(x, y, start):
+        cur = start
+        prev = -1
+        for _ in range(4 * (len(tv) + 4)):
+            a, b, c = tv[cur]
+            vs = (a, b, c)
+            moved = False
+            for k in range(3):
+                u, v = vs[k], vs[(k + 1) % 3]
+                w = vs[(k + 2) % 3]
+                nx_t = nbr[cur][k]
+                if nx_t == prev or nx_t == -1:
+                    continue
+                ex, ey = px[v] - px[u], py[v] - py[u]
+                sp = ex * (y - py[u]) - ey * (x - px[u])
+                sw = ex * (py[w] - py[u]) - ey * (px[w] - px[u])
+                if sp * sw < 0:
+                    prev = cur
+                    cur = nx_t
+                    moved = True
+                    break
+            if not moved:
+                return cur
+        # walk failed (degenerate loop): linear fallback
+        for t in range(len(tv)):
+            if alive[t] and in_circle(t, x, y):
+                return t
+        return cur
+
+    order = _morton_argsort(pts)
+    for i in order.tolist():
+        x, y = px[i], py[i]
+        seed = locate(x, y, last)
+        # cavity: BFS over neighbors; the containing triangle is always
+        # included (p inside a triangle is inside its circumcircle,
+        # modulo degeneracy, where we force-include it)
+        bad = {seed}
+        stack = [seed]
+        while stack:
+            t = stack.pop()
+            for o in nbr[t]:
+                if o != -1 and o not in bad and in_circle(o, x, y):
+                    bad.add(o)
+                    stack.append(o)
+        # directed boundary edges of the cavity
+        boundary = []   # (u, v, outside)
+        for t in bad:
+            a, b, c = tv[t]
+            vs = (a, b, c)
+            for k in range(3):
+                o = nbr[t][k]
+                if o == -1 or o not in bad:
+                    boundary.append((vs[k], vs[(k + 1) % 3], o))
+        for t in bad:
+            alive[t] = False
+        # fan: one new triangle (u, v, i) per boundary edge
+        base = len(tv)
+        by_first = {}
+        for j, (u, v, o) in enumerate(boundary):
+            tv.append((u, v, i))
+            nbr.append([o, -1, -1])
+            cc.append(circum(u, v, i))
+            alive.append(True)
+            by_first[u] = base + j
+            if o != -1:
+                # fix the outside triangle's back pointer
+                ov = tv[o]
+                for k in range(3):
+                    if (ov[k] == v and ov[(k + 1) % 3] == u) or (
+                        ov[k] == u and ov[(k + 1) % 3] == v
+                    ):
+                        nbr[o][k] = base + j
+                        break
+        for j, (u, v, o) in enumerate(boundary):
+            t = base + j
+            # edge 1 = (v, i): neighbor is the fan triangle starting at v
+            # edge 2 = (i, u): neighbor is the fan triangle ending at u
+            nbr[t][1] = by_first.get(v, -1)
+        for j, (u, v, o) in enumerate(boundary):
+            t = base + j
+            other = nbr[t][1]
+            if other != -1:
+                nbr[other][2] = t
+        last = base if boundary else last
+
+    out = [
+        t for k, t in enumerate(tv)
+        if alive[k] and t[0] < n and t[1] < n and t[2] < n
+    ]
+    return (
+        np.asarray(out, dtype=np.int64)
+        if out
+        else np.empty((0, 3), np.int64)
+    )
+
+
 class Triangulation:
     """Fitted Delaunay interpolator: build once, evaluate many times.
 
@@ -331,13 +498,15 @@ class Triangulation:
         # bin their bbox overlaps (CSR layout)
         self._gx0 = float(self._minx.min())
         self._gy0 = float(self._miny.min())
-        spanx = max(float(self._maxx.max()) - self._gx0, 1e-300)
-        spany = max(float(self._maxy.max()) - self._gy0, 1e-300)
+        spanx = float(self._maxx.max()) - self._gx0
+        spany = float(self._maxy.max()) - self._gy0
         nb = max(1, int(np.sqrt(len(t))))
         self._nbx = self._nby = nb
-        self._pad = 1e-9 * max(spanx, spany)
-        self._sx = nb / spanx
-        self._sy = nb / spany
+        self._pad = 1e-9 * max(spanx, spany, 1e-300)
+        # zero-extent dimension: everything lands in bin 0 (consistent
+        # for triangles and queries; avoids inf scales)
+        self._sx = nb / spanx if spanx > 0 else 0.0
+        self._sy = nb / spany if spany > 0 else 0.0
         bx0 = np.clip(((self._minx - self._gx0) * self._sx).astype(np.int64), 0, nb - 1)
         bx1 = np.clip(((self._maxx - self._gx0) * self._sx).astype(np.int64), 0, nb - 1)
         by0 = np.clip(((self._miny - self._gy0) * self._sy).astype(np.int64), 0, nb - 1)

@@ -400,6 +400,62 @@ def test_batch_parse_polygons_structure_roundtrip():
 # interpolation
 # ---------------------------------------------------------------------------
 
+def test_delaunay_walk_matches_scan():
+    """The adjacency-walk build (large-n path) produces the identical
+    triangulation as the vectorized-scan build on general-position
+    inputs, and survives degenerate inputs without crashing."""
+    from geocube_spark.kernels import delaunay as D
+
+    rng = np.random.RandomState(21)
+    for n in (300, 1500):
+        pts = rng.rand(n, 2) * 100
+        a = set(map(tuple, np.sort(D.delaunay(pts), axis=1)))
+        b = set(map(tuple, np.sort(D._delaunay_walk(pts), axis=1)))
+        assert a == b
+    # clustered duplicates and exact collinearity: no crash; collinear
+    # input yields only zero-area triangles in both builds (harmless —
+    # interpolation skips det==0 triangles), counts may differ on ties
+    dup = np.repeat(rng.rand(40, 2) * 10, 50, axis=0)
+    D._delaunay_walk(dup)
+    col = np.column_stack([np.linspace(0, 1, 400), np.zeros(400)])
+    for tris in (D._delaunay_walk(col), D.delaunay(col)):
+        if len(tris):
+            p = col[tris]
+            area = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+                p[:, 2, 0] - p[:, 0, 0]
+            ) * (p[:, 1, 1] - p[:, 0, 1])
+            assert np.abs(area).max() == 0.0
+
+
+def test_delaunay_large_n_routes_to_walk():
+    """n above the threshold uses the walk build (time-bounded) and
+    holds the empty-circumcircle property on sampled triangles."""
+    from geocube_spark.kernels import delaunay as D
+
+    rng = np.random.RandomState(8)
+    n = D._BFS_THRESHOLD + 1000
+    pts = rng.rand(n, 2) * 1000
+    tris = D.delaunay(pts)
+    assert len(tris) > 1.8 * n
+    sample = tris[rng.randint(0, len(tris), 100)]
+    for t in sample:
+        a, b, c = pts[t]
+        d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                 + c[0] * (a[1] - b[1]))
+        if d == 0:
+            continue
+        a2, b2, c2 = a @ a, b @ b, c @ c
+        ux = (a2 * (b[1] - c[1]) + b2 * (c[1] - a[1])
+              + c2 * (a[1] - b[1])) / d
+        uy = (a2 * (c[0] - b[0]) + b2 * (a[0] - c[0])
+              + c2 * (b[0] - a[0])) / d
+        r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+        d2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+        inside = d2 < r2 * (1 - 1e-9)
+        inside[t] = False
+        assert not inside.any()
+
+
 def test_batched_line_supercover_matches_fallback():
     """batch_parse_simple_lines + batch_outline_cells (+ per-geometry
     dedupe) yields exactly the same cell set as geometry_cells on the
