@@ -873,7 +873,10 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         w = min(tile_size, gb.width - col0)
         hw = h * w
 
-        pdf = pdf.sort_values("seq", kind="mergesort")  # replace order
+        if merge_alg != "add":
+            # last-wins needs seq order; 'add' is commutative — skip
+            # the per-tile sort entirely
+            pdf = pdf.sort_values("seq", kind="mergesort")
         blobs = pdf["pix_wkb"].values
         n_geoms = len(blobs)
         min_seq = int(pdf["seq"].min()) if n_geoms else -1
