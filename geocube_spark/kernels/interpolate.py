@@ -119,9 +119,32 @@ def _rescale(px, py, qx, qy):
     )
 
 
+_BUCKET_NN_MIN_POINTS = 2048   # below this, brute force wins
+
+
+def _offsets_arange(counts):
+    """Concatenated arange(0, c) per POSITIVE count."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = counts.cumsum()
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    out[ends[:-1]] = 1 - counts[:-1]
+    return out.cumsum()
+
+
 def nearest_interp(px, py, values, qx, qy, rescale=False):
-    """Value of nearest input point for each query point (brute force,
-    blocked so memory stays bounded: O(|block| * n_points))."""
+    """Value of nearest input point for each query point — exact.
+
+    Small point sets: blocked brute force (O(|block| * n_points)).
+    Large sets: uniform-grid bucket index with ring expansion —
+    expected O(queries) instead of O(queries * points), which is what
+    makes ``interp_nearest`` / ``interpolate_na`` usable when a (band,
+    group) holds 1e5+ points. Both paths implement the same argmin
+    semantics (ties -> lowest point index, i.e. lowest ``seq``) and a
+    differential test pins their equality.
+    """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     values = np.asarray(values)
@@ -129,6 +152,9 @@ def nearest_interp(px, py, values, qx, qy, rescale=False):
     qy = np.asarray(qy, dtype=np.float64).ravel()
     if rescale:
         px, py, qx, qy = _rescale(px, py, qx, qy)
+    if len(px) >= _BUCKET_NN_MIN_POINTS:
+        idx = _bucket_nearest_idx(px, py, qx, qy)
+        return values[idx].astype(np.float64, copy=False)
     out = np.empty(qx.shape, dtype=np.float64)
     step = max(1, _CHUNK // max(1, len(px)))
     for i in range(0, len(qx), step):
@@ -137,6 +163,99 @@ def nearest_interp(px, py, values, qx, qy, rescale=False):
         idx = np.argmin(dx * dx + dy * dy, axis=1)
         out[i : i + step] = values[idx]
     return out
+
+
+def _bucket_nearest_idx(px, py, qx, qy):
+    """Exact nearest-point index per query via a uniform bucket grid.
+
+    Ring-expansion search, vectorized over the active query set: ring
+    r adds the buckets at Chebyshev bucket-distance r; a query stops
+    once its best squared distance <= (r * cell)^2 (any unseen point
+    is at least r*cell away, since the query sits somewhere inside its
+    own bucket). Ties resolve to the lowest point index, matching
+    np.argmin.
+    """
+    n = len(px)
+    nb = max(1, int(np.sqrt(n / 2.0)))
+    x0, y0 = px.min(), py.min()
+    spanx = px.ptp() or 1.0
+    spany = py.ptp() or 1.0
+    cw = spanx / nb
+    ch = spany / nb
+    cell = min(cw, ch)
+    bx = np.clip(((px - x0) / cw).astype(np.int64), 0, nb - 1)
+    by = np.clip(((py - y0) / ch).astype(np.int64), 0, nb - 1)
+    code = by * nb + bx
+    order = np.argsort(code, kind="stable")   # stable: in-bucket order
+    starts = np.searchsorted(code[order], np.arange(nb * nb + 1))
+
+    m = len(qx)
+    qbx = np.clip(((qx - x0) / cw).astype(np.int64), 0, nb - 1)
+    qby = np.clip(((qy - y0) / ch).astype(np.int64), 0, nb - 1)
+    best_d2 = np.full(m, np.inf)
+    best_i = np.full(m, -1, dtype=np.int64)
+    active = np.arange(m)
+
+    def scan(qsel, bxs, bys):
+        """Candidate pass: points in buckets (bxs, bys) vs queries.
+        Computes the pass-minimum (distance, lowest index) per query
+        and merges it into the global best."""
+        ok = (bxs >= 0) & (bxs < nb) & (bys >= 0) & (bys < nb)
+        qs, bxs, bys = qsel[ok], bxs[ok], bys[ok]
+        if not len(qs):
+            return
+        b = bys * nb + bxs
+        cnt = starts[b + 1] - starts[b]
+        nz = np.flatnonzero(cnt > 0)
+        if not len(nz):
+            return
+        rep = np.repeat(qs[nz], cnt[nz])
+        cand = order[
+            np.repeat(starts[b[nz]], cnt[nz]) + _offsets_arange(cnt[nz])
+        ]
+        d2 = (qx[rep] - px[cand]) ** 2 + (qy[rep] - py[cand]) ** 2
+        pass_d2 = np.full(m, np.inf)
+        np.minimum.at(pass_d2, rep, d2)
+        hit = d2 == pass_d2[rep]
+        pass_i = np.full(m, n, dtype=np.int64)
+        np.minimum.at(pass_i, rep[hit], cand[hit])
+        touched = np.unique(rep)
+        better = pass_d2[touched] < best_d2[touched]
+        equal = pass_d2[touched] == best_d2[touched]
+        tb = touched[better]
+        best_d2[tb] = pass_d2[tb]
+        best_i[tb] = pass_i[tb]
+        te = touched[equal]
+        best_i[te] = np.minimum(
+            np.where(best_i[te] < 0, n, best_i[te]), pass_i[te]
+        )
+
+    r = 0
+    max_r = 2 * nb + 2
+    while len(active) and r <= max_r:
+        if r == 0:
+            scan(active, qbx[active], qby[active])
+        else:
+            # ring perimeter at Chebyshev bucket distance r
+            offs = np.arange(-r, r + 1)
+            top = np.stack([offs, np.full(len(offs), -r)], axis=1)
+            bot = np.stack([offs, np.full(len(offs), r)], axis=1)
+            mid = np.arange(-r + 1, r)
+            left = np.stack([np.full(len(mid), -r), mid], axis=1)
+            right = np.stack([np.full(len(mid), r), mid], axis=1)
+            ring = np.concatenate([top, bot, left, right])
+            rep_q = np.repeat(active, len(ring))
+            dx = np.tile(ring[:, 0], len(active))
+            dy = np.tile(ring[:, 1], len(active))
+            scan(rep_q, qbx[rep_q] + dx, qby[rep_q] + dy)
+        # done when every unseen point is provably farther: unseen
+        # buckets sit at Chebyshev distance > r, hence at least r*cell
+        # from anywhere in (or beyond) the query's bucket. Strict <
+        # so an exact-distance tie in an unseen ring is never lost.
+        done = best_d2[active] < (r * cell) ** 2
+        active = active[~done]
+        r += 1
+    return best_i
 
 
 def griddata_interp(px, py, values, grid_x, grid_y, *, method="nearest",

@@ -400,6 +400,35 @@ def test_batch_parse_polygons_structure_roundtrip():
 # interpolation
 # ---------------------------------------------------------------------------
 
+def test_bucket_nearest_matches_bruteforce():
+    """The grid-bucket exact-NN path (large point sets) returns the
+    identical argmin — including lowest-index tie-breaks and queries
+    outside the point bbox — as the brute-force path."""
+    from geocube_spark.kernels.interpolate import _bucket_nearest_idx
+
+    rng = np.random.RandomState(13)
+    n, m = 6000, 4000
+    px, py = rng.rand(n) * 100, rng.rand(n) * 100
+    qx = rng.rand(m) * 120 - 10
+    qy = rng.rand(m) * 120 - 10
+    got = _bucket_nearest_idx(px, py, qx, qy)
+    ref = np.empty(m, dtype=np.int64)
+    step = 64
+    for i in range(0, m, step):
+        d2 = (qx[i:i + step, None] - px[None, :]) ** 2 + (
+            qy[i:i + step, None] - py[None, :]
+        ) ** 2
+        ref[i:i + step] = np.argmin(d2, axis=1)
+    assert np.array_equal(got, ref)
+    # exact ties (duplicated points, equidistant queries)
+    px = np.tile(np.array([0.0, 2.0, 0.0, 2.0]), 800)
+    py = np.tile(np.array([0.0, 0.0, 2.0, 2.0]), 800)
+    qx = np.full(20, 1.0)
+    qy = np.full(20, 1.0)
+    got = _bucket_nearest_idx(px, py, qx, qy)
+    assert (got == 0).all()    # lowest index wins every tie
+
+
 def test_delaunay_walk_matches_scan():
     """The adjacency-walk build (large-n path) produces the identical
     triangulation as the vectorized-scan build on general-position
