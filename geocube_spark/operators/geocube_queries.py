@@ -716,6 +716,63 @@ FROM r WHERE rn = 1 ORDER BY row, col
 """
 
 
+def q_interp_nearest_dense(spark, sf_dir):
+    """Same semantics as ``interp_nearest`` but over EVERY event point
+    (10k at sf0.01, 100k at sf0.1) — exercises the grid-bucket exact-NN
+    path (kernels/interpolate._bucket_nearest_idx: points >= 2048),
+    which is what keeps this operator usable when a (band, group)
+    holds 1e5+ points. Oracle replays the exact argmin over all
+    points; ties to lowest event_id match the bucketed tie rule."""
+    from ..cube import make_geocube
+
+    vec = _event_vector_df(spark, sf_dir)
+    cube = make_geocube(
+        vec,
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-5.0, 5.0),
+        fill=-9999.0,
+        rasterize_function="points_griddata",
+        interp_method="nearest",
+        tile_size=64,
+    )
+    cell = cube.chunks.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    )
+    return cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
+        "val",
+    ).orderBy("row", "col")
+
+
+SQL_INTERP_NEAREST_DENSE = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value
+  FROM events
+),
+cells AS (
+  SELECT r.range AS row, c.range AS col,
+         -180.0 + 5.0 * (c.range + 0.5) AS gx,
+         90.0 - 5.0 * (r.range + 0.5) AS gy
+  FROM range(0, 36) r, range(0, 72) c
+),
+d AS (
+  SELECT row, col, value, event_id,
+         (gx - lon) * (gx - lon) + (gy - lat) * (gy - lat) AS d2
+  FROM cells, pts
+),
+r AS (
+  SELECT row, col, value,
+         row_number() OVER (PARTITION BY row, col
+                            ORDER BY d2, event_id) AS rn
+  FROM d
+)
+SELECT CAST(row AS INT) AS row, CAST(col AS INT) AS col, value AS val
+FROM r WHERE rn = 1 ORDER BY row, col
+"""
+
+
 def _interp_query(spark, sf_dir, function, method):
     from ..cube import make_geocube
 
@@ -1004,6 +1061,8 @@ QUERIES = {
     "burn_grouped_replace": (q_burn_grouped_replace, SQL_BURN_GROUPED),
     "tile_lineage": (q_tile_lineage, SQL_TILE_LINEAGE),
     "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
+    "interp_nearest_dense": (q_interp_nearest_dense,
+                             SQL_INTERP_NEAREST_DENSE),
     "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "interp_cubic": (q_interp_cubic, None),
