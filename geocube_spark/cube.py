@@ -1168,14 +1168,20 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         # deterministic point order regardless of shuffle arrival: on an
         # exact-distance tie argmin picks the first (= lowest seq) point
         pdf = pdf.sort_values("seq", kind="mergesort")
-        xs, ys = [], []
-        for blob in pdf["geometry_wkb"].values:
-            g = W.loads(bytes(blob))
-            for p in g.points():
-                xs.append(p[0])
-                ys.append(p[1])
-        px = np.asarray(xs, dtype=np.float64)
-        py = np.asarray(ys, dtype=np.float64)
+        blobs = list(pdf["geometry_wkb"].values)
+        is_pt, vx, vy = W.partition_points(blobs)
+        if is_pt.all():
+            # vectorized decode (the normal all-points case)
+            px, py = vx, vy
+        else:
+            xs, ys = [], []
+            for blob in blobs:
+                g = W.loads(bytes(blob))
+                for p in g.points():
+                    xs.append(p[0])
+                    ys.append(p[1])
+            px = np.asarray(xs, dtype=np.float64)
+            py = np.asarray(ys, dtype=np.float64)
         if reproject and len(px):
             px, py = crs_transform(src, gb.crs, px, py)
         vals = pdf["value"].values.astype(np.float64)
