@@ -356,10 +356,14 @@ def minhash_signatures(df: DataFrame, *, num_hashes: int = 64,
             np.cumsum(lens[:-1], out=starts[1:])
             hmod = flat % MERSENNE31  # < 2^31: a*h+b stays in int64
             out = {"id": pdf["id"].to_numpy(dtype=np.int64)}
+            # one reused work buffer: the affine pass runs in place so
+            # the 64 hash functions allocate nothing per iteration
+            tmp = np.empty_like(hmod)
             for j, (a, b) in enumerate(ab):
-                out[f"mh_{j}"] = np.minimum.reduceat(
-                    (hmod * a + b) % MERSENNE31, starts
-                )
+                np.multiply(hmod, a, out=tmp)
+                tmp += b
+                np.mod(tmp, MERSENNE31, out=tmp)
+                out[f"mh_{j}"] = np.minimum.reduceat(tmp, starts)
             yield pd.DataFrame(out)
 
     return sets.select("id", "sh_hashes").mapInPandas(_sigs, schema=schema)
