@@ -90,8 +90,11 @@ def run(spark=None, sf_dir: str = None) -> dict:
         burn_docs, geom=GEOM, resolution=(-res, res), fill=0.0,
         merge_alg="add", tile_size=TILE,
     )
+    # best-of-3 for the headline burn: it runs last, after ~80 query
+    # executions have heated the JVM/host, and the sandbox host's
+    # page-fault collapse (see BASELINE.md) can eat two runs in a row
     burn_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         row = burn_cube.chunks.selectExpr(
             "sum(n_cells_burned) AS t", "count(*) AS n"

@@ -283,6 +283,31 @@ def extract_vector_table_sql(
     )
 
 
+def with_wkb_from_wkt(df: DataFrame, wkt_column: str = "geometry_wkt",
+                      out_column: str = "geometry_wkb") -> DataFrame:
+    """Add a WKB geometry column parsed from a WKT text column.
+
+    The reference accepts WKT geometry wherever OGR does (its
+    geopandas ingest, cli/geocube.py:69-75); here WKT is a text codec
+    over the engine's WKB columns — an Arrow-batched map, one parse
+    per row, NULL text -> NULL geometry. The result plugs straight
+    into ``make_geocube(vector_data=...)``.
+    """
+    from .geometry.wkt import wkt_to_wkb
+
+    fields = [f for f in df.schema.fields if f.name != out_column]
+    schema = T.StructType(fields + [T.StructField(out_column, T.BinaryType())])
+    names = [f.name for f in fields]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[names].copy()
+            out[out_column] = wkt_to_wkb(pdf[wkt_column].values)
+            yield out
+
+    return df.mapInPandas(_parse, schema=schema)
+
+
 def validate_vector_df(vector_df: DataFrame, geometry_column: str = "geometry_wkb"):
     """Reference input validation (geobox.py:78-90): empty table or
     missing geometry column -> VectorDataError."""

@@ -1069,6 +1069,89 @@ FROM comp GROUP BY 1 ORDER BY value
 """
 
 
+_POINT_DEC_SCHEMA = "event_id long, lon double, lat double, value double"
+
+
+def _decode_point_coords(df, id_col: str = "event_id"):
+    """(id, value, geometry_wkb) -> (event_id, lon, lat, value) via the
+    vectorized point decoder (no per-row Python)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_pt, x, y = W.partition_points(pdf["geometry_wkb"].values)
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf[id_col].values[is_pt].astype("int64"),
+                    "lon": x,
+                    "lat": y,
+                    "value": pdf["value"].values[is_pt].astype("float64"),
+                }
+            )
+
+    return df.mapInPandas(_dec, schema=_POINT_DEC_SCHEMA)
+
+
+def q_shapefile_roundtrip(spark, sf_dir):
+    """ESRI shapefile sink + source roundtrip. The reference ingests
+    any OGR-readable file via geopandas (cli/geocube.py:69-75);
+    sources/shapefile.py implements the public spec directly. Every
+    50th event point goes out through the .shp/.dbf writer and back
+    through the distributed reader; geometry survives bit-exact (.shp
+    stores raw float64) and float attributes round-trip bit-exact too
+    (dBASE F fields written as %.17e text)."""
+    import os
+    import tempfile
+
+    from ..sources.shapefile import read_shapefile, write_shapefile
+
+    vec = _event_vector_df(spark, sf_dir).filter(F.col("seq") % 50 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(), f"geocube_shp_rt_{os.getpid()}", "pts.shp"
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_shapefile(
+        vec.select(
+            F.col("seq").alias("event_id"), "value", "geometry_wkb"
+        ).orderBy("event_id"),
+        path, epsg=4326, mode="single",
+    )
+    back = read_shapefile(spark, path, id_prefix="rt")
+    return _decode_point_coords(back).orderBy("event_id")
+
+
+SQL_SHAPEFILE_RT = f"""
+SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value
+FROM events WHERE event_id % 50 = 0 ORDER BY event_id
+"""
+
+
+def q_wkt_roundtrip(spark, sf_dir):
+    """WKT text-geometry ingest: POINT WKT strings built JVM-side
+    (CAST double AS STRING is Java's shortest round-trip repr) parse
+    through geometry/wkt.py into WKB and decode back to the exact
+    input doubles — proving the WKT -> WKB -> coordinates path a
+    text-geometry corpus would take into make_geocube."""
+    from ..extract import with_wkb_from_wkt
+
+    pts = _event_points(spark, sf_dir).filter(F.col("event_id") % 20 == 0)
+    wkt_df = pts.select(
+        "event_id",
+        F.concat(
+            F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
+            F.col("lat").cast("string"), F.lit(")"),
+        ).alias("geometry_wkt"),
+        "value",
+    )
+    vec = with_wkb_from_wkt(wkt_df, "geometry_wkt")
+    return _decode_point_coords(vec).orderBy("event_id")
+
+
+SQL_WKT_RT = f"""
+SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value
+FROM events WHERE event_id % 20 = 0 ORDER BY event_id
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -1092,4 +1175,6 @@ QUERIES = {
     "interp_rbf": (q_interp_rbf, None),
     "vectorize_components": (q_vectorize_components,
                              SQL_VECTORIZE_COMPONENTS),
+    "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_SHAPEFILE_RT),
+    "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_RT),
 }
