@@ -57,6 +57,12 @@ logger = logging.getLogger("geocube_spark")
 
 DEFAULT_TILE_SIZE = 256
 
+# interp grids with at least this many tiles use the two-stage
+# fit-broadcast-evaluate plan (per-tile parallel evaluation); smaller
+# grids stay single-task per (band, group) where the extra job +
+# broadcast would dominate
+_INTERP_PARALLEL_MIN_TILES = 8
+
 _NUMERIC_SPARK = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
@@ -416,6 +422,11 @@ def make_geocube(
     if group_by:
         keep.append(F.col(group_by).alias("__group"))
     work = work.select(*keep)
+    if group_by:
+        # reference parity: pandas groupby(group_by) drops NaN-group
+        # rows (vector_to_cube.py grouped path), so a null group value
+        # never becomes a band slice
+        work = work.filter(F.col("__group").isNotNull())
 
     if filter_nan and rasterize_function == "image" and len(meas) == 1:
         # reference rasterize.py:30-43 removes null rows pre-burn; with
@@ -1158,15 +1169,15 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
     if filter_nan:
         long_df = long_df.filter(F.col("value").isNotNull())
 
-    def _interp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _fit_model(pdf: pd.DataFrame):
+        """Decode + reproject the band's points and fit the globally-
+        coupled structures ONCE (Delaunay + CT gradients / RBF dense
+        solve). Deterministic point order regardless of shuffle
+        arrival: on an exact-distance tie argmin picks the first
+        (= lowest seq) point."""
         gb = GeoBox.from_dict(gb_dict)
         src = CRS(src_epsg)
         reproject = src.epsg != gb.crs.epsg
-        m = str(key[0])
-        gkey = str(key[1]) if grouped and len(key) > 1 and key[1] is not None else None
-
-        # deterministic point order regardless of shuffle arrival: on an
-        # exact-distance tie argmin picks the first (= lowest seq) point
         pdf = pdf.sort_values("seq", kind="mergesort")
         blobs = list(pdf["geometry_wkb"].values)
         is_pt, vx, vy = W.partition_points(blobs)
@@ -1185,41 +1196,148 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         if reproject and len(px):
             px, py = crs_transform(src, gb.crs, px, py)
         vals = pdf["value"].values.astype(np.float64)
-
-        coords = gb.coords()
-        # fit the globally-coupled structures ONCE (Delaunay + CT
-        # gradients / RBF dense solve); the tile loop only evaluates
-        model = GridInterpolator(
+        return GridInterpolator(
             function, method, px, py, vals, fill=fill, rescale=rescale,
         )
+
+    def _chunk_row(m, gkey, tile, band, n_geoms, min_seq, max_seq):
+        tile_id, row0, col0, h, w = tile
+        return {
+            "measurement": m, "group_key": gkey, "zoom": zoom,
+            "tile_id": tile_id, "row0": row0, "col0": col0,
+            "h": h, "w": w, "values": band.ravel(),
+            "n_geoms": n_geoms, "n_cells_burned": int(h * w),
+            "min_seq": min_seq, "max_seq": max_seq,
+        }
+
+    out_cols = [f.name for f in _CHUNK_FIELDS]
+
+    def _interp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gb = GeoBox.from_dict(gb_dict)
+        m = str(key[0])
+        gkey = str(key[1]) if grouped and len(key) > 1 and key[1] is not None else None
+        model = _fit_model(pdf)
+        coords = gb.coords()
+        mn = int(pdf["seq"].min()) if len(pdf) else -1
+        mx = int(pdf["seq"].max()) if len(pdf) else -1
         out = []
-        for tile_id, row0, col0, h, w in gb.tile_grid(tile_size):
+        for tile in gb.tile_grid(tile_size):
+            _, row0, col0, h, w = tile
             gx = coords["x"][col0 : col0 + w]
             gy = coords["y"][row0 : row0 + h]
-            band = model(gx, gy)
             out.append(
-                {
-                    "measurement": m,
-                    "group_key": gkey,
-                    "zoom": zoom,
-                    "tile_id": tile_id,
-                    "row0": row0,
-                    "col0": col0,
-                    "h": h,
-                    "w": w,
-                    "values": band.ravel(),
-                    "n_geoms": len(pdf),
-                    "n_cells_burned": int(h * w),
-                    "min_seq": int(pdf["seq"].min()) if len(pdf) else -1,
-                    "max_seq": int(pdf["seq"].max()) if len(pdf) else -1,
-                }
+                _chunk_row(m, gkey, tile, model(gx, gy), len(pdf), mn, mx)
             )
-        return pd.DataFrame(out, columns=[f.name for f in _CHUNK_FIELDS])
+        return pd.DataFrame(out, columns=out_cols)
 
     keys = ["measurement", "group_key"] if grouped else ["measurement"]
-    # one heavy task per (band, group): pin the partition count so AQE's
-    # size-based coalescing can't serialize bands into one task
     sc = long_df.sparkSession.sparkContext
+    gb0 = GeoBox.from_dict(gb_dict)
+    n_tiles, _, _ = gb0.n_tiles(tile_size)
+
+    if n_tiles >= _INTERP_PARALLEL_MIN_TILES:
+        # grid >> points: evaluation is embarrassingly parallel while
+        # the FIT is globally coupled. Two-stage plan: (1) one fit task
+        # per (band, group) emits the fitted payload (O(points) bytes:
+        # simplices/gradients/RBF weights — never O(grid)); (2) the
+        # driver broadcasts the payloads and every (band, group, tile)
+        # evaluates as its own task. A 1e9-cell grid then uses the
+        # whole cluster instead of one executor core per band.
+        import pickle
+
+        fit_schema = (
+            "measurement string, group_key string, payload binary, "
+            "n_geoms long, min_seq long, max_seq long"
+        )
+
+        def _fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            m = str(key[0])
+            gkey = (
+                str(key[1])
+                if grouped and len(key) > 1 and key[1] is not None
+                else None
+            )
+            model = _fit_model(pdf)
+            return pd.DataFrame(
+                [{
+                    "measurement": m,
+                    "group_key": gkey,
+                    "payload": pickle.dumps(model.payload(), protocol=4),
+                    "n_geoms": len(pdf),
+                    "min_seq": int(pdf["seq"].min()) if len(pdf) else -1,
+                    "max_seq": int(pdf["seq"].max()) if len(pdf) else -1,
+                }]
+            )
+
+        fits = (
+            long_df.repartition(sc.defaultParallelism, *keys)
+            .groupBy(*keys)
+            .applyInPandas(
+                (lambda key, pdf: _fit(key, pdf))
+                if grouped
+                else (lambda key, pdf: _fit((key[0], None), pdf)),
+                schema=fit_schema,
+            )
+            .collect()
+        )
+        models_b = sc.broadcast({
+            (r["measurement"], r["group_key"]): r["payload"] for r in fits
+        })
+        meta = {
+            (r["measurement"], r["group_key"]):
+                (int(r["n_geoms"]), int(r["min_seq"]), int(r["max_seq"]))
+            for r in fits
+        }
+        tiles = list(gb0.tile_grid(tile_size))
+        work_rows = [
+            (m, gkey, int(t[0]), int(t[1]), int(t[2]), int(t[3]),
+             int(t[4]), n_g, mn, mx)
+            for (m, gkey), (n_g, mn, mx) in sorted(meta.items(),
+                                                   key=lambda kv: (
+                                                       kv[0][0],
+                                                       kv[0][1] or ""))
+            for t in tiles
+        ]
+        spark = long_df.sparkSession
+        work_df = spark.createDataFrame(
+            work_rows,
+            "measurement string, group_key string, tile_id long, "
+            "row0 int, col0 int, h int, w int, "
+            "n_geoms long, min_seq long, max_seq long",
+        ).repartition(
+            max(1, min(len(work_rows), 4 * sc.defaultParallelism))
+        )
+
+        def _eval(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            gb = GeoBox.from_dict(gb_dict)
+            coords = gb.coords()
+            cache: dict = {}
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    mk = (r.measurement, r.group_key)
+                    model = cache.get(mk)
+                    if model is None:
+                        model = GridInterpolator.from_payload(
+                            pickle.loads(models_b.value[mk])
+                        )
+                        cache[mk] = model
+                    gx = coords["x"][r.col0 : r.col0 + r.w]
+                    gy = coords["y"][r.row0 : r.row0 + r.h]
+                    out.append(_chunk_row(
+                        r.measurement,
+                        r.group_key if r.group_key is not None else None,
+                        (r.tile_id, r.row0, r.col0, r.h, r.w),
+                        model(gx, gy), r.n_geoms, r.min_seq, r.max_seq,
+                    ))
+                yield pd.DataFrame(out, columns=out_cols)
+
+        return work_df.mapInPandas(_eval, schema=CHUNK_SCHEMA)
+
+    # small grids: one task per (band, group) computes every tile (the
+    # two-stage plan's extra job + broadcast would dominate). Pin the
+    # partition count so AQE's size-based coalescing can't serialize
+    # bands into one task.
     long_df = long_df.repartition(sc.defaultParallelism, *keys)
     return long_df.groupBy(*keys).applyInPandas(
         (lambda key, pdf: _interp(key, pdf))

@@ -471,10 +471,15 @@ class Triangulation:
     wins' behavior of the former sequential overwrite loop.
     """
 
-    def __init__(self, points, values):
+    def __init__(self, points, values, tris=None):
         self.pts = np.asarray(points, dtype=np.float64)
         self.vals = np.asarray(values, dtype=np.float64)
-        self.tris = delaunay(self.pts)
+        # tris: precomputed simplices (the broadcast-eval path ships
+        # the fitted triangulation to workers; rebuilding the bin
+        # index here is vectorized O(n), only delaunay() is skipped)
+        self.tris = delaunay(self.pts) if tris is None else np.asarray(
+            tris, dtype=np.int64
+        )
         self._grads = None
         t = self.tris
         if len(t) == 0:

@@ -75,6 +75,46 @@ class GridInterpolator:
         elif function == "points_radial":
             self._rbf = _rbf_fit(self.px, self.py, self.values, method)
 
+    def payload(self) -> dict:
+        """Everything expensive about the fit, as picklable arrays —
+        the broadcast unit of the parallel tile-evaluation plan
+        (cube._interp_chunks): Delaunay simplices, CT gradients, RBF
+        weights. Workers rebuild with :meth:`from_payload` (vectorized
+        O(n), no re-fitting)."""
+        d = {
+            "function": self.function, "method": self.method,
+            "fill": self.fill, "rescale": self.rescale,
+            "px": self.px, "py": self.py, "values": self.values,
+            "scale": (self._ox, self._oy, self._sx, self._sy),
+        }
+        if self._tri is not None and self._tri._ok:
+            d["tris"] = self._tri.tris
+            if self.method == "cubic":
+                d["grads"] = self._tri.gradients()
+        if self._rbf is not None:
+            d["rbf"] = self._rbf
+        return d
+
+    @classmethod
+    def from_payload(cls, d: dict) -> "GridInterpolator":
+        obj = cls.__new__(cls)
+        obj.function, obj.method = d["function"], d["method"]
+        obj.fill, obj.rescale = d["fill"], d["rescale"]
+        obj.px, obj.py, obj.values = d["px"], d["py"], d["values"]
+        obj._ox, obj._oy, obj._sx, obj._sy = d["scale"]
+        obj._tri, obj._rbf = None, d.get("rbf")
+        if "tris" in d:
+            px_f, py_f = obj.px, obj.py
+            if obj.rescale and len(obj.px):
+                px_f = (obj.px - obj._ox) / obj._sx
+                py_f = (obj.py - obj._oy) / obj._sy
+            obj._tri = Triangulation(
+                np.column_stack([px_f, py_f]), obj.values, tris=d["tris"]
+            )
+            if "grads" in d:
+                obj._tri._grads = d["grads"]
+        return obj
+
     def __call__(self, grid_x, grid_y):
         """Evaluate on a rectilinear tile; returns (H, W) float64."""
         gx, gy = np.meshgrid(

@@ -1152,6 +1152,35 @@ FROM events WHERE event_id % 20 = 0 ORDER BY event_id
 """
 
 
+def q_geopackage_roundtrip(spark, sf_dir):
+    """GeoPackage (OGC 12-128) sink + source roundtrip — the second
+    OGR-breadth container (sources/geopackage.py, stdlib sqlite3).
+    Every 50th event point writes through the GPB/SQLite sink and
+    reads back via the rowid-range-split distributed reader; geometry
+    and attributes are binary (bit-exact). seq = SQLite rowid
+    (1-based), so identity rides the doc_id attribute instead."""
+    import os
+    import tempfile
+
+    from ..sources.geopackage import read_geopackage, write_geopackage
+
+    vec = _event_vector_df(spark, sf_dir).filter(F.col("seq") % 50 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(), f"geocube_gpkg_rt_{os.getpid()}.gpkg"
+    )
+    write_geopackage(
+        vec.select(
+            F.col("seq").alias("event_id"), "value", "geometry_wkb"
+        ).orderBy("event_id"),
+        path, layer="pts", epsg=4326,
+    )
+    back = read_geopackage(spark, path)
+    return _decode_point_coords(back).orderBy("event_id")
+
+
+SQL_GPKG_RT = SQL_SHAPEFILE_RT
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -1177,4 +1206,5 @@ QUERIES = {
                              SQL_VECTORIZE_COMPONENTS),
     "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_SHAPEFILE_RT),
     "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_RT),
+    "geopackage_roundtrip": (q_geopackage_roundtrip, SQL_GPKG_RT),
 }

@@ -99,7 +99,24 @@ def main(argv=None) -> dict:
             with open(meta_path) as f:
                 like = GeoBox.from_dict(json.load(f))
 
-    docs = spark.read.parquet(args.input)
+    # input format sniffing (reference CLI reads any OGR path):
+    # .shp/.geojson/.json/.gpkg load through the GDAL-free vector-file
+    # sources; anything else is the parquet documents/vector table
+    low = args.input.lower()
+    if low.endswith(".shp") or low.rstrip("/").endswith(".shp"):
+        from geocube_spark.sources.shapefile import read_shapefile
+
+        docs = read_shapefile(spark, args.input)
+    elif low.endswith((".geojson", ".json")):
+        from geocube_spark.sources.geojson import read_geojson
+
+        docs = read_geojson(spark, args.input)
+    elif low.endswith(".gpkg"):
+        from geocube_spark.sources.geopackage import read_geopackage
+
+        docs = read_geopackage(spark, args.input)
+    else:
+        docs = spark.read.parquet(args.input)
     cube = make_geocube(
         docs,
         measurements=args.measurements,

@@ -680,3 +680,101 @@ def test_show_versions():
 
     out = geocube_spark.show_versions()
     assert "pyspark" in out and "geocube_spark" in out
+
+
+# ---------------------------------------------------------------------------
+# two-stage (fit -> broadcast -> parallel tile eval) interp plan parity
+# ---------------------------------------------------------------------------
+
+def test_interp_parallel_plan_matches_single_task(spark):
+    """Grids with >= _INTERP_PARALLEL_MIN_TILES tiles evaluate tiles in
+    parallel from a broadcast fitted payload; the result must be
+    IDENTICAL to the single-task plan for every method (the fit is the
+    same object, only the evaluation is distributed)."""
+    import numpy as np
+    import pandas as pd
+
+    import geocube_spark.cube as C
+    from geocube_spark.geometry import wkb as W
+
+    rng = np.random.default_rng(7)
+    n = 60
+    px = rng.uniform(-170, 170, n)
+    py = rng.uniform(-80, 80, n)
+    vals = np.sin(px / 30) + py / 40
+    vec = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [f"p{i}" for i in range(n)],
+             "seq": np.arange(n, dtype="int64"),
+             "geometry_wkb": [W.point(x, y).to_wkb()
+                              for x, y in zip(px, py)],
+             "value": vals}
+        )
+    )
+    geom = ('{"type":"Polygon","coordinates":[[[-180,-90],[180,-90],'
+            '[180,90],[-180,90],[-180,-90]]]}')
+    cases = [
+        ("points_griddata", "nearest"),
+        ("points_griddata", "linear"),
+        ("points_griddata", "cubic"),
+        ("points_radial", "gaussian"),
+    ]
+    for function, method in cases:
+        kw = dict(measurements=["value"], geom=geom, resolution=(-5.0, 5.0),
+                  fill=-9999.0, rasterize_function=function,
+                  interp_method=method, tile_size=16)
+        # 72x36 grid, 16px tiles -> 5x3=15 tiles >= threshold: parallel
+        assert C._INTERP_PARALLEL_MIN_TILES <= 15
+        a = C.make_geocube(vec, **kw).assemble()
+        old = C._INTERP_PARALLEL_MIN_TILES
+        C._INTERP_PARALLEL_MIN_TILES = 10**9   # force single-task plan
+        try:
+            b = C.make_geocube(vec, **kw).assemble()
+        finally:
+            C._INTERP_PARALLEL_MIN_TILES = old
+        np.testing.assert_array_equal(
+            np.asarray(a["value"]), np.asarray(b["value"]),
+            err_msg=f"{function}/{method}",
+        )
+
+
+def test_interp_parallel_plan_grouped(spark):
+    import numpy as np
+    import pandas as pd
+
+    import geocube_spark.cube as C
+    from geocube_spark.geometry import wkb as W
+
+    rng = np.random.default_rng(3)
+    n = 40
+    px = rng.uniform(-170, 170, n)
+    py = rng.uniform(-80, 80, n)
+    vec = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [f"p{i}" for i in range(n)],
+             "seq": np.arange(n, dtype="int64"),
+             "geometry_wkb": [W.point(x, y).to_wkb()
+                              for x, y in zip(px, py)],
+             "value": rng.uniform(0, 10, n),
+             "grp": [None if i % 7 == 0 else f"g{i % 2}"
+                     for i in range(n)]}
+        )
+    )
+    geom = ('{"type":"Polygon","coordinates":[[[-180,-90],[180,-90],'
+            '[180,90],[-180,90],[-180,-90]]]}')
+    kw = dict(measurements=["value"], geom=geom, resolution=(-5.0, 5.0),
+              fill=-9999.0, rasterize_function="points_griddata",
+              interp_method="nearest", tile_size=16, group_by="grp")
+    a = C.make_geocube(vec, **kw)
+    arrs_a, keys_a = a.assemble(), list(a.group_keys)
+    old = C._INTERP_PARALLEL_MIN_TILES
+    C._INTERP_PARALLEL_MIN_TILES = 10**9
+    try:
+        b = C.make_geocube(vec, **kw)
+        arrs_b, keys_b = b.assemble(), list(b.group_keys)
+    finally:
+        C._INTERP_PARALLEL_MIN_TILES = old
+    assert keys_a == keys_b
+    np.testing.assert_array_equal(
+        np.asarray(arrs_a["value"]), np.asarray(arrs_b["value"])
+    )

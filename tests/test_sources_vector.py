@@ -273,3 +273,157 @@ def test_soil_fixture_cube_identical_via_shapefile(spark, tmp_path):
     for m in ("omr", "sandtotal_r"):
         np.testing.assert_array_equal(a[m], b[m])
     assert (np.asarray(a["omr"]) != -9999.0).sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON file source
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference fixtures")
+def test_read_geojson_reference_fixture(spark):
+    from geocube_spark.sources.geojson import read_geojson
+
+    df = read_geojson(spark, f"{REF}/input/soil_data_flat.geojson")
+    rows = df.orderBy("seq").collect()
+    assert len(rows) == 7
+    assert [r["seq"] for r in rows] == list(range(7))
+    assert {"om_r", "sandtotal_r", "awc_r"} <= set(df.columns)
+    g = W.loads(bytes(rows[0]["geometry_wkb"]))
+    assert g.type_name in ("Polygon", "MultiPolygon")
+    assert rows[0]["om_r"] == 5.48108767542
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="no reference fixtures")
+def test_soil_cube_identical_via_geojson_reader(spark):
+    """make_geocube(read_geojson(file)) == make_geocube(hand-built vec)."""
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.sources.geojson import read_geojson
+
+    d = json.load(open(f"{REF}/input/soil_data_flat.geojson"))
+    feats = d["features"]
+    vec_ref = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [f"soil-{i:04d}" for i in range(len(feats))],
+             "seq": np.arange(len(feats), dtype="int64"),
+             "geometry_wkb": [
+                 W.from_geojson(f["geometry"]).to_wkb() for f in feats
+             ],
+             "om_r": [float(f["properties"]["om_r"]) for f in feats]}
+        )
+    )
+    kw = dict(measurements=["om_r"], output_crs="epsg:32615",
+              resolution=(-10, 10), fill=-9999.0, tile_size=64)
+    a = make_geocube(
+        read_geojson(spark, f"{REF}/input/soil_data_flat.geojson"), **kw
+    ).assemble()
+    b = make_geocube(vec_ref, **kw).assemble()
+    np.testing.assert_array_equal(a["om_r"], b["om_r"])
+
+
+def test_read_geojson_multi_file_and_nulls(spark, tmp_path):
+    from geocube_spark.sources.geojson import (
+        _FILE_STRIDE, geojson_file_epsg, read_geojson,
+    )
+
+    for fi in range(2):
+        fc = {
+            "type": "FeatureCollection",
+            "crs": {"type": "name", "properties":
+                    {"name": "urn:ogc:def:crs:EPSG::32615"}},
+            "features": [
+                {"type": "Feature",
+                 "geometry": {"type": "Point",
+                              "coordinates": [fi * 10 + i, i]},
+                 "properties": {"v": float(i)} if i else {}}
+                for i in range(3)
+            ],
+        }
+        # file 1: one null geometry
+        if fi == 1:
+            fc["features"][2]["geometry"] = None
+        (tmp_path / f"f{fi}.geojson").write_text(json.dumps(fc))
+    df = read_geojson(spark, str(tmp_path))
+    rows = df.orderBy("seq").collect()
+    assert len(rows) == 6
+    assert [r["seq"] for r in rows] == [0, 1, 2, _FILE_STRIDE,
+                                        _FILE_STRIDE + 1, _FILE_STRIDE + 2]
+    assert rows[0]["v"] is None and rows[1]["v"] == 1.0
+    assert rows[5]["geometry_wkb"] is None
+    assert geojson_file_epsg(str(tmp_path / "f0.geojson")) == 32615
+
+
+# ---------------------------------------------------------------------------
+# GeoPackage source/sink
+# ---------------------------------------------------------------------------
+
+def test_geopackage_roundtrip_split_read(spark, tmp_path):
+    from geocube_spark.sources.geopackage import (
+        list_layers, read_geopackage, write_geopackage,
+    )
+
+    n = 3000
+    pdf = pd.DataFrame(
+        {"doc_id": [f"d{i}" for i in range(n)],
+         "val": np.arange(n) * 1.5,
+         "name": [f"n{i}" for i in range(n)],
+         "flag": [bool(i % 2) for i in range(n)],
+         "geometry_wkb": [
+             W.point(i % 100, i // 100).to_wkb() for i in range(n)
+         ]}
+    )
+    p = str(tmp_path / "t.gpkg")
+    write_geopackage(spark.createDataFrame(pdf), p, layer="pts", epsg=4326)
+    assert list_layers(p) == ["pts"]
+    back = read_geopackage(spark, p)
+    # rowid ranges -> several concurrent splits
+    assert back.rdd.getNumPartitions() > 1
+    rows = back.orderBy("seq").collect()
+    assert len(rows) == n
+    r = rows[150]
+    assert tuple(W.loads(bytes(r["geometry_wkb"])).parts) == (50.0, 1.0)
+    assert r["val"] == 225.0 and r["name"] == "n150" and r["flag"] is False
+    # polygons + null geometry survive the GPB codec
+    g = WT.loads("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+    pdf2 = pd.DataFrame(
+        {"doc_id": ["a", "b"],
+         "geometry_wkb": [g.to_wkb(), None]}
+    )
+    p2 = str(tmp_path / "t2.gpkg")
+    write_geopackage(spark.createDataFrame(pdf2), p2)
+    got = read_geopackage(spark, p2).orderBy("seq").collect()
+    assert W.loads(bytes(got[0]["geometry_wkb"])).type_name == "Polygon"
+    assert got[1]["geometry_wkb"] is None
+
+
+def test_gpb_codec_errors():
+    from geocube_spark.sources.geopackage import (
+        GeoPackageError, gpb_to_wkb, wkb_to_gpb,
+    )
+
+    wkb = W.point(1, 2).to_wkb()
+    assert gpb_to_wkb(wkb_to_gpb(wkb, 4326)) == wkb
+    assert gpb_to_wkb(None) is None
+    with pytest.raises(GeoPackageError):
+        gpb_to_wkb(b"XX\x00\x01\x00\x00\x00\x00")
+
+
+# ---------------------------------------------------------------------------
+# CLI format sniffing
+# ---------------------------------------------------------------------------
+
+def test_cli_accepts_shapefile_input(spark, tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from scripts.make_geocube_job import main
+
+    geoms = [WT.loads("POLYGON ((0 0, 0.5 0, 0.5 0.5, 0 0.5, 0 0))")]
+    p = str(tmp_path / "in.shp")
+    SF.write_shapefile_local(p, geoms, pd.DataFrame({"m": [7.0]}),
+                             epsg=4326)
+    out = str(tmp_path / "cube")
+    summary = main([
+        "--input", p, "--output", out,
+        "--resolution", "-0.1", "0.1", "--fill", "0", "--tile-size", "8",
+        "--measurements", "m",
+    ])
+    assert summary.get("format") == "netcdf" or summary["committed"]

@@ -519,3 +519,31 @@ def test_grouped_string_attrs_skipped(spark):
     assert "cokey" not in cube.bands
     assert "drclassdcd" not in cube.bands
     assert "claytotal_r" in cube.bands and "hzdepb_r" in cube.bands
+
+
+def test_grouped_cube_null_group_rows_dropped(spark):
+    """Reference parity: pandas groupby drops NaN-group rows — a null
+    group value must neither become a band slice nor break assemble."""
+    import pandas as pd
+    from geocube_spark.geometry import wkb as W
+
+    pdf = pd.DataFrame(
+        {"doc_id": [f"p{i}" for i in range(6)],
+         "seq": np.arange(6, dtype="int64"),
+         "geometry_wkb": [W.point(i + 0.5, 0.5).to_wkb() for i in range(6)],
+         "value": np.arange(6, dtype="float64") + 1,
+         "grp": ["a", None, "b", None, "a", "b"]}
+    )
+    vec = spark.createDataFrame(pdf)
+    geom = ('{"type":"Polygon","coordinates":[[[0,0],[6,0],[6,1],'
+            '[0,1],[0,0]]]}')
+    cube = make_geocube(
+        vec, measurements=["value"], group_by="grp", geom=geom,
+        resolution=(-1.0, 1.0), fill=0.0, tile_size=8,
+    )
+    assert cube.group_keys == ["a", "b"]
+    arrs = cube.assemble()
+    assert arrs["value"].shape == (2, 1, 6)
+    # null-group points (cols 1 and 3) burned nowhere
+    np.testing.assert_array_equal(arrs["value"][0, 0], [1, 0, 0, 0, 5, 0])
+    np.testing.assert_array_equal(arrs["value"][1, 0], [0, 0, 3, 0, 0, 6])
