@@ -138,3 +138,65 @@ def test_wkb_polygon_roundtrip_and_transform(pts, dx, dy):
     np.testing.assert_array_equal(groups[0][1][0], ring)
     [re] = W.encode_simple_polygons(ring[None, :, :])
     assert re == g.to_wkb()
+
+
+# ---------------------------------------------------------------------------
+# WKT codec properties
+# ---------------------------------------------------------------------------
+
+from geocube_spark.geometry import wkt as WT  # noqa: E402
+
+_coord = st.floats(allow_nan=False, allow_infinity=False,
+                   min_value=-1e15, max_value=1e15)
+
+
+def _ring(draw, n):
+    pts = [(draw(_coord), draw(_coord)) for _ in range(n)]
+    pts.append(pts[0])
+    return pts
+
+
+@st.composite
+def _geometries(draw):
+    kind = draw(st.integers(min_value=0, max_value=4))
+    if kind == 0:
+        return W.point(draw(_coord), draw(_coord))
+    if kind == 1:
+        n = draw(st.integers(min_value=2, max_value=8))
+        return W.linestring([(draw(_coord), draw(_coord))
+                             for _ in range(n)])
+    if kind == 2:
+        n = draw(st.integers(min_value=3, max_value=8))
+        holes = [
+            _ring(draw, draw(st.integers(min_value=3, max_value=5)))
+            for _ in range(draw(st.integers(min_value=0, max_value=2)))
+        ]
+        return W.polygon(_ring(draw, n), holes)
+    if kind == 3:
+        n = draw(st.integers(min_value=1, max_value=6))
+        return W.Geometry(
+            W.MULTIPOINT,
+            np.array([[draw(_coord), draw(_coord)] for _ in range(n)]),
+        )
+    polys = [
+        [np.array(_ring(draw, draw(st.integers(min_value=3, max_value=6))))]
+        for _ in range(draw(st.integers(min_value=1, max_value=3)))
+    ]
+    return W.Geometry(W.MULTIPOLYGON, polys)
+
+
+@given(_geometries())
+@settings(max_examples=150, deadline=None)
+def test_wkt_roundtrip_property(g):
+    """loads(dumps(g)) is coordinate-exact for arbitrary float64
+    geometry, and agrees with the WKB codec's view of the same."""
+    g2 = WT.loads(WT.dumps(g))
+    assert g2.geom_type == g.geom_type
+    a = list(g.coord_arrays())
+    b = list(g2.coord_arrays())
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        np.testing.assert_array_equal(ra, rb)
+    # WKB -> WKT and WKT -> WKB commute
+    assert WT.dumps(W.loads(g.to_wkb())) == WT.dumps(g)
+    assert WT.loads(WT.dumps(g)).to_wkb() == g.to_wkb()
