@@ -796,6 +796,64 @@ FROM r WHERE rn = 1 ORDER BY row, col
 """
 
 
+def q_interp_nearest_parallel(spark, sf_dir):
+    """Same nearest semantics on a 144x72 grid with 32-px tiles (15
+    tiles) — above _INTERP_PARALLEL_MIN_TILES, so this runs the
+    two-stage fit -> broadcast -> per-tile-parallel evaluation plan
+    (cube._interp_chunks); the oracle replays the exact argmin, so a
+    hash match proves the distributed plan equals the math."""
+    from ..cube import make_geocube
+
+    vec = _event_vector_df(spark, sf_dir).filter(
+        F.col("seq") % 97 == 0
+    )
+    cube = make_geocube(
+        vec,
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-2.5, 2.5),
+        fill=-9999.0,
+        rasterize_function="points_griddata",
+        interp_method="nearest",
+        tile_size=32,
+    )
+    cell = cube.chunks.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    )
+    return cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
+        "val",
+    ).orderBy("row", "col")
+
+
+SQL_INTERP_NEAREST_PARALLEL = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value
+  FROM events WHERE event_id % 97 = 0
+),
+cells AS (
+  SELECT r.range AS row, c.range AS col,
+         -180.0 + 2.5 * (c.range + 0.5) AS gx,
+         90.0 - 2.5 * (r.range + 0.5) AS gy
+  FROM range(0, 72) r, range(0, 144) c
+),
+d AS (
+  SELECT row, col, value, event_id,
+         (gx - lon) * (gx - lon) + (gy - lat) * (gy - lat) AS d2
+  FROM cells, pts
+),
+r AS (
+  SELECT row, col, value,
+         row_number() OVER (PARTITION BY row, col
+                            ORDER BY d2, event_id) AS rn
+  FROM d
+)
+SELECT CAST(row AS INT) AS row, CAST(col AS INT) AS col, value AS val
+FROM r WHERE rn = 1 ORDER BY row, col
+"""
+
+
 def _interp_query(spark, sf_dir, function, method):
     from ..cube import make_geocube
 
@@ -1198,6 +1256,8 @@ QUERIES = {
     "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
     "interp_nearest_dense": (q_interp_nearest_dense,
                              SQL_INTERP_NEAREST_DENSE),
+    "interp_nearest_parallel": (q_interp_nearest_parallel,
+                                SQL_INTERP_NEAREST_PARALLEL),
     "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "interp_cubic": (q_interp_cubic, None),
