@@ -551,3 +551,113 @@ def simhash_near_pairs(df: DataFrame, *, max_hamming: int = 8,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_clusters(df: DataFrame, *, pairs: DataFrame = None,
+                      max_hamming: int = 5, bands: int = 6,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_iters: int = 20) -> DataFrame:
+    """Fuzzy-dedup compaction: cluster near-duplicate documents and
+    mark one representative to keep per cluster.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair frame (from
+    ``simhash_near_pairs``, ``minhash_lsh_pairs`` or
+    ``ngram_jaccard_pairs``); by default SimHash pairs are computed
+    from ``df``. Connected components run as distributed min-label
+    propagation with pointer jumping over the EDGE set — O(log
+    diameter) label-stable rounds, each a couple of edge-sized
+    shuffles, no driver adjacency and nothing quadratic — so a corpus
+    with bounded near-dup chains clusters in a handful of rounds
+    regardless of corpus size (same scheme as
+    ``vector._propagate_labels``).
+
+    Output, one row per input document:
+
+    * ``cluster_id`` — the smallest doc id in the component
+      (singletons are their own cluster),
+    * ``cluster_size``,
+    * ``keep`` — true for the cluster's representative: longest text,
+      ties broken by smallest id (the usual training-data rule of
+      keeping the fullest variant of a duplicated page).
+    """
+    if pairs is None:
+        pairs = simhash_near_pairs(
+            df, max_hamming=max_hamming, bands=bands,
+            text_col=text_col, id_col=id_col,
+        )
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    adj = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    # every round references the previous labels frame several times
+    # (propagation join, the pointer-jump self-join, the convergence
+    # diff), so carrying lineage across rounds would grow the logical
+    # plan ~4x per round — localCheckpoint() truncates it and caches
+    # the round's result (on a cluster, set a checkpoint dir and use
+    # checkpoint() if executor loss must be survivable mid-loop).
+    labels = (
+        adj.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = (
+            adj.alias("e")
+            .join(labels.alias("l"), F.col("e.a") == F.col("l.node"))
+            .select(F.col("e.b").alias("node"),
+                    F.col("l.label").alias("label"))
+        )
+        merged = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label <- label(label)
+        jumped = (
+            merged.alias("m")
+            .join(merged.alias("p"),
+                  F.col("m.label") == F.col("p.node"), "left")
+            .select(
+                F.col("m.node").alias("node"),
+                F.coalesce(F.col("p.label"), F.col("m.label"))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("j")
+            .join(labels.alias("o"), F.col("j.node") == F.col("o.node"))
+            .filter(F.col("j.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    adj.unpersist()
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.length(F.col(text_col)), F.lit(-1)).alias("__len"),
+    )
+    clustered = (
+        docs.alias("d")
+        .join(labels.alias("r"), F.col("d.id") == F.col("r.node"), "left")
+        .select(
+            "id", "__len",
+            F.coalesce(F.col("r.label"), F.col("d.id")).alias("cluster_id"),
+        )
+    )
+    # per-cluster size + representative in ONE shuffle (two window specs
+    # over the same partitioning). Cluster sizes are bounded by the
+    # near-dup chain length, so the per-cluster task is never hot.
+    wc = Window.partitionBy("cluster_id")
+    wo = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__len"), F.asc("id")
+    )
+    return clustered.select(
+        "id",
+        "cluster_id",
+        F.count("*").over(wc).alias("cluster_size"),
+        (F.row_number().over(wo) == 1).alias("keep"),
+    )

@@ -278,6 +278,53 @@ ORDER BY id_a, id_b
 )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # same pigeonhole-exact pair set as simhash_near_pairs, so the
+    # edge set is provably identical on both sides; the oracle then
+    # replays the connected components with a recursive CTE and the
+    # keep rule (longest text, ties -> min id) with a window
+    from ..functions.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        corpus_neardup(spark, sf_dir), max_hamming=5, bands=6
+    ).orderBy("id")
+
+
+SQL_DEDUP_CLUSTERS = (
+    f"WITH RECURSIVE {CORPUS_NEARDUP_SQL}, {_simhash_sql()}"
+    """
+, pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+docs AS (
+  SELECT doc_id AS id, coalesce(length(text), -1) AS len FROM corpus
+),
+cl AS (
+  SELECT d.id, d.len, coalesce(l.label, d.id) AS cluster_id
+  FROM docs d LEFT JOIN lab l ON l.node = d.id
+)
+SELECT id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY len DESC, id) = 1) AS keep
+FROM cl ORDER BY id
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -697,6 +744,7 @@ QUERIES = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
     "embedding_dedup_cosine": (q_embedding_dedup_cosine, SQL_EMB_DEDUP),
     "embedding_dedup_lsh": (q_embedding_dedup_lsh, SQL_EMB_DEDUP_LSH),

@@ -86,6 +86,59 @@ def test_simhash_banding_full_recall(spark, sf_dir):
     assert got == brute
 
 
+def test_near_dup_clusters_chain_graph(spark):
+    # path graph 1-2-3-...-9 plus singleton 100: one cluster labeled 1
+    # (min id), keep = longest text (id 5), singleton keeps itself.
+    # A 9-node chain forces several propagation rounds, exercising the
+    # pointer-jumping loop, not just one hop.
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + (5 if i == 5 else 0))) for i in range(1, 10)]
+        + [(100, "solo")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    out = (
+        D.near_dup_clusters(docs, pairs=pairs)
+        .orderBy("id")
+        .toPandas()
+        .set_index("id")
+    )
+    assert (out.loc[1:9, "cluster_id"] == 1).all()
+    assert (out.loc[1:9, "cluster_size"] == 9).all()
+    assert out.loc[5, "keep"] and not out.loc[[i for i in range(1, 10) if i != 5], "keep"].any()
+    assert out.loc[100, "cluster_id"] == 100
+    assert out.loc[100, "cluster_size"] == 1
+    assert out.loc[100, "keep"]
+
+
+def test_near_dup_clusters_corpus_invariants(spark, sf_dir):
+    corpus = P.corpus_neardup(spark, sf_dir)
+    out = P.q_dedup_clusters(spark, sf_dir).toPandas()
+    assert len(out) == corpus.count()          # every doc assigned
+    # exactly one keeper per cluster; cluster_id is a member of the cluster
+    per = out.groupby("cluster_id")
+    assert (per["keep"].sum() == 1).all()
+    assert (per.size().values == out.drop_duplicates("cluster_id")
+            .set_index("cluster_id").loc[per.size().index, "cluster_size"].values).all()
+    assert out.groupby("cluster_id")["id"].min().eq(
+        out["cluster_id"].drop_duplicates().sort_values().values
+    ).all()
+    # in a pure (doc, 80%-truncated variant) pair the longer base doc
+    # is the keeper (other 2-clusters may pair two distinct base docs)
+    two = out[out["cluster_size"] == 2]
+    members = two.groupby("cluster_id")["id"].agg(set)
+    pure = members[
+        members.index.map(
+            lambda c: members[c] == {c, c + P.DUP_OFFSET}
+        )
+    ].index
+    base = two[two["id"].isin(pure)]
+    assert len(base) > 50
+    assert base["keep"].all()
+
+
 # -- similarity ---------------------------------------------------------------
 
 def test_brute_force_topk_matches_numpy(spark, sf_dir, emb):
