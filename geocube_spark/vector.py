@@ -396,11 +396,15 @@ def _propagate_labels(pairs: DataFrame, _same, max_iters: int) -> DataFrame:
         pairs.select("measurement", "group_key",
                      F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
+    # each round references the previous labels several times (the
+    # propagation join, the jump self-join, the convergence diff), so
+    # lineage would grow ~4x per round; localCheckpoint() truncates
+    # the plan and caches the round's result
     labels = (
         adj.select("measurement", "group_key", F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         prop = (
@@ -433,7 +437,7 @@ def _propagate_labels(pairs: DataFrame, _same, max_iters: int) -> DataFrame:
                 F.coalesce(F.col("p.label"), F.col("m.label"))
                 .alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             jumped.alias("j")
@@ -442,7 +446,6 @@ def _propagate_labels(pairs: DataFrame, _same, max_iters: int) -> DataFrame:
             .filter(F.col("j.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = jumped
         if changed == 0:
             break
