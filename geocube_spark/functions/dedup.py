@@ -369,19 +369,24 @@ def minhash_signatures(df: DataFrame, *, num_hashes: int = 64,
     return sets.select("id", "sh_hashes").mapInPandas(_sigs, schema=schema)
 
 
-def minhash_lsh_pairs(df: DataFrame, *, threshold: float = 0.5,
+def minhash_lsh_pairs(df: DataFrame = None, *, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16,
                       text_col: str = "text", id_col: str = "doc_id",
-                      k: int = 3) -> DataFrame:
+                      k: int = 3,
+                      sets: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
     Bands of rows = num_hashes/bands; docs colliding in >=1 band become
     candidates (equi-join on (band, band_hash) — sub-quadratic, skew
     handled by AQE since band hashes are uniform); candidates are then
     verified with the exact inverted-index Jaccard, so the output has
-    perfect precision and LSH-recall."""
+    perfect precision and LSH-recall.
+
+    ``sets``: a precomputed ``shingle_hash_sets`` frame — pass a
+    materialized one when several operators share the shingling pass."""
     rows = num_hashes // bands
-    sets = shingle_hash_sets(df, text_col, id_col, k).persist()
+    if sets is None:
+        sets = shingle_hash_sets(df, text_col, id_col, k).persist()
     sig = minhash_signatures(
         df, num_hashes=num_hashes, text_col=text_col, id_col=id_col, k=k,
         sets=sets,
@@ -506,20 +511,27 @@ def simhash(df: DataFrame, *, bits: int = 60, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(_sim, schema=schema)
 
 
-def simhash_near_pairs(df: DataFrame, *, max_hamming: int = 8,
+def simhash_near_pairs(df: DataFrame = None, *, max_hamming: int = 8,
                        bands: int = 4, bits: int = 60,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       sig: DataFrame = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Scale path: band the 60 bits into ``bands`` segments — any pair
     with Hamming <= bands-1 collides on >=1 exact segment (pigeonhole),
     so candidates come from an equi-join, then the true distance is
     checked with bit_count(xor). For max_hamming > bands-1 recall
-    needs more bands; we verify exactly so precision is always 1."""
-    # persist: both sides of the banded self-join read the signatures,
-    # and exchange reuse across the aliases is not guaranteed
-    sig = simhash(df, bits=bits, text_col=text_col, id_col=id_col).persist()
+    needs more bands; we verify exactly so precision is always 1.
+
+    ``sig``: a precomputed ``simhash`` frame (id, simhash) — pass a
+    materialized one when several operators share the signatures."""
+    if sig is None:
+        # persist: both sides of the banded self-join read the
+        # signatures, and exchange reuse across the aliases is not
+        # guaranteed
+        sig = simhash(df, bits=bits, text_col=text_col,
+                      id_col=id_col).persist()
     seg = bits // bands
     segs = F.array(
         *[
