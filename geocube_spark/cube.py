@@ -789,6 +789,40 @@ _PARTIAL_FIELDS = [
 PARTIAL_SCHEMA = T.StructType(_PARTIAL_FIELDS)
 
 
+def _grouped_map(df, keys, n_parts, fn, out_schema):
+    """``repartition(keys)`` + ``mapInPandas`` with an in-partition
+    pandas groupby — same results as ``groupBy(keys).applyInPandas(fn)``
+    (hash partitioning on the keys puts every group in exactly one
+    partition), but ONE Arrow round-trip per PARTITION instead of per
+    group. With thousands of tile-groups the grouped-map exec's
+    per-group Arrow batch + grouping machinery dominated the burn
+    stage; the pandas groupby replaces it at in-memory speed. ``fn``
+    still receives ``(key_tuple, sub_frame)`` exactly like
+    applyInPandas; outputs are yielded per group so peak memory stays
+    one group's result."""
+    n_keys = len(keys)
+
+    def _part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        for key, sub in pdf.groupby(
+            keys if n_keys > 1 else keys[0], sort=False, dropna=False
+        ):
+            if n_keys == 1:
+                key = (key,)
+            key = tuple(
+                None if (isinstance(k, float) and np.isnan(k)) else k
+                for k in key
+            )
+            yield fn(key, sub)
+
+    return df.repartition(n_parts, *keys).mapInPandas(
+        _part, schema=out_schema
+    )
+
+
 def merge_partial_chunks(pdf: pd.DataFrame, fills: dict, merge_alg: str,
                          out_cols) -> pd.DataFrame:
     """Combine SPARSE partial chunk rows of ONE (tile, group) into
@@ -1107,15 +1141,12 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
             "__salt", F.pmod(F.col("seq"), F.lit(int(salt)))
         )
         n1 = max(1, min(int(n_tiles) * int(salt), 4 * sc.defaultParallelism))
-        partial = (
-            cover.repartition(n1, *stage_keys)
-            .groupBy(*stage_keys)
-            .applyInPandas(
-                (lambda key, pdf: _burn((key[0], key[1]), pdf))
-                if grouped
-                else (lambda key, pdf: _burn((key[0], None), pdf)),
-                schema=out_schema,
-            )
+        partial = _grouped_map(
+            cover, stage_keys, n1,
+            (lambda key, pdf: _burn((key[0], key[1]), pdf))
+            if grouped
+            else (lambda key, pdf: _burn((key[0], None), pdf)),
+            out_schema,
         )
         if emit_aux:
             return partial  # streaming sink merges across micro-batches
@@ -1124,20 +1155,14 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         def _merge(key, pdf):
             return merge_partial_chunks(pdf, fills, merge_alg, merge_cols)
 
-        final = (
-            partial.repartition(n_parts, *keys)
-            .groupBy(*keys)
-            .applyInPandas(_merge, schema=CHUNK_SCHEMA)
-        )
-        return final
+        return _grouped_map(partial, keys, n_parts, _merge, CHUNK_SCHEMA)
 
-    cover = cover.repartition(n_parts, *keys)
-    if grouped:
-        return cover.groupBy(*keys).applyInPandas(
-            lambda key, pdf: _burn(key, pdf), schema=out_schema
-        )
-    return cover.groupBy(*keys).applyInPandas(
-        lambda key, pdf: _burn((key[0], None), pdf), schema=out_schema
+    return _grouped_map(
+        cover, keys, n_parts,
+        (lambda key, pdf: _burn(key, pdf))
+        if grouped
+        else (lambda key, pdf: _burn((key[0], None), pdf)),
+        out_schema,
     )
 
 
