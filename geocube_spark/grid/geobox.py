@@ -224,7 +224,12 @@ class GeoBoxMaker:
             if isinstance(like, str):
                 # reference CLI `-l previous_output.nc` parity: reuse
                 # the grid of an existing netCDF (read without h5py by
-                # sources.hdf5)
+                # sources.hdf5) or GeoTIFF (reference `like=<rioxarray
+                # raster>`; read without GDAL by sources.geotiff)
+                if like.lower().endswith((".tif", ".tiff")):
+                    from ..sources.geotiff import geobox_from_geotiff
+
+                    return geobox_from_geotiff(like)
                 return geobox_from_netcdf(like)
             raise ValueError(f"unsupported 'like' value: {like!r}")
 

@@ -1239,6 +1239,47 @@ def q_geopackage_roundtrip(spark, sf_dir):
 SQL_GPKG_RT = SQL_SHAPEFILE_RT
 
 
+def q_geotiff_roundtrip(spark, sf_dir):
+    """GeoTIFF raster sink + distributed source roundtrip (the raster
+    interchange the reference delegates to rioxarray/GDAL;
+    sources/geotiff.py implements TIFF 6.0 + GeoTIFF 1.1 directly).
+    The add-burn cube goes out as a tiled deflate GeoTIFF and comes
+    back through the ranged-read scan (each task reads only its own
+    tile byte ranges); surviving cells must equal the straight SQL
+    burn — so tile layout, deflate codec, dtype tags, nodata and the
+    geokey grid all round-trip bit-exact on float64 bands."""
+    import os
+    import tempfile
+
+    from ..cube import make_geocube
+    from ..sources.geotiff import read_geotiff, write_geotiff
+
+    vec = _event_vector_df(spark, sf_dir)
+    cube = make_geocube(
+        vec, measurements=["value"], geom=WORLD_GEOM,
+        resolution=(-1.0, 1.0), fill=0.0, merge_alg="add", tile_size=64,
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"geocube_tif_rt_{os.getpid()}.tif"
+    )
+    write_geotiff(cube, path)
+    back = read_geotiff(spark, path, measurements=["value"])
+    cell = back.chunks.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    )
+    df = cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int"))
+        .alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int")
+        .alias("col"),
+        F.round("val", 6).alias("val"),
+    )
+    return df.filter(F.col("val") != 0.0).orderBy("row", "col")
+
+
+SQL_GEOTIFF_RT = SQL_BURN_ADD
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -1267,4 +1308,5 @@ QUERIES = {
     "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_SHAPEFILE_RT),
     "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_RT),
     "geopackage_roundtrip": (q_geopackage_roundtrip, SQL_GPKG_RT),
+    "geotiff_roundtrip": (q_geotiff_roundtrip, SQL_GEOTIFF_RT),
 }

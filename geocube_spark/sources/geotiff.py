@@ -1,0 +1,752 @@
+"""GeoTIFF source + sink — pure Python/numpy, no GDAL/rasterio.
+
+The reference ingests and emits rasters through rioxarray/GDAL
+(`like=xarray raster`, reference geobox.py:169-186; golden comparison
+rasters in its test suite are GDAL products). This module implements
+the public TIFF 6.0 + BigTIFF + GeoTIFF 1.1 specs directly so the
+engine can exchange rasters with that ecosystem:
+
+* ``read_geotiff(spark, path)``   distributed raster scan -> GeoCube
+  (chunk DataFrame tiled at ``tile_size``; each Spark task reads only
+  its own byte ranges of the file — on object storage this is the
+  ranged-GET access pattern, so a 100 GB COG never passes through the
+  driver).
+* ``write_geotiff(cube, path)``   tiled-GeoTIFF sink (deflate), the
+  interchange hatch mirroring ``GeoCube.to_netcdf`` — driver-side
+  assembly, GDAL/QGIS-readable output with CRS + nodata metadata.
+* ``geobox_from_geotiff(path)``   grid of an existing raster for
+  ``make_geocube(like=...)`` (reference CLI ``-l`` parity for rasters).
+
+Format support: classic + BigTIFF headers, both byte orders, tiled and
+stripped layouts, PlanarConfig 1/2, compression none/deflate/LZW/
+PackBits, horizontal predictor, GeoKey CRS (projected + geographic
+EPSG), ModelPixelScale/Tiepoint and full ModelTransformation, and
+GDAL's ASCII nodata tag.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# TIFF constants
+# --------------------------------------------------------------------------
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d", 16: "Q", 17: "q"}
+
+T_WIDTH = 256
+T_HEIGHT = 257
+T_BITS = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_STRIP_OFFSETS = 273
+T_SAMPLES = 277
+T_ROWS_PER_STRIP = 278
+T_STRIP_COUNTS = 279
+T_PLANAR = 284
+T_PREDICTOR = 317
+T_TILE_W = 322
+T_TILE_H = 323
+T_TILE_OFFSETS = 324
+T_TILE_COUNTS = 325
+T_SAMPLE_FORMAT = 339
+T_PIXEL_SCALE = 33550
+T_TIEPOINT = 33922
+T_TRANSFORM = 34264
+T_GEO_DIR = 34735
+T_GEO_DOUBLES = 34736
+T_GEO_ASCII = 34737
+T_GDAL_NODATA = 42113
+
+C_NONE = 1
+C_LZW = 5
+C_DEFLATE = 8
+C_PACKBITS = 32773
+C_DEFLATE_OLD = 32946
+
+_SF_DTYPE = {
+    (1, 8): "u1", (1, 16): "u2", (1, 32): "u4", (1, 64): "u8",
+    (2, 8): "i1", (2, 16): "i2", (2, 32): "i4", (2, 64): "i8",
+    (3, 32): "f4", (3, 64): "f8",
+}
+_DTYPE_SF = {v: k for k, v in _SF_DTYPE.items()}
+
+
+# --------------------------------------------------------------------------
+# codecs
+# --------------------------------------------------------------------------
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, early code-size change,
+    ClearCode 256 / EOI 257). Spec: TIFF 6.0 §13."""
+    out = bytearray()
+    table: list[bytes] = []
+    prev: Optional[bytes] = None
+    bitpos = 0
+    nbits = 9
+    n = len(data)
+
+    def _reset():
+        nonlocal table, nbits
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        nbits = 9
+
+    _reset()
+    total_bits = n * 8
+    while bitpos + nbits <= total_bits:
+        byte0 = bitpos >> 3
+        # up to 12 bits span at most 3 bytes
+        chunk = data[byte0:byte0 + 3]
+        acc = int.from_bytes(chunk.ljust(3, b"\0"), "big")
+        code = (acc >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == 256:
+            _reset()
+            prev = None
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # TIFF switches code width one code EARLY; the decoder's table
+        # lags the encoder's by one pending entry, so it widens at
+        # (1<<n)-2 where the encoder widens at next_code == (1<<n)-1
+        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (for the test roundtrip; the sink's
+    default compression is deflate)."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def put(code: int, nbits: int):
+        nonlocal acc, accbits
+        acc = (acc << nbits) | code
+        accbits += nbits
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    put(256, nbits)  # Clear
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        elif next_code == 4094:
+            put(256, nbits)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            nbits = 9
+        w = c
+    if w:
+        put(table[w], nbits)
+    put(257, nbits)  # EOI
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _decompress(raw: bytes, compression: int) -> bytes:
+    if compression == C_NONE:
+        return raw
+    if compression in (C_DEFLATE, C_DEFLATE_OLD):
+        return zlib.decompress(raw)
+    if compression == C_LZW:
+        return lzw_decode(raw)
+    if compression == C_PACKBITS:
+        return packbits_decode(raw)
+    raise NotImplementedError(
+        f"TIFF compression {compression} not supported "
+        "(supported: none, deflate, LZW, PackBits)"
+    )
+
+
+def _unpredict(arr: np.ndarray, predictor: int) -> np.ndarray:
+    """arr shape (rows, cols[, samples]); predictor 2 = horizontal
+    differencing (cumulative sum along the row, wrap-around int math)."""
+    if predictor in (0, 1):
+        return arr
+    if predictor == 2:
+        if arr.dtype.kind == "f":
+            raise NotImplementedError(
+                "predictor=2 on float samples is invalid TIFF"
+            )
+        return np.cumsum(arr, axis=1, dtype=arr.dtype)
+    raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+
+
+# --------------------------------------------------------------------------
+# IFD parsing
+# --------------------------------------------------------------------------
+
+@dataclass
+class TiffInfo:
+    path: str
+    width: int
+    height: int
+    dtype: str                     # numpy dtype string, native order
+    samples: int
+    planar: int
+    compression: int
+    predictor: int
+    tiled: bool
+    tile_w: int                    # strips: width
+    tile_h: int                    # strips: rows_per_strip
+    offsets: np.ndarray            # (n_chunks,) file offsets
+    bytecounts: np.ndarray
+    nodata: Optional[float]
+    epsg: Optional[int]
+    transform: tuple               # (a, b, c, d, e, f) affine
+    big_endian: bool
+
+    @property
+    def tiles_across(self) -> int:
+        return (self.width + self.tile_w - 1) // self.tile_w
+
+    @property
+    def tiles_down(self) -> int:
+        return (self.height + self.tile_h - 1) // self.tile_h
+
+    @property
+    def chunks_per_plane(self) -> int:
+        return self.tiles_across * self.tiles_down
+
+    def chunk_index(self, plane: int, ty: int, tx: int) -> int:
+        i = ty * self.tiles_across + tx
+        if self.planar == 2:
+            return plane * self.chunks_per_plane + i
+        return i
+
+
+def _read_ifd_entries(buf: bytes, fp, bo: str, big: bool):
+    """Yield (tag, type, count, value_bytes) for one IFD at buf start."""
+    if big:
+        n = struct.unpack(bo + "Q", buf[:8])[0]
+        esz, off0, inline = 20, 8, 8
+    else:
+        n = struct.unpack(bo + "H", buf[:2])[0]
+        esz, off0, inline = 12, 2, 4
+    entries = {}
+    for i in range(n):
+        e = buf[off0 + i * esz: off0 + (i + 1) * esz]
+        if big:
+            tag, typ, cnt = struct.unpack(bo + "HHQ", e[:12])
+            val = e[12:20]
+        else:
+            tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+            val = e[8:12]
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size > inline:
+            ptr = struct.unpack(bo + ("Q" if big else "I"), val)[0]
+            fp.seek(ptr)
+            val = fp.read(size)
+        else:
+            val = val[:size]
+        entries[tag] = (typ, cnt, val)
+    next_off = struct.unpack(
+        bo + ("Q" if big else "I"), buf[off0 + n * esz: off0 + n * esz
+                                        + (8 if big else 4)]
+    )[0]
+    return entries, next_off
+
+
+def _tag_values(entries, tag, bo: str, default=None):
+    if tag not in entries:
+        return default
+    typ, cnt, val = entries[tag]
+    if typ == 2:  # ASCII
+        return val.rstrip(b"\0").decode("latin-1")
+    if typ == 5:  # RATIONAL
+        vals = struct.unpack(bo + "I" * (2 * cnt), val)
+        return [vals[2 * i] / vals[2 * i + 1] for i in range(cnt)]
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return default
+    return list(struct.unpack(bo + fmt * cnt, val))
+
+
+def read_tiff_info(path: str) -> TiffInfo:
+    with open(path, "rb") as fp:
+        head = fp.read(16)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF file")
+        magic = struct.unpack(bo + "H", head[2:4])[0]
+        if magic == 42:
+            big = False
+            ifd_off = struct.unpack(bo + "I", head[4:8])[0]
+        elif magic == 43:
+            big = True
+            ifd_off = struct.unpack(bo + "Q", head[8:16])[0]
+        else:
+            raise ValueError(f"{path}: bad TIFF magic {magic}")
+        fp.seek(ifd_off)
+        buf = fp.read(8 + 4096 * (20 if big else 12) + 8)
+        entries, _ = _read_ifd_entries(buf, fp, bo, big)
+
+    def tv(tag, default=None):
+        return _tag_values(entries, tag, bo, default)
+
+    width = int(tv(T_WIDTH)[0])
+    height = int(tv(T_HEIGHT)[0])
+    samples = int(tv(T_SAMPLES, [1])[0])
+    bits = tv(T_BITS, [8])
+    sf = tv(T_SAMPLE_FORMAT, [1] * samples)
+    key = (int(sf[0]), int(bits[0]))
+    if key not in _SF_DTYPE:
+        raise NotImplementedError(f"{path}: sample format {key}")
+    dtype = _SF_DTYPE[key]
+    compression = int(tv(T_COMPRESSION, [C_NONE])[0])
+    predictor = int(tv(T_PREDICTOR, [1])[0])
+    planar = int(tv(T_PLANAR, [1])[0])
+
+    tiled = T_TILE_OFFSETS in entries
+    if tiled:
+        tile_w = int(tv(T_TILE_W)[0])
+        tile_h = int(tv(T_TILE_H)[0])
+        offsets = np.asarray(tv(T_TILE_OFFSETS), dtype=np.int64)
+        counts = np.asarray(tv(T_TILE_COUNTS), dtype=np.int64)
+    else:
+        tile_w = width
+        tile_h = int(tv(T_ROWS_PER_STRIP, [height])[0])
+        offsets = np.asarray(tv(T_STRIP_OFFSETS), dtype=np.int64)
+        counts = np.asarray(tv(T_STRIP_COUNTS), dtype=np.int64)
+
+    nodata = None
+    nd = tv(T_GDAL_NODATA)
+    if nd is not None:
+        try:
+            nodata = float(nd.strip())
+        except ValueError:
+            pass
+
+    # affine: full matrix wins, else scale+tiepoint
+    tr = tv(T_TRANSFORM)
+    if tr is not None:
+        a, b, c, d, e, f = tr[0], tr[1], tr[3], tr[4], tr[5], tr[7]
+    else:
+        scale = tv(T_PIXEL_SCALE)
+        tie = tv(T_TIEPOINT)
+        if scale is None or tie is None:
+            raise ValueError(f"{path}: no georeferencing tags")
+        i, j, _k, x, y, _z = tie[:6]
+        sx, sy = scale[0], scale[1]
+        a, b, c = sx, 0.0, x - i * sx
+        d, e, f = 0.0, -sy, y + j * sy
+
+    # CRS from GeoKeyDirectory
+    epsg = None
+    gk = tv(T_GEO_DIR)
+    if gk is not None:
+        nkeys = int(gk[3])
+        keys = {}
+        for i in range(nkeys):
+            kid, loc, cnt, val = gk[4 + 4 * i: 8 + 4 * i]
+            if loc == 0:
+                keys[int(kid)] = int(val)
+        if keys.get(3072, 32767) != 32767 and 3072 in keys:
+            epsg = keys[3072]
+        elif keys.get(2048, 32767) != 32767 and 2048 in keys:
+            epsg = keys[2048]
+
+    return TiffInfo(
+        path=path, width=width, height=height, dtype=dtype,
+        samples=samples, planar=planar, compression=compression,
+        predictor=predictor, tiled=tiled, tile_w=tile_w, tile_h=tile_h,
+        offsets=offsets, bytecounts=counts, nodata=nodata, epsg=epsg,
+        transform=(a, b, c, d, e, f), big_endian=(bo == ">"),
+    )
+
+
+def _decode_chunk(fp, info: TiffInfo, idx: int, plane: int) -> np.ndarray:
+    """One tile/strip -> ndarray (tile_h, tile_w) of the requested
+    sample plane (edge tiles still full-size; caller clips)."""
+    fp.seek(int(info.offsets[idx]))
+    raw = fp.read(int(info.bytecounts[idx]))
+    data = _decompress(raw, info.compression)
+    dt = np.dtype(info.dtype)
+    if info.big_endian:
+        dt = dt.newbyteorder(">")
+    if info.tiled:
+        th, tw = info.tile_h, info.tile_w
+    else:
+        ty = idx % info.chunks_per_plane if info.planar == 2 else idx
+        th = min(info.tile_h, info.height - ty * info.tile_h)
+        tw = info.tile_w
+    if info.planar == 1 and info.samples > 1:
+        arr = np.frombuffer(data, dtype=dt,
+                            count=th * tw * info.samples)
+        arr = arr.reshape(th, tw, info.samples)
+        arr = _unpredict(arr, info.predictor)
+        arr = arr[:, :, plane]
+    else:
+        arr = np.frombuffer(data, dtype=dt, count=th * tw)
+        arr = arr.reshape(th, tw)
+        arr = _unpredict(arr, info.predictor)
+    if info.big_endian:
+        arr = arr.astype(info.dtype)
+    return arr
+
+
+def geobox_from_geotiff(path: str):
+    """Grid of an existing GeoTIFF for ``make_geocube(like=...)``."""
+    from ..geometry.affine import Affine
+    from ..geometry.crs import CRS
+    from ..grid.geobox import GeoBox
+
+    info = read_tiff_info(path)
+    crs = CRS(info.epsg) if info.epsg else CRS(4326)
+    return GeoBox(info.width, info.height, Affine(*info.transform), crs)
+
+
+# --------------------------------------------------------------------------
+# distributed read -> GeoCube
+# --------------------------------------------------------------------------
+
+def read_geotiff(spark, path: str, *, measurements: Optional[list] = None,
+                 tile_size: Optional[int] = None, fill=None):
+    """Read a GeoTIFF into a GeoCube, distributed.
+
+    The driver parses only the IFD (KBs); every Spark task then reads
+    and decodes its own byte ranges — on object storage this is the
+    COG ranged-GET pattern, so the raster never flows through the
+    driver. Output chunks are re-tiled to ``tile_size`` (default: the
+    source tile size if square, else 256): each task owns one output
+    TILE ROW of one band and reads exactly the source tiles/strips
+    intersecting it, so every source chunk is read once per band-row.
+
+    ``measurements`` names the bands (default band_1..band_n).
+    ``fill`` overrides the file's nodata as the BandMeta fill.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..cube import CHUNK_SCHEMA, BandMeta, GeoCube, _zoom_for
+    from ..grid.geobox import GeoBox
+
+    info = read_tiff_info(path)
+    gb = geobox_from_geotiff(path)
+    if tile_size is None:
+        tile_size = (info.tile_w
+                     if info.tiled and info.tile_w == info.tile_h else 256)
+    names = measurements or [f"band_{i+1}" for i in range(info.samples)]
+    if len(names) != info.samples:
+        raise ValueError(
+            f"{len(names)} measurement names for {info.samples} bands"
+        )
+    if fill is not None:
+        nodata = fill
+    elif info.nodata is not None:
+        nodata = info.nodata
+    else:
+        # integer rasters can't carry NaN; 0 matches GDAL's default
+        nodata = 0.0 if np.dtype(info.dtype).kind in "ui" else np.nan
+    zoom = _zoom_for(gb, tile_size)
+    _, ntx, nty = gb.n_tiles(tile_size)
+
+    tasks = pd.DataFrame(
+        [
+            {"plane": p, "ty": ty}
+            for p in range(info.samples)
+            for ty in range(nty)
+        ]
+    )
+    gb_dict = gb.to_dict()
+    info_fields = vars(info).copy()
+    info_fields["offsets"] = info.offsets.tolist()
+    info_fields["bytecounts"] = info.bytecounts.tolist()
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inf = TiffInfo(**{
+            **info_fields,
+            "offsets": np.asarray(info_fields["offsets"], dtype=np.int64),
+            "bytecounts": np.asarray(info_fields["bytecounts"],
+                                     dtype=np.int64),
+        })
+        g = GeoBox.from_dict(gb_dict)
+        with open(inf.path, "rb") as fp:
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    plane, ty = int(r.plane), int(r.ty)
+                    row0 = ty * tile_size
+                    h = min(tile_size, g.height - row0)
+                    # source chunk rows intersecting [row0, row0+h)
+                    sty0 = row0 // inf.tile_h
+                    sty1 = (row0 + h - 1) // inf.tile_h
+                    band_rows = np.empty((h, g.width), dtype=np.float64)
+                    for sty in range(sty0, sty1 + 1):
+                        srow0 = sty * inf.tile_h
+                        sh = min(inf.tile_h, inf.height - srow0)
+                        strip = np.empty((sh, inf.width),
+                                         dtype=np.float64)
+                        for stx in range(inf.tiles_across):
+                            idx = inf.chunk_index(plane, sty, stx)
+                            t = _decode_chunk(fp, inf, idx, plane)
+                            scol0 = stx * inf.tile_w
+                            sw = min(inf.tile_w, inf.width - scol0)
+                            strip[:, scol0:scol0 + sw] = (
+                                t[:sh, :sw].astype(np.float64)
+                            )
+                        lo = max(row0, srow0)
+                        hi = min(row0 + h, srow0 + sh)
+                        band_rows[lo - row0:hi - row0, :] = (
+                            strip[lo - srow0:hi - srow0, :]
+                        )
+                    out = []
+                    for tx in range(ntx):
+                        col0 = tx * tile_size
+                        w = min(tile_size, g.width - col0)
+                        vals = band_rows[:, col0:col0 + w]
+                        out.append({
+                            "measurement": names[plane],
+                            "group_key": None,
+                            "zoom": zoom,
+                            "tile_id": ty * ntx + tx,
+                            "row0": row0, "col0": col0, "h": h, "w": w,
+                            "values": vals.ravel(),
+                            "n_geoms": 0,
+                            "n_cells_burned": int(h * w),
+                            "min_seq": -1, "max_seq": -1,
+                        })
+                    yield pd.DataFrame(
+                        out, columns=[f.name for f in CHUNK_SCHEMA.fields]
+                    )
+
+    sc = spark.sparkContext
+    n_parts = max(1, min(len(tasks), 4 * sc.defaultParallelism))
+    tdf = spark.createDataFrame(tasks).repartition(n_parts)
+    chunks = tdf.mapInPandas(_read, schema=CHUNK_SCHEMA)
+    bands = {
+        m: BandMeta(name=m, dtype=info.dtype, fill=float(nodata))
+        for m in names
+    }
+    return GeoCube(
+        chunks=chunks, geobox=gb, bands=bands, group_by=None,
+        group_keys=None, tile_size=tile_size,
+        fill=float(nodata),
+    )
+
+
+# --------------------------------------------------------------------------
+# sink
+# --------------------------------------------------------------------------
+
+def write_geotiff(cube, path: str, *, compression: str = "deflate",
+                  tile_size: Optional[int] = None) -> str:
+    """Write an (ungrouped) GeoCube as a tiled GeoTIFF.
+
+    Multi-band output uses PlanarConfiguration=2 (band-sequential) so
+    each band's tiles map 1:1 onto the cube's chunk rows; bands share
+    one promoted dtype (GDAL multiband semantics). Driver-side
+    assembly like ``to_netcdf`` — the distributed sink is
+    ``GeoCube.write``; this is the GDAL-interchange hatch.
+    """
+    if cube.group_by:
+        raise ValueError(
+            "write_geotiff writes ungrouped cubes; select one group "
+            "(filter chunks on group_key) or use to_netcdf"
+        )
+    comp = {"none": C_NONE, "deflate": C_DEFLATE, "lzw": C_LZW}[compression]
+    ts = tile_size or cube.tile_size
+    if ts % 16:
+        raise ValueError(f"TIFF tile size must be a multiple of 16: {ts}")
+    gb = cube.geobox
+    names = list(cube.bands)
+    dtype = np.result_type(*[np.dtype(cube.bands[m].dtype) for m in names])
+    if dtype.kind not in "uif":
+        raise ValueError(f"cannot write dtype {dtype} to GeoTIFF")
+    dts = dtype.str.lstrip("<>|=")
+    if dts not in _DTYPE_SF:
+        raise ValueError(f"unsupported GeoTIFF dtype {dtype}")
+    sf, bits = _DTYPE_SF[dts]
+    fill = cube.bands[names[0]].fill
+
+    ntx = (gb.width + ts - 1) // ts
+    nty = (gb.height + ts - 1) // ts
+    n_tiles = ntx * nty
+    bidx = {m: i for i, m in enumerate(names)}
+
+    # gather compressed tiles (band-major). Missing tiles = fill.
+    tiles: dict[int, bytes] = {}
+    for row in cube.chunks.toLocalIterator():
+        m = row["measurement"]
+        if m not in bidx:
+            continue
+        ty = row["row0"] // ts
+        tx = row["col0"] // ts
+        if (row["row0"] % ts) or (row["col0"] % ts):
+            raise ValueError(
+                "chunk grid does not align with the requested tile size; "
+                f"pass tile_size={cube.tile_size}"
+            )
+        full = np.full((ts, ts), fill, dtype=dtype)
+        vals = np.asarray(row["values"], dtype=np.float64).reshape(
+            row["h"], row["w"]
+        )
+        full[:row["h"], :row["w"]] = vals.astype(dtype)
+        data = full.tobytes()
+        if comp == C_DEFLATE:
+            data = zlib.compress(data, 6)
+        elif comp == C_LZW:
+            data = lzw_encode(data)
+        tiles[bidx[m] * n_tiles + ty * ntx + tx] = data
+
+    fill_tile = np.full((ts, ts), fill, dtype=dtype).tobytes()
+    if comp == C_DEFLATE:
+        fill_tile = zlib.compress(fill_tile, 6)
+    elif comp == C_LZW:
+        fill_tile = lzw_encode(fill_tile)
+
+    n_chunks = n_tiles * len(names)
+    a, b, c, d, e, f = gb.affine.tolist()[:6]
+
+    # ---- tag assembly (classic TIFF, little-endian) ----
+    def _entry(tag, typ, vals):
+        cnt = len(vals)
+        if typ == 2:
+            payload = vals[0]
+            cnt = len(payload)
+        else:
+            payload = struct.pack("<" + _TYPE_FMT[typ] * cnt, *vals)
+        return tag, typ, cnt, payload
+
+    nb = len(names)
+    tags = [
+        _entry(T_WIDTH, 4, [gb.width]),
+        _entry(T_HEIGHT, 4, [gb.height]),
+        _entry(T_BITS, 3, [bits] * nb),
+        _entry(T_COMPRESSION, 3, [comp]),
+        _entry(T_PHOTOMETRIC, 3, [1]),
+        _entry(T_SAMPLES, 3, [nb]),
+        _entry(T_PLANAR, 3, [2]),
+        _entry(T_TILE_W, 3, [ts]),
+        _entry(T_TILE_H, 3, [ts]),
+        _entry(T_TILE_OFFSETS, 4, [0] * n_chunks),      # patched below
+        _entry(T_TILE_COUNTS, 4, [0] * n_chunks),       # patched below
+        _entry(T_SAMPLE_FORMAT, 3, [sf] * nb),
+    ]
+    rotated = (b != 0.0) or (d != 0.0)
+    if rotated:
+        tags.append(_entry(T_TRANSFORM, 12,
+                           [a, b, 0.0, c, d, e, 0.0, f,
+                            0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]))
+    else:
+        tags.append(_entry(T_PIXEL_SCALE, 12, [a, -e, 0.0]))
+        tags.append(_entry(T_TIEPOINT, 12, [0.0, 0.0, 0.0, c, f, 0.0]))
+    epsg = gb.crs.epsg
+    geo = [1, 1, 0, 3,
+           1024, 0, 1, (2 if gb.crs.is_geographic else 1),
+           1025, 0, 1, 1,
+           (2048 if gb.crs.is_geographic else 3072), 0, 1, epsg]
+    tags.append(_entry(T_GEO_DIR, 3, geo))
+    nd = cube.bands[names[0]].fill
+    nd_s = ("nan" if (isinstance(nd, float) and math.isnan(nd))
+            else repr(float(nd)))
+    tags.append(_entry(T_GDAL_NODATA, 2, [nd_s.encode() + b"\0"]))
+    tags.sort(key=lambda t: t[0])
+
+    header = b"II*\0" + struct.pack("<I", 8)
+    n_entries = len(tags)
+    ifd_size = 2 + n_entries * 12 + 4
+    # out-of-line payload area follows the IFD
+    data_off = 8 + ifd_size
+    entry_bytes = b""
+    payload = b""
+    offsets_patch_pos = counts_patch_pos = None
+    for tag, typ, cnt, pl in tags:
+        size = _TYPE_SIZE[typ] * cnt
+        # offsets/counts are patched after layout — always out-of-line
+        if size <= 4 and tag not in (T_TILE_OFFSETS, T_TILE_COUNTS):
+            val = pl.ljust(4, b"\0")
+        else:
+            if tag == T_TILE_OFFSETS:
+                offsets_patch_pos = data_off + len(payload)
+            if tag == T_TILE_COUNTS:
+                counts_patch_pos = data_off + len(payload)
+            val = struct.pack("<I", data_off + len(payload))
+            payload += pl
+        entry_bytes += struct.pack("<HHI", tag, typ, cnt) + val
+    ifd = struct.pack("<H", n_entries) + entry_bytes + struct.pack("<I", 0)
+
+    tile_data_off = data_off + len(payload)
+    offsets = []
+    counts = []
+    body = b""
+    for i in range(n_chunks):
+        data = tiles.get(i, fill_tile)
+        offsets.append(tile_data_off + len(body))
+        counts.append(len(data))
+        body += data
+    if tile_data_off + len(body) > 0xFFFFFFFF:
+        raise ValueError(
+            "output exceeds 4 GB classic-TIFF limit; write per-band "
+            "files or increase compression"
+        )
+
+    payload = bytearray(payload)
+    po = offsets_patch_pos - data_off
+    payload[po:po + 4 * n_chunks] = struct.pack(
+        "<" + "I" * n_chunks, *offsets
+    )
+    pc = counts_patch_pos - data_off
+    payload[pc:pc + 4 * n_chunks] = struct.pack(
+        "<" + "I" * n_chunks, *counts
+    )
+
+    with open(path, "wb") as fp:
+        fp.write(header)
+        fp.write(ifd)
+        fp.write(bytes(payload))
+        fp.write(body)
+    return path

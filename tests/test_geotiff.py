@@ -1,0 +1,307 @@
+"""GeoTIFF source/sink: codec units, write->read roundtrip, like= grid,
+and parity of a cube that goes out through the TIFF sink and back in
+through the distributed reader."""
+
+import math
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from geocube_spark.sources.geotiff import (
+    geobox_from_geotiff,
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+    read_geotiff,
+    read_tiff_info,
+    write_geotiff,
+)
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+def test_lzw_roundtrip_random():
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 5, 300, 5000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_lzw_roundtrip_repetitive():
+    # repetitive data exercises table growth + the 12-bit clear/reset
+    data = (b"abcabcabd" * 3000) + bytes(range(256)) * 20
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_packbits():
+    # worked example from the TIFF 6.0 spec
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03,
+                 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    dec = packbits_decode(enc)
+    assert dec == (b"\xaa\xaa\xaa\x80\x00\x2a\xaa\xaa\xaa\xaa"
+                   b"\x80\x00\x2a\x22\xaa\xaa\xaa\xaa\xaa\xaa\xaa\xaa"
+                   b"\xaa\xaa")
+
+
+# ---------------------------------------------------------------------------
+# write -> info/geobox -> read roundtrip
+# ---------------------------------------------------------------------------
+
+def _small_cube(spark, *, fill=-9999.0, n=500, ts=32, meas=("m0",)):
+    """Deterministic mixed point/quad burn on a ~33x33 grid with 32px
+    tiles (clipped edge tiles exercised)."""
+    from geocube_spark import datagen
+    from geocube_spark.cube import make_geocube
+
+    docs = datagen.to_spark(spark, datagen.scale_docs(n, seed=11))
+    return make_geocube(
+        docs,
+        measurements=list(meas),
+        resolution=(-0.03, 0.03),
+        fill=fill,
+        merge_alg="replace",
+        tile_size=ts,
+    )
+
+
+def test_write_read_roundtrip_deflate(spark, tmp_path):
+    cube = _small_cube(spark)
+    arrs = cube.assemble()
+    path = str(tmp_path / "cube.tif")
+    write_geotiff(cube, path)
+
+    info = read_tiff_info(path)
+    assert info.tiled and info.tile_w == cube.tile_size
+    assert info.compression == 8
+    assert info.nodata == -9999.0
+    assert info.epsg == 4326
+
+    gb2 = geobox_from_geotiff(path)
+    assert gb2.width == cube.geobox.width
+    assert gb2.height == cube.geobox.height
+    assert gb2.crs.epsg == cube.geobox.crs.epsg
+    np.testing.assert_allclose(
+        gb2.affine.tolist(), cube.geobox.affine.tolist(), rtol=0, atol=0
+    )
+
+    back = read_geotiff(spark, path)
+    assert list(back.bands) == ["band_1"]
+    assert back.bands["band_1"].fill == -9999.0
+    arrs2 = back.assemble()
+    np.testing.assert_array_equal(
+        arrs2["band_1"].astype(np.float64), arrs["m0"].astype(np.float64)
+    )
+
+
+@pytest.mark.parametrize("compression", ["none", "lzw"])
+def test_write_read_other_codecs(spark, tmp_path, compression):
+    cube = _small_cube(spark, n=200)
+    arrs = cube.assemble()
+    path = str(tmp_path / f"cube_{compression}.tif")
+    write_geotiff(cube, path, compression=compression)
+    back = read_geotiff(spark, path)
+    np.testing.assert_array_equal(
+        back.assemble()["band_1"].astype(np.float64),
+        arrs["m0"].astype(np.float64),
+    )
+
+
+def test_read_retile_to_other_tile_size(spark, tmp_path):
+    """Reader re-tiles: source tiled at 32, cube chunked at 48 — values
+    identical, chunk grid at the requested size."""
+    cube = _small_cube(spark)
+    arrs = cube.assemble()
+    path = str(tmp_path / "cube.tif")
+    write_geotiff(cube, path)
+    back = read_geotiff(spark, path, tile_size=48)
+    assert back.tile_size == 48
+    rows = back.chunks.select("row0", "col0", "h", "w").collect()
+    assert all(r["row0"] % 48 == 0 and r["col0"] % 48 == 0 for r in rows)
+    np.testing.assert_array_equal(
+        back.assemble()["band_1"].astype(np.float64),
+        arrs["m0"].astype(np.float64),
+    )
+
+
+def test_like_geotiff_grid(spark, tmp_path):
+    """make_geocube(like=<path.tif>) reuses an existing raster's grid
+    (reference geobox.py:169-186 'like' semantics, raster flavor)."""
+    from geocube_spark import datagen
+    from geocube_spark.cube import make_geocube
+
+    cube = _small_cube(spark)
+    path = str(tmp_path / "like.tif")
+    write_geotiff(cube, path)
+
+    docs = datagen.to_spark(spark, datagen.scale_docs(100, seed=3))
+    cube2 = make_geocube(docs, measurements=["m0"], like=path, fill=0.0)
+    assert cube2.geobox.width == cube.geobox.width
+    assert cube2.geobox.height == cube.geobox.height
+    assert cube2.geobox.affine.tolist() == cube.geobox.affine.tolist()
+
+
+# ---------------------------------------------------------------------------
+# foreign-layout readers (files we synthesize at the byte level)
+# ---------------------------------------------------------------------------
+
+def _write_stripped_tiff(path, arr, *, rows_per_strip=4, big_endian=False,
+                         predictor=1, compression=1):
+    """Minimal stripped single-band writer used ONLY to test the
+    reader against layouts our sink never produces (strips, predictor,
+    big-endian)."""
+    bo = ">" if big_endian else "<"
+    h, w = arr.shape
+    sf = {"u": 1, "i": 2, "f": 3}[arr.dtype.kind]
+    bits = arr.dtype.itemsize * 8
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        sub = arr[r0:r0 + rows_per_strip].copy()
+        if predictor == 2:
+            sub[:, 1:] = np.diff(sub, axis=1)
+        data = sub.astype(bo + arr.dtype.str[1:]).tobytes()
+        if compression == 8:
+            data = zlib.compress(data)
+        strips.append(data)
+
+    entries = []
+
+    def ent(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    n_strips = len(strips)
+    ent(256, 4, [w])
+    ent(257, 4, [h])
+    ent(258, 3, [bits])
+    ent(259, 3, [compression])
+    ent(262, 3, [1])
+    ent(273, 4, [0] * n_strips)     # patched
+    ent(277, 3, [1])
+    ent(278, 4, [rows_per_strip])
+    ent(279, 4, [len(s) for s in strips])
+    ent(284, 3, [1])
+    if predictor == 2:
+        ent(317, 3, [2])
+    ent(339, 3, [sf])
+    ent(33550, 12, [0.25, 0.5, 0.0])
+    ent(33922, 12, [0.0, 0.0, 0.0, 10.0, 20.0, 0.0])
+    ent(34735, 3, [1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1,
+                   2048, 0, 1, 4326])
+    entries.sort(key=lambda t: t[0])
+
+    fmt = {3: "H", 4: "I", 12: "d"}
+    ifd_size = 2 + len(entries) * 12 + 4
+    data_off = 8 + ifd_size
+    payload = b""
+    strip_off_pos = None
+    body_entries = b""
+    for tag, typ, vals in entries:
+        size = {3: 2, 4: 4, 12: 8}[typ] * len(vals)
+        pl = struct.pack(bo + fmt[typ] * len(vals), *vals)
+        if size <= 4 and tag != 273:
+            val = pl.ljust(4, b"\0")
+        else:
+            if tag == 273:
+                strip_off_pos = data_off + len(payload)
+            val = struct.pack(bo + "I", data_off + len(payload))
+            payload += pl
+        body_entries += struct.pack(bo + "HHI", tag, typ, len(vals)) + val
+
+    strip_data_off = data_off + len(payload)
+    offs = []
+    body = b""
+    for s in strips:
+        offs.append(strip_data_off + len(body))
+        body += s
+    payload = bytearray(payload)
+    payload[strip_off_pos - data_off:strip_off_pos - data_off
+            + 4 * n_strips] = struct.pack(bo + "I" * n_strips, *offs)
+
+    with open(path, "wb") as fp:
+        fp.write((b"MM" if big_endian else b"II")
+                 + struct.pack(bo + "H", 42) + struct.pack(bo + "I", 8))
+        fp.write(struct.pack(bo + "H", len(entries)) + body_entries
+                 + struct.pack(bo + "I", 0))
+        fp.write(bytes(payload))
+        fp.write(body)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("compression", [1, 8])
+def test_read_stripped_foreign_layouts(spark, tmp_path, big_endian,
+                                       compression):
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 4000, (10, 7)).astype(np.int32)
+    path = str(tmp_path / "s.tif")
+    _write_stripped_tiff(path, arr, big_endian=big_endian,
+                         compression=compression)
+    info = read_tiff_info(path)
+    assert not info.tiled and info.tile_h == 4
+    assert info.epsg == 4326
+    assert info.transform == (0.25, 0.0, 10.0, 0.0, -0.5, 20.0)
+    back = read_geotiff(spark, path, tile_size=48)
+    np.testing.assert_array_equal(
+        back.assemble()["band_1"].astype(np.int64), arr.astype(np.int64)
+    )
+
+
+def test_read_horizontal_predictor(spark, tmp_path):
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 255, (9, 13)).astype(np.uint8)
+    path = str(tmp_path / "p.tif")
+    _write_stripped_tiff(path, arr, predictor=2, compression=8)
+    back = read_geotiff(spark, path)
+    np.testing.assert_array_equal(
+        back.assemble()["band_1"].astype(np.int64), arr.astype(np.int64)
+    )
+
+
+def test_multiband_planar2_roundtrip(spark, tmp_path):
+    """Two measurements -> one planar-2 multiband file -> two bands
+    back, each matching its source array."""
+    from geocube_spark import datagen
+    from geocube_spark.cube import make_geocube
+
+    docs = datagen.to_spark(spark, datagen.scale_docs(400, seed=21))
+    cube = make_geocube(
+        docs, measurements=["m0", "m1"], resolution=(-0.05, 0.05),
+        fill=-1.0, merge_alg="replace", tile_size=32,
+    )
+    arrs = cube.assemble()
+    path = str(tmp_path / "mb.tif")
+    write_geotiff(cube, path)
+    info = read_tiff_info(path)
+    assert info.samples == 2 and info.planar == 2
+    back = read_geotiff(spark, path,
+                        measurements=["m0", "m1"])
+    arrs2 = back.assemble()
+    for m in ("m0", "m1"):
+        np.testing.assert_array_equal(
+            arrs2[m].astype(np.float64), arrs[m].astype(np.float64)
+        )
+
+
+def test_nan_nodata_ascii(spark, tmp_path):
+    cube = _small_cube(spark, fill=float("nan"), n=150)
+    path = str(tmp_path / "nan.tif")
+    write_geotiff(cube, path)
+    info = read_tiff_info(path)
+    assert info.nodata is not None and math.isnan(info.nodata)
+    back = read_geotiff(spark, path)
+    assert math.isnan(back.bands["band_1"].fill)
+
+
+def test_grouped_cube_rejected(spark, tmp_path):
+    from geocube_spark import datagen
+    from geocube_spark.cube import make_geocube
+
+    docs = datagen.to_spark(spark, datagen.grouped_polygon_docs(3, 4))
+    cube = make_geocube(
+        docs, measurements=["claytotal_r"], group_by="hzdept_r",
+        resolution=(-0.1, 0.1), fill=0.0, tile_size=32,
+    )
+    with pytest.raises(ValueError, match="ungrouped"):
+        write_geotiff(cube, str(tmp_path / "g.tif"))
