@@ -1,0 +1,247 @@
+"""Distributed post-operations on raster cubes.
+
+The reference hands back an xarray ``Dataset`` and its users compute
+derived bands, downsample, and summarize with xarray on one node
+(every example in /root/reference/docs and test_core_integration.py
+ends in Dataset math). At 100 TB the cube IS the chunk table, so these
+re-express that post-processing as JVM-side Column programs over chunk
+rows — no Python in the hot path, no driver collection:
+
+* ``with_band``   element-wise band algebra (e.g. NDVI-style ratios)
+  via ``zip_with``/``transform`` higher-order functions; tiles of the
+  input bands are aligned with ONE equi-join on the tile key.
+* ``coarsen``     f x f block aggregation (xarray ``.coarsen``):
+  chunk-local by construction (tile_size % f == 0), so the plan is a
+  narrow map — zero shuffle at any scale.
+* ``band_stats``  per-(band, group) min/max/sum/mean/nodata-count:
+  array HOFs per chunk + one tiny agg — the classic two-level
+  (map-side partial) aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cube import BandMeta, GeoCube
+from .geometry.affine import Affine
+from .grid.geobox import GeoBox
+
+_LINEAGE = ["zoom", "row0", "col0", "h", "w"]
+
+
+def with_band(cube: GeoCube, name: str, inputs: Sequence[str],
+              fn: Callable, *, fill: float = float("nan")) -> GeoCube:
+    """New band = ``fn`` applied element-wise to ``inputs`` bands.
+
+    ``fn`` takes one Column per input (element values) and returns the
+    output element Column — evaluated inside whole-stage codegen via
+    ``transform`` (1 input), ``zip_with`` (2) or indexed ``transform``
+    (3+). Tiles are aligned with one equi-join on
+    (group_key, tile_id); with the cube's chunks already clustered by
+    tile from the burn shuffle, AQE plans this as a local join.
+
+    Returns a new GeoCube with the derived band appended (the input
+    cube is unchanged)."""
+    if name in cube.bands:
+        raise ValueError(f"band {name!r} already exists")
+    for m in inputs:
+        if m not in cube.bands:
+            raise ValueError(f"unknown input band {m!r}")
+    c = cube.chunks
+    keys = ["group_key", "tile_id"]
+    first = c.filter(F.col("measurement") == inputs[0]).alias("b0")
+    joined = first
+    for i, m in enumerate(inputs[1:], start=1):
+        nxt = c.filter(F.col("measurement") == m).alias(f"b{i}")
+        cond = (
+            F.col("b0.group_key").eqNullSafe(F.col(f"b{i}.group_key"))
+            & (F.col("b0.tile_id") == F.col(f"b{i}.tile_id"))
+        )
+        joined = joined.join(nxt, cond, "inner")
+
+    vals = [F.col(f"b{i}.values") for i in range(len(inputs))]
+    if len(inputs) == 1:
+        new_vals = F.transform(vals[0], fn)
+    elif len(inputs) == 2:
+        new_vals = F.zip_with(vals[0], vals[1], fn)
+    else:
+        new_vals = F.transform(
+            F.sequence(F.lit(0), F.size(vals[0]) - 1),
+            lambda i: fn(*[F.element_at(v, i + 1) for v in vals]),
+        )
+
+    seq_cols = [F.col(f"b{i}.min_seq") for i in range(len(inputs))]
+    seq_cols_mx = [F.col(f"b{i}.max_seq") for i in range(len(inputs))]
+    derived = joined.select(
+        F.lit(name).alias("measurement"),
+        F.col("b0.group_key").alias("group_key"),
+        *[F.col(f"b0.{k}").alias(k) for k in ["zoom", "tile_id"] + _LINEAGE[1:]],
+        new_vals.alias("values"),
+        F.col("b0.n_geoms").alias("n_geoms"),
+        (F.col("b0.h") * F.col("b0.w")).cast("long").alias("n_cells_burned"),
+        (F.least(*seq_cols) if len(seq_cols) > 1 else seq_cols[0])
+        .alias("min_seq"),
+        (F.greatest(*seq_cols_mx) if len(seq_cols_mx) > 1
+         else seq_cols_mx[0]).alias("max_seq"),
+    ).select(*[f.name for f in c.schema.fields])
+
+    bands = dict(cube.bands)
+    bands[name] = BandMeta(name=name, dtype="float64", fill=fill)
+    return GeoCube(
+        chunks=c.unionByName(derived), geobox=cube.geobox, bands=bands,
+        group_by=cube.group_by, group_keys=cube.group_keys,
+        tile_size=cube.tile_size, fill=cube.fill,
+    )
+
+
+def coarsen(cube: GeoCube, factor: int, agg: str = "mean") -> GeoCube:
+    """Downsample every band by ``factor`` x ``factor`` blocks
+    (xarray ``.coarsen(x=f, y=f).mean()`` and friends).
+
+    agg: 'mean' | 'sum' | 'min' | 'max'. Chunk-local by construction
+    (tile_size and the grid dims must divide by ``factor``), so the
+    physical plan is a NARROW map over chunk rows — no shuffle at any
+    scale; a 1000-executor coarsen is embarrassingly parallel."""
+    if agg not in ("mean", "sum", "min", "max"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    f = int(factor)
+    gb = cube.geobox
+    if gb.width % f or gb.height % f:
+        raise ValueError(
+            f"grid {gb.height}x{gb.width} not divisible by factor {f}"
+        )
+    if cube.tile_size % f:
+        raise ValueError(
+            f"tile_size {cube.tile_size} not divisible by factor {f}"
+        )
+
+    w = F.col("w")
+    w2 = (w / f).cast("int")
+    h2 = (F.col("h") / f).cast("int")
+
+    def _block(i):
+        """Columns of the f*f source elements of output index i.
+
+        NaN-fill cubes carry nodata as NULL elements (the Arrow
+        boundary maps NaN -> null in nested arrays); aggregation skips
+        them (xarray ``skipna=True`` semantics) and an all-nodata
+        block stays nodata (NULL -> NaN on assembly)."""
+        r2 = F.floor(i / w2).cast("int")
+        c2 = (i % w2).cast("int")
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(f * f - 1)),
+                lambda j: F.element_at(
+                    F.col("values"),
+                    ((r2 * f + F.floor(j / f).cast("int")) * w
+                     + c2 * f + (j % f) + 1).cast("int"),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    def _agg(i):
+        block = _block(i)
+        if agg == "sum":
+            return F.aggregate(block, F.lit(0.0), lambda a, x: a + x)
+        if agg == "mean":
+            return F.when(
+                F.size(block) > 0,
+                F.aggregate(block, F.lit(0.0), lambda a, x: a + x)
+                / F.size(block),
+            )
+        if agg == "min":
+            return F.array_min(block)
+        return F.array_max(block)
+
+    new_vals = F.transform(F.sequence(F.lit(0), h2 * w2 - 1), _agg)
+    # the values expression MUST precede the h/w aliases in the select
+    # list: Spark's lateral-column-alias resolution would otherwise
+    # bind its F.col("w")/F.col("h") references to the ALREADY-DIVIDED
+    # aliases instead of the input columns
+    chunks = cube.chunks.select(
+        "measurement", "group_key", "zoom", "tile_id",
+        (F.col("row0") / f).cast("int").alias("row0"),
+        (F.col("col0") / f).cast("int").alias("col0"),
+        new_vals.alias("values"),
+        h2.alias("h"), w2.alias("w"),
+        "n_geoms",
+        (h2 * w2).cast("long").alias("n_cells_burned"),
+        "min_seq", "max_seq",
+    ).select(*[f_.name for f_ in cube.chunks.schema.fields])
+    a = gb.affine
+    gb2 = GeoBox(
+        gb.width // f, gb.height // f,
+        Affine(a.a * f, a.b * f, a.c, a.d * f, a.e * f, a.f),
+        gb.crs,
+    )
+    bands = {}
+    for m, meta in cube.bands.items():
+        fl = meta.fill
+        if agg == "sum" and not (isinstance(fl, float) and np.isnan(fl)):
+            fl = fl * f * f
+        bands[m] = BandMeta(
+            name=m, dtype="float64", fill=fl,
+            categories=meta.categories, units=meta.units,
+        )
+    return GeoCube(
+        chunks=chunks, geobox=gb2, bands=bands, group_by=cube.group_by,
+        group_keys=cube.group_keys, tile_size=cube.tile_size // f,
+        fill=cube.fill,
+    )
+
+
+def band_stats(cube: GeoCube,
+               measurements: Optional[Sequence[str]] = None) -> DataFrame:
+    """Per-(measurement, group) statistics: n_cells, n_nodata, and
+    vmin/vmax/vsum/vmean over the DATA cells (nodata excluded — a
+    NaN-fill cube carries nodata as NULL array elements after the
+    Arrow boundary; a finite-fill cube as the fill value; both count
+    as n_nodata and are excluded from the value stats). A band with
+    zero data cells reports NULL vmin/vmax/vmean.
+
+    Two-level aggregation: array HOFs reduce each chunk to scalars
+    (map-side, inside codegen), then one tiny groupBy combines chunk
+    partials — the shuffle carries a few doubles per chunk, never
+    cell data."""
+    c = cube.chunks
+    if measurements:
+        c = c.filter(F.col("measurement").isin(list(measurements)))
+    fill_map = F.create_map(
+        *[x for m, b in cube.bands.items()
+          for x in (F.lit(m), F.lit(float(b.fill)))]
+    )
+    fill = fill_map[F.col("measurement")]
+    is_data = lambda x: F.when(  # noqa: E731
+        F.isnan(fill), x.isNotNull() & ~F.isnan(x)
+    ).otherwise(x.isNotNull() & (x != fill))
+    data = F.filter("values", is_data)
+    per_chunk = c.select(
+        "measurement", "group_key",
+        F.size("values").alias("n"),
+        data.alias("data"),
+    ).select(
+        "measurement", "group_key", "n",
+        F.size("data").alias("n_data"),
+        F.array_min("data").alias("mn"),
+        F.array_max("data").alias("mx"),
+        F.aggregate("data", F.lit(0.0), lambda a, x: a + x).alias("s"),
+    )
+    return (
+        per_chunk.groupBy("measurement", "group_key")
+        .agg(
+            F.sum("n").alias("n_cells"),
+            (F.sum("n") - F.sum("n_data")).alias("n_nodata"),
+            F.min("mn").alias("vmin"),
+            F.max("mx").alias("vmax"),
+            F.sum("s").alias("vsum"),
+            F.when(
+                F.sum("n_data") > 0, F.sum("s") / F.sum("n_data")
+            ).alias("vmean"),
+        )
+        .orderBy("measurement", "group_key")
+    )

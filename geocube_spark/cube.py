@@ -200,6 +200,25 @@ class GeoCube:
             global_attrs={"Conventions": "CF-1.8"},
         )
 
+    # -- distributed post-operations (bandops.py) -------------------------
+    def with_band(self, name: str, inputs, fn, *, fill=float("nan")):
+        """Derived band via element-wise algebra (JVM-side HOFs)."""
+        from .bandops import with_band
+
+        return with_band(self, name, inputs, fn, fill=fill)
+
+    def coarsen(self, factor: int, agg: str = "mean"):
+        """f x f block downsample — narrow map, zero shuffle."""
+        from .bandops import coarsen
+
+        return coarsen(self, factor, agg)
+
+    def band_stats(self, measurements=None):
+        """Per-(band, group) min/max/sum/mean/nodata statistics."""
+        from .bandops import band_stats
+
+        return band_stats(self, measurements)
+
     def write(self, path: str, *, n_buckets: int = 64,
               commit_batches: int = 4, fail_after: Optional[int] = None):
         """Persist the cube as committed snapshots partitioned by

@@ -1280,6 +1280,193 @@ def q_geotiff_roundtrip(spark, sf_dir):
 SQL_GEOTIFF_RT = SQL_BURN_ADD
 
 
+_TB_CACHE: dict = {}
+
+
+def _two_band_cube(spark, sf_dir):
+    """Events burned as TWO bands (value + user_id) — input for the
+    band-algebra / post-op queries. The burn runs ONCE per (session,
+    sf_dir): the chunk table is materialized to temp parquet and the
+    three post-op queries re-read it (same shared-input pattern as
+    ``_event_vector_df``)."""
+    from ..cube import GeoCube, make_geocube
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TB_CACHE.get(key)
+    if cached is not None:
+        path, gb, bands, ts = cached
+        return GeoCube(
+            chunks=spark.read.parquet(path), geobox=gb, bands=bands,
+            group_by=None, group_keys=None, tile_size=ts, fill=0.0,
+        )
+
+    pts = _events(spark, sf_dir).selectExpr(
+        "concat('ev-', event_id) AS doc_id",
+        "event_id AS seq",
+        f"{_LON_SQL} AS lon",
+        f"{_LAT_SQL} AS lat",
+        "value",
+        "CAST(user_id AS DOUBLE) AS uval",
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "seq": pdf["seq"].astype("int64"),
+                    "geometry_wkb": W.points_to_wkb(
+                        pdf["lon"].values, pdf["lat"].values
+                    ),
+                    "value": pdf["value"].astype("float64"),
+                    "uval": pdf["uval"].astype("float64"),
+                }
+            )
+
+    schema = (
+        "doc_id string, seq long, geometry_wkb binary, "
+        "value double, uval double"
+    )
+    vec = pts.mapInPandas(_enc, schema=schema)
+    cube = make_geocube(
+        vec, measurements=["value", "uval"], geom=WORLD_GEOM,
+        resolution=(-1.0, 1.0), fill=0.0, merge_alg="add", tile_size=64,
+    )
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"geocube_tb_{os.getpid()}_{abs(hash(key)) % (1 << 32):x}",
+    )
+    cube.chunks.write.mode("overwrite").parquet(path)
+    _TB_CACHE[key] = (path, cube.geobox, cube.bands, cube.tile_size)
+    return GeoCube(
+        chunks=spark.read.parquet(path), geobox=cube.geobox,
+        bands=cube.bands, group_by=None, group_keys=None,
+        tile_size=cube.tile_size, fill=0.0,
+    )
+
+
+def _explode_cells(chunks):
+    cell = chunks.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    )
+    return cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int"))
+        .alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int")
+        .alias("col"),
+        "val",
+    )
+
+
+def q_band_algebra(spark, sf_dir):
+    """Derived band via JVM-side zip_with over tile-aligned chunks
+    (bandops.with_band — the xarray Dataset math reference users run
+    after make_geocube, distributed). ratio = (value+1)/(user_sum+1)
+    per cell; untouched cells give exactly 1.0 on both engines and are
+    filtered identically."""
+    cube = _two_band_cube(spark, sf_dir)
+    out = cube.with_band(
+        "ratio", ("value", "uval"), lambda a, b: (a + 1.0) / (b + 1.0),
+        fill=1.0,
+    )
+    df = _explode_cells(
+        out.chunks.filter(F.col("measurement") == "ratio")
+    )
+    return (
+        df.select("row", "col", F.round("val", 6).alias("val"))
+        .filter(F.col("val") != 1.0)
+        .orderBy("row", "col")
+    )
+
+
+SQL_BAND_ALGEBRA = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value, CAST(user_id AS DOUBLE) AS uval
+  FROM events
+), s AS (
+  SELECT row, col, sum(value) AS sv, sum(uval) AS su
+  FROM pts GROUP BY 1, 2
+)
+SELECT row, col, round((sv + 1.0) / (su + 1.0), 6) AS val
+FROM s
+WHERE round((sv + 1.0) / (su + 1.0), 6) <> 1.0
+ORDER BY row, col
+"""
+
+
+def q_coarsen_sum(spark, sf_dir):
+    """4x4 block downsample (bandops.coarsen, xarray .coarsen().sum()
+    parity) — narrow chunk-local map, zero added shuffle. Oracle =
+    straight SQL regroup of the burn at the coarse cell size."""
+    cube = _two_band_cube(spark, sf_dir)
+    out = cube.coarsen(4, "sum")
+    df = _explode_cells(
+        out.chunks.filter(F.col("measurement") == "value")
+    )
+    return (
+        df.select("row", "col", F.round("val", 6).alias("val"))
+        .filter(F.col("val") != 0.0)
+        .orderBy("row", "col")
+    )
+
+
+SQL_COARSEN_SUM = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) // 4 AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) // 4 AS col,
+         value
+  FROM events
+)
+SELECT row, col, round(sum(value), 6) AS val
+FROM pts GROUP BY 1, 2 HAVING round(sum(value), 6) <> 0.0
+ORDER BY row, col
+"""
+
+
+def q_band_stats(spark, sf_dir):
+    """Full-raster per-band statistics (bandops.band_stats): array
+    HOFs reduce each chunk map-side, one tiny agg combines — the
+    shuffle carries a few doubles per chunk. Oracle recomputes from
+    the event cell sums (data cells = non-fill)."""
+    cube = _two_band_cube(spark, sf_dir)
+    st = cube.band_stats(measurements=["value"])
+    return st.select(
+        "measurement",
+        "n_cells",
+        "n_nodata",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("vsum", 6).alias("vsum"),
+        F.round("vmean", 6).alias("vmean"),
+    )
+
+
+SQL_BAND_STATS = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), s AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), d AS (
+  SELECT * FROM s WHERE sv <> 0.0
+)
+SELECT 'value' AS measurement,
+       180 * 360 AS n_cells,
+       180 * 360 - (SELECT count(*) FROM d) AS n_nodata,
+       round((SELECT min(sv) FROM d), 6) AS vmin,
+       round((SELECT max(sv) FROM d), 6) AS vmax,
+       round((SELECT sum(sv) FROM d), 6) AS vsum,
+       round((SELECT sum(sv) / count(*) FROM d), 6) AS vmean
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -1309,4 +1496,7 @@ QUERIES = {
     "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_RT),
     "geopackage_roundtrip": (q_geopackage_roundtrip, SQL_GPKG_RT),
     "geotiff_roundtrip": (q_geotiff_roundtrip, SQL_GEOTIFF_RT),
+    "band_algebra": (q_band_algebra, SQL_BAND_ALGEBRA),
+    "coarsen_sum": (q_coarsen_sum, SQL_COARSEN_SUM),
+    "band_stats": (q_band_stats, SQL_BAND_STATS),
 }

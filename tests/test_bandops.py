@@ -1,0 +1,168 @@
+"""Band algebra / coarsen / band_stats: numpy parity on assembled
+cubes + plan shape (coarsen must stay shuffle-free)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark import datagen
+from geocube_spark.cube import make_geocube
+
+
+GEOM = (
+    '{"type": "Polygon", "coordinates": [[[-91, 41], [-90, 41], '
+    '[-90, 42], [-91, 42], [-91, 41]]]}'
+)
+
+
+@pytest.fixture(scope="module")
+def two_band_cube(spark):
+    docs = datagen.to_spark(spark, datagen.scale_docs(600, seed=13))
+    return make_geocube(
+        docs, measurements=["m0", "m1"], geom=GEOM,
+        resolution=(-1.0 / 32, 1.0 / 32),
+        fill=0.0, merge_alg="add", tile_size=16,
+    )
+
+
+def test_with_band_two_inputs(spark, two_band_cube):
+    cube = two_band_cube
+    out = cube.with_band(
+        "ratio", ("m0", "m1"), lambda a, b: (a + 1.0) / (b + 1.0),
+        fill=1.0,
+    )
+    assert set(out.bands) == {"m0", "m1", "ratio"}
+    arrs = out.assemble()
+    np.testing.assert_allclose(
+        arrs["ratio"], (arrs["m0"] + 1.0) / (arrs["m1"] + 1.0),
+        rtol=0, atol=0,
+    )
+    # inputs unchanged
+    base = cube.assemble()
+    np.testing.assert_array_equal(arrs["m0"], base["m0"])
+
+
+def test_with_band_single_and_triple(spark, two_band_cube):
+    cube = two_band_cube
+    one = cube.with_band("db", ("m0",), lambda x: x * 2.0)
+    arrs = one.assemble()
+    np.testing.assert_array_equal(arrs["db"], arrs["m0"] * 2.0)
+
+    three = one.with_band(
+        "mix", ("m0", "m1", "db"), lambda a, b, c: a + b - c
+    )
+    a3 = three.assemble()
+    np.testing.assert_allclose(
+        a3["mix"], a3["m0"] + a3["m1"] - a3["db"], rtol=0, atol=1e-12
+    )
+
+
+def test_with_band_errors(two_band_cube):
+    with pytest.raises(ValueError, match="already exists"):
+        two_band_cube.with_band("m0", ("m1",), lambda x: x)
+    with pytest.raises(ValueError, match="unknown input"):
+        two_band_cube.with_band("z", ("nope",), lambda x: x)
+
+
+def test_with_band_grouped(spark):
+    docs = datagen.to_spark(spark, datagen.grouped_polygon_docs(3, 5))
+    cube = make_geocube(
+        docs, measurements=["claytotal_r", "sandtotal_r"],
+        group_by="hzdept_r", output_crs="epsg:32615",
+        resolution=(-60, 60), fill=0.0, tile_size=32,
+    )
+    out = cube.with_band(
+        "tot", ("claytotal_r", "sandtotal_r"), lambda a, b: a + b
+    )
+    arrs = out.assemble()
+    np.testing.assert_allclose(
+        arrs["tot"], arrs["claytotal_r"] + arrs["sandtotal_r"],
+        rtol=0, atol=1e-12,
+    )
+
+
+@pytest.mark.parametrize("agg,np_fn", [
+    ("mean", np.mean), ("sum", np.sum), ("min", np.min), ("max", np.max),
+])
+def test_coarsen_matches_numpy(spark, two_band_cube, agg, np_fn):
+    cube = two_band_cube
+    f = 4
+    out = cube.coarsen(f, agg)
+    h, w = cube.geobox.shape
+    assert out.geobox.shape == (h // f, w // f)
+    assert out.tile_size == cube.tile_size // f
+    a = cube.geobox.affine
+    assert out.geobox.affine.a == a.a * f and out.geobox.affine.e == a.e * f
+    base = cube.assemble()["m0"]
+    got = out.assemble()["m0"]
+    want = np_fn(
+        base.reshape(h // f, f, w // f, f), axis=(1, 3)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_coarsen_adds_no_shuffle(two_band_cube):
+    """coarsen is a narrow map: the coarsened plan has exactly the
+    exchanges of the underlying burn, none of its own."""
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    assert n_exchanges(two_band_cube.coarsen(2, "mean").chunks) <= \
+        n_exchanges(two_band_cube.chunks)
+
+
+def test_coarsen_rejects_misaligned(two_band_cube):
+    with pytest.raises(ValueError, match="divisible"):
+        two_band_cube.coarsen(7)
+
+
+def test_band_stats_matches_numpy(spark, two_band_cube):
+    cube = two_band_cube
+    rows = {
+        (r["measurement"], r["group_key"]): r
+        for r in cube.band_stats().collect()
+    }
+    arrs = cube.assemble()
+    for m in ("m0", "m1"):
+        a = arrs[m]
+        d = a[a != 0.0]  # data cells (fill = 0.0 excluded)
+        r = rows[(m, None)]
+        assert r["n_cells"] == a.size
+        assert r["n_nodata"] == int((a == 0.0).sum())
+        assert r["vmin"] == pytest.approx(d.min(), abs=0)
+        assert r["vmax"] == pytest.approx(d.max(), abs=0)
+        assert r["vsum"] == pytest.approx(d.sum(), rel=1e-12)
+        assert r["vmean"] == pytest.approx(d.mean(), rel=1e-12)
+
+
+def test_band_stats_nan_fill(spark):
+    docs = datagen.to_spark(spark, datagen.scale_docs(200, seed=4))
+    cube = make_geocube(
+        docs, measurements=["m0"], resolution=(-0.05, 0.05),
+        fill=float("nan"), merge_alg="replace", tile_size=32,
+    )
+    r = cube.band_stats().collect()[0]
+    a = cube.assemble()["m0"]
+    assert r["n_nodata"] == int(np.isnan(a).sum())
+    assert r["vmean"] == pytest.approx(np.nanmean(a), rel=1e-12)
+    assert r["vmin"] == pytest.approx(np.nanmin(a), abs=0)
+
+
+def test_coarsen_nan_fill_skipna(spark):
+    """NaN-fill cube: nodata travels as NULL elements; coarsen mean
+    skips them (xarray skipna) and all-nodata blocks stay nodata."""
+    docs = datagen.to_spark(spark, datagen.scale_docs(150, seed=8))
+    cube = make_geocube(
+        docs, measurements=["m0"], geom=GEOM,
+        resolution=(-1.0 / 32, 1.0 / 32),
+        fill=float("nan"), merge_alg="replace", tile_size=16,
+    )
+    base = cube.assemble()["m0"]
+    got = cube.coarsen(4, "mean").assemble()["m0"]
+    blocks = base.reshape(8, 4, 8, 4).swapaxes(1, 2).reshape(8, 8, 16)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # all-NaN block mean warning
+        want = np.nanmean(blocks, axis=2)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
