@@ -219,6 +219,13 @@ class GeoCube:
 
         return band_stats(self, measurements)
 
+    def warp(self, like, *, method: str = "nearest", tile_size=None):
+        """Regrid onto another grid (GeoBox / dict / .tif / .nc path),
+        reprojecting when CRSs differ — distributed reproject_match."""
+        from .warp import warp
+
+        return warp(self, like, method=method, tile_size=tile_size)
+
     def write(self, path: str, *, n_buckets: int = 64,
               commit_batches: int = 4, fail_after: Optional[int] = None):
         """Persist the cube as committed snapshots partitioned by

@@ -1467,6 +1467,47 @@ SELECT 'value' AS measurement,
 """
 
 
+def q_warp_upscale(spark, sf_dir):
+    """Distributed raster->raster warp (warp.py, reproject_match
+    parity): the events value burn regrids onto a 2x finer aligned
+    grid with nearest sampling, so every target cell must equal its
+    containing source cell — expressible as the SQL burn fanned out
+    to the four sub-cells."""
+    from ..geometry.affine import Affine
+    from ..grid.geobox import GeoBox
+
+    cube = _two_band_cube(spark, sf_dir)
+    gb = cube.geobox
+    a = gb.affine
+    dst = GeoBox(gb.width * 2, gb.height * 2,
+                 Affine(a.a / 2, 0.0, a.c, 0.0, a.e / 2, a.f), gb.crs)
+    out = cube.warp(dst, tile_size=64)
+    df = _explode_cells(
+        out.chunks.filter(F.col("measurement") == "value")
+    )
+    return (
+        df.select("row", "col", F.round("val", 6).alias("val"))
+        .filter(F.col("val") != 0.0)
+        .orderBy("row", "col")
+    )
+
+
+SQL_WARP_UPSCALE = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), s AS (
+  SELECT row, col, round(sum(value), 6) AS val
+  FROM pts GROUP BY 1, 2 HAVING round(sum(value), 6) <> 0.0
+)
+SELECT s.row * 2 + dr.d AS row, s.col * 2 + dc.d AS col, s.val
+FROM s, (VALUES (0), (1)) AS dr(d), (VALUES (0), (1)) AS dc(d)
+ORDER BY row, col
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -1499,4 +1540,5 @@ QUERIES = {
     "band_algebra": (q_band_algebra, SQL_BAND_ALGEBRA),
     "coarsen_sum": (q_coarsen_sum, SQL_COARSEN_SUM),
     "band_stats": (q_band_stats, SQL_BAND_STATS),
+    "warp_upscale": (q_warp_upscale, SQL_WARP_UPSCALE),
 }

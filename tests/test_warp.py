@@ -1,0 +1,130 @@
+"""Distributed warp: identity / integer rescale / CRS reprojection
+parity against straight numpy gathers on the assembled cube."""
+
+import numpy as np
+import pytest
+
+from geocube_spark import datagen
+from geocube_spark.cube import make_geocube
+from geocube_spark.geometry.affine import Affine
+from geocube_spark.geometry.crs import CRS, transform as crs_transform
+from geocube_spark.grid.geobox import GeoBox
+from geocube_spark.warp import warp
+
+GEOM = (
+    '{"type": "Polygon", "coordinates": [[[-91, 41], [-90, 41], '
+    '[-90, 42], [-91, 42], [-91, 41]]]}'
+)
+
+
+@pytest.fixture(scope="module")
+def src_cube(spark):
+    docs = datagen.to_spark(spark, datagen.scale_docs(500, seed=17))
+    return make_geocube(
+        docs, measurements=["m0"], geom=GEOM,
+        resolution=(-1.0 / 32, 1.0 / 32),
+        fill=-1.0, merge_alg="add", tile_size=16,
+    )
+
+
+def _nearest_expect(src_arr, src_gb, dst_gb, fill):
+    """Straight numpy nearest gather (the warp's semantics)."""
+    h, w = dst_gb.height, dst_gb.width
+    cols = 0.5 + np.arange(w)
+    rows = 0.5 + np.arange(h)
+    cc, rr = np.meshgrid(cols, rows)
+    a = dst_gb.affine
+    wx = a.c + a.a * cc + a.b * rr
+    wy = a.f + a.d * cc + a.e * rr
+    if dst_gb.crs.epsg != src_gb.crs.epsg:
+        wx, wy = crs_transform(dst_gb.crs, src_gb.crs,
+                               wx.ravel(), wy.ravel())
+        wx = wx.reshape(h, w)
+        wy = wy.reshape(h, w)
+    inv = src_gb.affine.invert()
+    px = np.floor(inv.c + inv.a * wx + inv.b * wy).astype(np.int64)
+    py = np.floor(inv.f + inv.d * wx + inv.e * wy).astype(np.int64)
+    out = np.full((h, w), fill, dtype=np.float64)
+    k = (px >= 0) & (px < src_gb.width) & (py >= 0) & (py < src_gb.height)
+    out[k] = src_arr[py[k], px[k]]
+    return out
+
+
+def test_warp_identity(spark, src_cube):
+    out = warp(src_cube, src_cube.geobox)
+    np.testing.assert_array_equal(
+        out.assemble()["m0"], src_cube.assemble()["m0"]
+    )
+
+
+def test_warp_upscale_2x(spark, src_cube):
+    gb = src_cube.geobox
+    a = gb.affine
+    dst = GeoBox(gb.width * 2, gb.height * 2,
+                 Affine(a.a / 2, 0.0, a.c, 0.0, a.e / 2, a.f), gb.crs)
+    out = warp(src_cube, dst)
+    got = out.assemble()["m0"]
+    base = src_cube.assemble()["m0"]
+    np.testing.assert_array_equal(got, np.repeat(np.repeat(base, 2, 0), 2, 1))
+
+
+def test_warp_downscale_and_shift(spark, src_cube):
+    gb = src_cube.geobox
+    a = gb.affine
+    # coarser, shifted grid that also hangs off the source edge
+    dst = GeoBox(20, 14, Affine(a.a * 3, 0.0, a.c - 5 * a.a,
+                                0.0, a.e * 3, a.f - 2 * a.e), gb.crs)
+    out = warp(src_cube, dst, tile_size=16)
+    got = out.assemble()["m0"]
+    want = _nearest_expect(
+        src_cube.assemble()["m0"].astype(np.float64), gb, dst, -1.0
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_warp_reproject_crs(spark, src_cube):
+    gb = src_cube.geobox
+    # UTM 15N covers lon -96..-90; build a metric grid over the area
+    dst_crs = CRS.from_user_input("epsg:32615")
+    xs, ys = crs_transform(
+        gb.crs, dst_crs,
+        np.array([-91.0, -90.0]), np.array([41.0, 42.0]),
+    )
+    dst = GeoBox(
+        40, 40,
+        Affine((xs[1] - xs[0]) / 40, 0.0, xs[0],
+               0.0, -(ys[1] - ys[0]) / 40, ys[1]),
+        dst_crs,
+    )
+    out = warp(src_cube, dst, tile_size=16)
+    got = out.assemble()["m0"]
+    want = _nearest_expect(
+        src_cube.assemble()["m0"].astype(np.float64), gb, dst, -1.0
+    )
+    np.testing.assert_array_equal(got, want)
+    assert out.geobox.crs.epsg == 32615
+
+
+def test_warp_grouped(spark):
+    docs = datagen.to_spark(spark, datagen.grouped_polygon_docs(3, 5))
+    cube = make_geocube(
+        docs, measurements=["claytotal_r"], group_by="hzdept_r",
+        output_crs="epsg:32615", resolution=(-60, 60), fill=0.0,
+        tile_size=32,
+    )
+    gb = cube.geobox
+    a = gb.affine
+    dst = GeoBox(gb.width * 2, gb.height * 2,
+                 Affine(a.a / 2, 0.0, a.c, 0.0, a.e / 2, a.f), gb.crs)
+    out = warp(cube, dst)
+    got = out.assemble()["claytotal_r"]
+    base = cube.assemble()["claytotal_r"]
+    assert got.shape[0] == base.shape[0]  # groups preserved
+    np.testing.assert_array_equal(
+        got, np.repeat(np.repeat(base, 2, 1), 2, 2)
+    )
+
+
+def test_warp_rejects_other_methods(src_cube):
+    with pytest.raises(NotImplementedError):
+        warp(src_cube, src_cube.geobox, method="bilinear")
