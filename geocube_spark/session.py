@@ -19,7 +19,11 @@ def package_zip() -> str:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "geocube_spark_pkg.zip")
-    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+    # write-then-rename: concurrent sessions (another driver, a
+    # spark-submit subprocess) may be READING the zip while we build —
+    # an in-place rewrite hands them a truncated archive
+    tmp = out + f".tmp.{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:
                 if f.endswith((".pyc", ".pyo")) or "__pycache__" in root:
@@ -29,6 +33,7 @@ def package_zip() -> str:
                     "geocube_spark", os.path.relpath(full, pkg_dir)
                 )
                 zf.write(full, rel)
+    os.replace(tmp, out)
     return out
 
 

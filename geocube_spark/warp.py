@@ -56,12 +56,17 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
     """Regrid ``cube`` onto the grid of ``like`` (GeoBox, dict, or a
     .tif/.nc path), reprojecting between CRSs when they differ.
 
-    ``method='nearest'`` (the reference's default resampling for
-    categorical-safe warps). Returns a new GeoCube on the target grid;
-    cells outside the source raster take each band's fill."""
-    if method != "nearest":
+    ``method``: 'nearest' (categorical-safe, the default) or
+    'bilinear' (continuous fields; 4-neighbor weighted average with
+    edge renormalization — neighbors beyond the raster edge drop out
+    and the remaining weights rescale, GDAL edge behavior; nodata
+    values poison their neighborhood like skipna=False). Returns a new
+    GeoCube on the target grid; cells outside the source raster take
+    each band's fill."""
+    if method not in ("nearest", "bilinear"):
         raise NotImplementedError(
-            f"warp method {method!r}; only 'nearest' is implemented"
+            f"warp method {method!r}; 'nearest' and 'bilinear' are "
+            "implemented"
         )
     src_gb = cube.geobox
     dst_gb = _resolve_geobox(like)
@@ -176,19 +181,57 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
             wx, wy = crs_transform(dgb.crs, sgb.crs, wx, wy)
         px = inv.c + inv.a * wx + inv.b * wy
         py = inv.f + inv.d * wx + inv.e * wy
-        sc_ = np.floor(px).astype(np.int64)
-        sr = np.floor(py).astype(np.int64)
 
-        band = np.full(th * tw, fills[m], dtype=np.float64)
-        for crow in pdf.itertuples(index=False):
-            row0, col0 = int(crow.row0), int(crow.col0)
-            h, w = int(crow.h), int(crow.w)
-            lr = sr - row0
-            lc = sc_ - col0
-            k = (lr >= 0) & (lr < h) & (lc >= 0) & (lc < w)
-            if k.any():
-                vals = np.asarray(crow.values, dtype=np.float64)
-                band[k] = vals[lr[k] * w + lc[k]]
+        if method == "nearest":
+            sc_ = np.floor(px).astype(np.int64)
+            sr = np.floor(py).astype(np.int64)
+            band = np.full(th * tw, fills[m], dtype=np.float64)
+            for crow in pdf.itertuples(index=False):
+                row0, col0 = int(crow.row0), int(crow.col0)
+                h, w = int(crow.h), int(crow.w)
+                lr = sr - row0
+                lc = sc_ - col0
+                k = (lr >= 0) & (lr < h) & (lc >= 0) & (lc < w)
+                if k.any():
+                    vals = np.asarray(crow.values, dtype=np.float64)
+                    band[k] = vals[lr[k] * w + lc[k]]
+        else:
+            # bilinear: 4 neighbor pixel centers + weights; each
+            # source chunk contributes the neighbors it holds and the
+            # accumulated weight renormalizes at the end (edge pixels
+            # lose the out-of-raster neighbors, like GDAL)
+            gx = px - 0.5
+            gy = py - 0.5
+            x0 = np.floor(gx).astype(np.int64)
+            y0 = np.floor(gy).astype(np.int64)
+            tx = gx - x0
+            ty = gy - y0
+            nbrs = [
+                (y0, x0, (1.0 - tx) * (1.0 - ty)),
+                (y0, x0 + 1, tx * (1.0 - ty)),
+                (y0 + 1, x0, (1.0 - tx) * ty),
+                (y0 + 1, x0 + 1, tx * ty),
+            ]
+            wsum = np.zeros(th * tw, dtype=np.float64)
+            wacc = np.zeros(th * tw, dtype=np.float64)
+            for crow in pdf.itertuples(index=False):
+                row0, col0 = int(crow.row0), int(crow.col0)
+                h, w = int(crow.h), int(crow.w)
+                vals = None
+                for nr, ncl, wt in nbrs:
+                    lr = nr - row0
+                    lc = ncl - col0
+                    k = (lr >= 0) & (lr < h) & (lc >= 0) & (lc < w)
+                    k &= wt > 0.0
+                    if not k.any():
+                        continue
+                    if vals is None:
+                        vals = np.asarray(crow.values, dtype=np.float64)
+                    wsum[k] += wt[k] * vals[lr[k] * w + lc[k]]
+                    wacc[k] += wt[k]
+            band = np.full(th * tw, fills[m], dtype=np.float64)
+            covered = wacc > 0.0
+            band[covered] = wsum[covered] / wacc[covered]
         return pd.DataFrame(
             [{
                 "measurement": m, "group_key": gkey, "zoom": zoom,

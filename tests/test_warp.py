@@ -127,4 +127,59 @@ def test_warp_grouped(spark):
 
 def test_warp_rejects_other_methods(src_cube):
     with pytest.raises(NotImplementedError):
-        warp(src_cube, src_cube.geobox, method="bilinear")
+        warp(src_cube, src_cube.geobox, method="cubic")
+
+
+def _bilinear_expect(src_arr, src_gb, dst_gb, fill):
+    """Straight numpy bilinear with edge renormalization."""
+    h, w = dst_gb.height, dst_gb.width
+    cols = 0.5 + np.arange(w)
+    rows = 0.5 + np.arange(h)
+    cc, rr = np.meshgrid(cols, rows)
+    a = dst_gb.affine
+    wx = (a.c + a.a * cc + a.b * rr).ravel()
+    wy = (a.f + a.d * cc + a.e * rr).ravel()
+    if dst_gb.crs.epsg != src_gb.crs.epsg:
+        wx, wy = crs_transform(dst_gb.crs, src_gb.crs, wx, wy)
+    inv = src_gb.affine.invert()
+    gx = inv.c + inv.a * wx + inv.b * wy - 0.5
+    gy = inv.f + inv.d * wx + inv.e * wy - 0.5
+    x0 = np.floor(gx).astype(np.int64)
+    y0 = np.floor(gy).astype(np.int64)
+    tx, ty = gx - x0, gy - y0
+    wsum = np.zeros(h * w)
+    wacc = np.zeros(h * w)
+    for nr, ncl, wt in [
+        (y0, x0, (1 - tx) * (1 - ty)), (y0, x0 + 1, tx * (1 - ty)),
+        (y0 + 1, x0, (1 - tx) * ty), (y0 + 1, x0 + 1, tx * ty),
+    ]:
+        k = (nr >= 0) & (nr < src_gb.height) & (ncl >= 0) \
+            & (ncl < src_gb.width) & (wt > 0)
+        wsum[k] += wt[k] * src_arr[nr[k], ncl[k]]
+        wacc[k] += wt[k]
+    out = np.full(h * w, fill)
+    out[wacc > 0] = wsum[wacc > 0] / wacc[wacc > 0]
+    return out.reshape(h, w)
+
+
+def test_warp_bilinear_identity(spark, src_cube):
+    """Aligned same-grid bilinear degenerates to the identity (all
+    weight on the containing cell)."""
+    out = warp(src_cube, src_cube.geobox, method="bilinear")
+    np.testing.assert_allclose(
+        out.assemble()["m0"], src_cube.assemble()["m0"], rtol=0, atol=0
+    )
+
+
+def test_warp_bilinear_matches_numpy(spark, src_cube):
+    gb = src_cube.geobox
+    a = gb.affine
+    dst = GeoBox(50, 45, Affine(a.a * 0.7, 0.0, a.c + 3.3 * a.a,
+                                0.0, a.e * 0.7, a.f + 1.7 * a.e), gb.crs)
+    out = warp(src_cube, dst, method="bilinear", tile_size=16)
+    want = _bilinear_expect(
+        src_cube.assemble()["m0"].astype(np.float64), gb, dst, -1.0
+    )
+    np.testing.assert_allclose(
+        out.assemble()["m0"], want, rtol=0, atol=1e-10
+    )
