@@ -568,7 +568,8 @@ def simhash_near_pairs(df: DataFrame = None, *, max_hamming: int = 8,
 def near_dup_clusters(df: DataFrame, *, pairs: DataFrame = None,
                       max_hamming: int = 5, bands: int = 6,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_iters: int = 20) -> DataFrame:
+                      max_iters: int = 20,
+                      driver_cap: int = 200_000) -> DataFrame:
     """Fuzzy-dedup compaction: cluster near-duplicate documents and
     mark one representative to keep per cluster.
 
@@ -591,13 +592,57 @@ def near_dup_clusters(df: DataFrame, *, pairs: DataFrame = None,
     * ``keep`` — true for the cluster's representative: longest text,
       ties broken by smallest id (the usual training-data rule of
       keeping the fullest variant of a duplicated page).
+
+    Edge sets up to ``driver_cap`` rows are clustered with a driver
+    union-find (one collect of the PAIRS — edge count, never corpus
+    count — then a broadcast label map); larger edge sets run the
+    distributed propagation. Same escape-hatch design as
+    ``vector.vectorize_tiled``: the label-propagation loop costs
+    several shuffle rounds of latency that dwarf a tiny edge list.
     """
     if pairs is None:
         pairs = simhash_near_pairs(
             df, max_hamming=max_hamming, bands=bands,
             text_col=text_col, id_col=id_col,
         )
-    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).persist()
+    n_edges = edges.count()
+    spark = df.sparkSession
+
+    if n_edges <= driver_cap:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.toLocalIterator():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the cluster id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        id_type = edges.schema["a"].dataType
+        labels = spark.createDataFrame(
+            rows,
+            T.StructType([
+                T.StructField("node", id_type),
+                T.StructField("label", id_type),
+            ]),
+        )
+        return _cluster_output(df, labels, text_col, id_col)
+
     adj = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -647,7 +692,14 @@ def near_dup_clusters(df: DataFrame, *, pairs: DataFrame = None,
         if changed == 0:
             break
     adj.unpersist()
+    edges.unpersist()
+    return _cluster_output(df, labels, text_col, id_col)
 
+
+def _cluster_output(df: DataFrame, labels: DataFrame, text_col: str,
+                    id_col: str) -> DataFrame:
+    """Shared tail of ``near_dup_clusters``: attach cluster labels to
+    every document and pick the representative."""
     docs = df.select(
         F.col(id_col).alias("id"),
         F.coalesce(F.length(F.col(text_col)), F.lit(-1)).alias("__len"),

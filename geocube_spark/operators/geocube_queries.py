@@ -1251,13 +1251,16 @@ def q_geotiff_roundtrip(spark, sf_dir):
     import os
     import tempfile
 
-    from ..cube import make_geocube
+    from ..cube import GeoCube
     from ..sources.geotiff import read_geotiff, write_geotiff
 
-    vec = _event_vector_df(spark, sf_dir)
-    cube = make_geocube(
-        vec, measurements=["value"], geom=WORLD_GEOM,
-        resolution=(-1.0, 1.0), fill=0.0, merge_alg="add", tile_size=64,
+    # single-band view of the shared two-band events cube — the value
+    # band of the joint burn is identical to a standalone value burn
+    tb = _two_band_cube(spark, sf_dir)
+    cube = GeoCube(
+        chunks=tb.chunks.filter(F.col("measurement") == "value"),
+        geobox=tb.geobox, bands={"value": tb.bands["value"]},
+        group_by=None, group_keys=None, tile_size=tb.tile_size, fill=0.0,
     )
     path = os.path.join(
         tempfile.gettempdir(), f"geocube_tif_rt_{os.getpid()}.tif"

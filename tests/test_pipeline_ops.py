@@ -99,18 +99,21 @@ def test_near_dup_clusters_chain_graph(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
     )
-    out = (
-        D.near_dup_clusters(docs, pairs=pairs)
-        .orderBy("id")
-        .toPandas()
-        .set_index("id")
-    )
-    assert (out.loc[1:9, "cluster_id"] == 1).all()
-    assert (out.loc[1:9, "cluster_size"] == 9).all()
-    assert out.loc[5, "keep"] and not out.loc[[i for i in range(1, 10) if i != 5], "keep"].any()
-    assert out.loc[100, "cluster_id"] == 100
-    assert out.loc[100, "cluster_size"] == 1
-    assert out.loc[100, "keep"]
+    # both execution paths: driver union-find (default cap) and the
+    # distributed propagation loop (cap forced to 0) must agree
+    for cap in (200_000, 0):
+        out = (
+            D.near_dup_clusters(docs, pairs=pairs, driver_cap=cap)
+            .orderBy("id")
+            .toPandas()
+            .set_index("id")
+        )
+        assert (out.loc[1:9, "cluster_id"] == 1).all()
+        assert (out.loc[1:9, "cluster_size"] == 9).all()
+        assert out.loc[5, "keep"] and not out.loc[[i for i in range(1, 10) if i != 5], "keep"].any()
+        assert out.loc[100, "cluster_id"] == 100
+        assert out.loc[100, "cluster_size"] == 1
+        assert out.loc[100, "keep"]
 
 
 def test_near_dup_clusters_corpus_invariants(spark, sf_dir):
