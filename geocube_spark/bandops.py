@@ -195,6 +195,93 @@ def coarsen(cube: GeoCube, factor: int, agg: str = "mean") -> GeoCube:
     )
 
 
+def zonal_stats_raster(cube: GeoCube, zone_band: str, value_band: str):
+    """Per-zone statistics of ``value_band`` where zones come from a
+    second raster band (the raster-zonal-stats counterpart of the
+    vector ``zonal_stats`` query): count/sum/min/max/mean of the value
+    cells under each distinct zone value.
+
+    Plan: ONE tile-aligned equi-join of the two bands' chunks, then a
+    numpy partial aggregation per chunk (pandas groupby inside the
+    Arrow batch — map-side combine at tile grain) and a tiny final
+    groupBy over (group, zone) partials. The shuffle carries one row
+    per (chunk, zone), never cells. Cells where either band is nodata
+    (the band fill, or NULL for NaN-fill cubes) are excluded."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    for b in (zone_band, value_band):
+        if b not in cube.bands:
+            raise ValueError(f"unknown band {b!r}")
+    c = cube.chunks
+    z = c.filter(F.col("measurement") == zone_band).alias("z")
+    v = c.filter(F.col("measurement") == value_band).alias("v")
+    joined = z.join(
+        v,
+        F.col("z.group_key").eqNullSafe(F.col("v.group_key"))
+        & (F.col("z.tile_id") == F.col("v.tile_id")),
+    ).select(
+        F.col("z.group_key").alias("group_key"),
+        F.col("z.values").alias("zvals"),
+        F.col("v.values").alias("vvals"),
+    )
+
+    z_fill = float(cube.bands[zone_band].fill)
+    v_fill = float(cube.bands[value_band].fill)
+
+    schema = T.StructType([
+        T.StructField("group_key", T.StringType()),
+        T.StructField("zone", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ])
+
+    def _partials(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                zz = np.asarray(row.zvals, dtype=np.float64)
+                vv = np.asarray(row.vvals, dtype=np.float64)
+                ok = ~np.isnan(zz) & ~np.isnan(vv)
+                if not np.isnan(z_fill):
+                    ok &= zz != z_fill
+                if not np.isnan(v_fill):
+                    ok &= vv != v_fill
+                if not ok.any():
+                    continue
+                zz, vv = zz[ok], vv[ok]
+                order = np.argsort(zz, kind="stable")
+                zz, vv = zz[order], vv[order]
+                bounds = np.flatnonzero(np.diff(zz)) + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [len(zz)]])
+                frames.append(pd.DataFrame({
+                    "group_key": row.group_key,
+                    "zone": zz[starts],
+                    "n": ends - starts,
+                    "s": np.add.reduceat(vv, starts),
+                    "mn": np.minimum.reduceat(vv, starts),
+                    "mx": np.maximum.reduceat(vv, starts),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partials = joined.mapInPandas(_partials, schema=schema)
+    return (
+        partials.groupBy("group_key", "zone")
+        .agg(
+            F.sum("n").alias("n_cells"),
+            F.sum("s").alias("vsum"),
+            F.min("mn").alias("vmin"),
+            F.max("mx").alias("vmax"),
+            (F.sum("s") / F.sum("n")).alias("vmean"),
+        )
+        .orderBy("group_key", "zone")
+    )
+
+
 def band_stats(cube: GeoCube,
                measurements: Optional[Sequence[str]] = None) -> DataFrame:
     """Per-(measurement, group) statistics: n_cells, n_nodata, and

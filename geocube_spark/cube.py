@@ -219,6 +219,12 @@ class GeoCube:
 
         return band_stats(self, measurements)
 
+    def zonal_stats_raster(self, zone_band: str, value_band: str):
+        """Per-zone value statistics, zones from a raster band."""
+        from .bandops import zonal_stats_raster
+
+        return zonal_stats_raster(self, zone_band, value_band)
+
     def warp(self, like, *, method: str = "nearest", tile_size=None):
         """Regrid onto another grid (GeoBox / dict / .tif / .nc path),
         reprojecting when CRSs differ — distributed reproject_match."""

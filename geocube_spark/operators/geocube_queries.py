@@ -1470,6 +1470,46 @@ SELECT 'value' AS measurement,
 """
 
 
+def q_zonal_stats_raster(spark, sf_dir):
+    """Raster-zonal-stats (bandops.zonal_stats_raster): zones from the
+    user-sum band, values from the value band of the shared two-band
+    burn — chunk-grain numpy partials (map-side combine), one tiny
+    (group, zone) agg. The oracle regroups the straight SQL burn by
+    its per-cell user sum (integer-valued, so exact as a group key)."""
+    cube = _two_band_cube(spark, sf_dir)
+    st = cube.zonal_stats_raster("uval", "value")
+    return st.select(
+        F.col("zone").cast("long").alias("zone"),
+        "n_cells",
+        F.round("vsum", 6).alias("vsum"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round("vmean", 6).alias("vmean"),
+    ).orderBy("zone")
+
+
+SQL_ZONAL_RASTER = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value, CAST(user_id AS DOUBLE) AS uval
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv, sum(uval) AS su
+  FROM pts GROUP BY 1, 2
+), data AS (
+  SELECT * FROM cell WHERE su <> 0.0 AND sv <> 0.0
+)
+SELECT CAST(su AS BIGINT) AS zone,
+       count(*) AS n_cells,
+       round(sum(sv), 6) AS vsum,
+       round(min(sv), 6) AS vmin,
+       round(max(sv), 6) AS vmax,
+       round(sum(sv) / count(*), 6) AS vmean
+FROM data GROUP BY 1 ORDER BY zone
+"""
+
+
 def q_warp_upscale(spark, sf_dir):
     """Distributed raster->raster warp (warp.py, reproject_match
     parity): the events value burn regrids onto a 2x finer aligned
@@ -1544,4 +1584,5 @@ QUERIES = {
     "coarsen_sum": (q_coarsen_sum, SQL_COARSEN_SUM),
     "band_stats": (q_band_stats, SQL_BAND_STATS),
     "warp_upscale": (q_warp_upscale, SQL_WARP_UPSCALE),
+    "zonal_stats_raster": (q_zonal_stats_raster, SQL_ZONAL_RASTER),
 }

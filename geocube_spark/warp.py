@@ -81,15 +81,20 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
     sc = spark.sparkContext
 
     # ---- stage 1: target-tile -> source-tile pair plan (O(tiles)) ----
-    tiles = pd.DataFrame(
-        [
-            {"tgt_tile_id": ty * d_ntx + tx, "trow0": ty * ts,
-             "tcol0": tx * ts,
-             "th": min(ts, dst_gb.height - ty * ts),
-             "tw": min(ts, dst_gb.width - tx * ts)}
-            for ty in range(d_nty)
-            for tx in range(d_ntx)
-        ]
+    # the tile list itself is generated DISTRIBUTED (spark.range):
+    # a 10^12-cell target grid has ~15M tiles — too many rows to
+    # materialize on the driver, trivial for a range scan
+    n_dst_tiles = d_ntx * d_nty
+    tiles = spark.range(n_dst_tiles).select(
+        F.col("id").alias("tgt_tile_id"),
+        ((F.col("id") / d_ntx).cast("int") * ts).alias("trow0"),
+        ((F.col("id") % d_ntx).cast("int") * ts).alias("tcol0"),
+        F.least(F.lit(ts),
+                dst_gb.height - (F.col("id") / d_ntx).cast("int") * ts)
+        .cast("int").alias("th"),
+        F.least(F.lit(ts),
+                dst_gb.width - (F.col("id") % d_ntx).cast("int") * ts)
+        .cast("int").alias("tw"),
     )
 
     def _plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,10 +148,9 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
                                   "tcol0", "th", "tw"],
                 )
 
-    n_plan = max(1, min(len(tiles), sc.defaultParallelism))
+    n_plan = max(1, min(n_dst_tiles, sc.defaultParallelism))
     pairs = (
-        spark.createDataFrame(tiles)
-        .repartition(n_plan)
+        tiles.repartition(n_plan)
         .mapInPandas(
             _plan,
             schema="tile_id long, tgt_tile_id long, trow0 int, "

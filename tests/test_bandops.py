@@ -149,6 +149,33 @@ def test_band_stats_nan_fill(spark):
     assert r["vmin"] == pytest.approx(np.nanmin(a), abs=0)
 
 
+def test_zonal_stats_raster_matches_pandas(spark, two_band_cube):
+    cube = two_band_cube
+    arrs = cube.assemble()
+    z, v = arrs["m1"].ravel(), arrs["m0"].ravel()
+    ok = (z != 0.0) & (v != 0.0)
+    import pandas as pd
+    want = (
+        pd.DataFrame({"zone": z[ok], "v": v[ok]})
+        .groupby("zone")["v"]
+        .agg(["count", "sum", "min", "max", "mean"])
+    )
+    got = cube.zonal_stats_raster("m1", "m0").toPandas().set_index("zone")
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(
+        got["n_cells"].values, want.loc[got.index, "count"].values
+    )
+    np.testing.assert_allclose(
+        got["vsum"].values, want.loc[got.index, "sum"].values, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        got["vmin"].values, want.loc[got.index, "min"].values, rtol=0
+    )
+    np.testing.assert_allclose(
+        got["vmean"].values, want.loc[got.index, "mean"].values, rtol=1e-12
+    )
+
+
 def test_coarsen_nan_fill_skipna(spark):
     """NaN-fill cube: nodata travels as NULL elements; coarsen mean
     skips them (xarray skipna) and all-nodata blocks stay nodata."""
