@@ -147,7 +147,12 @@ def coarsen(cube: GeoCube, factor: int, agg: str = "mean") -> GeoCube:
     def _agg(i):
         block = _block(i)
         if agg == "sum":
-            return F.aggregate(block, F.lit(0.0), lambda a, x: a + x)
+            # empty (all-nodata) block stays nodata like mean/min/max,
+            # not the 0.0 aggregate seed
+            return F.when(
+                F.size(block) > 0,
+                F.aggregate(block, F.lit(0.0), lambda a, x: a + x),
+            )
         if agg == "mean":
             return F.when(
                 F.size(block) > 0,
@@ -309,20 +314,24 @@ def band_stats(cube: GeoCube,
     data = F.filter("values", is_data)
     per_chunk = c.select(
         "measurement", "group_key",
-        F.size("values").alias("n"),
         data.alias("data"),
     ).select(
-        "measurement", "group_key", "n",
+        "measurement", "group_key",
         F.size("data").alias("n_data"),
         F.array_min("data").alias("mn"),
         F.array_max("data").alias("mx"),
         F.aggregate("data", F.lit(0.0), lambda a, x: a + x).alias("s"),
     )
+    # n_cells is the FULL grid (driver-known geometry) — tiles with no
+    # covering geometry have no chunk row but their cells are still
+    # nodata raster cells
+    total = int(cube.geobox.height) * int(cube.geobox.width)
     return (
         per_chunk.groupBy("measurement", "group_key")
         .agg(
-            F.sum("n").alias("n_cells"),
-            (F.sum("n") - F.sum("n_data")).alias("n_nodata"),
+            F.lit(total).cast("long").alias("n_cells"),
+            (F.lit(total) - F.sum("n_data")).cast("long")
+            .alias("n_nodata"),
             F.min("mn").alias("vmin"),
             F.max("mx").alias("vmax"),
             F.sum("s").alias("vsum"),

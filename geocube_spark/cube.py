@@ -830,8 +830,11 @@ def _grouped_map(df, keys, n_parts, fn, out_schema):
     per-group Arrow batch + grouping machinery dominated the burn
     stage; the pandas groupby replaces it at in-memory speed. ``fn``
     still receives ``(key_tuple, sub_frame)`` exactly like
-    applyInPandas; outputs are yielded per group so peak memory stays
-    one group's result."""
+    applyInPandas; outputs are yielded per group so OUTPUT peak memory
+    stays one group's result. INPUT-side peak is the whole partition
+    (the concat below) — callers bound it by scaling ``n_parts`` with
+    the key count, not just cores, so a partition holds O(tens) of
+    groups at any input size."""
     n_keys = len(keys)
 
     def _part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1161,7 +1164,15 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
     sc = cover.sparkSession.sparkContext
     gb = GeoBox.from_dict(gb_dict)
     n_tiles, _, _ = gb.n_tiles(tile_size)
-    n_parts = max(1, min(int(n_tiles), 4 * sc.defaultParallelism))
+    # partition count scales with BOTH cores and tile count: the
+    # mapInPandas feed concatenates a whole partition, so cap a
+    # partition at ~64 tiles regardless of cluster size (a 15M-tile
+    # grid gets ~230k partitions, not 4 x cores)
+    n_parts = max(
+        1,
+        min(int(n_tiles),
+            max(4 * sc.defaultParallelism, int(n_tiles) // 64)),
+    )
 
     out_schema = PARTIAL_SCHEMA if aux_mode else CHUNK_SCHEMA
     out_fields = [f.name for f in out_schema.fields]
@@ -1172,7 +1183,11 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         cover = cover.withColumn(
             "__salt", F.pmod(F.col("seq"), F.lit(int(salt)))
         )
-        n1 = max(1, min(int(n_tiles) * int(salt), 4 * sc.defaultParallelism))
+        n_sub = int(n_tiles) * int(salt)
+        n1 = max(
+            1,
+            min(n_sub, max(4 * sc.defaultParallelism, n_sub // 64)),
+        )
         partial = _grouped_map(
             cover, stage_keys, n1,
             (lambda key, pdf: _burn((key[0], key[1]), pdf))

@@ -222,15 +222,7 @@ class GeoBoxMaker:
             if isinstance(like, dict):
                 return GeoBox.from_dict(like)
             if isinstance(like, str):
-                # reference CLI `-l previous_output.nc` parity: reuse
-                # the grid of an existing netCDF (read without h5py by
-                # sources.hdf5) or GeoTIFF (reference `like=<rioxarray
-                # raster>`; read without GDAL by sources.geotiff)
-                if like.lower().endswith((".tif", ".tiff")):
-                    from ..sources.geotiff import geobox_from_geotiff
-
-                    return geobox_from_geotiff(like)
-                return geobox_from_netcdf(like)
+                return geobox_from_path(like)
             raise ValueError(f"unsupported 'like' value: {like!r}")
 
         if self.resolution is None:
@@ -292,6 +284,19 @@ def assume_crs_if_missing(crs) -> CRS:
         )
         return CRS(4326)
     return CRS.from_user_input(crs)
+
+
+def geobox_from_path(path: str) -> GeoBox:
+    """Grid of an existing raster file — the ONE dispatch point for
+    string `like=` values (reference CLI `-l previous_output.nc`
+    parity, plus `like=<rioxarray raster>` as a GeoTIFF path): .tif
+    via the pure-Python TIFF reader, anything else as netCDF via the
+    pure-Python HDF5 reader."""
+    if path.lower().endswith((".tif", ".tiff")):
+        from ..sources.geotiff import geobox_from_geotiff
+
+        return geobox_from_geotiff(path)
+    return geobox_from_netcdf(path)
 
 
 def geobox_from_netcdf(path: str) -> GeoBox:

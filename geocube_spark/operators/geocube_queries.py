@@ -1267,17 +1267,12 @@ def q_geotiff_roundtrip(spark, sf_dir):
     )
     write_geotiff(cube, path)
     back = read_geotiff(spark, path, measurements=["value"])
-    cell = back.chunks.select(
-        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    df = _explode_cells(back.chunks)
+    return (
+        df.select("row", "col", F.round("val", 6).alias("val"))
+        .filter(F.col("val") != 0.0)
+        .orderBy("row", "col")
     )
-    df = cell.select(
-        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int"))
-        .alias("row"),
-        (F.col("col0") + F.col("pos") % F.col("w")).cast("int")
-        .alias("col"),
-        F.round("val", 6).alias("val"),
-    )
-    return df.filter(F.col("val") != 0.0).orderBy("row", "col")
 
 
 SQL_GEOTIFF_RT = SQL_BURN_ADD

@@ -599,6 +599,12 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
         )
     comp = {"none": C_NONE, "deflate": C_DEFLATE, "lzw": C_LZW}[compression]
     ts = tile_size or cube.tile_size
+    if ts != cube.tile_size:
+        raise ValueError(
+            f"tile_size {ts} != cube chunk size {cube.tile_size}: the "
+            "writer maps chunks 1:1 onto TIFF tiles — re-chunk first "
+            "(e.g. cube.warp(cube.geobox, tile_size=...))"
+        )
     if ts % 16:
         raise ValueError(f"TIFF tile size must be a multiple of 16: {ts}")
     gb = cube.geobox
@@ -610,14 +616,23 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
     if dts not in _DTYPE_SF:
         raise ValueError(f"unsupported GeoTIFF dtype {dtype}")
     sf, bits = _DTYPE_SF[dts]
-    fill = cube.bands[names[0]].fill
+    # each band pads with ITS OWN fill; the file-level GDAL nodata tag
+    # (a single value by format) records band 0's
+    fills = [cube.bands[m].fill for m in names]
 
     ntx = (gb.width + ts - 1) // ts
     nty = (gb.height + ts - 1) // ts
     n_tiles = ntx * nty
     bidx = {m: i for i, m in enumerate(names)}
 
-    # gather compressed tiles (band-major). Missing tiles = fill.
+    def _compress(data: bytes) -> bytes:
+        if comp == C_DEFLATE:
+            return zlib.compress(data, 6)
+        if comp == C_LZW:
+            return lzw_encode(data)
+        return data
+
+    # gather compressed tiles (band-major). Missing tiles = band fill.
     tiles: dict[int, bytes] = {}
     for row in cube.chunks.toLocalIterator():
         m = row["measurement"]
@@ -630,23 +645,17 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
                 "chunk grid does not align with the requested tile size; "
                 f"pass tile_size={cube.tile_size}"
             )
-        full = np.full((ts, ts), fill, dtype=dtype)
+        full = np.full((ts, ts), fills[bidx[m]], dtype=dtype)
         vals = np.asarray(row["values"], dtype=np.float64).reshape(
             row["h"], row["w"]
         )
         full[:row["h"], :row["w"]] = vals.astype(dtype)
-        data = full.tobytes()
-        if comp == C_DEFLATE:
-            data = zlib.compress(data, 6)
-        elif comp == C_LZW:
-            data = lzw_encode(data)
-        tiles[bidx[m] * n_tiles + ty * ntx + tx] = data
+        tiles[bidx[m] * n_tiles + ty * ntx + tx] = _compress(full.tobytes())
 
-    fill_tile = np.full((ts, ts), fill, dtype=dtype).tobytes()
-    if comp == C_DEFLATE:
-        fill_tile = zlib.compress(fill_tile, 6)
-    elif comp == C_LZW:
-        fill_tile = lzw_encode(fill_tile)
+    fill_tiles = [
+        _compress(np.full((ts, ts), f, dtype=dtype).tobytes())
+        for f in fills
+    ]
 
     n_chunks = n_tiles * len(names)
     a, b, c, d, e, f = gb.affine.tolist()[:6]
@@ -724,7 +733,7 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
     counts = []
     body = b""
     for i in range(n_chunks):
-        data = tiles.get(i, fill_tile)
+        data = tiles.get(i, fill_tiles[i // n_tiles])
         offsets.append(tile_data_off + len(body))
         counts.append(len(data))
         body += data

@@ -41,13 +41,9 @@ def _resolve_geobox(like) -> GeoBox:
     if isinstance(like, dict):
         return GeoBox.from_dict(like)
     if isinstance(like, str):
-        if like.lower().endswith((".tif", ".tiff")):
-            from .sources.geotiff import geobox_from_geotiff
+        from .grid.geobox import geobox_from_path
 
-            return geobox_from_geotiff(like)
-        from .grid.geobox import geobox_from_netcdf
-
-        return geobox_from_netcdf(like)
+        return geobox_from_path(like)
     raise ValueError(f"unsupported 'like' value: {like!r}")
 
 
@@ -58,9 +54,10 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
 
     ``method``: 'nearest' (categorical-safe, the default) or
     'bilinear' (continuous fields; 4-neighbor weighted average with
-    edge renormalization — neighbors beyond the raster edge drop out
-    and the remaining weights rescale, GDAL edge behavior; nodata
-    values poison their neighborhood like skipna=False). Returns a new
+    renormalization — neighbors beyond the raster edge OR carrying
+    nodata (band fill / NaN) drop out and the remaining weights
+    rescale, GDAL's warp-with-nodata behavior; an all-nodata
+    neighborhood stays fill). Returns a new
     GeoCube on the target grid; cells outside the source raster take
     each band's fill."""
     if method not in ("nearest", "bilinear"):
@@ -129,6 +126,13 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
                         continue  # tile outside the src CRS domain
                 px = inv.c + inv.a * wx + inv.b * wy
                 py = inv.f + inv.d * wx + inv.e * wy
+                # the crs kernels RETURN NaN for out-of-domain points
+                # rather than raising — drop NaN border points, skip a
+                # fully-outside tile (int(floor(nan)) would raise)
+                ok = np.isfinite(px) & np.isfinite(py)
+                if not ok.any():
+                    continue
+                px, py = px[ok], py[ok]
                 # one-cell margin absorbs border rounding
                 tx0 = max(0, int(np.floor((px.min() - 1) / src_ts)))
                 tx1 = min(s_ntx - 1, int(np.floor((px.max() + 1) / src_ts)))
@@ -202,8 +206,11 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
         else:
             # bilinear: 4 neighbor pixel centers + weights; each
             # source chunk contributes the neighbors it holds and the
-            # accumulated weight renormalizes at the end (edge pixels
-            # lose the out-of-raster neighbors, like GDAL)
+            # accumulated weight renormalizes at the end. Out-of-raster
+            # AND nodata neighbors (band fill / NaN) drop out the same
+            # way — GDAL's warp-with-nodata behavior — so data/nodata
+            # boundaries interpolate from the data side only and an
+            # all-nodata neighborhood stays fill
             gx = px - 0.5
             gy = py - 0.5
             x0 = np.floor(gx).astype(np.int64)
@@ -231,8 +238,15 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
                         continue
                     if vals is None:
                         vals = np.asarray(crow.values, dtype=np.float64)
-                    wsum[k] += wt[k] * vals[lr[k] * w + lc[k]]
-                    wacc[k] += wt[k]
+                    vv = vals[lr[k] * w + lc[k]]
+                    good = ~np.isnan(vv)
+                    if not np.isnan(fills[m]):
+                        good &= vv != fills[m]
+                    if not good.any():
+                        continue
+                    ki = np.flatnonzero(k)[good]
+                    wsum[ki] += wt[ki] * vv[good]
+                    wacc[ki] += wt[ki]
             band = np.full(th * tw, fills[m], dtype=np.float64)
             covered = wacc > 0.0
             band[covered] = wsum[covered] / wacc[covered]
@@ -251,8 +265,12 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
     keys = ["measurement", "group_key", "tgt_tile_id"]
     n_bands = max(1, len(cube.bands))
     n_groups = max(1, len(cube.group_keys or [None]))
-    n_parts = max(1, min(d_ntx * d_nty * n_bands * n_groups,
-                         4 * sc.defaultParallelism))
+    n_keys = d_ntx * d_nty * n_bands * n_groups
+    # cap a partition at ~64 tile-groups (the grouped feed holds one
+    # partition in memory) while still using every core on small grids
+    n_parts = max(
+        1, min(n_keys, max(4 * sc.defaultParallelism, n_keys // 64))
+    )
     chunks = _grouped_map(joined, keys, n_parts, _gather, CHUNK_SCHEMA)
 
     bands = {

@@ -96,9 +96,6 @@ def main():
         "coordinates": [[[-91, 41], [-90, 41], [-90, 42], [-91, 42],
                          [-91, 41]]],
     })
-    gb = GeoBoxMaker(output_crs=None, resolution=(-res, res), align=None,
-                     geom=geom, like=None).from_bounds_crs(None, None) \
-        if False else None
     # build the geobox exactly as make_geocube would
     from geocube_spark.geometry.crs import CRS
     maker = GeoBoxMaker(output_crs=None, resolution=(-res, res),

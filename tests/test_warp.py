@@ -131,7 +131,8 @@ def test_warp_rejects_other_methods(src_cube):
 
 
 def _bilinear_expect(src_arr, src_gb, dst_gb, fill):
-    """Straight numpy bilinear with edge renormalization."""
+    """Straight numpy bilinear: out-of-raster AND nodata (fill/NaN)
+    neighbors drop out, remaining weights renormalize."""
     h, w = dst_gb.height, dst_gb.width
     cols = 0.5 + np.arange(w)
     rows = 0.5 + np.arange(h)
@@ -155,7 +156,10 @@ def _bilinear_expect(src_arr, src_gb, dst_gb, fill):
     ]:
         k = (nr >= 0) & (nr < src_gb.height) & (ncl >= 0) \
             & (ncl < src_gb.width) & (wt > 0)
-        wsum[k] += wt[k] * src_arr[nr[k], ncl[k]]
+        vv = np.full(k.shape, np.nan)
+        vv[k] = src_arr[nr[k], ncl[k]]
+        k &= ~np.isnan(vv) & (vv != fill)
+        wsum[k] += wt[k] * vv[k]
         wacc[k] += wt[k]
     out = np.full(h * w, fill)
     out[wacc > 0] = wsum[wacc > 0] / wacc[wacc > 0]
