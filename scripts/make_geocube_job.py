@@ -84,11 +84,12 @@ def main(argv=None) -> dict:
 
     like = None
     if args.like:
-        from geocube_spark.grid.geobox import GeoBox, geobox_from_netcdf
+        from geocube_spark.grid.geobox import GeoBox, geobox_from_path
 
         if os.path.isfile(args.like):
-            # a netCDF file (reference CLI -l parity): reuse its grid
-            like = geobox_from_netcdf(args.like)
+            # a netCDF or GeoTIFF file (reference CLI -l parity):
+            # reuse its grid
+            like = geobox_from_path(args.like)
         else:
             manifests = CP.snapshots(args.like)
             if not manifests:
