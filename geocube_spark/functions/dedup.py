@@ -45,6 +45,28 @@ from ..textops.analysis import h60, shingles, tokens
 
 MERSENNE31 = (1 << 31) - 1  # 2147483647
 
+# Worker-process memo for the Python replica of h60 (md5-based, same
+# value as textops.analysis.h60). Tokens and shingles repeat heavily
+# across documents (natural-language vocabulary; near-dup corpora
+# repeat ~all of them), so md5-per-string is the hot cost of the
+# numpy simhash/shingle engines — a bounded per-worker dict turns the
+# common case into a dict hit. Capped, never evicted: at the cap the
+# memo simply stops growing (deterministic output either way).
+import hashlib as _hashlib
+
+_H60_CACHE: dict = {}
+_H60_CACHE_CAP = 1 << 20
+
+
+def _h60_py(s: str) -> int:
+    """Python twin of the h60 Column (md5 -> first 15 hex -> int)."""
+    h = _H60_CACHE.get(s)
+    if h is None:
+        h = int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        if len(_H60_CACHE) < _H60_CACHE_CAP:
+            _H60_CACHE[s] = h
+    return h
+
 # fixed affine-hash parameters: a_k odd, derived from Knuth's constant
 def _minhash_params(k: int):
     a = (2654435761 * (k + 1)) % MERSENNE31
@@ -95,7 +117,7 @@ def shingle_hash_sets(df: DataFrame, text_col: str = "text",
     if engine != "numpy":
         raise ValueError(f"unknown engine {engine!r}")
 
-    import hashlib
+
     import re
     from typing import Iterator
 
@@ -122,10 +144,7 @@ def shingle_hash_sets(df: DataFrame, text_col: str = "text",
                     " ".join(toks[i:i + k]) for i in range(m)
                 )
                 hs = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                        for s in seen
-                    ),
+                    (_h60_py(s) for s in seen),
                     dtype=np.int64,
                     count=len(seen),
                 )
@@ -473,7 +492,7 @@ def simhash(df: DataFrame, *, bits: int = 60, text_col: str = "text",
     if engine != "numpy":
         raise ValueError(f"unknown engine {engine!r}")
 
-    import hashlib
+
     import re
     from typing import Iterator
 
@@ -492,13 +511,7 @@ def simhash(df: DataFrame, *, bits: int = 60, text_col: str = "text",
                     continue
                 toks = ws.split(text.strip(" "))
                 hs = np.fromiter(
-                    (
-                        int(
-                            hashlib.md5(t.encode("utf-8")).hexdigest()[:15],
-                            16,
-                        )
-                        for t in toks
-                    ),
+                    (_h60_py(t) for t in toks),
                     dtype=np.int64,
                     count=len(toks),
                 )
@@ -612,6 +625,9 @@ def near_dup_clusters(df: DataFrame, *, pairs: DataFrame = None,
     spark = df.sparkSession
 
     if n_edges <= driver_cap:
+        # one collect job over the (persisted) edge list — edge count,
+        # never corpus count, and bounded by driver_cap rows of two ids
+        edge_rows = edges.collect()
         parent: dict = {}
 
         def find(x):
@@ -622,7 +638,7 @@ def near_dup_clusters(df: DataFrame, *, pairs: DataFrame = None,
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.toLocalIterator():
+        for row in edge_rows:
             a, b = row["a"], row["b"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
