@@ -341,3 +341,225 @@ def band_stats(cube: GeoCube,
         )
         .orderBy("measurement", "group_key")
     )
+
+
+def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
+          measurements: Optional[Sequence[str]] = None) -> GeoCube:
+    """Moving-window (focal) statistics over every band — the
+    distributed counterpart of xarray-spatial ``focal.mean`` /
+    rasterio's windowed filters that reference users run on the
+    assembled Dataset after ``make_geocube``.
+
+    stat: 'mean' | 'sum' | 'min' | 'max' | 'count' over the
+    ``size`` x ``size`` window centered on each cell. Nodata cells
+    (the band fill, or NULL/NaN for NaN-fill cubes) and cells outside
+    the raster are excluded from the window; a window with zero valid
+    cells yields nodata (the output bands are NaN-fill).
+
+    Physical plan — tile halo exchange, the canonical distributed
+    stencil:
+
+    1. Each chunk emits its center tile plus r-deep border strips
+       addressed to its (up to) 8 neighbor tiles. Strip slicing is a
+       JVM-side array program (``slice``/``transform``/``flatten``)
+       so only O(r * perimeter) cells per tile ever leave the chunk —
+       never 8 full-tile copies.
+    2. ONE equi-shuffle clusters every tile with its halo strips on
+       (measurement, group_key, tile_id).
+    3. A vectorized numpy kernel per tile places strips into a padded
+       (h+2r, w+2r) frame by absolute grid coordinates and reduces
+       windows via a summed-area table (mean/sum/count — O(cells),
+       window-size independent) or ``sliding_window_view`` (min/max).
+
+    Missing neighbor tiles (no burned chunk row) contribute nothing —
+    identical to an all-nodata neighbor, matching ``band_stats``'s
+    fill-is-nodata convention. Output rows exist for every input
+    chunk row; the grid, grouping and tiling are unchanged.
+    """
+    import pandas as pd
+
+    from .cube import CHUNK_SCHEMA, _grouped_map
+
+    if stat not in ("mean", "sum", "min", "max", "count"):
+        raise ValueError(f"unsupported stat {stat!r}")
+    size = int(size)
+    if size < 3 or size % 2 == 0:
+        raise ValueError("size must be an odd integer >= 3")
+    r = size // 2
+    if r >= cube.tile_size:
+        raise ValueError(
+            f"window radius {r} must be < tile_size {cube.tile_size}"
+        )
+
+    c = cube.chunks
+    if measurements:
+        for m in measurements:
+            if m not in cube.bands:
+                raise ValueError(f"unknown band {m!r}")
+        c = c.filter(F.col("measurement").isin(list(measurements)))
+
+    n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
+    h, w = F.col("h"), F.col("w")
+    tx = (F.col("tile_id") % ntx).cast("int")
+    ty = (F.col("tile_id") / ntx).cast("int")
+
+    def _crop(y0, x0, ch, cw):
+        """values[y0:y0+ch, x0:x0+cw] as a flat array — pure Column."""
+        return F.flatten(
+            F.transform(
+                F.sequence(y0, y0 + ch - 1),
+                lambda j: F.slice(F.col("values"), j * w + x0 + 1, cw),
+            )
+        )
+
+    pieces = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                sv = F.col("values")
+                y0, x0 = F.lit(0), F.lit(0)
+                ch, cw = h, w
+            else:
+                # the (dx,dy) neighbor's halo = our cells nearest the
+                # shared border: r rows/cols clipped to the (possibly
+                # partial edge) tile's own extent
+                ch = F.least(F.lit(r), h) if dy else h
+                cw = F.least(F.lit(r), w) if dx else w
+                y0 = (h - ch) if dy == 1 else F.lit(0)
+                x0 = (w - cw) if dx == 1 else F.lit(0)
+                sv = _crop(y0, x0, ch, cw)
+            dest = (ty + dy) * ntx + (tx + dx)
+            valid = (
+                ((ty + dy) >= 0) & ((ty + dy) < nty)
+                & ((tx + dx) >= 0) & ((tx + dx) < ntx)
+            )
+            pieces.append(
+                F.when(
+                    valid,
+                    F.struct(
+                        dest.cast("long").alias("dest"),
+                        F.lit(1 if (dx or dy) else 0).alias("role"),
+                        (F.col("row0") + y0).cast("int").alias("arow0"),
+                        (F.col("col0") + x0).cast("int").alias("acol0"),
+                        ch.cast("int").alias("sh"),
+                        cw.cast("int").alias("sw"),
+                        sv.alias("svals"),
+                    ),
+                )
+            )
+
+    strips = (
+        c.select(
+            "measurement", "group_key", "zoom",
+            "n_geoms", "n_cells_burned", "min_seq", "max_seq",
+            F.explode(
+                F.filter(F.array(*pieces), lambda p: p.isNotNull())
+            ).alias("p"),
+        )
+        .select(
+            "measurement", "group_key", "zoom",
+            "n_geoms", "n_cells_burned", "min_seq", "max_seq",
+            F.col("p.dest").alias("tile_id"),
+            F.col("p.role").alias("role"),
+            F.col("p.arow0").alias("arow0"),
+            F.col("p.acol0").alias("acol0"),
+            F.col("p.sh").alias("sh"),
+            F.col("p.sw").alias("sw"),
+            F.col("p.svals").alias("svals"),
+        )
+    )
+
+    fills = {m: float(b.fill) for m, b in cube.bands.items()}
+    out_cols = [f.name for f in CHUNK_SCHEMA.fields]
+
+    def _reduce(key, sub: pd.DataFrame) -> pd.DataFrame:
+        m, gk, tid = key
+        center = sub[sub["role"].values == 0]
+        if not len(center):
+            # halo strips addressed to a tile with no burned chunk:
+            # the cube has no row there, so focal emits none either
+            return pd.DataFrame([], columns=out_cols)
+        ctr = center.iloc[0]
+        th, tw = int(ctr["sh"]), int(ctr["sw"])
+        row0, col0 = int(ctr["arow0"]), int(ctr["acol0"])
+        pad = np.full((th + 2 * r, tw + 2 * r), np.nan, dtype=np.float64)
+        for row in sub.itertuples(index=False):
+            y = row.arow0 - row0 + r
+            x = row.acol0 - col0 + r
+            block = np.asarray(row.svals, dtype=np.float64).reshape(
+                row.sh, row.sw
+            )
+            # always fits: non-terminal tiles are exactly tile_size and
+            # r < tile_size, so a window never spans past the adjacent
+            # tile and every strip is at most r deep on its offset axis
+            pad[y:y + row.sh, x:x + row.sw] = block
+        f = fills[m]
+        valid = ~np.isnan(pad)
+        if not np.isnan(f):
+            valid &= pad != f
+        s = size
+        if stat in ("mean", "sum", "count"):
+            a = np.where(valid, pad, 0.0)
+            P = np.zeros((pad.shape[0] + 1, pad.shape[1] + 1))
+            P[1:, 1:] = a.cumsum(axis=0).cumsum(axis=1)
+            C = np.zeros_like(P)
+            C[1:, 1:] = valid.astype(np.float64).cumsum(axis=0).cumsum(
+                axis=1
+            )
+            wsum = (P[s:, s:] - P[:-s, s:] - P[s:, :-s] + P[:-s, :-s])
+            wcnt = (C[s:, s:] - C[:-s, s:] - C[s:, :-s] + C[:-s, :-s])
+            # float cancellation guard on the count table
+            wcnt = np.round(wcnt)
+            if stat == "count":
+                out = wcnt
+            elif stat == "sum":
+                out = np.where(wcnt > 0, wsum, np.nan)
+            else:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = np.where(wcnt > 0, wsum / wcnt, np.nan)
+        else:
+            sentinel = np.inf if stat == "min" else -np.inf
+            a = np.where(valid, pad, sentinel)
+            win = np.lib.stride_tricks.sliding_window_view(a, (s, s))
+            out = (win.min(axis=(2, 3)) if stat == "min"
+                   else win.max(axis=(2, 3)))
+            out = np.where(np.isfinite(out), out, np.nan)
+        return pd.DataFrame([
+            {
+                "measurement": m,
+                "group_key": gk,
+                "zoom": int(ctr["zoom"]),
+                "tile_id": int(tid),
+                "row0": row0,
+                "col0": col0,
+                "h": th,
+                "w": tw,
+                "values": out.ravel(),
+                "n_geoms": int(ctr["n_geoms"]),
+                "n_cells_burned": int(th) * int(tw),
+                "min_seq": int(ctr["min_seq"]),
+                "max_seq": int(ctr["max_seq"]),
+            }
+        ], columns=out_cols)
+
+    sc = c.sparkSession.sparkContext
+    n_parts = max(
+        1,
+        min(int(n_tiles),
+            max(4 * sc.defaultParallelism, int(n_tiles) // 64)),
+    )
+    keys = ["measurement", "group_key", "tile_id"]
+    chunks = _grouped_map(strips, keys, n_parts, _reduce, CHUNK_SCHEMA)
+
+    bands = {}
+    for m, meta in cube.bands.items():
+        if measurements and m not in measurements:
+            continue
+        bands[m] = BandMeta(
+            name=m, dtype="float64", fill=float("nan"), units=meta.units,
+        )
+    return GeoCube(
+        chunks=chunks, geobox=cube.geobox, bands=bands,
+        group_by=cube.group_by, group_keys=cube.group_keys,
+        tile_size=cube.tile_size, fill=float("nan"),
+    )

@@ -219,6 +219,13 @@ class GeoCube:
 
         return band_stats(self, measurements)
 
+    def focal(self, stat: str = "mean", size: int = 3,
+              measurements=None):
+        """Moving-window statistics via tile halo exchange (bandops)."""
+        from .bandops import focal
+
+        return focal(self, stat, size, measurements)
+
     def zonal_stats_raster(self, zone_band: str, value_band: str):
         """Per-zone value statistics, zones from a raster band."""
         from .bandops import zonal_stats_raster

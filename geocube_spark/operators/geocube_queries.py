@@ -1546,6 +1546,47 @@ ORDER BY row, col
 """
 
 
+def q_focal_mean(spark, sf_dir):
+    """Distributed moving-window statistics (bandops.focal): 3x3 focal
+    mean of the value band via tile halo exchange — each tile ships
+    r-deep border strips to its 8 neighbors (JVM-side array slicing),
+    ONE equi-shuffle clusters tiles with their halos, a summed-area-
+    table numpy kernel reduces the windows. Nodata (= the 0.0 fill)
+    cells are excluded from windows; empty windows are nodata. Oracle:
+    the straight SQL burn self-joined to its 3x3 neighborhood."""
+    cube = _two_band_cube(spark, sf_dir)
+    out = cube.focal(stat="mean", size=3, measurements=["value"])
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.round("val", 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_FOCAL_MEAN = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), s AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), v AS (
+  SELECT row, col, sv FROM s WHERE sv <> 0.0
+), cells AS (
+  SELECT CAST(r.range AS INT) AS row, CAST(c.range AS INT) AS col
+  FROM range(0, 180) r, range(0, 360) c
+)
+SELECT c.row AS row, c.col AS col, round(avg(v.sv), 6) AS val
+FROM cells c
+JOIN v ON v.row BETWEEN c.row - 1 AND c.row + 1
+      AND v.col BETWEEN c.col - 1 AND c.col + 1
+GROUP BY 1, 2
+ORDER BY row, col
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -1580,4 +1621,5 @@ QUERIES = {
     "band_stats": (q_band_stats, SQL_BAND_STATS),
     "warp_upscale": (q_warp_upscale, SQL_WARP_UPSCALE),
     "zonal_stats_raster": (q_zonal_stats_raster, SQL_ZONAL_RASTER),
+    "focal_mean": (q_focal_mean, SQL_FOCAL_MEAN),
 }

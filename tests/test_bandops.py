@@ -193,3 +193,76 @@ def test_coarsen_nan_fill_skipna(spark):
         warnings.simplefilter("ignore")  # all-NaN block mean warning
         want = np.nanmean(blocks, axis=2)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def _focal_reference(arr, fill, stat, size):
+    """Dense numpy focal reference (O(H*W*s^2), test scale only)."""
+    r = size // 2
+    H, W = arr.shape
+    pad = np.full((H + 2 * r, W + 2 * r), np.nan)
+    pad[r:r + H, r:r + W] = arr
+    valid = ~np.isnan(pad)
+    if not np.isnan(fill):
+        valid &= pad != fill
+    win = np.lib.stride_tricks.sliding_window_view(pad, (size, size))
+    vwin = np.lib.stride_tricks.sliding_window_view(valid, (size, size))
+    cnt = vwin.sum(axis=(2, 3)).astype(float)
+    filled = np.where(vwin, win, 0.0)
+    if stat == "count":
+        return cnt
+    if stat == "sum":
+        return np.where(cnt > 0, filled.sum(axis=(2, 3)), np.nan)
+    if stat == "mean":
+        with np.errstate(invalid="ignore"):
+            return np.where(cnt > 0, filled.sum(axis=(2, 3)) / cnt, np.nan)
+    sent = np.inf if stat == "min" else -np.inf
+    a = np.where(vwin, win, sent)
+    out = a.min(axis=(2, 3)) if stat == "min" else a.max(axis=(2, 3))
+    return np.where(np.isfinite(out), out, np.nan)
+
+
+@pytest.mark.parametrize("stat", ["mean", "sum", "min", "max", "count"])
+def test_focal_matches_numpy(spark, two_band_cube, stat):
+    cube = two_band_cube
+    out = cube.focal(stat=stat, size=3)
+    arrs = out.assemble()
+    base = cube.assemble()
+    for m in ("m0", "m1"):
+        ref = _focal_reference(base[m], 0.0, stat, 3)
+        np.testing.assert_allclose(arrs[m], ref, rtol=0, atol=1e-9)
+
+
+def test_focal_size5_and_grouped(spark):
+    docs = datagen.to_spark(spark, datagen.grouped_polygon_docs(3, 5))
+    cube = make_geocube(
+        docs, measurements=["claytotal_r"], group_by="hzdept_r",
+        output_crs="epsg:32615", resolution=(-60, 60), fill=-1.0,
+        tile_size=32,
+    )
+    out = cube.focal(stat="mean", size=5)
+    arrs = out.assemble()["claytotal_r"]
+    base = cube.assemble()["claytotal_r"]
+    assert arrs.shape == base.shape and arrs.ndim == 3
+    for g in range(base.shape[0]):
+        ref = _focal_reference(base[g], -1.0, "mean", 5)
+        np.testing.assert_allclose(arrs[g], ref, rtol=0, atol=1e-9)
+
+
+def test_focal_nan_fill_and_errors(spark):
+    docs = datagen.to_spark(spark, datagen.scale_docs(150, seed=8))
+    cube = make_geocube(
+        docs, measurements=["m0"], geom=GEOM,
+        resolution=(-1.0 / 16, 1.0 / 16),
+        fill=float("nan"), merge_alg="replace", tile_size=16,
+    )
+    out = cube.focal(stat="max", size=3)
+    ref = _focal_reference(cube.assemble()["m0"], float("nan"), "max", 3)
+    np.testing.assert_allclose(out.assemble()["m0"], ref, rtol=0, atol=0)
+    with pytest.raises(ValueError):
+        cube.focal(stat="median")
+    with pytest.raises(ValueError):
+        cube.focal(size=4)
+    with pytest.raises(ValueError):
+        cube.focal(size=33)  # radius >= tile_size
+    with pytest.raises(ValueError):
+        cube.focal(measurements=["nope"])
