@@ -343,6 +343,107 @@ def band_stats(cube: GeoCube,
     )
 
 
+def _halo_strips(c: DataFrame, ntx: int, nty: int, r: int) -> DataFrame:
+    """Tile halo exchange, stage 1 of a distributed stencil: every
+    chunk row emits itself (role 0) plus r-deep border strips (role 1)
+    addressed to its up-to-8 neighbor tiles. Strip slicing is a
+    JVM-side array program (``slice``/``transform``/``flatten``) so
+    only O(r * perimeter) cells per tile leave the chunk — never 8
+    full-tile copies. Strips carry ABSOLUTE grid placement
+    (arow0/acol0/sh/sw), so the receiving kernel pastes them into a
+    padded frame without any direction bookkeeping."""
+    h, w = F.col("h"), F.col("w")
+    tx = (F.col("tile_id") % ntx).cast("int")
+    ty = (F.col("tile_id") / ntx).cast("int")
+
+    def _crop(y0, x0, ch, cw):
+        """values[y0:y0+ch, x0:x0+cw] as a flat array — pure Column."""
+        return F.flatten(
+            F.transform(
+                F.sequence(y0, y0 + ch - 1),
+                lambda j: F.slice(F.col("values"), j * w + x0 + 1, cw),
+            )
+        )
+
+    pieces = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                sv = F.col("values")
+                y0, x0 = F.lit(0), F.lit(0)
+                ch, cw = h, w
+            else:
+                # the (dx,dy) neighbor's halo = our cells nearest the
+                # shared border: r rows/cols clipped to the (possibly
+                # partial edge) tile's own extent
+                ch = F.least(F.lit(r), h) if dy else h
+                cw = F.least(F.lit(r), w) if dx else w
+                y0 = (h - ch) if dy == 1 else F.lit(0)
+                x0 = (w - cw) if dx == 1 else F.lit(0)
+                sv = _crop(y0, x0, ch, cw)
+            dest = (ty + dy) * ntx + (tx + dx)
+            valid = (
+                ((ty + dy) >= 0) & ((ty + dy) < nty)
+                & ((tx + dx) >= 0) & ((tx + dx) < ntx)
+            )
+            pieces.append(
+                F.when(
+                    valid,
+                    F.struct(
+                        dest.cast("long").alias("dest"),
+                        F.lit(1 if (dx or dy) else 0).alias("role"),
+                        (F.col("row0") + y0).cast("int").alias("arow0"),
+                        (F.col("col0") + x0).cast("int").alias("acol0"),
+                        ch.cast("int").alias("sh"),
+                        cw.cast("int").alias("sw"),
+                        sv.alias("svals"),
+                    ),
+                )
+            )
+
+    return (
+        c.select(
+            "measurement", "group_key", "zoom",
+            "n_geoms", "n_cells_burned", "min_seq", "max_seq",
+            F.explode(
+                F.filter(F.array(*pieces), lambda p: p.isNotNull())
+            ).alias("p"),
+        )
+        .select(
+            "measurement", "group_key", "zoom",
+            "n_geoms", "n_cells_burned", "min_seq", "max_seq",
+            F.col("p.dest").alias("tile_id"),
+            F.col("p.role").alias("role"),
+            F.col("p.arow0").alias("arow0"),
+            F.col("p.acol0").alias("acol0"),
+            F.col("p.sh").alias("sh"),
+            F.col("p.sw").alias("sw"),
+            F.col("p.svals").alias("svals"),
+        )
+    )
+
+
+def _paste_padded(sub, ctr, r: int):
+    """Assemble one tile's padded (h+2r, w+2r) frame from its center
+    chunk + halo strips (absolute-coordinate placement). Cells with no
+    contributing strip (off-raster, or a neighbor tile with no chunk
+    row) stay NaN."""
+    th, tw = int(ctr["sh"]), int(ctr["sw"])
+    row0, col0 = int(ctr["arow0"]), int(ctr["acol0"])
+    pad = np.full((th + 2 * r, tw + 2 * r), np.nan, dtype=np.float64)
+    for row in sub.itertuples(index=False):
+        y = row.arow0 - row0 + r
+        x = row.acol0 - col0 + r
+        block = np.asarray(row.svals, dtype=np.float64).reshape(
+            row.sh, row.sw
+        )
+        # always fits: non-terminal tiles are exactly tile_size and
+        # r < tile_size, so a window never spans past the adjacent
+        # tile and every strip is at most r deep on its offset axis
+        pad[y:y + row.sh, x:x + row.sw] = block
+    return pad, th, tw, row0, col0
+
+
 def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
           measurements: Optional[Sequence[str]] = None) -> GeoCube:
     """Moving-window (focal) statistics over every band — the
@@ -399,75 +500,7 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
         c = c.filter(F.col("measurement").isin(list(measurements)))
 
     n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
-    h, w = F.col("h"), F.col("w")
-    tx = (F.col("tile_id") % ntx).cast("int")
-    ty = (F.col("tile_id") / ntx).cast("int")
-
-    def _crop(y0, x0, ch, cw):
-        """values[y0:y0+ch, x0:x0+cw] as a flat array — pure Column."""
-        return F.flatten(
-            F.transform(
-                F.sequence(y0, y0 + ch - 1),
-                lambda j: F.slice(F.col("values"), j * w + x0 + 1, cw),
-            )
-        )
-
-    pieces = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                sv = F.col("values")
-                y0, x0 = F.lit(0), F.lit(0)
-                ch, cw = h, w
-            else:
-                # the (dx,dy) neighbor's halo = our cells nearest the
-                # shared border: r rows/cols clipped to the (possibly
-                # partial edge) tile's own extent
-                ch = F.least(F.lit(r), h) if dy else h
-                cw = F.least(F.lit(r), w) if dx else w
-                y0 = (h - ch) if dy == 1 else F.lit(0)
-                x0 = (w - cw) if dx == 1 else F.lit(0)
-                sv = _crop(y0, x0, ch, cw)
-            dest = (ty + dy) * ntx + (tx + dx)
-            valid = (
-                ((ty + dy) >= 0) & ((ty + dy) < nty)
-                & ((tx + dx) >= 0) & ((tx + dx) < ntx)
-            )
-            pieces.append(
-                F.when(
-                    valid,
-                    F.struct(
-                        dest.cast("long").alias("dest"),
-                        F.lit(1 if (dx or dy) else 0).alias("role"),
-                        (F.col("row0") + y0).cast("int").alias("arow0"),
-                        (F.col("col0") + x0).cast("int").alias("acol0"),
-                        ch.cast("int").alias("sh"),
-                        cw.cast("int").alias("sw"),
-                        sv.alias("svals"),
-                    ),
-                )
-            )
-
-    strips = (
-        c.select(
-            "measurement", "group_key", "zoom",
-            "n_geoms", "n_cells_burned", "min_seq", "max_seq",
-            F.explode(
-                F.filter(F.array(*pieces), lambda p: p.isNotNull())
-            ).alias("p"),
-        )
-        .select(
-            "measurement", "group_key", "zoom",
-            "n_geoms", "n_cells_burned", "min_seq", "max_seq",
-            F.col("p.dest").alias("tile_id"),
-            F.col("p.role").alias("role"),
-            F.col("p.arow0").alias("arow0"),
-            F.col("p.acol0").alias("acol0"),
-            F.col("p.sh").alias("sh"),
-            F.col("p.sw").alias("sw"),
-            F.col("p.svals").alias("svals"),
-        )
-    )
+    strips = _halo_strips(c, ntx, nty, r)
 
     fills = {m: float(b.fill) for m, b in cube.bands.items()}
     out_cols = [f.name for f in CHUNK_SCHEMA.fields]
@@ -480,19 +513,7 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
             # the cube has no row there, so focal emits none either
             return pd.DataFrame([], columns=out_cols)
         ctr = center.iloc[0]
-        th, tw = int(ctr["sh"]), int(ctr["sw"])
-        row0, col0 = int(ctr["arow0"]), int(ctr["acol0"])
-        pad = np.full((th + 2 * r, tw + 2 * r), np.nan, dtype=np.float64)
-        for row in sub.itertuples(index=False):
-            y = row.arow0 - row0 + r
-            x = row.acol0 - col0 + r
-            block = np.asarray(row.svals, dtype=np.float64).reshape(
-                row.sh, row.sw
-            )
-            # always fits: non-terminal tiles are exactly tile_size and
-            # r < tile_size, so a window never spans past the adjacent
-            # tile and every strip is at most r deep on its offset axis
-            pad[y:y + row.sh, x:x + row.sw] = block
+        pad, th, tw, row0, col0 = _paste_padded(sub, ctr, r)
         f = fills[m]
         valid = ~np.isnan(pad)
         if not np.isnan(f):
@@ -558,6 +579,133 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
         bands[m] = BandMeta(
             name=m, dtype="float64", fill=float("nan"), units=meta.units,
         )
+    return GeoCube(
+        chunks=chunks, geobox=cube.geobox, bands=bands,
+        group_by=cube.group_by, group_keys=cube.group_keys,
+        tile_size=cube.tile_size, fill=float("nan"),
+    )
+
+
+def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
+            azimuth: float = 315.0, altitude: float = 45.0,
+            z_factor: float = 1.0) -> GeoCube:
+    """Terrain derivatives of a band — slope / aspect / hillshade by
+    Horn's 3x3 method (the rioxarray/xarray-spatial ``slope`` /
+    ``hillshade`` post-ops reference users run on the assembled DEM).
+
+    Same distributed-stencil plan as ``focal``: one halo exchange of
+    1-deep border strips, one equi-shuffle, a vectorized numpy kernel
+    per tile. A cell's derivative is defined only where ALL 9 window
+    cells are valid data (off-raster / nodata neighbors make the
+    gradient undefined); elsewhere the output is nodata.
+
+    Definitions (x east, y north, cell sizes from the grid affine):
+
+    * ``gx = ((tr+2r+br) - (tl+2l+bl)) / (8*dx)``,
+      ``gy = ((tl+2t+tr) - (bl+2b+br)) / (8*dy)`` (Horn 1981)
+    * slope     = degrees(atan(z_factor * hypot(gx, gy)))
+    * aspect    = compass bearing of the downslope direction,
+      degrees clockwise from north in [0, 360); flat cells -> nodata
+    * hillshade = 255 * max(0, cos(zen)*cos(s) +
+      sin(zen)*sin(s)*cos(az - aspect)), zen = 90 - altitude, with
+      the sun at (``azimuth``, ``altitude``) degrees
+    """
+    import pandas as pd
+
+    from .cube import CHUNK_SCHEMA, _grouped_map
+
+    if mode not in ("slope", "aspect", "hillshade"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    if band not in cube.bands:
+        raise ValueError(f"unknown band {band!r}")
+    if cube.tile_size < 2:
+        raise ValueError("tile_size must be >= 2")
+
+    a = cube.geobox.affine
+    dx = abs(float(a.a))
+    dy = abs(float(a.e))
+    # row index grows along affine.e: north is row- when e < 0 (the
+    # standard north-up grid), row+ otherwise
+    ysign = 1.0 if float(a.e) < 0 else -1.0
+    fill = float(cube.bands[band].fill)
+    zf = float(z_factor)
+    az_r = np.radians(float(azimuth))
+    zen_r = np.radians(90.0 - float(altitude))
+
+    c = cube.chunks.filter(F.col("measurement") == band)
+    n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
+    strips = _halo_strips(c, ntx, nty, 1)
+    out_cols = [f.name for f in CHUNK_SCHEMA.fields]
+
+    def _reduce(key, sub: pd.DataFrame) -> pd.DataFrame:
+        m, gk, tid = key
+        center = sub[sub["role"].values == 0]
+        if not len(center):
+            return pd.DataFrame([], columns=out_cols)
+        ctr = center.iloc[0]
+        pad, th, tw, row0, col0 = _paste_padded(sub, ctr, 1)
+        valid = ~np.isnan(pad)
+        if not np.isnan(fill):
+            valid &= pad != fill
+        # all-9-valid via the 3x3 count
+        V = np.zeros((pad.shape[0] + 1, pad.shape[1] + 1))
+        V[1:, 1:] = valid.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+        k9 = np.round(
+            V[3:, 3:] - V[:-3, 3:] - V[3:, :-3] + V[:-3, :-3]
+        ) == 9.0
+        z = np.where(valid, pad, 0.0)
+        tl, t, tr = z[0:th, 0:tw], z[0:th, 1:tw + 1], z[0:th, 2:tw + 2]
+        l_, r_ = z[1:th + 1, 0:tw], z[1:th + 1, 2:tw + 2]
+        bl, b, br = (z[2:th + 2, 0:tw], z[2:th + 2, 1:tw + 1],
+                     z[2:th + 2, 2:tw + 2])
+        gx = ((tr + 2 * r_ + br) - (tl + 2 * l_ + bl)) / (8.0 * dx)
+        gy = ysign * ((tl + 2 * t + tr) - (bl + 2 * b + br)) / (8.0 * dy)
+        slope_r = np.arctan(zf * np.hypot(gx, gy))
+        if mode == "slope":
+            out = np.degrees(slope_r)
+        else:
+            flat = (gx == 0) & (gy == 0)
+            with np.errstate(invalid="ignore"):
+                aspect_r = np.mod(np.arctan2(-gx, -gy), 2 * np.pi)
+            if mode == "aspect":
+                out = np.where(flat, np.nan, np.degrees(aspect_r))
+            else:
+                shade = (
+                    np.cos(zen_r) * np.cos(slope_r)
+                    + np.sin(zen_r) * np.sin(slope_r)
+                    * np.cos(az_r - np.where(flat, 0.0, aspect_r))
+                )
+                out = 255.0 * np.maximum(0.0, shade)
+        out = np.where(k9, out, np.nan)
+        return pd.DataFrame([
+            {
+                "measurement": mode,
+                "group_key": gk,
+                "zoom": int(ctr["zoom"]),
+                "tile_id": int(tid),
+                "row0": row0,
+                "col0": col0,
+                "h": th,
+                "w": tw,
+                "values": out.ravel(),
+                "n_geoms": int(ctr["n_geoms"]),
+                "n_cells_burned": int(th) * int(tw),
+                "min_seq": int(ctr["min_seq"]),
+                "max_seq": int(ctr["max_seq"]),
+            }
+        ], columns=out_cols)
+
+    sc = c.sparkSession.sparkContext
+    n_parts = max(
+        1,
+        min(int(n_tiles),
+            max(4 * sc.defaultParallelism, int(n_tiles) // 64)),
+    )
+    keys = ["measurement", "group_key", "tile_id"]
+    chunks = _grouped_map(strips, keys, n_parts, _reduce, CHUNK_SCHEMA)
+    bands = {
+        mode: BandMeta(name=mode, dtype="float64", fill=float("nan"))
+    }
     return GeoCube(
         chunks=chunks, geobox=cube.geobox, bands=bands,
         group_by=cube.group_by, group_keys=cube.group_keys,

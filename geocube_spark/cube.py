@@ -226,6 +226,15 @@ class GeoCube:
 
         return focal(self, stat, size, measurements)
 
+    def terrain(self, band: str, mode: str = "slope", *,
+                azimuth: float = 315.0, altitude: float = 45.0,
+                z_factor: float = 1.0):
+        """Horn slope/aspect/hillshade via tile halo exchange."""
+        from .bandops import terrain
+
+        return terrain(self, band, mode, azimuth=azimuth,
+                       altitude=altitude, z_factor=z_factor)
+
     def zonal_stats_raster(self, zone_band: str, value_band: str):
         """Per-zone value statistics, zones from a raster band."""
         from .bandops import zonal_stats_raster

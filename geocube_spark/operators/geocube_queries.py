@@ -1587,6 +1587,59 @@ ORDER BY row, col
 """
 
 
+def q_terrain_slope(spark, sf_dir):
+    """Horn slope via the halo-exchange stencil (bandops.terrain) on a
+    4x-coarsened burn (coarse enough that 3x3 all-valid windows exist
+    in the event lattice). Defined only where all 9 window cells hold
+    data; the oracle replays Horn's weighted differences with a
+    conditional-aggregation neighbor join."""
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    out = cube.terrain("value", "slope")
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.round("val", 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_TERRAIN_SLOPE = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) // 4 AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) // 4 AS col,
+         value
+  FROM events
+), s AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), v AS (
+  SELECT row, col, sv FROM s WHERE sv <> 0.0
+), cells AS (
+  SELECT CAST(r.range AS INT) AS row, CAST(c.range AS INT) AS col
+  FROM range(0, 45) r, range(0, 90) c
+), g AS (
+  SELECT c.row AS row, c.col AS col,
+         count(*) AS k,
+         sum(CASE WHEN n.col = c.col + 1
+                  THEN CASE WHEN n.row = c.row THEN 2.0 ELSE 1.0 END
+                  WHEN n.col = c.col - 1
+                  THEN -(CASE WHEN n.row = c.row THEN 2.0 ELSE 1.0 END)
+                  ELSE 0.0 END * n.sv) / (8.0 * 4.0) AS gx,
+         sum(CASE WHEN n.row = c.row - 1
+                  THEN CASE WHEN n.col = c.col THEN 2.0 ELSE 1.0 END
+                  WHEN n.row = c.row + 1
+                  THEN -(CASE WHEN n.col = c.col THEN 2.0 ELSE 1.0 END)
+                  ELSE 0.0 END * n.sv) / (8.0 * 4.0) AS gy
+  FROM cells c
+  JOIN v n ON n.row BETWEEN c.row - 1 AND c.row + 1
+          AND n.col BETWEEN c.col - 1 AND c.col + 1
+  GROUP BY 1, 2
+  HAVING count(*) = 9
+)
+SELECT row, col, round(degrees(atan(sqrt(gx * gx + gy * gy))), 6) AS val
+FROM g ORDER BY row, col
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -1622,4 +1675,5 @@ QUERIES = {
     "warp_upscale": (q_warp_upscale, SQL_WARP_UPSCALE),
     "zonal_stats_raster": (q_zonal_stats_raster, SQL_ZONAL_RASTER),
     "focal_mean": (q_focal_mean, SQL_FOCAL_MEAN),
+    "terrain_slope": (q_terrain_slope, SQL_TERRAIN_SLOPE),
 }

@@ -266,3 +266,101 @@ def test_focal_nan_fill_and_errors(spark):
         cube.focal(size=33)  # radius >= tile_size
     with pytest.raises(ValueError):
         cube.focal(measurements=["nope"])
+
+
+def _terrain_reference(arr, fill, mode, dx, dy, ysign=1.0,
+                       azimuth=315.0, altitude=45.0, z=1.0):
+    """Dense numpy Horn reference (independent shift-based impl)."""
+    H, W = arr.shape
+    pad = np.full((H + 2, W + 2), np.nan)
+    pad[1:-1, 1:-1] = arr
+    valid = ~np.isnan(pad)
+    if not np.isnan(fill):
+        valid &= pad != fill
+    vwin = np.lib.stride_tricks.sliding_window_view(valid, (3, 3))
+    all9 = vwin.all(axis=(2, 3))
+    zz = np.where(valid, pad, 0.0)
+    sh = lambda dr, dc: zz[1 + dr:H + 1 + dr, 1 + dc:W + 1 + dc]  # noqa
+    gx = ((sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
+          - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1))) / (8 * dx)
+    gy = ysign * ((sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1))
+                  - (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1))) / (8 * dy)
+    slope_r = np.arctan(z * np.hypot(gx, gy))
+    if mode == "slope":
+        out = np.degrees(slope_r)
+    else:
+        flat = (gx == 0) & (gy == 0)
+        aspect_r = np.mod(np.arctan2(-gx, -gy), 2 * np.pi)
+        if mode == "aspect":
+            out = np.where(flat, np.nan, np.degrees(aspect_r))
+        else:
+            zen = np.radians(90.0 - altitude)
+            az = np.radians(azimuth)
+            shade = (np.cos(zen) * np.cos(slope_r)
+                     + np.sin(zen) * np.sin(slope_r)
+                     * np.cos(az - np.where(flat, 0.0, aspect_r)))
+            out = 255.0 * np.maximum(0.0, shade)
+    return np.where(all9, out, np.nan)
+
+
+@pytest.mark.parametrize("mode", ["slope", "aspect", "hillshade"])
+def test_terrain_matches_numpy(spark, two_band_cube, mode):
+    cube = two_band_cube
+    out = cube.terrain("m0", mode)
+    assert set(out.bands) == {mode}
+    got = out.assemble()[mode]
+    a = cube.geobox.affine
+    ref = _terrain_reference(
+        cube.assemble()["m0"], 0.0, mode,
+        abs(a.a), abs(a.e), 1.0 if a.e < 0 else -1.0,
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
+
+
+def test_terrain_analytic_plane(spark):
+    """A tilted plane z = 2x + 3y has constant analytic slope and
+    aspect everywhere; build the chunk table directly so cell values
+    are exact."""
+    from geocube_spark.cube import CHUNK_SCHEMA, GeoCube, BandMeta
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.geometry.crs import CRS
+    from geocube_spark.grid.geobox import GeoBox
+
+    ts, H, W = 16, 32, 32
+    gb = GeoBox(W, H, Affine(10.0, 0.0, 0.0, 0.0, -10.0, 0.0), CRS(32615))
+    rows = []
+    _, ntx, _ = gb.n_tiles(ts)
+    for tid, row0, col0, h, w in gb.tile_grid(ts):
+        yy, xx = np.mgrid[row0:row0 + h, col0:col0 + w]
+        x = 10.0 * (xx + 0.5)
+        y = -10.0 * (yy + 0.5)
+        vals = 2.0 * x + 3.0 * y
+        rows.append((
+            "dem", None, 0, int(tid), int(row0), int(col0), int(h),
+            int(w), [float(v) for v in vals.ravel()], 1, h * w, 0, 0,
+        ))
+    chunks = spark.createDataFrame(rows, CHUNK_SCHEMA)
+    cube = GeoCube(
+        chunks=chunks, geobox=gb,
+        bands={"dem": BandMeta("dem", "float64", float("nan"))},
+        tile_size=ts, fill=float("nan"),
+    )
+    slope = cube.terrain("dem", "slope").assemble()["slope"]
+    aspect = cube.terrain("dem", "aspect").assemble()["aspect"]
+    interior = slope[1:-1, 1:-1]
+    exp_slope = np.degrees(np.arctan(np.hypot(2.0, 3.0)))
+    np.testing.assert_allclose(interior, exp_slope, rtol=0, atol=1e-9)
+    # downslope of grad (2,3) is (-2,-3): bearing atan2(-2,-3)
+    exp_aspect = np.degrees(np.arctan2(-2.0, -3.0)) % 360.0
+    np.testing.assert_allclose(
+        aspect[1:-1, 1:-1], exp_aspect, rtol=0, atol=1e-9
+    )
+    # border cells lack a full window -> nodata
+    assert np.isnan(slope[0]).all() and np.isnan(slope[:, -1]).all()
+
+
+def test_terrain_errors(two_band_cube):
+    with pytest.raises(ValueError):
+        two_band_cube.terrain("m0", "curvature")
+    with pytest.raises(ValueError):
+        two_band_cube.terrain("nope")
