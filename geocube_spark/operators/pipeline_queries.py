@@ -738,6 +738,73 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic Bernoulli sampling by content hash
+    (functions.sampling.hash_sample): membership from
+    h60(doc_id) % 1e6, so the subset is identical across cluster
+    layouts, retries and engines — zero shuffle, pure scan filter."""
+    from ..functions.sampling import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.1).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT doc_id, lang FROM documents
+WHERE {H60_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 < 100000
+ORDER BY doc_id
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Language-balanced downsampling (stratified_sample): per-stratum
+    hash rates from a broadcast literal map, default rate for strata
+    absent from the map."""
+    from ..functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.25}, "lang",
+        default_rate=0.05,
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {H60_SQL.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                ELSE 50000 END
+ORDER BY doc_id
+"""
+
+
+def q_sample_quota(spark, sf_dir):
+    """Exactly-n-per-stratum draw (quota_sample): the 25 smallest
+    (h60(doc_id), doc_id) per language — two-phase bucketed top-n so
+    no stratum ever sorts whole in one task; provably identical to the
+    naive per-stratum window (the oracle replays the naive form)."""
+    from ..functions.sampling import quota_sample
+
+    return quota_sample(
+        _docs(spark, sf_dir), 25, "lang"
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+SQL_SAMPLE_QUOTA = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {H60_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY hh ASC, doc_id ASC) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= 25 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -757,4 +824,7 @@ QUERIES = {
     "media_meta": (q_media_meta, SQL_MEDIA_META),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
 }
