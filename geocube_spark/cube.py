@@ -249,10 +249,27 @@ class GeoCube:
         return warp(self, like, method=method, tile_size=tile_size)
 
     def write(self, path: str, *, n_buckets: int = 64,
-              commit_batches: int = 4, fail_after: Optional[int] = None):
+              commit_batches: int = 4, fail_after: Optional[int] = None,
+              mode: Optional[str] = None):
         """Persist the cube as committed snapshots partitioned by
         (zoom, cell bucket) — the Iceberg layout of the north rule —
-        with per-tile lineage and kill-resume (plans.checkpoint)."""
+        with per-tile lineage and kill-resume (plans.checkpoint).
+
+        ``mode`` is the legacy plain-parquet-writer kwarg: accepted
+        for source compatibility but ignored with a warning — the
+        layout is manifest-gated now and must be read back with
+        ``plans.checkpoint.read_cube``, not ``spark.read.parquet``."""
+        if mode is not None:
+            import warnings
+
+            warnings.warn(
+                "GeoCube.write(mode=...) is ignored: the sink writes a "
+                "manifest-gated snapshot layout (every call is its own "
+                "committed snapshot); read it back with "
+                "plans.checkpoint.read_cube",
+                FutureWarning,
+                stacklevel=2,
+            )
         from .plans.checkpoint import write_cube
 
         return write_cube(

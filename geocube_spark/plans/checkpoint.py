@@ -280,11 +280,34 @@ def _commit_one(part, path, data_dir, snapshot_id, parent, batch,
     report.committed_snapshots.append(snapshot_id)
     report.metrics[snapshot_id] = manifest["metrics"]
 
-def read_cube(spark: SparkSession, path: str) -> DataFrame:
+def _as_of_prefix(manifests: list[dict], as_of) -> list[dict]:
+    """Time travel: the manifest prefix up to and including snapshot
+    ``as_of`` (commit order == manifest order — ids are millis-stamped
+    and written sequentially). Raises on an unknown id, like Iceberg's
+    VERSION AS OF."""
+    if as_of is None:
+        return manifests
+    as_of = str(as_of)
+    for i, m in enumerate(manifests):
+        if str(m["snapshot_id"]) == as_of:
+            return manifests[: i + 1]
+    raise ValueError(
+        f"unknown snapshot {as_of!r}; committed ids: "
+        f"{[m['snapshot_id'] for m in manifests]}"
+    )
+
+
+def read_cube(spark: SparkSession, path: str, *,
+              as_of=None) -> DataFrame:
     """Read ONLY committed snapshots (manifest-listed data dirs).
     Empty snapshots (0-row batches) are skipped - their dirs hold just
-    _SUCCESS, which parquet cannot infer a schema from."""
-    manifests = _list_manifests(path)
+    _SUCCESS, which parquet cannot infer a schema from.
+
+    ``as_of=<snapshot_id>`` reads the table as of that commit (Iceberg
+    time travel): exactly the data dirs of that snapshot and its
+    ancestors, so a reader can pin a training run to the corpus state
+    it started from while writers keep appending."""
+    manifests = _as_of_prefix(_list_manifests(path), as_of)
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {path}")
     dirs = [
@@ -297,8 +320,9 @@ def read_cube(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(*dirs)
 
 
-def read_lineage(spark: SparkSession, path: str) -> DataFrame:
-    manifests = _list_manifests(path)
+def read_lineage(spark: SparkSession, path: str, *,
+                 as_of=None) -> DataFrame:
+    manifests = _as_of_prefix(_list_manifests(path), as_of)
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {path}")
     dirs = [

@@ -168,3 +168,33 @@ def test_single_tile_cube_empty_batches(spark, sf_dir, tmp_path):
     assert len(report.committed_snapshots) == 4
     back = CP.read_cube(spark, path)
     assert back.count() == small.chunks.count() > 0
+
+
+def test_time_travel_as_of(spark, cube, tmp_path):
+    """as_of pins the read to a snapshot prefix (Iceberg time travel):
+    each earlier snapshot sees a strict subset, the last sees all, and
+    an unknown id raises."""
+    import pytest
+
+    path = str(tmp_path / "cube_tt")
+    report = cube.write(path, commit_batches=3)
+    ids = report.committed_snapshots
+    assert len(ids) == 3
+    total = cube.chunks.count()
+    seen = []
+    for sid in ids:
+        n = CP.read_cube(spark, path, as_of=sid).count()
+        ln = CP.read_lineage(spark, path, as_of=sid)
+        assert ln.count() > 0 or n == 0
+        seen.append(n)
+    assert seen == sorted(seen)
+    assert seen[-1] == total
+    assert seen[0] < total
+    # prefix rows must be a subset of the full table
+    first = CP.read_cube(spark, path, as_of=ids[0]).select(
+        "measurement", "tile_id"
+    )
+    full = CP.read_cube(spark, path).select("measurement", "tile_id")
+    assert first.exceptAll(full).count() == 0
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        CP.read_cube(spark, path, as_of="nope")
