@@ -444,6 +444,83 @@ def _paste_padded(sub, ctr, r: int):
     return pad, th, tw, row0, col0
 
 
+def _stencil_cube(cube: GeoCube, c: DataFrame, r: int, kernel,
+                  rename: Optional[str], synth_missing: bool) -> DataFrame:
+    """Shared scaffolding of the halo-exchange stencil operators:
+    strips -> ONE equi-shuffle -> per-tile padded frame -> ``kernel``.
+
+    ``kernel(measurement, pad, th, tw) -> np.ndarray`` maps one tile's
+    padded (th+2r, tw+2r) frame to its (th, tw) output. ``rename``
+    replaces the output measurement name (terrain bands). With
+    ``synth_missing`` a tile with NO chunk row but with incoming halo
+    strips is synthesized as all-nodata so windows centered in it can
+    still see neighbor data (dense-raster semantics on the sparse
+    chunk table); all-nodata results are skipped either way, which is
+    indistinguishable from nodata on read-back."""
+    import pandas as pd
+
+    from .cube import CHUNK_SCHEMA, _grouped_map
+
+    n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
+    strips = _halo_strips(c, ntx, nty, r)
+    out_cols = [f.name for f in CHUNK_SCHEMA.fields]
+    ts = cube.tile_size
+    H, W = int(cube.geobox.height), int(cube.geobox.width)
+
+    def _reduce(key, sub: pd.DataFrame) -> pd.DataFrame:
+        m, gk, tid = key
+        center = sub[sub["role"].values == 0]
+        synthesized = not len(center)
+        if synthesized:
+            if not synth_missing:
+                return pd.DataFrame([], columns=out_cols)
+            # un-burned tile receiving halo strips: its own cells are
+            # all nodata, but windows centered here may see neighbors
+            ty, tx = divmod(int(tid), ntx)
+            row0, col0 = ty * ts, tx * ts
+            ctr = {
+                "arow0": row0, "acol0": col0,
+                "sh": min(ts, H - row0), "sw": min(ts, W - col0),
+            }
+            zoom = int(sub.iloc[0]["zoom"])
+            n_geoms, min_seq, max_seq = 0, -1, -1
+        else:
+            ctr = center.iloc[0]
+            zoom = int(ctr["zoom"])
+            n_geoms = int(ctr["n_geoms"])
+            min_seq, max_seq = int(ctr["min_seq"]), int(ctr["max_seq"])
+        pad, th, tw, row0, col0 = _paste_padded(sub, ctr, r)
+        out = kernel(m, pad, th, tw)
+        if synthesized and bool(np.all(np.isnan(out))):
+            return pd.DataFrame([], columns=out_cols)
+        return pd.DataFrame([
+            {
+                "measurement": rename or m,
+                "group_key": gk,
+                "zoom": zoom,
+                "tile_id": int(tid),
+                "row0": row0,
+                "col0": col0,
+                "h": th,
+                "w": tw,
+                "values": out.ravel(),
+                "n_geoms": n_geoms,
+                "n_cells_burned": int(th) * int(tw),
+                "min_seq": min_seq,
+                "max_seq": max_seq,
+            }
+        ], columns=out_cols)
+
+    sc = c.sparkSession.sparkContext
+    n_parts = max(
+        1,
+        min(int(n_tiles),
+            max(4 * sc.defaultParallelism, int(n_tiles) // 64)),
+    )
+    keys = ["measurement", "group_key", "tile_id"]
+    return _grouped_map(strips, keys, n_parts, _reduce, CHUNK_SCHEMA)
+
+
 def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
           measurements: Optional[Sequence[str]] = None) -> GeoCube:
     """Moving-window (focal) statistics over every band — the
@@ -455,7 +532,8 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
     ``size`` x ``size`` window centered on each cell. Nodata cells
     (the band fill, or NULL/NaN for NaN-fill cubes) and cells outside
     the raster are excluded from the window; a window with zero valid
-    cells yields nodata (the output bands are NaN-fill).
+    cells yields nodata for EVERY stat, count included (the output
+    bands are NaN-fill).
 
     Physical plan — tile halo exchange, the canonical distributed
     stencil:
@@ -472,15 +550,12 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
        windows via a summed-area table (mean/sum/count — O(cells),
        window-size independent) or ``sliding_window_view`` (min/max).
 
-    Missing neighbor tiles (no burned chunk row) contribute nothing —
-    identical to an all-nodata neighbor, matching ``band_stats``'s
-    fill-is-nodata convention. Output rows exist for every input
-    chunk row; the grid, grouping and tiling are unchanged.
+    Output exists wherever a window can see data: burned tiles, plus
+    un-burned tiles whose windows overlap a burned neighbor's border
+    (synthesized all-nodata centers) — i.e. dense-raster semantics on
+    the sparse chunk table. Tiles nothing reaches stay absent, which
+    reads back as nodata.
     """
-    import pandas as pd
-
-    from .cube import CHUNK_SCHEMA, _grouped_map
-
     if stat not in ("mean", "sum", "min", "max", "count"):
         raise ValueError(f"unsupported stat {stat!r}")
     size = int(size)
@@ -499,26 +574,14 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
                 raise ValueError(f"unknown band {m!r}")
         c = c.filter(F.col("measurement").isin(list(measurements)))
 
-    n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
-    strips = _halo_strips(c, ntx, nty, r)
-
     fills = {m: float(b.fill) for m, b in cube.bands.items()}
-    out_cols = [f.name for f in CHUNK_SCHEMA.fields]
+    s = size
 
-    def _reduce(key, sub: pd.DataFrame) -> pd.DataFrame:
-        m, gk, tid = key
-        center = sub[sub["role"].values == 0]
-        if not len(center):
-            # halo strips addressed to a tile with no burned chunk:
-            # the cube has no row there, so focal emits none either
-            return pd.DataFrame([], columns=out_cols)
-        ctr = center.iloc[0]
-        pad, th, tw, row0, col0 = _paste_padded(sub, ctr, r)
+    def _kernel(m, pad, th, tw):
         f = fills[m]
         valid = ~np.isnan(pad)
         if not np.isnan(f):
             valid &= pad != f
-        s = size
         if stat in ("mean", "sum", "count"):
             a = np.where(valid, pad, 0.0)
             P = np.zeros((pad.shape[0] + 1, pad.shape[1] + 1))
@@ -532,46 +595,19 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
             # float cancellation guard on the count table
             wcnt = np.round(wcnt)
             if stat == "count":
-                out = wcnt
-            elif stat == "sum":
-                out = np.where(wcnt > 0, wsum, np.nan)
-            else:
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    out = np.where(wcnt > 0, wsum / wcnt, np.nan)
-        else:
-            sentinel = np.inf if stat == "min" else -np.inf
-            a = np.where(valid, pad, sentinel)
-            win = np.lib.stride_tricks.sliding_window_view(a, (s, s))
-            out = (win.min(axis=(2, 3)) if stat == "min"
-                   else win.max(axis=(2, 3)))
-            out = np.where(np.isfinite(out), out, np.nan)
-        return pd.DataFrame([
-            {
-                "measurement": m,
-                "group_key": gk,
-                "zoom": int(ctr["zoom"]),
-                "tile_id": int(tid),
-                "row0": row0,
-                "col0": col0,
-                "h": th,
-                "w": tw,
-                "values": out.ravel(),
-                "n_geoms": int(ctr["n_geoms"]),
-                "n_cells_burned": int(th) * int(tw),
-                "min_seq": int(ctr["min_seq"]),
-                "max_seq": int(ctr["max_seq"]),
-            }
-        ], columns=out_cols)
+                return np.where(wcnt > 0, wcnt, np.nan)
+            if stat == "sum":
+                return np.where(wcnt > 0, wsum, np.nan)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return np.where(wcnt > 0, wsum / wcnt, np.nan)
+        sentinel = np.inf if stat == "min" else -np.inf
+        a = np.where(valid, pad, sentinel)
+        win = np.lib.stride_tricks.sliding_window_view(a, (s, s))
+        out = (win.min(axis=(2, 3)) if stat == "min"
+               else win.max(axis=(2, 3)))
+        return np.where(np.isfinite(out), out, np.nan)
 
-    sc = c.sparkSession.sparkContext
-    n_parts = max(
-        1,
-        min(int(n_tiles),
-            max(4 * sc.defaultParallelism, int(n_tiles) // 64)),
-    )
-    keys = ["measurement", "group_key", "tile_id"]
-    chunks = _grouped_map(strips, keys, n_parts, _reduce, CHUNK_SCHEMA)
-
+    chunks = _stencil_cube(cube, c, r, _kernel, None, True)
     bands = {}
     for m, meta in cube.bands.items():
         if measurements and m not in measurements:
@@ -597,7 +633,9 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
     1-deep border strips, one equi-shuffle, a vectorized numpy kernel
     per tile. A cell's derivative is defined only where ALL 9 window
     cells are valid data (off-raster / nodata neighbors make the
-    gradient undefined); elsewhere the output is nodata.
+    gradient undefined) — so un-burned tiles never produce output
+    (their own cells are nodata) and are skipped, elsewhere the output
+    is nodata.
 
     Definitions (x east, y north, cell sizes from the grid affine):
 
@@ -610,10 +648,6 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
       sin(zen)*sin(s)*cos(az - aspect)), zen = 90 - altitude, with
       the sun at (``azimuth``, ``altitude``) degrees
     """
-    import pandas as pd
-
-    from .cube import CHUNK_SCHEMA, _grouped_map
-
     if mode not in ("slope", "aspect", "hillshade"):
         raise ValueError(f"unsupported mode {mode!r}")
     if band not in cube.bands:
@@ -632,18 +666,7 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
     az_r = np.radians(float(azimuth))
     zen_r = np.radians(90.0 - float(altitude))
 
-    c = cube.chunks.filter(F.col("measurement") == band)
-    n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
-    strips = _halo_strips(c, ntx, nty, 1)
-    out_cols = [f.name for f in CHUNK_SCHEMA.fields]
-
-    def _reduce(key, sub: pd.DataFrame) -> pd.DataFrame:
-        m, gk, tid = key
-        center = sub[sub["role"].values == 0]
-        if not len(center):
-            return pd.DataFrame([], columns=out_cols)
-        ctr = center.iloc[0]
-        pad, th, tw, row0, col0 = _paste_padded(sub, ctr, 1)
+    def _kernel(m, pad, th, tw):
         valid = ~np.isnan(pad)
         if not np.isnan(fill):
             valid &= pad != fill
@@ -676,33 +699,10 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
                     * np.cos(az_r - np.where(flat, 0.0, aspect_r))
                 )
                 out = 255.0 * np.maximum(0.0, shade)
-        out = np.where(k9, out, np.nan)
-        return pd.DataFrame([
-            {
-                "measurement": mode,
-                "group_key": gk,
-                "zoom": int(ctr["zoom"]),
-                "tile_id": int(tid),
-                "row0": row0,
-                "col0": col0,
-                "h": th,
-                "w": tw,
-                "values": out.ravel(),
-                "n_geoms": int(ctr["n_geoms"]),
-                "n_cells_burned": int(th) * int(tw),
-                "min_seq": int(ctr["min_seq"]),
-                "max_seq": int(ctr["max_seq"]),
-            }
-        ], columns=out_cols)
+        return np.where(k9, out, np.nan)
 
-    sc = c.sparkSession.sparkContext
-    n_parts = max(
-        1,
-        min(int(n_tiles),
-            max(4 * sc.defaultParallelism, int(n_tiles) // 64)),
-    )
-    keys = ["measurement", "group_key", "tile_id"]
-    chunks = _grouped_map(strips, keys, n_parts, _reduce, CHUNK_SCHEMA)
+    c = cube.chunks.filter(F.col("measurement") == band)
+    chunks = _stencil_cube(cube, c, 1, _kernel, mode, False)
     bands = {
         mode: BandMeta(name=mode, dtype="float64", fill=float("nan"))
     }

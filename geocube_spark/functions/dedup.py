@@ -51,11 +51,14 @@ MERSENNE31 = (1 << 31) - 1  # 2147483647
 # repeat ~all of them), so md5-per-string is the hot cost of the
 # numpy simhash/shingle engines — a bounded per-worker dict turns the
 # common case into a dict hit. Capped, never evicted: at the cap the
-# memo simply stops growing (deterministic output either way).
+# memo simply stops growing (deterministic output either way). The cap
+# bounds worst-case resident memory per Python worker: 2^18 multi-word
+# shingle strings is ~40-75 MB; token vocabularies (the high-hit-rate
+# case) are orders of magnitude smaller and always fit.
 import hashlib as _hashlib
 
 _H60_CACHE: dict = {}
-_H60_CACHE_CAP = 1 << 20
+_H60_CACHE_CAP = 1 << 18
 
 
 def _h60_py(s: str) -> int:

@@ -89,23 +89,35 @@ def quota_sample(df: DataFrame, n: int, stratum_col: str, *,
     stratum); phase 2 re-ranks only the surviving ``buckets * n``
     candidates per stratum. The global top-n is always contained in
     the union of per-bucket top-n, so the result is provably identical
-    to the naive window."""
+    to the naive window.
+
+    NULL keys are dropped (like ``hash_sample``, whose NULL hash fails
+    the sampling predicate): they have no deterministic hash, and
+    Spark's NULLS-FIRST ascending sort would otherwise let them preempt
+    quota slots while a NULLS-LAST engine replaying the same draw
+    picked different rows."""
     if n < 1:
         raise ValueError("n must be >= 1")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    hc, r1, r2 = "__gcs_smpl_h", "__gcs_smpl_r1", "__gcs_smpl_r2"
+    for col in (hc, r1, r2):
+        if col in df.columns:
+            raise ValueError(f"input already has a column named {col!r}")
     hcol = F.pmod(_key_hash(key_col, salt), F.lit(1 << 60))
-    with_h = df.withColumn("__h", hcol)
-    bucket = F.pmod(F.col("__h"), F.lit(buckets))
+    with_h = df.filter(F.col(key_col).isNotNull()).withColumn(hc, hcol)
+    bucket = F.pmod(F.col(hc), F.lit(buckets))
     w1 = Window.partitionBy(F.col(stratum_col), bucket).orderBy(
-        F.col("__h").asc(), F.col(key_col).asc()
+        F.col(hc).asc(), F.col(key_col).asc()
     )
-    cand = with_h.withColumn("__r1", F.row_number().over(w1)).filter(
-        F.col("__r1") <= n
+    cand = with_h.withColumn(r1, F.row_number().over(w1)).filter(
+        F.col(r1) <= n
     )
     w2 = Window.partitionBy(stratum_col).orderBy(
-        F.col("__h").asc(), F.col(key_col).asc()
+        F.col(hc).asc(), F.col(key_col).asc()
     )
     return (
-        cand.withColumn("__r2", F.row_number().over(w2))
-        .filter(F.col("__r2") <= n)
-        .drop("__h", "__r1", "__r2")
+        cand.withColumn(r2, F.row_number().over(w2))
+        .filter(F.col(r2) <= n)
+        .drop(hc, r1, r2)
     )

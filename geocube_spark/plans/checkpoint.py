@@ -72,15 +72,32 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
 
+def _snapshot_sort_key(name: str):
+    """Commit order of 'snapshot-<millis>-<batch>.json': NUMERIC
+    (millis, batch), not lexicographic — unpadded batch 10 would sort
+    before batch 9 when both commit in the same millisecond. (A clock
+    stepping backwards between write_cube calls can still reorder
+    across calls; within a call batch numbers are monotonic.)"""
+    stem = name[len("snapshot-"):-len(".json")]
+    try:
+        millis, batch = stem.rsplit("-", 1)
+        return (0, int(millis), int(batch), name)
+    except ValueError:
+        return (1, 0, 0, name)  # foreign name shape: stable fallback
+
+
 def _list_manifests(path: str) -> list[dict]:
     mdir = _manifest_dir(path)
     if not os.path.isdir(mdir):
         return []
     out = []
-    for name in sorted(os.listdir(mdir)):
-        if name.startswith("snapshot-") and name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                out.append(json.load(f))
+    names = [
+        n for n in os.listdir(mdir)
+        if n.startswith("snapshot-") and n.endswith(".json")
+    ]
+    for name in sorted(names, key=_snapshot_sort_key):
+        with open(os.path.join(mdir, name)) as f:
+            out.append(json.load(f))
     return out
 
 
@@ -306,31 +323,56 @@ def read_cube(spark: SparkSession, path: str, *,
     ``as_of=<snapshot_id>`` reads the table as of that commit (Iceberg
     time travel): exactly the data dirs of that snapshot and its
     ancestors, so a reader can pin a training run to the corpus state
-    it started from while writers keep appending."""
-    manifests = _as_of_prefix(_list_manifests(path), as_of)
+    it started from while writers keep appending. A valid snapshot
+    whose prefix holds no rows yet reads as an EMPTY table (schema
+    borrowed from the first later non-empty snapshot), not an error."""
+    all_manifests = _list_manifests(path)
+    manifests = _as_of_prefix(all_manifests, as_of)
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {path}")
-    dirs = [
-        os.path.join(path, m["data_dir"])
-        for m in manifests
-        if m.get("metrics", {}).get("rows", 1) > 0
-    ]
+
+    def _dirs(ms, key):
+        return [
+            os.path.join(path, m[key])
+            for m in ms
+            if m.get("metrics", {}).get("rows", 1) > 0
+        ]
+
+    dirs = _dirs(manifests, "data_dir")
     if not dirs:
+        later = _dirs(all_manifests, "data_dir")
+        if as_of is not None and later:
+            # the table WAS empty at as_of: empty frame, real schema
+            return (
+                spark.read.option("basePath", path)
+                .parquet(later[0]).limit(0)
+            )
         raise FileNotFoundError(f"all committed snapshots empty: {path}")
     return spark.read.option("basePath", path).parquet(*dirs)
 
 
 def read_lineage(spark: SparkSession, path: str, *,
                  as_of=None) -> DataFrame:
-    manifests = _as_of_prefix(_list_manifests(path), as_of)
+    all_manifests = _list_manifests(path)
+    manifests = _as_of_prefix(all_manifests, as_of)
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {path}")
-    dirs = [
-        os.path.join(path, m["lineage_dir"])
-        for m in manifests
-        if m.get("metrics", {}).get("rows", 1) > 0
-    ]
+
+    def _dirs(ms):
+        return [
+            os.path.join(path, m["lineage_dir"])
+            for m in ms
+            if m.get("metrics", {}).get("rows", 1) > 0
+        ]
+
+    dirs = _dirs(manifests)
     if not dirs:
+        later = _dirs(all_manifests)
+        if as_of is not None and later:
+            return (
+                spark.read.option("basePath", path)
+                .parquet(later[0]).limit(0)
+            )
         raise FileNotFoundError(f"all committed snapshots empty: {path}")
     return spark.read.option("basePath", path).parquet(*dirs)
 

@@ -209,7 +209,7 @@ def _focal_reference(arr, fill, stat, size):
     cnt = vwin.sum(axis=(2, 3)).astype(float)
     filled = np.where(vwin, win, 0.0)
     if stat == "count":
-        return cnt
+        return np.where(cnt > 0, cnt, np.nan)
     if stat == "sum":
         return np.where(cnt > 0, filled.sum(axis=(2, 3)), np.nan)
     if stat == "mean":
@@ -364,3 +364,61 @@ def test_terrain_errors(two_band_cube):
         two_band_cube.terrain("m0", "curvature")
     with pytest.raises(ValueError):
         two_band_cube.terrain("nope")
+
+
+def test_focal_reaches_unburned_tiles(spark):
+    """Windows centered in a tile with NO chunk row still see a burned
+    neighbor's border cells (synthesized all-nodata centers) — the
+    dense-raster semantics the SQL oracle computes."""
+    # docs live in [-91,-90] x [41,42] but the target grid spans a 2x
+    # wider geom, so the east tile columns get no burned chunk at all
+    docs = datagen.to_spark(spark, datagen.scale_docs(400, seed=21))
+    wide_geom = (
+        '{"type": "Polygon", "coordinates": [[[-91, 41], [-89, 41], '
+        '[-89, 42], [-91, 42], [-91, 41]]]}'
+    )
+    cube = make_geocube(
+        docs, measurements=["m0"], geom=wide_geom,
+        resolution=(-1.0 / 32, 1.0 / 32), fill=0.0, merge_alg="add",
+        tile_size=8,
+    )
+    tiles_present = {
+        r["tile_id"] for r in cube.chunks.select("tile_id").collect()
+    }
+    _, ntx, nty = cube.geobox.n_tiles(8)
+    assert len(tiles_present) < ntx * nty  # the premise: sparse tiling
+    out = cube.focal("mean", 3)
+    got = out.assemble()["m0"]
+    ref = _focal_reference(cube.assemble()["m0"], 0.0, "mean", 3)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
+
+
+def test_focal_synthesizes_missing_center_tile(spark):
+    """Deterministic boundary case: a chunk table with ONE burned tile
+    in a 2-tile-wide grid — the empty east tile's first column must
+    still get focal values from the burned tile's border."""
+    from geocube_spark.cube import CHUNK_SCHEMA, GeoCube, BandMeta
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.geometry.crs import CRS
+    from geocube_spark.grid.geobox import GeoBox
+
+    ts = 8
+    gb = GeoBox(16, 8, Affine(1.0, 0.0, 0.0, 0.0, -1.0, 8.0), CRS(32615))
+    vals = np.arange(1.0, 65.0)  # 8x8, all non-zero
+    rows = [("band", None, 0, 0, 0, 0, 8, 8,
+             [float(v) for v in vals], 1, 64, 0, 0)]
+    cube = GeoCube(
+        chunks=spark.createDataFrame(rows, CHUNK_SCHEMA), geobox=gb,
+        bands={"band": BandMeta("band", "float64", 0.0)},
+        tile_size=ts, fill=0.0,
+    )
+    out = cube.focal("mean", 3)
+    out_tiles = {
+        r["tile_id"] for r in out.chunks.select("tile_id").collect()
+    }
+    assert out_tiles == {0, 1}  # tile 1 synthesized from halo strips
+    got = out.assemble()["band"]
+    ref = _focal_reference(cube.assemble()["band"], 0.0, "mean", 3)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
+    # the synthesized tile's first column is the burned border mean
+    assert np.isfinite(got[:, 8]).all() and np.isnan(got[:, 9]).all()

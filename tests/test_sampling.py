@@ -76,3 +76,16 @@ def test_quota_small_stratum(spark):
     assert quota_sample(few, 100, "lang").count() == 7
     with pytest.raises(ValueError):
         quota_sample(few, 0, "lang")
+
+
+def test_quota_null_keys_dropped_and_validation(spark):
+    rows = [(None, "en"), (None, "en")] + [(i, "en") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = quota_sample(df, 5, "lang").collect()
+    assert len(out) == 5
+    assert all(r["doc_id"] is not None for r in out)
+    with pytest.raises(ValueError, match="buckets"):
+        quota_sample(df, 5, "lang", buckets=0)
+    clash = df.withColumn("__gcs_smpl_h", F.lit(1))
+    with pytest.raises(ValueError, match="__gcs_smpl_h"):
+        quota_sample(clash, 5, "lang")
