@@ -377,6 +377,69 @@ def read_lineage(spark: SparkSession, path: str, *,
     return spark.read.option("basePath", path).parquet(*dirs)
 
 
+def read_cube_window(spark: SparkSession, path: str, geobox,
+                     tile_size: int, bbox, *, as_of=None) -> DataFrame:
+    """Spatially-pruned cube read: only the chunks whose tiles
+    intersect ``bbox`` (minx, miny, maxx, maxy in the cube's CRS).
+
+    Pruning happens at three levels, all metadata-driven — the query
+    never scans the 100 TB table to find a city-sized window:
+
+    1. **partition pruning** — the candidate tiles' ``cell_bucket``
+       values (buckets recorded in the snapshot manifests) become an
+       ``IN`` filter on the partition column, so non-matching
+       ``cell_bucket=`` directories are never listed;
+    2. **row-group pruning** — a ``tile_id BETWEEN`` envelope predicate
+       is pushed to the parquet reader's min/max statistics;
+    3. an exact tile-rectangle predicate (div/mod arithmetic) drops
+       the envelope's false positives after the scan.
+    """
+    minx, miny, maxx, maxy = (float(v) for v in bbox)
+    if minx > maxx or miny > maxy:
+        raise ValueError(f"degenerate bbox {bbox!r}")
+    inv = geobox.affine.invert()
+
+    def _pix(x, y):
+        return (inv.c + inv.a * x + inv.b * y,
+                inv.f + inv.d * x + inv.e * y)
+
+    corners = [_pix(minx, miny), _pix(minx, maxy),
+               _pix(maxx, miny), _pix(maxx, maxy)]
+    px = [c[0] for c in corners]
+    py = [c[1] for c in corners]
+    _, ntx, nty = geobox.n_tiles(tile_size)
+    tx0 = max(0, int(min(px) // tile_size))
+    tx1 = min(ntx - 1, int(max(px) // tile_size))
+    ty0 = max(0, int(min(py) // tile_size))
+    ty1 = min(nty - 1, int(max(py) // tile_size))
+    df = read_cube(spark, path, as_of=as_of)
+    if tx1 < tx0 or ty1 < ty0:
+        return df.limit(0)
+
+    manifests = _list_manifests(path)
+    n_buckets = manifests[-1].get("n_buckets") if manifests else None
+    cond = (
+        F.col("tile_id").between(ty0 * ntx + tx0, ty1 * ntx + tx1)
+        & F.floor(F.col("tile_id") / ntx).between(ty0, ty1)
+        & F.pmod(F.col("tile_id"), F.lit(ntx)).between(tx0, tx1)
+    )
+    if n_buckets:
+        buckets = set()
+        for ty in range(ty0, ty1 + 1):
+            if len(buckets) >= n_buckets:
+                break
+            lo = ty * ntx + tx0
+            if tx1 - tx0 + 1 >= n_buckets:
+                buckets = set(range(n_buckets))
+                break
+            buckets.update(
+                (lo + i) % n_buckets for i in range(tx1 - tx0 + 1)
+            )
+        if len(buckets) < n_buckets:
+            cond = F.col("cell_bucket").isin(sorted(buckets)) & cond
+    return df.filter(cond)
+
+
 def snapshots(path: str) -> list[dict]:
     """Committed snapshot manifests, oldest first."""
     return _list_manifests(path)

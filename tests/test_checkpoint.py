@@ -198,3 +198,52 @@ def test_time_travel_as_of(spark, cube, tmp_path):
     assert first.exceptAll(full).count() == 0
     with pytest.raises(ValueError, match="unknown snapshot"):
         CP.read_cube(spark, path, as_of="nope")
+
+
+def test_read_cube_window_prunes_and_matches(spark, cube, tmp_path):
+    """Spatial window read: same rows as brute-force filtering the
+    full table, while reading FEWER parquet files (bucket partition
+    pruning) and pushing the tile_id envelope to the scan."""
+    path = str(tmp_path / "cube_win")
+    cube.write(path, commit_batches=2)
+    gb, ts = cube.geobox, cube.tile_size
+    # a window around the grid center, a few tiles wide
+    a = gb.affine
+    cx = a.c + a.a * (gb.width / 2)
+    cy = a.f + a.e * (gb.height / 2)
+    span_x = abs(a.a) * ts * 1.5
+    span_y = abs(a.e) * ts * 1.5
+    bbox = (cx - span_x, cy - span_y, cx + span_x, cy + span_y)
+    win = CP.read_cube_window(spark, path, gb, ts, bbox)
+    full = CP.read_cube(spark, path)
+
+    # exact expected tile set from the full table
+    _, ntx, _ = gb.n_tiles(ts)
+    inv = a.invert()
+    xs = [bbox[0], bbox[2]]
+    ys = [bbox[1], bbox[3]]
+    px = [inv.c + inv.a * x + inv.b * y for x in xs for y in ys]
+    py = [inv.f + inv.d * x + inv.e * y for x in xs for y in ys]
+    tx0, tx1 = int(min(px) // ts), int(max(px) // ts)
+    ty0, ty1 = int(min(py) // ts), int(max(py) // ts)
+    want = full.filter(
+        (F.floor(F.col("tile_id") / ntx).between(ty0, ty1))
+        & (F.pmod(F.col("tile_id"), F.lit(ntx)).between(tx0, tx1))
+    )
+    got_ids = sorted(r["tile_id"] for r in win.select("tile_id").collect())
+    want_ids = sorted(
+        r["tile_id"] for r in want.select("tile_id").collect()
+    )
+    assert got_ids == want_ids and len(got_ids) > 0
+    # pruning is visible in the physical plan: a PartitionFilters
+    # entry on cell_bucket (directory pruning) and the tile_id
+    # envelope in PushedFilters (row-group min/max pruning)
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "cell_bucket" in plan.split("PartitionFilters", 1)[1][:400]
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "tile_id" in pushed and "GreaterThanOrEqual" in pushed
+    # degenerate window off the grid reads nothing
+    off = CP.read_cube_window(
+        spark, path, gb, ts, (1e9, 1e9, 2e9, 2e9)
+    )
+    assert off.count() == 0
