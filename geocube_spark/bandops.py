@@ -711,3 +711,122 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
         group_by=cube.group_by, group_keys=cube.group_keys,
         tile_size=cube.tile_size, fill=float("nan"),
     )
+
+
+def merge_cubes(a: GeoCube, b: GeoCube, merge_alg: str = "replace",
+                ) -> GeoCube:
+    """Combine two cubes over the SAME grid into one — the incremental
+    pattern: burn this week's documents into their own cube, then fold
+    it into the running mosaic without re-burning history.
+
+    * ``'add'``     cell-wise ``a + b - fill`` (each side's burned
+      value is ``fill + sum``, so the merge equals one burn over the
+      union of both inputs); nodata on one side passes the other
+      through.
+    * ``'replace'`` ``b`` wins wherever ``b`` holds data, else ``a``
+      (last-write-wins at batch grain).
+
+    Plan: ONE full-outer equi-join on (measurement, group_key,
+    tile_id) — tiles present on a single side stream through untouched
+    — and a ``zip_with`` element program inside whole-stage codegen.
+    No Python, no driver collection, shuffle bounded by the chunk
+    tables themselves."""
+    if merge_alg not in ("add", "replace"):
+        raise ValueError(f"unsupported merge_alg {merge_alg!r}")
+    if a.geobox.to_dict() != b.geobox.to_dict():
+        raise ValueError("cubes must share the same grid (geobox)")
+    if a.tile_size != b.tile_size:
+        raise ValueError("cubes must share the same tile_size")
+    if set(a.bands) != set(b.bands):
+        raise ValueError(
+            f"band mismatch: {sorted(a.bands)} vs {sorted(b.bands)}"
+        )
+    fills = {m: float(meta.fill) for m, meta in a.bands.items()}
+    for m, meta in b.bands.items():
+        fb = float(meta.fill)
+        if not (fb == fills[m] or (np.isnan(fb) and np.isnan(fills[m]))):
+            raise ValueError(f"band {m!r} fill differs between cubes")
+
+    fill_map = F.create_map(
+        *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
+    )
+
+    keys = ["measurement", "group_key", "tile_id"]
+    left = a.chunks.alias("a")
+    right = b.chunks.alias("b")
+    cond = (
+        (F.col("a.measurement") == F.col("b.measurement"))
+        & F.col("a.group_key").eqNullSafe(F.col("b.group_key"))
+        & (F.col("a.tile_id") == F.col("b.tile_id"))
+    )
+    joined = left.join(right, cond, "full_outer")
+
+    def side(col):
+        return F.coalesce(F.col(f"a.{col}"), F.col(f"b.{col}"))
+
+    fill = fill_map[side("measurement")]
+
+    def _is_data(x):
+        return x.isNotNull() & ~F.isnan(x) & (
+            F.when(F.isnan(fill), F.lit(True)).otherwise(x != fill)
+        )
+
+    if merge_alg == "add":
+        def elem(x, y):
+            return (
+                F.when(x.isNull() | F.isnan(x), y)
+                .when(y.isNull() | F.isnan(y), x)
+                .otherwise(
+                    x + y - F.when(F.isnan(fill), F.lit(0.0))
+                    .otherwise(fill)
+                )
+            )
+    else:
+        def elem(x, y):
+            return F.when(_is_data(y), y).otherwise(x)
+
+    both = F.zip_with(F.col("a.values"), F.col("b.values"), elem)
+    vals = F.when(
+        F.col("a.values").isNull(), F.col("b.values")
+    ).when(
+        F.col("b.values").isNull(), F.col("a.values")
+    ).otherwise(both)
+
+    def _sum(col):
+        return (
+            F.coalesce(F.col(f"a.{col}"), F.lit(0))
+            + F.coalesce(F.col(f"b.{col}"), F.lit(0))
+        ).cast("long")
+
+    chunks = joined.select(
+        side("measurement").alias("measurement"),
+        side("group_key").alias("group_key"),
+        side("zoom").alias("zoom"),
+        side("tile_id").alias("tile_id"),
+        side("row0").alias("row0"),
+        side("col0").alias("col0"),
+        side("h").alias("h"),
+        side("w").alias("w"),
+        vals.alias("values"),
+        _sum("n_geoms").alias("n_geoms"),
+        _sum("n_cells_burned").alias("n_cells_burned"),
+        F.least(
+            F.coalesce(F.col("a.min_seq"), F.col("b.min_seq")),
+            F.coalesce(F.col("b.min_seq"), F.col("a.min_seq")),
+        ).alias("min_seq"),
+        F.greatest(
+            F.coalesce(F.col("a.max_seq"), F.col("b.max_seq")),
+            F.coalesce(F.col("b.max_seq"), F.col("a.max_seq")),
+        ).alias("max_seq"),
+    ).select(*[f.name for f in a.chunks.schema.fields])
+
+    group_keys = a.group_keys
+    if a.group_by and (a.group_keys or b.group_keys):
+        group_keys = sorted(
+            set(a.group_keys or []) | set(b.group_keys or [])
+        )
+    return GeoCube(
+        chunks=chunks, geobox=a.geobox, bands=dict(a.bands),
+        group_by=a.group_by, group_keys=group_keys,
+        tile_size=a.tile_size, fill=a.fill,
+    )

@@ -226,6 +226,13 @@ class GeoCube:
 
         return focal(self, stat, size, measurements)
 
+    def merge(self, other: "GeoCube", merge_alg: str = "replace"):
+        """Fold another cube over the same grid into this one
+        (bandops.merge_cubes)."""
+        from .bandops import merge_cubes
+
+        return merge_cubes(self, other, merge_alg)
+
     def terrain(self, band: str, mode: str = "slope", *,
                 azimuth: float = 315.0, altitude: float = 45.0,
                 z_factor: float = 1.0):

@@ -1640,6 +1640,43 @@ FROM g ORDER BY row, col
 """
 
 
+def q_merge_halves_add(spark, sf_dir):
+    """Incremental mosaic (bandops.merge_cubes): burn the even- and
+    odd-id halves of the corpus as separate cubes, then fold them
+    together with 'add' — the merged cube must equal ONE burn over
+    everything (each side's cell is fill + its sum, the zip_with
+    fold is a + b - fill), which is exactly the straight SQL burn."""
+    from ..cube import make_geocube
+
+    vec = _event_vector_df(spark, sf_dir)
+    kw = dict(
+        measurements=["value"], geom=WORLD_GEOM, resolution=(-1.0, 1.0),
+        fill=0.0, merge_alg="add", tile_size=64,
+    )
+    even = make_geocube(vec.filter(F.col("seq") % 2 == 0), **kw)
+    odd = make_geocube(vec.filter(F.col("seq") % 2 == 1), **kw)
+    merged = even.merge(odd, "add")
+    df = _explode_cells(merged.chunks)
+    return (
+        df.select("row", "col", F.round("val", 6).alias("val"))
+        .filter(F.col("val") != 0.0)
+        .orderBy("row", "col")
+    )
+
+
+SQL_MERGE_HALVES_ADD = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+)
+SELECT row, col, round(sum(value), 6) AS val
+FROM pts GROUP BY 1, 2 HAVING round(sum(value), 6) <> 0.0
+ORDER BY row, col
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
@@ -1676,4 +1713,5 @@ QUERIES = {
     "zonal_stats_raster": (q_zonal_stats_raster, SQL_ZONAL_RASTER),
     "focal_mean": (q_focal_mean, SQL_FOCAL_MEAN),
     "terrain_slope": (q_terrain_slope, SQL_TERRAIN_SLOPE),
+    "merge_halves_add": (q_merge_halves_add, SQL_MERGE_HALVES_ADD),
 }

@@ -422,3 +422,71 @@ def test_focal_synthesizes_missing_center_tile(spark):
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
     # the synthesized tile's first column is the burned border mean
     assert np.isfinite(got[:, 8]).all() and np.isnan(got[:, 9]).all()
+
+
+def _split_docs_cubes(spark, merge_alg):
+    """Two cubes burned from doc-id-parity halves of the same corpus,
+    plus the single cube over everything."""
+    pdf = datagen.scale_docs(500, seed=31)
+    even = datagen.to_spark(spark, pdf[::2].reset_index(drop=True))
+    odd = datagen.to_spark(spark, pdf[1::2].reset_index(drop=True))
+    both = datagen.to_spark(spark, pdf)
+    kw = dict(
+        measurements=["m0"], geom=GEOM,
+        resolution=(-1.0 / 32, 1.0 / 32), fill=0.0,
+        merge_alg=merge_alg, tile_size=16,
+    )
+    return (
+        make_geocube(even, **kw),
+        make_geocube(odd, **kw),
+        make_geocube(both, **kw),
+    )
+
+
+def test_merge_cubes_add_equals_single_burn(spark):
+    a, b, full = _split_docs_cubes(spark, "add")
+    merged = a.merge(b, "add")
+    np.testing.assert_allclose(
+        merged.assemble()["m0"], full.assemble()["m0"], rtol=0, atol=1e-9
+    )
+
+
+def test_merge_cubes_replace_b_wins(spark):
+    a, b, _ = _split_docs_cubes(spark, "replace")
+    merged = a.merge(b, "replace")
+    arrs = merged.assemble()["m0"]
+    aa, bb = a.assemble()["m0"], b.assemble()["m0"]
+    want = np.where(bb != 0.0, bb, aa)
+    np.testing.assert_array_equal(arrs, want)
+
+
+def test_merge_cubes_nan_fill_and_errors(spark):
+    pdf = datagen.scale_docs(200, seed=5)
+    kw = dict(
+        measurements=["m0"], geom=GEOM,
+        resolution=(-1.0 / 16, 1.0 / 16), fill=float("nan"),
+        merge_alg="replace", tile_size=16,
+    )
+    a = make_geocube(
+        datagen.to_spark(spark, pdf[::2].reset_index(drop=True)), **kw
+    )
+    b = make_geocube(
+        datagen.to_spark(spark, pdf[1::2].reset_index(drop=True)), **kw
+    )
+    merged = a.merge(b, "replace").assemble()["m0"]
+    aa, bb = a.assemble()["m0"], b.assemble()["m0"]
+    want = np.where(~np.isnan(bb), bb, aa)
+    np.testing.assert_array_equal(
+        np.isnan(merged), np.isnan(want)
+    )
+    ok = ~np.isnan(want)
+    np.testing.assert_array_equal(merged[ok], want[ok])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="merge_alg"):
+        a.merge(b, "multiply")
+    other = make_geocube(
+        datagen.to_spark(spark, pdf), measurements=["m0"], geom=GEOM,
+        resolution=(-1.0 / 8, 1.0 / 8), fill=float("nan"), tile_size=16,
+    )
+    with _pt.raises(ValueError, match="geobox"):
+        a.merge(other)
