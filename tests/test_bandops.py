@@ -490,3 +490,48 @@ def test_merge_cubes_nan_fill_and_errors(spark):
     )
     with _pt.raises(ValueError, match="geobox"):
         a.merge(other)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_focal_irregular_grid_random_tiles(spark, seed):
+    """Partial edge tiles (grid not a multiple of tile_size) with a
+    random subset of tiles missing — the halo clip/paste/synthesis
+    geometry against the dense numpy reference."""
+    from geocube_spark.cube import CHUNK_SCHEMA, GeoCube, BandMeta
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.geometry.crs import CRS
+    from geocube_spark.grid.geobox import GeoBox
+
+    rng = np.random.RandomState(seed)
+    ts, H, W = 8, 19, 23  # partial tiles on both axes
+    gb = GeoBox(W, H, Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(H)),
+                CRS(32615))
+    dense = np.where(
+        rng.rand(H, W) < 0.3, np.nan, rng.uniform(1, 9, (H, W))
+    )
+    rows = []
+    for tid, row0, col0, h, w in gb.tile_grid(ts):
+        if rng.rand() < 0.3:
+            dense[row0:row0 + h, col0:col0 + w] = np.nan  # missing tile
+            continue
+        vals = dense[row0:row0 + h, col0:col0 + w].ravel()
+        rows.append((
+            "band", None, 0, int(tid), int(row0), int(col0), int(h),
+            int(w), [None if np.isnan(v) else float(v) for v in vals],
+            1, h * w, 0, 0,
+        ))
+    if not rows:
+        pytest.skip("all tiles dropped")
+    cube = GeoCube(
+        chunks=spark.createDataFrame(rows, CHUNK_SCHEMA), geobox=gb,
+        bands={"band": BandMeta("band", "float64", float("nan"))},
+        tile_size=ts, fill=float("nan"),
+    )
+    for stat, size in (("mean", 3), ("max", 5), ("count", 3)):
+        got = cube.focal(stat, size).assemble()["band"]
+        ref = _focal_reference(dense, float("nan"), stat, size)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9,
+                                   err_msg=f"{stat}/{size} seed={seed}")
+    got = cube.terrain("band", "slope").assemble()["slope"]
+    ref = _terrain_reference(dense, float("nan"), "slope", 1.0, 1.0, 1.0)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
