@@ -121,3 +121,50 @@ def quota_sample(df: DataFrame, n: int, stratum_col: str, *,
         .filter(F.col(r2) <= n)
         .drop(hc, r1, r2)
     )
+
+
+def budget_sample(df: DataFrame, budget: float, stratum_col: str, *,
+                  weight_col: str, key_col: str = "doc_id",
+                  salt: str = "") -> DataFrame:
+    """Per-stratum WEIGHT budget (the corpus-mixing primitive: "take
+    documents per language until ~1B tokens"): walk each stratum in
+    deterministic ``(h60(key||salt), key)`` order and keep rows while
+    the running sum of ``weight_col`` stays <= ``budget``. Since
+    weights are cumulative the kept set is a strict prefix of the
+    hash order — the first overflowing row and everything after it
+    are excluded (a single row heavier than the whole budget yields
+    zero rows for its stratum). NULL keys are dropped; NULL weights
+    count as 0; weights are assumed non-negative (a negative weight
+    breaks the prefix property and the result is then order-dependent
+    nonsense — token/byte counts never are).
+
+    Scale shape: ONE running-sum window per stratum. Unlike
+    ``quota_sample``'s rank, a cumulative budget cannot be bucketed
+    into independent prefixes (dropping a mid-stream heavy row in one
+    bucket shifts every later survivor's cumsum — weights [5, 10, 1]
+    with budget 6 is a counterexample), so the exact form sorts each
+    stratum. With language-like strata (bounded cardinality, huge
+    rows) the production refinement is a two-pass cut search: pass 1
+    aggregates weight totals per (stratum, hash range) to bracket the
+    cut hash on the driver, pass 2 keeps ``hash < bracket_lo``
+    outright and windows only the bracket's rows. The single-window
+    form here is the semantics both must reproduce."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    hc, c2 = "__gcs_smpl_h", "__gcs_smpl_c"
+    for col in (hc, c2):
+        if col in df.columns:
+            raise ValueError(f"input already has a column named {col!r}")
+    wcol = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    hcol = F.pmod(_key_hash(key_col, salt), F.lit(1 << 60))
+    with_h = df.filter(F.col(key_col).isNotNull()).withColumn(hc, hcol)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col(hc).asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_h.withColumn(c2, F.sum(wcol).over(w))
+        .filter(F.col(c2) <= budget)
+        .drop(hc, c2)
+    )

@@ -853,6 +853,34 @@ SELECT doc_id, lang FROM r WHERE rn <= 25 ORDER BY doc_id
 """
 
 
+def q_sample_budget(spark, sf_dir):
+    """Token-budget corpus mixing (budget_sample): per language, keep
+    documents in deterministic hash order while the running n_chars
+    sum stays under 20k — the 'take N tokens per language' primitive.
+    Oracle replays the running-sum window with the same total order."""
+    from ..functions.sampling import budget_sample
+
+    return budget_sample(
+        _docs(spark, sf_dir), 20_000, "lang", weight_col="n_chars"
+    ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+SQL_SAMPLE_BUDGET = f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         {H60_SQL.format(x="CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang
+                            ORDER BY hh ASC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+)
+SELECT doc_id, lang, n_chars FROM c WHERE cum <= 20000 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -875,4 +903,5 @@ QUERIES = {
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
+    "sample_budget": (q_sample_budget, SQL_SAMPLE_BUDGET),
 }

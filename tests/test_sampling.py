@@ -89,3 +89,63 @@ def test_quota_null_keys_dropped_and_validation(spark):
     clash = df.withColumn("__gcs_smpl_h", F.lit(1))
     with pytest.raises(ValueError, match="__gcs_smpl_h"):
         quota_sample(clash, 5, "lang")
+
+
+def test_budget_sample_prefix_semantics(spark):
+    from geocube_spark.functions.sampling import budget_sample
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de")),
+            (F.col("id") % 2 + 1).cast("int"),
+        ).alias("lang"),
+        (F.col("id") % 17 + 1).cast("double").alias("n_tokens"),
+    )
+    out = budget_sample(docs, 200.0, "lang", weight_col="n_tokens")
+    pdf = out.toPandas()
+    # per-stratum totals respect the budget
+    sums = pdf.groupby("lang")["n_tokens"].sum()
+    assert (sums <= 200.0).all() and len(sums) == 2
+    # prefix property: recompute the hash order locally and check the
+    # kept set is exactly the maximal prefix
+    hh = F.pmod(h60(F.col("doc_id").cast("string")), F.lit(1 << 60))
+    allp = docs.withColumn("hh", hh).toPandas()
+    for lang in ("en", "de"):
+        sub = allp[allp["lang"] == lang].sort_values(
+            ["hh", "doc_id"]
+        ).reset_index(drop=True)
+        cum = sub["n_tokens"].cumsum()
+        want = set(sub["doc_id"][cum <= 200.0])
+        got = set(pdf[pdf["lang"] == lang]["doc_id"])
+        assert got == want
+    # determinism
+    again = budget_sample(docs, 200.0, "lang", weight_col="n_tokens")
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        pdf["doc_id"]
+    )
+    with pytest.raises(ValueError, match="budget"):
+        budget_sample(docs, -1, "lang", weight_col="n_tokens")
+
+
+def test_budget_sample_overweight_first_row(spark):
+    from geocube_spark.functions.sampling import budget_sample
+
+    docs = spark.createDataFrame(
+        [(1, "en", 1000.0), (2, "en", 5.0)],
+        "doc_id long, lang string, w double",
+    )
+    out = budget_sample(docs, 10.0, "lang", weight_col="w").collect()
+    # whichever doc hashes first: if the heavy one leads, nothing fits
+    # after it either (cumsum monotone) — recompute expectation
+    import hashlib
+    h = {d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+         for d in (1, 2)}
+    order = sorted((1, 2), key=lambda d: h[d])
+    w = {1: 1000.0, 2: 5.0}
+    cum, want = 0.0, []
+    for d in order:
+        cum += w[d]
+        if cum <= 10.0:
+            want.append(d)
+    assert sorted(r["doc_id"] for r in out) == sorted(want)
