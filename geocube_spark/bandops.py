@@ -528,7 +528,7 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
     rasterio's windowed filters that reference users run on the
     assembled Dataset after ``make_geocube``.
 
-    stat: 'mean' | 'sum' | 'min' | 'max' | 'count' over the
+    stat: 'mean' | 'sum' | 'min' | 'max' | 'count' | 'median' over the
     ``size`` x ``size`` window centered on each cell. Nodata cells
     (the band fill, or NULL/NaN for NaN-fill cubes) and cells outside
     the raster are excluded from the window; a window with zero valid
@@ -556,7 +556,7 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
     the sparse chunk table. Tiles nothing reaches stay absent, which
     reads back as nodata.
     """
-    if stat not in ("mean", "sum", "min", "max", "count"):
+    if stat not in ("mean", "sum", "min", "max", "count", "median"):
         raise ValueError(f"unsupported stat {stat!r}")
     size = int(size)
     if size < 3 or size % 2 == 0:
@@ -600,6 +600,14 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
                 return np.where(wcnt > 0, wsum, np.nan)
             with np.errstate(invalid="ignore", divide="ignore"):
                 return np.where(wcnt > 0, wsum / wcnt, np.nan)
+        if stat == "median":
+            import warnings
+
+            a = np.where(valid, pad, np.nan)
+            win = np.lib.stride_tricks.sliding_window_view(a, (s, s))
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # all-NaN windows
+                return np.nanmedian(win, axis=(2, 3))
         sentinel = np.inf if stat == "min" else -np.inf
         a = np.where(valid, pad, sentinel)
         win = np.lib.stride_tricks.sliding_window_view(a, (s, s))

@@ -1587,6 +1587,44 @@ ORDER BY row, col
 """
 
 
+def q_focal_median(spark, sf_dir):
+    """3x3 focal MEDIAN — exercises the sliding-window nanmedian path
+    of the stencil (focal_mean covers the summed-area table). DuckDB's
+    median matches numpy nanmedian's average-of-middles on even
+    counts."""
+    cube = _two_band_cube(spark, sf_dir)
+    out = cube.focal(stat="median", size=3, measurements=["value"])
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.round("val", 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_FOCAL_MEDIAN = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), s AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), v AS (
+  SELECT row, col, sv FROM s WHERE sv <> 0.0
+), cells AS (
+  SELECT CAST(r.range AS INT) AS row, CAST(c.range AS INT) AS col
+  FROM range(0, 180) r, range(0, 360) c
+)
+SELECT c.row AS row, c.col AS col, round(median(v.sv), 6) AS val
+FROM cells c
+JOIN v ON v.row BETWEEN c.row - 1 AND c.row + 1
+      AND v.col BETWEEN c.col - 1 AND c.col + 1
+GROUP BY 1, 2
+ORDER BY row, col
+"""
+
+
 def q_terrain_slope(spark, sf_dir):
     """Horn slope via the halo-exchange stencil (bandops.terrain) on a
     4x-coarsened burn (coarse enough that 3x3 all-valid windows exist
@@ -1712,6 +1750,7 @@ QUERIES = {
     "warp_upscale": (q_warp_upscale, SQL_WARP_UPSCALE),
     "zonal_stats_raster": (q_zonal_stats_raster, SQL_ZONAL_RASTER),
     "focal_mean": (q_focal_mean, SQL_FOCAL_MEAN),
+    "focal_median": (q_focal_median, SQL_FOCAL_MEDIAN),
     "terrain_slope": (q_terrain_slope, SQL_TERRAIN_SLOPE),
     "merge_halves_add": (q_merge_halves_add, SQL_MERGE_HALVES_ADD),
 }

@@ -210,6 +210,13 @@ def _focal_reference(arr, fill, stat, size):
     filled = np.where(vwin, win, 0.0)
     if stat == "count":
         return np.where(cnt > 0, cnt, np.nan)
+    if stat == "median":
+        import warnings
+
+        a = np.where(vwin, win, np.nan)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return np.nanmedian(a, axis=(2, 3))
     if stat == "sum":
         return np.where(cnt > 0, filled.sum(axis=(2, 3)), np.nan)
     if stat == "mean":
@@ -221,7 +228,8 @@ def _focal_reference(arr, fill, stat, size):
     return np.where(np.isfinite(out), out, np.nan)
 
 
-@pytest.mark.parametrize("stat", ["mean", "sum", "min", "max", "count"])
+@pytest.mark.parametrize(
+    "stat", ["mean", "sum", "min", "max", "count", "median"])
 def test_focal_matches_numpy(spark, two_band_cube, stat):
     cube = two_band_cube
     out = cube.focal(stat=stat, size=3)
@@ -259,7 +267,7 @@ def test_focal_nan_fill_and_errors(spark):
     ref = _focal_reference(cube.assemble()["m0"], float("nan"), "max", 3)
     np.testing.assert_allclose(out.assemble()["m0"], ref, rtol=0, atol=0)
     with pytest.raises(ValueError):
-        cube.focal(stat="median")
+        cube.focal(stat="mode")
     with pytest.raises(ValueError):
         cube.focal(size=4)
     with pytest.raises(ValueError):
