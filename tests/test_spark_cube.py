@@ -547,3 +547,28 @@ def test_grouped_cube_null_group_rows_dropped(spark):
     # null-group points (cols 1 and 3) burned nowhere
     np.testing.assert_array_equal(arrs["value"][0, 0], [1, 0, 0, 0, 5, 0])
     np.testing.assert_array_equal(arrs["value"][1, 0], [0, 0, 3, 0, 0, 6])
+
+
+def test_burn_plan_has_exactly_one_shuffle(spark):
+    """The flagship burn's physical plan: ONE wide dependency (the
+    pinned repartition onto (group, tile)) — extract and cover are
+    narrow maps, the burn is a mapInPandas over the shuffled
+    partitions. A second Exchange appearing here means a regression
+    in the one-shuffle contract (BASELINE.md plan audit)."""
+    from geocube_spark import datagen
+    from geocube_spark.cube import make_geocube
+
+    docs = datagen.to_spark(spark, datagen.scale_docs(50, seed=2))
+    cube = make_geocube(
+        docs, measurements=["m0"], resolution=(-0.05, 0.05),
+        fill=0.0, merge_alg="add", tile_size=32,
+    )
+    plan = cube.chunks._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # salted skew escape: partial burn + per-tile merge = exactly two
+    salted = make_geocube(
+        docs, measurements=["m0"], resolution=(-0.05, 0.05),
+        fill=0.0, merge_alg="add", tile_size=32, salt=4,
+    )
+    plan2 = salted.chunks._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") == 2, plan2
