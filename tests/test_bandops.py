@@ -543,3 +543,22 @@ def test_focal_irregular_grid_random_tiles(spark, seed):
     got = cube.terrain("band", "slope").assemble()["slope"]
     ref = _terrain_reference(dense, float("nan"), "slope", 1.0, 1.0, 1.0)
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-9)
+
+
+def test_post_ops_on_empty_cube(spark):
+    """A cube whose geom intersects nothing burns zero chunks; every
+    post-op degrades to an empty (not failing) result."""
+    docs = datagen.to_spark(spark, datagen.scale_docs(50, seed=2))
+    far = (
+        '{"type": "Polygon", "coordinates": [[[10, 10], [11, 10], '
+        '[11, 11], [10, 11], [10, 10]]]}'
+    )
+    cube = make_geocube(
+        docs, measurements=["m0"], geom=far,
+        resolution=(-0.05, 0.05), fill=0.0, tile_size=32,
+    )
+    assert cube.chunks.count() == 0
+    assert cube.focal("mean", 3).chunks.count() == 0
+    assert cube.terrain("m0", "slope").chunks.count() == 0
+    assert cube.merge(cube, "add").chunks.count() == 0
+    assert cube.coarsen(4, "mean").chunks.count() == 0
