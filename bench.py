@@ -60,15 +60,15 @@ def run(spark=None, sf_dir: str = None) -> dict:
         resolution=(-50, 50), fill=0.0, tile_size=64,
     ).chunks.count()
 
-    # best-of-2 per query: the sandbox host's page-fault service rate
+    # best-of-3 per query: the sandbox host's page-fault service rate
     # collapses unpredictably under load (memory-overcommitted
-    # hypervisor), so single runs are hostage to when the fit strikes;
-    # the min of two runs is the engine's actual cost
+    # hypervisor) and a single storm can span two consecutive runs;
+    # the min of three runs is the engine's actual cost
     qs = E.queries()
     times, rows = {}, {}
     for name, fn in qs.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             rows[name] = fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
