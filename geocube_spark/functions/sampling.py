@@ -125,7 +125,8 @@ def quota_sample(df: DataFrame, n: int, stratum_col: str, *,
 
 def budget_sample(df: DataFrame, budget: float, stratum_col: str, *,
                   weight_col: str, key_col: str = "doc_id",
-                  salt: str = "") -> DataFrame:
+                  salt: str = "", plan: str = "window",
+                  bracket_buckets: int = 1024) -> DataFrame:
     """Per-stratum WEIGHT budget (the corpus-mixing primitive: "take
     documents per language until ~1B tokens"): walk each stratum in
     deterministic ``(h60(key||salt), key)`` order and keep rows while
@@ -138,19 +139,33 @@ def budget_sample(df: DataFrame, budget: float, stratum_col: str, *,
     breaks the prefix property and the result is then order-dependent
     nonsense — token/byte counts never are).
 
-    Scale shape: ONE running-sum window per stratum. Unlike
-    ``quota_sample``'s rank, a cumulative budget cannot be bucketed
-    into independent prefixes (dropping a mid-stream heavy row in one
-    bucket shifts every later survivor's cumsum — weights [5, 10, 1]
-    with budget 6 is a counterexample), so the exact form sorts each
-    stratum. With language-like strata (bounded cardinality, huge
-    rows) the production refinement is a two-pass cut search: pass 1
-    aggregates weight totals per (stratum, hash range) to bracket the
-    cut hash on the driver, pass 2 keeps ``hash < bracket_lo``
-    outright and windows only the bracket's rows. The single-window
-    form here is the semantics both must reproduce."""
+    Scale shape (``plan``): unlike ``quota_sample``'s rank, a
+    cumulative budget cannot be bucketed into independent prefixes
+    (dropping a mid-stream heavy row in one bucket shifts every later
+    survivor's cumsum — weights [5, 10, 1] with budget 6 is a
+    counterexample), so:
+
+    * ``plan='window'`` (default) — ONE running-sum window per
+      stratum; exact, but sorts each stratum in one task.
+    * ``plan='bracket'`` — the exact two-pass form for giant strata:
+      pass 1 aggregates weight totals per (stratum, ORDER-PRESERVING
+      hash range) — a tiny map-side-combined aggregate — and the
+      driver walks each stratum's ranges in order to find the single
+      range the budget boundary falls in. Pass 2 keeps every row of
+      earlier ranges outright (a scan filter, cumsum provably <=
+      budget), drops later ranges, and windows ONLY the boundary
+      range's rows (~1/``bracket_buckets`` of the stratum) with the
+      earlier ranges' total as the cumsum offset. Identical output to
+      'window' (differential-tested); requires stratum cardinality x
+      ``bracket_buckets`` driver rows (languages x 1024 — trivial).
+      Exactness caveat: the two plans add weights in different orders,
+      so a row whose cumsum lands within one double ulp of the budget
+      could flip between them — irrelevant for integer-valued weights
+      (token/byte counts up to 2^53, the intended use)."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
+    if plan not in ("window", "bracket"):
+        raise ValueError(f"unknown plan {plan!r}")
     hc, c2 = "__gcs_smpl_h", "__gcs_smpl_c"
     for col in (hc, c2):
         if col in df.columns:
@@ -158,9 +173,85 @@ def budget_sample(df: DataFrame, budget: float, stratum_col: str, *,
     wcol = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
     hcol = F.pmod(_key_hash(key_col, salt), F.lit(1 << 60))
     with_h = df.filter(F.col(key_col).isNotNull()).withColumn(hc, hcol)
+    order = (F.col(hc).asc(), F.col(key_col).asc())
+
+    if plan == "bracket":
+        if bracket_buckets < 2:
+            raise ValueError("bracket_buckets must be >= 2")
+        # order-preserving range id: hash >> shift keeps hash order,
+        # so range r's rows all precede range r+1's in the walk order
+        shift = max(0, 60 - int(bracket_buckets - 1).bit_length())
+        rng = F.shiftright(F.col(hc), shift)
+        totals = (
+            with_h.groupBy(F.col(stratum_col).alias("__s"),
+                           rng.alias("__r"))
+            .agg(F.sum(wcol).alias("__w"))
+            .collect()
+        )
+        per_stratum: dict = {}
+        for row in totals:
+            per_stratum.setdefault(row["__s"], []).append(
+                (row["__r"], row["__w"])
+            )
+        keep_lt: dict = {}    # stratum -> first range NOT fully kept
+        offset: dict = {}     # stratum -> cumsum before that range
+        for s, pairs in per_stratum.items():
+            run = 0.0
+            cut, base = -1, 0.0
+            for r, tot in sorted(pairs):
+                if run + tot > budget:
+                    cut, base = r, run
+                    break
+                run += tot
+            else:
+                cut, base = (1 << 61), run  # whole stratum fits
+            keep_lt[s] = cut
+            offset[s] = base
+
+        null_cut = keep_lt.pop(None, None)
+        null_base = offset.pop(None, 0.0)
+
+        def _lit_map(d, default):
+            if not d:
+                return F.lit(float(default))
+            return F.coalesce(
+                F.create_map(
+                    *[x for k, v in d.items()
+                      for x in (F.lit(k), F.lit(float(v)))]
+                )[F.col(stratum_col)],
+                F.lit(float(default)),
+            )
+
+        # a NULL stratum is its own group (SQL window semantics): its
+        # cut/base can't live in a map literal (no null keys), so wire
+        # it through the WHEN branch
+        cut_col = _lit_map(keep_lt, -1.0)
+        base_col = _lit_map(offset, 0.0)
+        if null_cut is not None:
+            isnull = F.col(stratum_col).isNull()
+            cut_col = F.when(isnull, F.lit(float(null_cut))).otherwise(
+                cut_col
+            )
+            base_col = F.when(
+                isnull, F.lit(float(null_base))
+            ).otherwise(base_col)
+        early = with_h.filter(rng < cut_col)
+        wb = (
+            Window.partitionBy(stratum_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        boundary = (
+            with_h.filter(rng == cut_col)
+            .withColumn(c2, F.sum(wcol).over(wb) + base_col)
+            .filter(F.col(c2) <= budget)
+            .drop(c2)
+        )
+        return early.unionByName(boundary).drop(hc)
+
     w = (
         Window.partitionBy(stratum_col)
-        .orderBy(F.col(hc).asc(), F.col(key_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -149,3 +149,35 @@ def test_budget_sample_overweight_first_row(spark):
         if cum <= 10.0:
             want.append(d)
     assert sorted(r["doc_id"] for r in out) == sorted(want)
+
+
+@pytest.mark.parametrize("bb", [2, 8, 1024])
+def test_budget_bracket_plan_matches_window(spark, bb):
+    """The two-pass cut-bracket plan is output-identical to the exact
+    single-window form, including heavy rows at the boundary, a NULL
+    stratum, and strata that fit entirely."""
+    from geocube_spark.functions.sampling import budget_sample
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(
+            F.concat(F.lit("L"), (F.col("id") % 3).cast("string"))
+        ).alias("lang"),
+        # mix of tiny and budget-dominating weights
+        F.when(F.col("id") % 11 == 0, 500.0)
+        .otherwise((F.col("id") % 13 + 1).cast("double"))
+        .alias("w"),
+    )
+    kw = dict(stratum_col="lang", weight_col="w")
+    for budget in (0.0, 35.0, 700.0, 1e9):
+        a = budget_sample(docs, budget, plan="window", **kw)
+        b = budget_sample(
+            docs, budget, plan="bracket", bracket_buckets=bb, **kw
+        )
+        ga = sorted(r["doc_id"] for r in a.collect())
+        gb = sorted(r["doc_id"] for r in b.collect())
+        assert ga == gb, (budget, bb, len(ga), len(gb))
+    with pytest.raises(ValueError, match="plan"):
+        budget_sample(docs, 10, plan="magic", **kw)
+    with pytest.raises(ValueError, match="bracket_buckets"):
+        budget_sample(docs, 10, plan="bracket", bracket_buckets=1, **kw)
