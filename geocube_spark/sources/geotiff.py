@@ -43,6 +43,7 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
              12: "d", 16: "Q", 17: "q"}
 
+T_NEWSUBFILE = 254
 T_WIDTH = 256
 T_HEIGHT = 257
 T_BITS = 258
@@ -313,7 +314,13 @@ def _tag_values(entries, tag, bo: str, default=None):
     return list(struct.unpack(bo + fmt * cnt, val))
 
 
-def read_tiff_info(path: str) -> TiffInfo:
+def read_tiff_info(path: str, *, ifd_index: int = 0) -> TiffInfo:
+    """Parse one IFD of a TIFF. ``ifd_index`` walks the IFD chain —
+    index 0 is the full-resolution image, higher indexes are the
+    reduced-resolution overviews a COG writer appends (GDAL internal-
+    overview layout). Overview IFDs usually carry no georeferencing
+    tags; the transform then comes back as the identity placeholder
+    and callers scale the full-resolution affine themselves."""
     with open(path, "rb") as fp:
         head = fp.read(16)
         if head[:2] == b"II":
@@ -331,9 +338,17 @@ def read_tiff_info(path: str) -> TiffInfo:
             ifd_off = struct.unpack(bo + "Q", head[8:16])[0]
         else:
             raise ValueError(f"{path}: bad TIFF magic {magic}")
-        fp.seek(ifd_off)
-        buf = fp.read(8 + 4096 * (20 if big else 12) + 8)
-        entries, _ = _read_ifd_entries(buf, fp, bo, big)
+        for hop in range(ifd_index + 1):
+            fp.seek(ifd_off)
+            buf = fp.read(8 + 4096 * (20 if big else 12) + 8)
+            entries, next_off = _read_ifd_entries(buf, fp, bo, big)
+            if hop < ifd_index:
+                if not next_off:
+                    raise IndexError(
+                        f"{path}: no IFD #{ifd_index} "
+                        f"(chain ends at #{hop})"
+                    )
+                ifd_off = next_off
 
     def tv(tag, default=None):
         return _tag_values(entries, tag, bo, default)
@@ -379,11 +394,16 @@ def read_tiff_info(path: str) -> TiffInfo:
         scale = tv(T_PIXEL_SCALE)
         tie = tv(T_TIEPOINT)
         if scale is None or tie is None:
-            raise ValueError(f"{path}: no georeferencing tags")
-        i, j, _k, x, y, _z = tie[:6]
-        sx, sy = scale[0], scale[1]
-        a, b, c = sx, 0.0, x - i * sx
-        d, e, f = 0.0, -sy, y + j * sy
+            if ifd_index > 0:
+                # overview IFDs carry no geo tags; identity placeholder
+                a, b, c, d, e, f = 1.0, 0.0, 0.0, 0.0, -1.0, 0.0
+            else:
+                raise ValueError(f"{path}: no georeferencing tags")
+        else:
+            i, j, _k, x, y, _z = tie[:6]
+            sx, sy = scale[0], scale[1]
+            a, b, c = sx, 0.0, x - i * sx
+            d, e, f = 0.0, -sy, y + j * sy
 
     # CRS from GeoKeyDirectory
     epsg = None
@@ -454,8 +474,28 @@ def geobox_from_geotiff(path: str):
 # distributed read -> GeoCube
 # --------------------------------------------------------------------------
 
+def tiff_ifd_count(path: str) -> int:
+    """Number of IFDs in the chain (1 + overview count)."""
+    with open(path, "rb") as fp:
+        head = fp.read(16)
+        bo = "<" if head[:2] == b"II" else ">"
+        magic = struct.unpack(bo + "H", head[2:4])[0]
+        big = magic == 43
+        off = struct.unpack(
+            bo + ("Q" if big else "I"), head[8:16] if big else head[4:8]
+        )[0]
+        n = 0
+        while off:
+            fp.seek(off)
+            buf = fp.read(8 + 4096 * (20 if big else 12) + 8)
+            _, off = _read_ifd_entries(buf, fp, bo, big)
+            n += 1
+        return n
+
+
 def read_geotiff(spark, path: str, *, measurements: Optional[list] = None,
-                 tile_size: Optional[int] = None, fill=None):
+                 tile_size: Optional[int] = None, fill=None,
+                 overview: int = 0):
     """Read a GeoTIFF into a GeoCube, distributed.
 
     The driver parses only the IFD (KBs); every Spark task then reads
@@ -475,8 +515,21 @@ def read_geotiff(spark, path: str, *, measurements: Optional[list] = None,
     from ..cube import CHUNK_SCHEMA, BandMeta, GeoCube, _zoom_for
     from ..grid.geobox import GeoBox
 
-    info = read_tiff_info(path)
+    info = read_tiff_info(path, ifd_index=overview)
     gb = geobox_from_geotiff(path)
+    if overview:
+        # reduced-resolution read (the COG zoom-out path): same CRS
+        # and origin, cell size scaled by the decimation factor
+        from ..geometry.affine import Affine
+
+        a = gb.affine
+        fx = gb.width / info.width
+        fy = gb.height / info.height
+        gb = GeoBox(
+            info.width, info.height,
+            Affine(a.a * fx, a.b * fx, a.c, a.d * fy, a.e * fy, a.f),
+            gb.crs,
+        )
     if tile_size is None:
         tile_size = (info.tile_w
                      if info.tiled and info.tile_w == info.tile_h else 256)
@@ -582,15 +635,40 @@ def read_geotiff(spark, path: str, *, measurements: Optional[list] = None,
 # sink
 # --------------------------------------------------------------------------
 
+def _decimate2(arr: np.ndarray, valid: np.ndarray):
+    """Fill-aware 2x2 average decimation (GDAL 'average' with nodata):
+    each output cell is the mean of its up-to-4 VALID source cells;
+    all-invalid blocks stay invalid. Odd edges average the 1-2 cells
+    that exist."""
+    H, W = arr.shape
+    H2, W2 = (H + 1) // 2, (W + 1) // 2
+    pa = np.zeros((H2 * 2, W2 * 2), dtype=np.float64)
+    va = np.zeros((H2 * 2, W2 * 2), dtype=bool)
+    pa[:H, :W] = np.where(valid, arr, 0.0)
+    va[:H, :W] = valid
+    s = pa.reshape(H2, 2, W2, 2).sum(axis=(1, 3))
+    c = va.reshape(H2, 2, W2, 2).sum(axis=(1, 3))
+    out = np.divide(s, np.maximum(c, 1))
+    return out, c > 0
+
+
 def write_geotiff(cube, path: str, *, compression: str = "deflate",
-                  tile_size: Optional[int] = None) -> str:
-    """Write an (ungrouped) GeoCube as a tiled GeoTIFF.
+                  tile_size: Optional[int] = None,
+                  overviews=0) -> str:
+    """Write an (ungrouped) GeoCube as a tiled GeoTIFF, optionally
+    Cloud-Optimized: ``overviews=N`` appends N chained reduced-
+    resolution IFDs (2x decimation each, fill-aware averaging, GDAL
+    internal-overview layout); ``overviews='auto'`` halves until the
+    overview fits one tile. Readers that zoom out then ranged-read
+    only the small overview IFD — the COG access pattern — via
+    ``read_geotiff(..., overview=k)`` here or any COG-aware client.
 
     Multi-band output uses PlanarConfiguration=2 (band-sequential) so
     each band's tiles map 1:1 onto the cube's chunk rows; bands share
     one promoted dtype (GDAL multiband semantics). Driver-side
-    assembly like ``to_netcdf`` — the distributed sink is
-    ``GeoCube.write``; this is the GDAL-interchange hatch.
+    assembly like ``to_netcdf`` (dense band arrays are materialized on
+    the driver) — the distributed sink is ``GeoCube.write``; this is
+    the GDAL-interchange hatch.
     """
     if cube.group_by:
         raise ValueError(
@@ -619,11 +697,39 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
     # each band pads with ITS OWN fill; the file-level GDAL nodata tag
     # (a single value by format) records band 0's
     fills = [cube.bands[m].fill for m in names]
+    H, W = int(gb.height), int(gb.width)
 
-    ntx = (gb.width + ts - 1) // ts
-    nty = (gb.height + ts - 1) // ts
-    n_tiles = ntx * nty
-    bidx = {m: i for i, m in enumerate(names)}
+    # dense per-band assembly (working precision float64; missing
+    # tiles stay fill)
+    dense = {
+        m: np.full((H, W), float(cube.bands[m].fill), dtype=np.float64)
+        for m in names
+    }
+    for row in cube.chunks.toLocalIterator():
+        m = row["measurement"]
+        if m not in dense:
+            continue
+        if (row["row0"] % ts) or (row["col0"] % ts):
+            raise ValueError(
+                "chunk grid does not align with the requested tile size; "
+                f"pass tile_size={cube.tile_size}"
+            )
+        vals = np.asarray(row["values"], dtype=np.float64).reshape(
+            row["h"], row["w"]
+        )
+        dense[m][row["row0"]:row["row0"] + row["h"],
+                 row["col0"]:row["col0"] + row["w"]] = vals
+
+    if overviews == "auto":
+        n_ov = 0
+        w_, h_ = W, H
+        while max(w_, h_) > ts:
+            w_, h_ = (w_ + 1) // 2, (h_ + 1) // 2
+            n_ov += 1
+    else:
+        n_ov = int(overviews)
+    if n_ov < 0:
+        raise ValueError("overviews must be >= 0 or 'auto'")
 
     def _compress(data: bytes) -> bytes:
         if comp == C_DEFLATE:
@@ -632,35 +738,28 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
             return lzw_encode(data)
         return data
 
-    # gather compressed tiles (band-major). Missing tiles = band fill.
-    tiles: dict[int, bytes] = {}
-    for row in cube.chunks.toLocalIterator():
-        m = row["measurement"]
-        if m not in bidx:
-            continue
-        ty = row["row0"] // ts
-        tx = row["col0"] // ts
-        if (row["row0"] % ts) or (row["col0"] % ts):
-            raise ValueError(
-                "chunk grid does not align with the requested tile size; "
-                f"pass tile_size={cube.tile_size}"
-            )
-        full = np.full((ts, ts), fills[bidx[m]], dtype=dtype)
-        vals = np.asarray(row["values"], dtype=np.float64).reshape(
-            row["h"], row["w"]
-        )
-        full[:row["h"], :row["w"]] = vals.astype(dtype)
-        tiles[bidx[m] * n_tiles + ty * ntx + tx] = _compress(full.tobytes())
+    def _valid(m, arr):
+        f = float(cube.bands[m].fill)
+        return ~np.isnan(arr) if math.isnan(f) else arr != f
 
-    fill_tiles = [
-        _compress(np.full((ts, ts), f, dtype=dtype).tobytes())
-        for f in fills
-    ]
+    # pyramid: levels[k] = (w, h, {band: float64 array})
+    levels = [(W, H, dense)]
+    for _ in range(n_ov):
+        pw, ph, prev = levels[-1]
+        if max(pw, ph) <= 1:
+            break
+        nxt = {}
+        for m, arr in prev.items():
+            out, ok = _decimate2(arr, _valid(m, arr))
+            nxt[m] = np.where(ok, out, float(cube.bands[m].fill))
+        levels.append((((pw + 1) // 2), ((ph + 1) // 2), nxt))
 
-    n_chunks = n_tiles * len(names)
+    nb = len(names)
     a, b, c, d, e, f = gb.affine.tolist()[:6]
+    nd = cube.bands[names[0]].fill
+    nd_s = ("nan" if (isinstance(nd, float) and math.isnan(nd))
+            else repr(float(nd)))
 
-    # ---- tag assembly (classic TIFF, little-endian) ----
     def _entry(tag, typ, vals):
         cnt = len(vals)
         if typ == 2:
@@ -670,92 +769,123 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
             payload = struct.pack("<" + _TYPE_FMT[typ] * cnt, *vals)
         return tag, typ, cnt, payload
 
-    nb = len(names)
-    tags = [
-        _entry(T_WIDTH, 4, [gb.width]),
-        _entry(T_HEIGHT, 4, [gb.height]),
-        _entry(T_BITS, 3, [bits] * nb),
-        _entry(T_COMPRESSION, 3, [comp]),
-        _entry(T_PHOTOMETRIC, 3, [1]),
-        _entry(T_SAMPLES, 3, [nb]),
-        _entry(T_PLANAR, 3, [2]),
-        _entry(T_TILE_W, 3, [ts]),
-        _entry(T_TILE_H, 3, [ts]),
-        _entry(T_TILE_OFFSETS, 4, [0] * n_chunks),      # patched below
-        _entry(T_TILE_COUNTS, 4, [0] * n_chunks),       # patched below
-        _entry(T_SAMPLE_FORMAT, 3, [sf] * nb),
-    ]
-    rotated = (b != 0.0) or (d != 0.0)
-    if rotated:
-        tags.append(_entry(T_TRANSFORM, 12,
-                           [a, b, 0.0, c, d, e, 0.0, f,
-                            0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]))
-    else:
-        tags.append(_entry(T_PIXEL_SCALE, 12, [a, -e, 0.0]))
-        tags.append(_entry(T_TIEPOINT, 12, [0.0, 0.0, 0.0, c, f, 0.0]))
-    epsg = gb.crs.epsg
-    geo = [1, 1, 0, 3,
-           1024, 0, 1, (2 if gb.crs.is_geographic else 1),
-           1025, 0, 1, 1,
-           (2048 if gb.crs.is_geographic else 3072), 0, 1, epsg]
-    tags.append(_entry(T_GEO_DIR, 3, geo))
-    nd = cube.bands[names[0]].fill
-    nd_s = ("nan" if (isinstance(nd, float) and math.isnan(nd))
-            else repr(float(nd)))
-    tags.append(_entry(T_GDAL_NODATA, 2, [nd_s.encode() + b"\0"]))
-    tags.sort(key=lambda t: t[0])
+    def _level_block(lw, lh, arrays, base_off, is_overview):
+        """Render one image level as [IFD][payload][tile body] bytes
+        with absolute offsets; returns (block_bytes, next_ptr_pos)."""
+        lntx = (lw + ts - 1) // ts
+        lnty = (lh + ts - 1) // ts
+        ln_tiles = lntx * lnty
+        ln_chunks = ln_tiles * nb
 
-    header = b"II*\0" + struct.pack("<I", 8)
-    n_entries = len(tags)
-    ifd_size = 2 + n_entries * 12 + 4
-    # out-of-line payload area follows the IFD
-    data_off = 8 + ifd_size
-    entry_bytes = b""
-    payload = b""
-    offsets_patch_pos = counts_patch_pos = None
-    for tag, typ, cnt, pl in tags:
-        size = _TYPE_SIZE[typ] * cnt
-        # offsets/counts are patched after layout — always out-of-line
-        if size <= 4 and tag not in (T_TILE_OFFSETS, T_TILE_COUNTS):
-            val = pl.ljust(4, b"\0")
+        tiles = []
+        for m in names:
+            arr = arrays[m]
+            fill_v = cube.bands[m].fill
+            for ty in range(lnty):
+                for tx in range(lntx):
+                    full = np.full((ts, ts), fill_v, dtype=dtype)
+                    blk = arr[ty * ts:(ty + 1) * ts,
+                              tx * ts:(tx + 1) * ts]
+                    if is_overview and dtype.kind in "ui":
+                        blk = np.rint(blk)
+                    full[:blk.shape[0], :blk.shape[1]] = blk.astype(dtype)
+                    tiles.append(_compress(full.tobytes()))
+
+        tags = [
+            _entry(T_WIDTH, 4, [lw]),
+            _entry(T_HEIGHT, 4, [lh]),
+            _entry(T_BITS, 3, [bits] * nb),
+            _entry(T_COMPRESSION, 3, [comp]),
+            _entry(T_PHOTOMETRIC, 3, [1]),
+            _entry(T_SAMPLES, 3, [nb]),
+            _entry(T_PLANAR, 3, [2]),
+            _entry(T_TILE_W, 3, [ts]),
+            _entry(T_TILE_H, 3, [ts]),
+            _entry(T_TILE_OFFSETS, 4, [0] * ln_chunks),   # patched below
+            _entry(T_TILE_COUNTS, 4, [0] * ln_chunks),    # patched below
+            _entry(T_SAMPLE_FORMAT, 3, [sf] * nb),
+            _entry(T_GDAL_NODATA, 2, [nd_s.encode() + b"\0"]),
+        ]
+        if is_overview:
+            # reduced-resolution flag; geo tags live on the full image
+            tags.append(_entry(T_NEWSUBFILE, 4, [1]))
         else:
-            if tag == T_TILE_OFFSETS:
-                offsets_patch_pos = data_off + len(payload)
-            if tag == T_TILE_COUNTS:
-                counts_patch_pos = data_off + len(payload)
-            val = struct.pack("<I", data_off + len(payload))
-            payload += pl
-        entry_bytes += struct.pack("<HHI", tag, typ, cnt) + val
-    ifd = struct.pack("<H", n_entries) + entry_bytes + struct.pack("<I", 0)
+            rotated = (b != 0.0) or (d != 0.0)
+            if rotated:
+                tags.append(_entry(T_TRANSFORM, 12,
+                                   [a, b, 0.0, c, d, e, 0.0, f,
+                                    0.0, 0.0, 0.0, 0.0,
+                                    0.0, 0.0, 0.0, 1.0]))
+            else:
+                tags.append(_entry(T_PIXEL_SCALE, 12, [a, -e, 0.0]))
+                tags.append(
+                    _entry(T_TIEPOINT, 12, [0.0, 0.0, 0.0, c, f, 0.0])
+                )
+            epsg = gb.crs.epsg
+            geo = [1, 1, 0, 3,
+                   1024, 0, 1, (2 if gb.crs.is_geographic else 1),
+                   1025, 0, 1, 1,
+                   (2048 if gb.crs.is_geographic else 3072), 0, 1, epsg]
+            tags.append(_entry(T_GEO_DIR, 3, geo))
+        tags.sort(key=lambda t: t[0])
 
-    tile_data_off = data_off + len(payload)
-    offsets = []
-    counts = []
-    body = b""
-    for i in range(n_chunks):
-        data = tiles.get(i, fill_tiles[i // n_tiles])
-        offsets.append(tile_data_off + len(body))
-        counts.append(len(data))
-        body += data
-    if tile_data_off + len(body) > 0xFFFFFFFF:
+        n_entries = len(tags)
+        ifd_size = 2 + n_entries * 12 + 4
+        data_off = base_off + ifd_size
+
+        def _render(tag_list):
+            """Entry table + out-of-line payload (spec rule: values of
+            <= 4 bytes are INLINE — including 1-tile offset/count
+            arrays, which the old patch-after-layout scheme broke)."""
+            entry_bytes = b""
+            payload = b""
+            for tag, typ, cnt, pl in tag_list:
+                size = _TYPE_SIZE[typ] * cnt
+                if size <= 4:
+                    val = pl.ljust(4, b"\0")
+                else:
+                    val = struct.pack("<I", data_off + len(payload))
+                    payload += pl
+                entry_bytes += struct.pack("<HHI", tag, typ, cnt) + val
+            return entry_bytes, payload
+
+        # pass 1 with zeroed offsets/counts fixes the layout (sizes do
+        # not depend on the values); pass 2 renders the real values
+        _, payload0 = _render(tags)
+        tile_data_off = data_off + len(payload0)
+        offsets, counts = [], []
+        body = b""
+        for data in tiles:
+            offsets.append(tile_data_off + len(body))
+            counts.append(len(data))
+            body += data
+        tags = [
+            _entry(T_TILE_OFFSETS, 4, offsets) if t[0] == T_TILE_OFFSETS
+            else _entry(T_TILE_COUNTS, 4, counts) if t[0] == T_TILE_COUNTS
+            else t
+            for t in tags
+        ]
+        entry_bytes, payload = _render(tags)
+        assert len(payload) == len(payload0)
+        next_ptr_pos = base_off + 2 + n_entries * 12
+        ifd = (struct.pack("<H", n_entries) + entry_bytes
+               + struct.pack("<I", 0))  # next pointer patched later
+        return ifd + payload + body, next_ptr_pos
+
+    out = bytearray(b"II*\0" + struct.pack("<I", 8))
+    prev_next_pos = None
+    for li, (lw, lh, arrays) in enumerate(levels):
+        base = len(out)
+        if prev_next_pos is not None:
+            out[prev_next_pos:prev_next_pos + 4] = struct.pack("<I", base)
+        block, next_pos = _level_block(lw, lh, arrays, base, li > 0)
+        out += block
+        prev_next_pos = next_pos
+    if len(out) > 0xFFFFFFFF:
         raise ValueError(
             "output exceeds 4 GB classic-TIFF limit; write per-band "
             "files or increase compression"
         )
-
-    payload = bytearray(payload)
-    po = offsets_patch_pos - data_off
-    payload[po:po + 4 * n_chunks] = struct.pack(
-        "<" + "I" * n_chunks, *offsets
-    )
-    pc = counts_patch_pos - data_off
-    payload[pc:pc + 4 * n_chunks] = struct.pack(
-        "<" + "I" * n_chunks, *counts
-    )
-
     with open(path, "wb") as fp:
-        fp.write(header)
-        fp.write(ifd)
-        fp.write(bytes(payload))
-        fp.write(body)
+        fp.write(bytes(out))
     return path

@@ -305,3 +305,59 @@ def test_grouped_cube_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="ungrouped"):
         write_geotiff(cube, str(tmp_path / "g.tif"))
+
+
+def test_cog_overviews_roundtrip(spark, tmp_path):
+    """overviews='auto' appends chained reduced-resolution IFDs; the
+    full-res read is unchanged, each overview halves, and overview
+    cells equal fill-aware 2x2 decimation of the level above."""
+    from geocube_spark import datagen
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.sources.geotiff import (
+        read_geotiff, read_tiff_info, tiff_ifd_count, write_geotiff,
+    )
+
+    docs = datagen.to_spark(spark, datagen.scale_docs(500, seed=9))
+    cube = make_geocube(
+        docs, measurements=["m0"],
+        geom=('{"type": "Polygon", "coordinates": [[[-91, 41], '
+              '[-90, 41], [-90, 42], [-91, 42], [-91, 41]]]}'),
+        resolution=(-1.0 / 64, 1.0 / 64), fill=0.0, merge_alg="add",
+        tile_size=16,
+    )
+    path = str(tmp_path / "cog.tif")
+    write_geotiff(cube, path, overviews="auto")
+    n = tiff_ifd_count(path)
+    assert n >= 3  # 64x64 grid with 16px tiles -> 2 overviews + full
+    # full-res read ignores the chain
+    base = cube.assemble()["m0"]
+    back = read_geotiff(spark, path, measurements=["m0"], tile_size=16)
+    np.testing.assert_allclose(back.assemble()["m0"], base, atol=1e-9)
+    # overview dims halve and values match fill-aware decimation
+    prev = base
+    for k in range(1, n):
+        info = read_tiff_info(path, ifd_index=k)
+        assert info.width == (prev.shape[1] + 1) // 2
+        assert info.height == (prev.shape[0] + 1) // 2
+        ov = read_geotiff(
+            spark, path, measurements=["m0"], tile_size=16, overview=k
+        )
+        got = ov.assemble()["m0"]
+        H, W = prev.shape
+        H2, W2 = (H + 1) // 2, (W + 1) // 2
+        pa = np.zeros((H2 * 2, W2 * 2))
+        va = np.zeros((H2 * 2, W2 * 2), dtype=bool)
+        valid = prev != 0.0
+        pa[:H, :W] = np.where(valid, prev, 0.0)
+        va[:H, :W] = valid
+        s = pa.reshape(H2, 2, W2, 2).sum(axis=(1, 3))
+        c = va.reshape(H2, 2, W2, 2).sum(axis=(1, 3))
+        want = np.where(c > 0, s / np.maximum(c, 1), 0.0)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+        # the overview geobox scales the affine, same CRS/origin
+        assert ov.geobox.crs.epsg == cube.geobox.crs.epsg
+        assert ov.geobox.affine.c == cube.geobox.affine.c
+        prev = want
+    # explicit count + reading past the chain raises
+    with pytest.raises(IndexError):
+        read_tiff_info(path, ifd_index=n)
