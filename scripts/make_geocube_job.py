@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1: salted two-phase burn for dense-tile skew")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--commit-batches", type=int, default=4)
+    p.add_argument("--overviews", default="0",
+                   help=".tif outputs: overview count or 'auto' "
+                        "(internal COG pyramid)")
     return p
 
 
@@ -134,6 +137,22 @@ def main(argv=None) -> dict:
         tile_size=args.tile_size,
         salt=args.salt,
     )
+    if args.output.endswith((".tif", ".tiff")):
+        from geocube_spark.sources.geotiff import write_geotiff
+
+        ov = args.overviews if args.overviews == "auto" else int(
+            args.overviews
+        )
+        write_geotiff(cube, args.output, overviews=ov)
+        summary = {
+            "output": args.output,
+            "format": "geotiff",
+            "overviews": ov,
+            "grid": {"shape": list(cube.geobox.shape)},
+            "bands": sorted(cube.bands),
+        }
+        print(json.dumps(summary))
+        return summary
     if args.output.endswith(".nc"):
         # reference CLI parity: `geocube make-geocube IN out.nc` writes
         # a netCDF file (classic CDF-2, driver-side assemble)

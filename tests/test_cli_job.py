@@ -80,3 +80,28 @@ def test_spark_submit_job_and_resume(spark, tmp_path_factory):
 
     f = read_netcdf(nc_out)
     assert "om_r" in f.variables and f.dims["x"] > 0
+
+
+def test_cli_geotiff_output_with_overviews(spark, tmp_path):
+    """--output x.tif writes a GeoTIFF (reference CLI parity for
+    raster outputs) and --overviews builds the internal COG pyramid
+    when the grid spans multiple tiles."""
+    from geocube_spark.sources.geotiff import (
+        read_geotiff, tiff_ifd_count,
+    )
+    from scripts.make_geocube_job import main
+
+    docs_path = str(tmp_path / "docs")
+    DG.to_spark(spark, DG.flat_polygon_docs(n=9)).write.parquet(docs_path)
+    out = str(tmp_path / "cube.tif")
+    summary = main([
+        "--input", docs_path, "--output", out,
+        "--output-crs", "epsg:32615", "--resolution", "-10", "10",
+        "--measurements", "om_r",
+        "--fill", "0.0", "--merge-alg", "add", "--tile-size", "64",
+        "--overviews", "auto",
+    ])
+    assert summary["format"] == "geotiff"
+    assert tiff_ifd_count(out) >= 2  # 229x153-ish grid -> >=1 overview
+    back = read_geotiff(spark, out, measurements=["om_r"], tile_size=64)
+    assert back.chunks.count() > 0
