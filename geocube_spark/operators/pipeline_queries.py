@@ -885,7 +885,6 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "simhash_near_pairs": (q_simhash_near_pairs, SQL_SIMHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
@@ -904,4 +903,11 @@ QUERIES = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
     "sample_budget": (q_sample_budget, SQL_SAMPLE_BUDGET),
+}
+
+# dedup_simhash is subsumed by simhash_near_pairs (same signature
+# computation; the pairs query is the stronger check) — retired from
+# the driver window, kept for tests/ad-hoc runs.
+EXTRA_QUERIES = {
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
 }
