@@ -292,7 +292,7 @@ class GeoCube:
 def total_bounds(vector_df: DataFrame, src_crs: CRS, dst_crs: CRS):
     """Distributed total_bounds (reference geobox.py:196-202): envelope
     of every geometry (after reprojection) -> one min/max agg job."""
-    src_epsg, dst_epsg = src_crs.epsg, dst_crs.epsg
+    src_spec, dst_spec = src_crs.spec, dst_crs.spec
 
     schema = T.StructType(
         [
@@ -304,7 +304,8 @@ def total_bounds(vector_df: DataFrame, src_crs: CRS, dst_crs: CRS):
     )
 
     def _env(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        s, d = CRS(src_epsg), CRS(dst_epsg)
+        s, d = (CRS.from_user_input(src_spec),
+                CRS.from_user_input(dst_spec))
         for pdf in batches:
             blobs = [b for b in pdf["geometry_wkb"].values if b is not None]
             if not blobs:
@@ -312,14 +313,14 @@ def total_bounds(vector_df: DataFrame, src_crs: CRS, dst_crs: CRS):
             pts = W.try_parse_points(blobs)
             if pts is not None:  # vectorized point fast path
                 x, y = pts
-                if src_epsg != dst_epsg:
+                if src_spec != dst_spec:
                     x, y = crs_transform(s, d, x, y)
                 arr = np.column_stack([x, y, x, y])
             else:
                 rows = []
                 for blob in blobs:
                     g = W.loads(bytes(blob))
-                    if src_epsg != dst_epsg:
+                    if src_spec != dst_spec:
                         g = g.transform(lambda x, y: crs_transform(s, d, x, y))
                     rows.append(g.bounds())
                 arr = np.asarray(rows)
@@ -532,13 +533,13 @@ def make_geocube(
     # --- dispatch to the physical strategy --------------------------------
     if rasterize_function == "image":
         chunks = _burn_chunks(
-            work, meas, gb_dict, in_crs.epsg, tile_size, zoom, fill,
+            work, meas, gb_dict, in_crs.spec, tile_size, zoom, fill,
             merge_alg, all_touched, filter_nan, bands, bool(group_by),
             salt=salt, emit_aux=_emit_partials,
         )
     elif rasterize_function in ("points_griddata", "points_radial"):
         chunks = _interp_chunks(
-            work, meas, gb_dict, in_crs.epsg, tile_size, zoom, fill,
+            work, meas, gb_dict, in_crs.spec, tile_size, zoom, fill,
             rasterize_function, interp_method, rescale, filter_nan,
             bool(group_by),
         )
@@ -546,7 +547,7 @@ def make_geocube(
         # reference §2.9 extension point: any f(*, geometry_array,
         # data_values, geobox, grid_coords, fill, **ignored) -> ndarray
         chunks = _custom_chunks(
-            work, meas, gb_dict, in_crs.epsg, tile_size, zoom, fill,
+            work, meas, gb_dict, in_crs.spec, tile_size, zoom, fill,
             rasterize_function,
             dict(merge_alg=merge_alg, all_touched=all_touched,
                  filter_nan=filter_nan),
@@ -581,7 +582,7 @@ _COVER_FIELDS = [
 ]
 
 
-def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
+def _cover_df(work: DataFrame, meas, gb_dict, src_spec, tile_size, grouped):
     schema = T.StructType(
         _COVER_FIELDS
         + ([T.StructField("group_key", T.StringType())] if grouped else [])
@@ -591,9 +592,9 @@ def _cover_df(work: DataFrame, meas, gb_dict, src_epsg, tile_size, grouped):
     def _cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gb = GeoBox.from_dict(gb_dict)
         inv = gb.affine.invert()
-        src = CRS(src_epsg)
+        src = CRS.from_user_input(src_spec)
         dst = gb.crs
-        reproject = src.epsg != dst.epsg
+        reproject = src != dst
         _, ntx, nty = gb.n_tiles(tile_size)
 
         def _to_pix(x, y):
@@ -960,7 +961,7 @@ def merge_partial_chunks(pdf: pd.DataFrame, fills: dict, merge_alg: str,
     return pd.DataFrame(out, columns=out_cols)
 
 
-def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
+def _burn_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
                  merge_alg, all_touched, filter_nan, bands, grouped,
                  salt: int = 0, emit_aux: bool = False):
     """salt > 1 splits every tile's input across ``salt`` sub-keys of
@@ -972,7 +973,7 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
     reassociate FP addition). ``emit_aux`` keeps the aux
     band on the output (used by the streaming incremental sink, which
     merges partials across micro-batches later)."""
-    cover = _cover_df(work, meas, gb_dict, src_epsg, tile_size, grouped)
+    cover = _cover_df(work, meas, gb_dict, src_spec, tile_size, grouped)
 
     fills = {m: bands[m].fill for m in meas}
     salted = salt and salt > 1
@@ -1257,7 +1258,7 @@ def _burn_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
 # interpolation strategy (points_griddata / points_radial)
 # ---------------------------------------------------------------------------
 
-def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
+def _interp_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
                    function, method, rescale, filter_nan, grouped):
     """Global interpolators: melt to (group, measurement) long form, one
     task per band computes the full grid tile-by-tile (bounded memory),
@@ -1288,8 +1289,8 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
         arrival: on an exact-distance tie argmin picks the first
         (= lowest seq) point."""
         gb = GeoBox.from_dict(gb_dict)
-        src = CRS(src_epsg)
-        reproject = src.epsg != gb.crs.epsg
+        src = CRS.from_user_input(src_spec)
+        reproject = src != gb.crs
         pdf = pdf.sort_values("seq", kind="mergesort")
         blobs = list(pdf["geometry_wkb"].values)
         is_pt, vx, vy = W.partition_points(blobs)
@@ -1463,7 +1464,7 @@ def _interp_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
 # custom rasterize_function strategy (reference §2.9 extension point)
 # ---------------------------------------------------------------------------
 
-def _custom_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
+def _custom_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
                    func, func_kwargs, grouped):
     """Run a user rasterize function once per (measurement, group) with
     the reference signature — the distributed formulation of the
@@ -1488,8 +1489,8 @@ def _custom_chunks(work, meas, gb_dict, src_epsg, tile_size, zoom, fill,
 
     def _run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         gb = GeoBox.from_dict(gb_dict)
-        src = CRS(src_epsg)
-        reproject = src.epsg != gb.crs.epsg
+        src = CRS.from_user_input(src_spec)
+        reproject = src != gb.crs
         m = str(key[0])
         gkey = (
             str(key[1])

@@ -47,7 +47,22 @@ ELLPS = {
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "airy": (6377563.396, 1.0 / 299.3249646),
     "intl": (6378388.0, 1.0 / 297.0),
+    "clrk66": (6378206.4, 1.0 / 294.9786982139006),
+    "bessel": (6377397.155, 1.0 / 299.1528128),
 }
+
+
+def register_ellps(a: float, invf: float) -> str:
+    """Resolve an (a, 1/f) pair to an ELLPS name, registering a
+    dynamic entry for non-stock ellipsoids (WKT/proj4 front door).
+    Names are deterministic so driver and executor processes agree."""
+    f = 1.0 / invf if invf else 0.0
+    for name, (ka, kf) in ELLPS.items():
+        if abs(ka - a) < 1e-4 and abs(kf - f) < 1e-12:
+            return name
+    name = f"a{a!r}_rf{invf!r}"
+    ELLPS.setdefault(name, (a, f))
+    return name
 
 # 7-parameter Helmert to WGS84, position-vector convention:
 # (tx, ty, tz [m], rx, ry, rz [arc-sec], ds [ppm]).  None = identity
@@ -58,7 +73,27 @@ DATUM_TO_WGS84 = {
     "NAD83": None,
     # OSGB36 -> WGS84 (EPSG transformation 1314, ~2 m accuracy)
     "OSGB36": (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+    # NAD27 -> WGS84 (EPSG transformation 1173 geocentric translations,
+    # ~5 m CONUS; exact NAD27 needs NADCON grids the engine does not
+    # ship)
+    "NAD27": (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0),
 }
+
+
+def register_datum(towgs84: tuple) -> str:
+    """Resolve a 7-parameter Helmert tuple to a datum name,
+    registering a dynamic entry when it is not a stock datum."""
+    tw = tuple(float(v) for v in towgs84)
+    if all(abs(v) < 1e-12 for v in tw):
+        return "WGS84"
+    for name, params in DATUM_TO_WGS84.items():
+        if params is not None and all(
+            abs(p - v) < 1e-9 for p, v in zip(params, tw)
+        ):
+            return name
+    name = "helmert" + ",".join(repr(v) for v in tw)
+    DATUM_TO_WGS84.setdefault(name, tw)
+    return name
 
 _R_SPHERE = 6378137.0  # web mercator sphere radius
 
@@ -196,18 +231,22 @@ def _lcc_forward(lon, lat, p):
     a, e, nn, F, rho0, t = _lcc_consts(
         p["ellps"], p["lat0"], p["sp1"], p["sp2"]
     )
+    # 1SP variant (EPSG 9801): rho and rho0 both scale by k0, which
+    # scales the whole (x, y) offset; 2SP has k0 = 1.
+    k0 = p.get("k0", 1.0)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     rho = a * F * t(phi) ** nn
     th = nn * np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
-    return rho * np.sin(th), rho0 - rho * np.cos(th)
+    return k0 * rho * np.sin(th), k0 * (rho0 - rho * np.cos(th))
 
 
 def _lcc_inverse(x, y, p):
     a, e, nn, F, rho0, _ = _lcc_consts(
         p["ellps"], p["lat0"], p["sp1"], p["sp2"]
     )
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
+    k0 = p.get("k0", 1.0)
+    x = np.asarray(x, dtype=np.float64) / k0
+    y = np.asarray(y, dtype=np.float64) / k0
     rho = np.sign(nn) * np.hypot(x, rho0 - y)
     th = np.arctan2(np.sign(nn) * x, np.sign(nn) * (rho0 - y))
     tp = (rho / (a * F)) ** (1.0 / nn)
@@ -369,6 +408,46 @@ def _laea_inverse(x, y, p):
 
 
 # ---------------------------------------------------------------------------
+# ellipsoidal Mercator (EPSG 9804 variant A / 9805 variant B)
+# ---------------------------------------------------------------------------
+
+def _merc_forward(lon, lat, p):
+    a, e2, e = _eccentricity(p["ellps"])
+    k0 = p.get("k0", 1.0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    s = e * np.sin(phi)
+    x = a * k0 * lam
+    y = a * k0 * np.log(
+        np.tan(np.pi / 4 + phi / 2) * ((1 - s) / (1 + s)) ** (e / 2)
+    )
+    return x, y
+
+
+def _merc_inverse(x, y, p):
+    a, e2, e = _eccentricity(p["ellps"])
+    k0 = p.get("k0", 1.0)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    t = np.exp(-y / (a * k0))
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    # invert the isometric latitude (EPSG GN7-2 fixed point)
+    for _ in range(8):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (e / 2))
+    lon = np.degrees(x / (a * k0)) + p["lon0"]
+    return lon, np.degrees(phi)
+
+
+def merc_k0_from_sp(ellps: str, sp1_deg: float) -> float:
+    """Variant B (2SP): scale factor from the standard parallel
+    (EPSG GN7-2: k0 = cos(sp1)/sqrt(1 - e^2 sin^2 sp1))."""
+    a, e2, e = _eccentricity(ellps)
+    sp = np.radians(sp1_deg)
+    return float(np.cos(sp) / np.sqrt(1 - e2 * np.sin(sp) ** 2))
+
+
+# ---------------------------------------------------------------------------
 # datum shift: geodetic <-> geocentric + 7-parameter Helmert
 # ---------------------------------------------------------------------------
 
@@ -478,13 +557,72 @@ for _z in range(1, 61):
 for _z in range(28, 39):
     CRS_DEFS[25800 + _z] = _tm_def(-183.0 + 6.0 * _z, 0.0, 0.9996,
                                    500000.0, 0.0, "GRS80", "ETRS89")
+# NAD83 / UTM zones 1N-23N (EPSG 26901-26923, GRS80) and
+# NAD27 / UTM zones 1N-22N (EPSG 26701-26722, Clarke 1866)
+for _z in range(1, 24):
+    CRS_DEFS[26900 + _z] = _tm_def(-183.0 + 6.0 * _z, 0.0, 0.9996,
+                                   500000.0, 0.0, "GRS80", "NAD83")
+for _z in range(1, 23):
+    CRS_DEFS[26700 + _z] = _tm_def(-183.0 + 6.0 * _z, 0.0, 0.9996,
+                                   500000.0, 0.0, "clrk66", "NAD27")
 
 
-@dataclass(frozen=True)
+def _wkt_tail_epsg(s: str):
+    """CRS-level EPSG id from a WKT tail (WKT2 ID / WKT1 AUTHORITY)."""
+    m = re.search(r'ID\["EPSG",\s*(\d+)\]\s*\]\s*$', s)
+    if m:
+        return int(m.group(1))
+    m = re.search(r'AUTHORITY\["EPSG",\s*"(\d+)"\]\s*\]\s*$', s)
+    if m:
+        return int(m.group(1))
+    return None
+
+
+@lru_cache(maxsize=256)
+def _resolve_pdef(pdef: tuple) -> dict:
+    """Raw parsed parameters (hashable item-tuple) -> kernel-ready
+    definition: ellipsoid/datum resolved to registered names, variant-B
+    Mercator k0 derived from its standard parallel. Cached per process
+    so executors pay the resolution once per CRS."""
+    raw = dict(pdef)
+    d = {"kind": raw["kind"]}
+    ellps = register_ellps(raw["ellps_a"], raw["ellps_invf"])
+    d["ellps"] = ellps
+    if "towgs84" in raw:
+        d["datum"] = register_datum(raw["towgs84"])
+    else:
+        d["datum"] = raw.get("datum", "WGS84")
+    for k in ("lon0", "lat0", "k0", "fe", "fn", "sp1", "sp2",
+              "to_meter"):
+        if k in raw:
+            d[k] = raw[k]
+    if d["kind"] == "merc" and d.get("k0") is None:
+        d["k0"] = merc_k0_from_sp(ellps, d.get("sp1", 0.0))
+    return d
+
+
+@dataclass(frozen=True, eq=False)
 class CRS:
-    """A coordinate reference system identified by EPSG code."""
+    """A coordinate reference system: an EPSG code from the built-in
+    registry, or parsed projection parameters (``pdef``) from
+    WKT1/WKT2/proj4 text for CRSs outside it (epsg = -1 when the text
+    carried no EPSG identity)."""
 
     epsg: int
+    pdef: tuple = None
+
+    # Parameterized CRSs compare by parameters, not by code: a worker
+    # rebuilt from .spec loses a non-registry EPSG id, and two texts
+    # with identical parameters ARE the same CRS.
+    def __eq__(self, other):
+        if not isinstance(other, CRS):
+            return NotImplemented
+        if self.pdef is not None or other.pdef is not None:
+            return self.pdef == other.pdef
+        return self.epsg == other.epsg
+
+    def __hash__(self):
+        return hash(self.pdef) if self.pdef is not None else hash(self.epsg)
 
     # ---- constructors ---------------------------------------------------
     @staticmethod
@@ -504,27 +642,63 @@ class CRS:
         m = re.match(r"(?i)^\+?init=epsg:(\d+)$", s)
         if m:
             return CRS(int(m.group(1)))
-        m = re.search(r'ID\["EPSG",\s*(\d+)\]\s*\]\s*$', s)
-        if m:  # WKT2 tail
-            return CRS(int(m.group(1)))
-        m = re.search(r'AUTHORITY\["EPSG",\s*"(\d+)"\]\s*\]\s*$', s)
-        if m:  # WKT1 tail
-            return CRS(int(m.group(1)))
+
+        from . import crs_parse as _cp
+
+        if _cp.looks_like_wkt(s):
+            try:
+                epsg, d = _cp.parse_wkt(s)
+            except ValueError:
+                # structurally odd WKT: fall back to the EPSG tail
+                # (e.g. an exotic method whose code IS registered)
+                code = _wkt_tail_epsg(s)
+                if code is not None and code in CRS_DEFS:
+                    return CRS(code)
+                raise
+            if epsg is not None and epsg in CRS_DEFS:
+                return CRS(epsg)
+            return CRS(epsg if epsg is not None else -1,
+                       tuple(sorted(d.items())))
+        if _cp.looks_like_proj4(s):
+            _, d = _cp.parse_proj4(s)
+            return CRS(-1, tuple(sorted(d.items())))
+
+        code = _wkt_tail_epsg(s)
+        if code is not None:
+            return CRS(code)
         raise ValueError(f"unsupported CRS: {value!r}")
 
     # ---- properties -----------------------------------------------------
     @property
     def _def(self) -> dict:
+        if self.pdef is not None:
+            return _resolve_pdef(self.pdef)
         try:
             return CRS_DEFS[self.epsg]
         except KeyError:
             raise ValueError(
                 f"unsupported projected CRS EPSG:{self.epsg} — supported "
                 "families: geographic (4326/4258/4269), UTM (326xx/327xx/"
-                "258xx), web mercator (3857), TM national grids (27700, "
-                "2180), LCC (2154), Albers (5070), LAEA (3035); extend "
-                "geometry.crs.CRS_DEFS with public EPSG parameters"
+                "258xx/269xx/267xx), web mercator (3857), TM national "
+                "grids (27700, 2180), LCC (2154), Albers (5070), LAEA "
+                "(3035). Any other CRS can be passed as WKT1/WKT2 or "
+                "proj4 TEXT (Transverse Mercator, LCC 1SP/2SP, Albers, "
+                "LAEA, Mercator methods are parsed into closed-form "
+                "kernels), or extend geometry.crs.CRS_DEFS with public "
+                "EPSG parameters"
             ) from None
+
+    @property
+    def spec(self) -> str:
+        """Worker-shippable string handle: ``epsg:N`` for registry
+        CRSs, canonical proj4 text for parameterized ones.
+        ``CRS.from_user_input(spec)`` reconstructs an equal CRS in any
+        process."""
+        if self.pdef is None:
+            return f"epsg:{self.epsg}"
+        from . import crs_parse as _cp
+
+        return _cp.def_to_spec(dict(self.pdef))
 
     @property
     def is_geographic(self) -> bool:
@@ -549,6 +723,8 @@ class CRS:
         return -183.0 + 6.0 * self.utm_zone
 
     def to_string(self) -> str:
+        if self.pdef is not None and self.epsg <= 0:
+            return self.spec
         return f"EPSG:{self.epsg}"
 
     def to_wkt(self) -> str:
@@ -606,42 +782,52 @@ class CRS:
                 'LENGTHUNIT["metre",1],'
                 f'ID["EPSG",{self.epsg}]]'
             )
+        kind = d["kind"]
+        lcc_1sp = kind == "lcc" and d.get("k0", 1.0) != 1.0
         method = {
             "tm": ('Transverse Mercator', 9807),
-            "lcc": ('Lambert Conic Conformal (2SP)', 9802),
+            "lcc": (('Lambert Conic Conformal (1SP)', 9801) if lcc_1sp
+                    else ('Lambert Conic Conformal (2SP)', 9802)),
             "albers": ('Albers Equal Area', 9822),
             "laea": ('Lambert Azimuthal Equal Area', 9820),
-        }[d["kind"]]
+            "merc": ('Mercator (variant A)', 9804),
+        }[kind]
+        natural = kind in ("tm", "laea", "merc") or lcc_1sp
         params = [
             ("Latitude of natural origin"
-             if d["kind"] in ("tm", "laea")
-             else "Latitude of false origin", d.get("lat0", 0.0)),
+             if natural else "Latitude of false origin",
+             d.get("lat0", 0.0)),
             ("Longitude of natural origin"
-             if d["kind"] in ("tm", "laea")
-             else "Longitude of false origin", d.get("lon0", 0.0)),
+             if natural else "Longitude of false origin",
+             d.get("lon0", 0.0)),
         ]
-        if d["kind"] == "tm":
+        if kind in ("tm", "merc") or lcc_1sp:
             params.append(
                 ("Scale factor at natural origin", d.get("k0", 1.0))
             )
-        if d["kind"] in ("lcc", "albers"):
+        if (kind in ("lcc", "albers")) and not lcc_1sp:
             params.append(("Latitude of 1st standard parallel",
                            d["sp1"]))
             params.append(("Latitude of 2nd standard parallel",
                            d["sp2"]))
-        params.append(("False easting", d.get("fe", 0.0)))
-        params.append(("False northing", d.get("fn", 0.0)))
+        # false easting/northing are stored in metres internally but
+        # written in the CRS's own linear unit (WKT convention)
+        unit = d.get("to_meter", 1.0)
+        params.append(("False easting", d.get("fe", 0.0) / unit))
+        params.append(("False northing", d.get("fn", 0.0) / unit))
         pw = ",".join(
             f'PARAMETER["{n}",{v!r}]' for n, v in params
         )
+        name = (f"EPSG:{self.epsg}" if self.epsg > 0
+                else "engine parameterized CRS")
+        tail = (f',ID["EPSG",{self.epsg}]]' if self.epsg > 0 else "]")
         return (
-            f'PROJCRS["EPSG:{self.epsg}",{_geog()},'
+            f'PROJCRS["{name}",{_geog()},'
             f'CONVERSION["{method[0]}",METHOD["{method[0]}",'
             f'ID["EPSG",{method[1]}]],{pw}],'
             "CS[Cartesian,2],"
             'AXIS["easting (E)",east],AXIS["northing (N)",north],'
-            'LENGTHUNIT["metre",1],'
-            f'ID["EPSG",{self.epsg}]]'
+            f'LENGTHUNIT["unit",{unit!r}]' + tail
         )
 
     def __str__(self):
@@ -652,6 +838,17 @@ class CRS:
         """Projected/native -> WGS84 lon/lat degrees."""
         d = self._def
         kind = d["kind"]
+        tmu = d.get("to_meter", 1.0)
+        if tmu != 1.0:
+            # CRS expressed in feet etc.: kernels work in metres
+            x = np.asarray(x, dtype=np.float64) * tmu
+            y = np.asarray(y, dtype=np.float64) * tmu
+        if kind == "merc":
+            lon, lat = _merc_inverse(
+                np.asarray(x, dtype=np.float64) - d["fe"],
+                np.asarray(y, dtype=np.float64) - d["fn"], d,
+            )
+            return _datum_to_wgs84(lon, lat, d["ellps"], d["datum"])
         if kind == "geographic":
             lon = np.asarray(x, dtype=np.float64)
             lat = np.asarray(y, dtype=np.float64)
@@ -709,28 +906,33 @@ class CRS:
             y = _R_SPHERE * np.log(np.tan(np.pi / 4 + latr / 2))
             return x, y
         lon, lat = _wgs84_to_datum(lon, lat, d["ellps"], d["datum"])
+        tmu = d.get("to_meter", 1.0)
+        if kind == "merc":
+            x, y = _merc_forward(lon, lat, d)
+            return (x + d["fe"]) / tmu, (y + d["fn"]) / tmu
         if kind == "tm":
             e, n = _tm_forward(lon, lat, d["lon0"], d["ellps"])
             if d["lat0"] != 0.0:
                 _, n0 = _tm_forward(d["lon0"], d["lat0"], d["lon0"],
                                     d["ellps"])
                 n = n - n0
-            return d["fe"] + d["k0"] * e, d["fn"] + d["k0"] * n
+            return ((d["fe"] + d["k0"] * e) / tmu,
+                    (d["fn"] + d["k0"] * n) / tmu)
         if kind == "lcc":
             x, y = _lcc_forward(lon, lat, d)
-            return x + d["fe"], y + d["fn"]
+            return (x + d["fe"]) / tmu, (y + d["fn"]) / tmu
         if kind == "albers":
             x, y = _albers_forward(lon, lat, d)
-            return x + d["fe"], y + d["fn"]
+            return (x + d["fe"]) / tmu, (y + d["fn"]) / tmu
         if kind == "laea":
             x, y = _laea_forward(lon, lat, d)
-            return x + d["fe"], y + d["fn"]
+            return (x + d["fe"]) / tmu, (y + d["fn"]) / tmu
         raise ValueError(f"unsupported projected CRS EPSG:{self.epsg}")
 
 
 def transform(src: CRS, dst: CRS, x, y):
     """Vectorized coordinate transform src -> dst (numpy arrays in/out)."""
-    if src.epsg == dst.epsg:
+    if src == dst:
         return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     lon, lat = src._to_lonlat(x, y)
     return dst._from_lonlat(lon, lat)

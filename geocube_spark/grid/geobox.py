@@ -137,20 +137,26 @@ class GeoBox:
         return ntx * nty, ntx, nty
 
     def to_dict(self):
+        # crs ships as its .spec string ("epsg:N" or canonical proj4
+        # for parameterized CRSs) so executor processes can rebuild a
+        # CRS the registry has never heard of; from_dict also accepts
+        # the bare EPSG int older checkpoints recorded.
         return {
             "width": self.width,
             "height": self.height,
             "affine": self.affine.tolist(),
-            "crs": self.crs.epsg,
+            "crs": self.crs.spec,
         }
 
     @staticmethod
     def from_dict(d) -> "GeoBox":
+        crs = d["crs"]
         return GeoBox(
             int(d["width"]),
             int(d["height"]),
             Affine(*d["affine"]),
-            CRS(int(d["crs"])),
+            CRS(int(crs)) if not isinstance(crs, str)
+            else CRS.from_user_input(crs),
         )
 
     @staticmethod
@@ -238,7 +244,7 @@ class GeoBoxMaker:
 
         if self.geom is None:
             data_crs = CRS.from_user_input(data_crs)
-            if crs.epsg != data_crs.epsg:
+            if crs != data_crs:
                 bounds = densified_reproject_bounds(data_bounds, data_crs, crs)
             else:
                 bounds = data_bounds
@@ -251,7 +257,7 @@ class GeoBoxMaker:
             geom_crs = CRS.from_user_input(crs_input)
             g = W.from_geojson(self.geom)
             gb = g.bounds()
-            if geom_crs.epsg != crs.epsg:
+            if geom_crs != crs:
                 bounds = densified_reproject_bounds(gb, geom_crs, crs)
             else:
                 bounds = gb

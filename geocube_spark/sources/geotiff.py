@@ -822,6 +822,13 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
                     _entry(T_TIEPOINT, 12, [0.0, 0.0, 0.0, c, f, 0.0])
                 )
             epsg = gb.crs.epsg
+            # GeoTIFF geokeys can only carry an EPSG code; a
+            # parameterized CRS (parsed from WKT/proj4 with no EPSG
+            # identity) writes the user-defined sentinel 32767 — the
+            # grid georeferencing stays intact, only the CRS identity
+            # is not self-describing in the file.
+            if epsg <= 0:
+                epsg = 32767
             geo = [1, 1, 0, 3,
                    1024, 0, 1, (2 if gb.crs.is_geographic else 1),
                    1025, 0, 1, 1,

@@ -98,7 +98,7 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
         sgb = GeoBox.from_dict(src_dict)
         dgb = GeoBox.from_dict(dst_dict)
         inv = sgb.affine.invert()
-        reproject = sgb.crs.epsg != dgb.crs.epsg
+        reproject = sgb.crs != dgb.crs
         s, d = sgb.crs, dgb.crs
         # densified border of the target tile in PIXEL space (9 points
         # per edge captures projection curvature like the bounds path)
@@ -172,7 +172,7 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
         sgb = GeoBox.from_dict(src_dict)
         dgb = GeoBox.from_dict(dst_dict)
         inv = sgb.affine.invert()
-        reproject = sgb.crs.epsg != dgb.crs.epsg
+        reproject = sgb.crs != dgb.crs
         m = str(key[0])
         gkey = key[1]
         first = pdf.iloc[0]

@@ -1,0 +1,231 @@
+"""CRS front door: WKT1/WKT2/proj4 parameter ingestion.
+
+The reference accepts any pyproj CRS (reference
+geocube/geo_utils/geobox.py:92-98, vector_to_cube.py:112-113); round-2
+review flagged the registry-only front door as the #1 real-user wall.
+These tests pin the parser: a CRS given as TEXT (no registry entry
+needed) must reproject through the same closed-form kernels, ship to
+executors via its canonical spec string, and drive a full distributed
+burn identically to its registry twin.
+"""
+
+import numpy as np
+import pytest
+
+from geocube_spark.geometry.crs import CRS, transform
+
+WGS = CRS(4326)
+LON = np.array([-93.4, -92.1, -93.9])
+LAT = np.array([41.8, 42.3, 40.9])
+
+WKT2_26915 = """PROJCRS["NAD83 / UTM zone 15N",
+  BASEGEOGCRS["NAD83",DATUM["North American Datum 1983",
+    ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]],
+    PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],
+  CONVERSION["UTM zone 15N",METHOD["Transverse Mercator",ID["EPSG",9807]],
+    PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Longitude of natural origin",-93,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1]],
+    PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],
+    PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],
+  CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],LENGTHUNIT["metre",1],
+  ID["EPSG",26915]]"""
+
+WKT2_NOID = WKT2_26915[: WKT2_26915.rfind(",\n  ID[")] + "]"
+
+# WKT1 form of EPSG:27700 with inline TOWGS84 and no AUTHORITY tail
+WKT1_OSGB = (
+    'PROJCS["OSGB 1936 / British National Grid",'
+    'GEOGCS["OSGB 1936",DATUM["OSGB_1936",'
+    'SPHEROID["Airy 1830",6377563.396,299.3249646],'
+    "TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],"
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",49],'
+    'PARAMETER["central_meridian",-2],'
+    'PARAMETER["scale_factor",0.9996012717],'
+    'PARAMETER["false_easting",400000],'
+    'PARAMETER["false_northing",-100000],'
+    'UNIT["metre",1]]'
+)
+
+
+def test_registry_gains_nad83_and_nad27_utm():
+    d = CRS(26915)._def
+    assert d["kind"] == "tm" and d["ellps"] == "GRS80"
+    assert d["lon0"] == -93.0 and d["datum"] == "NAD83"
+    d27 = CRS(26715)._def
+    assert d27["ellps"] == "clrk66" and d27["datum"] == "NAD27"
+
+
+def test_wkt2_with_registry_id_resolves_to_registry():
+    c = CRS.from_user_input(WKT2_26915)
+    assert c.epsg == 26915 and c.pdef is None
+
+
+def test_wkt2_parameterized_matches_registry_utm():
+    """The verdict's done-criterion: a CRS built from WKT2 text (no
+    usable EPSG id) must project like its registry twin. NAD83/GRS80
+    vs WGS84 differ in flattening only -> sub-mm."""
+    c = CRS.from_user_input(WKT2_NOID)
+    assert c.pdef is not None
+    x1, y1 = transform(WGS, CRS(26915), LON, LAT)
+    x2, y2 = transform(WGS, c, LON, LAT)
+    np.testing.assert_allclose(x2, x1, atol=1e-6)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
+    # and against WGS84 UTM within the two ellipsoids' separation
+    x3, y3 = transform(WGS, CRS(32615), LON, LAT)
+    np.testing.assert_allclose(x2, x3, atol=5e-3)
+    np.testing.assert_allclose(y2, y3, atol=5e-3)
+
+
+def test_proj4_utm_matches_registry_exactly():
+    c = CRS.from_user_input("+proj=utm +zone=15 +datum=NAD83 +no_defs")
+    x1, y1 = transform(WGS, CRS(26915), LON, LAT)
+    x2, y2 = transform(WGS, c, LON, LAT)
+    np.testing.assert_array_equal(x2, x1)
+    np.testing.assert_array_equal(y2, y1)
+
+
+def test_spec_round_trips_and_compares_equal():
+    for text in (
+        WKT2_NOID,
+        "+proj=utm +zone=15 +datum=NAD83 +no_defs",
+        "+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 +y_0=900000 +ellps=bessel",
+        "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80",
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=GRS80 +datum=NAD83",
+        "+proj=longlat +ellps=clrk66 +towgs84=-8,160,176",
+    ):
+        c = CRS.from_user_input(text)
+        c2 = CRS.from_user_input(c.spec)
+        assert c2 == c, text
+        assert hash(c2) == hash(c)
+
+
+def test_wkt1_towgs84_matches_registry_osgb():
+    c = CRS.from_user_input(WKT1_OSGB)
+    lon = np.array([1.717921583, -2.0])
+    lat = np.array([52.658007833, 49.0])
+    x1, y1 = transform(WGS, CRS(27700), lon, lat)
+    x2, y2 = transform(WGS, c, lon, lat)
+    # registry Helmert params carry one more decimal; < 2 cm apart
+    np.testing.assert_allclose(x2, x1, atol=0.02)
+    np.testing.assert_allclose(y2, y1, atol=0.02)
+
+
+def test_us_survey_foot_unit():
+    base = ("+proj=lcc +lat_1=31.883333 +lat_2=30.116667 "
+            "+lat_0=29.666667 +lon_0=-100.333333 "
+            "+x_0=700000 +y_0=3000000 +ellps=GRS80 +datum=NAD83")
+    m = CRS.from_user_input(base)
+    ft = CRS.from_user_input(base + " +units=us-ft")
+    lon = np.array([-97.7, -98.5])
+    lat = np.array([30.3, 31.1])
+    xm, ym = transform(WGS, m, lon, lat)
+    xf, yf = transform(WGS, ft, lon, lat)
+    usft = 1200.0 / 3937.0
+    # note: +x_0/+y_0 are metres in proj4 regardless of +units
+    np.testing.assert_allclose(xf * usft, xm, rtol=1e-12)
+    np.testing.assert_allclose(yf * usft, ym, rtol=1e-12)
+    lo, la = transform(ft, WGS, xf, yf)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+def test_mercator_variants_and_roundtrip():
+    # variant B's k0 derives from the standard parallel
+    from geocube_spark.geometry.crs import merc_k0_from_sp
+
+    b = CRS.from_user_input("+proj=merc +lat_ts=42 +lon_0=51 +ellps=krass")
+    k0 = merc_k0_from_sp(dict(b.pdef and b._def)["ellps"], 42.0)
+    a = CRS.from_user_input(f"+proj=merc +k={k0!r} +lon_0=51 +ellps=krass")
+    lon = np.array([53.0, 50.0])
+    lat = np.array([53.0, 40.0])
+    xa, ya = transform(WGS, a, lon, lat)
+    xb, yb = transform(WGS, b, lon, lat)
+    np.testing.assert_allclose(xb, xa, rtol=1e-15)
+    np.testing.assert_allclose(yb, ya, rtol=1e-15)
+    lo, la = transform(b, WGS, xb, yb)
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+def test_lcc_1sp_jamaica_easting():
+    """EPSG GN7-2 LCC-1SP worked example (Jamaica National Grid,
+    Clarke 1866): the easting is pinned to the published value; 1SP
+    with k0=1 must equal the degenerate 2SP exactly."""
+    c1 = CRS.from_user_input(
+        "+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=1.0 "
+        "+x_0=250000 +y_0=150000 +ellps=clrk66"
+    )
+    c2 = CRS.from_user_input(
+        "+proj=lcc +lat_1=18 +lat_2=18 +lat_0=18 +lon_0=-77 "
+        "+x_0=250000 +y_0=150000 +ellps=clrk66"
+    )
+    lon = np.array([-76.943683])
+    lat = np.array([17.932167])
+    x1, y1 = transform(WGS, c1, lon, lat)
+    x2, y2 = transform(WGS, c2, lon, lat)
+    assert abs(float(x1[0]) - float(x2[0])) == 0.0
+    assert abs(float(y1[0]) - float(y2[0])) == 0.0
+    assert abs(float(x1[0]) - 255966.58) < 1.0
+
+
+def test_unknown_method_raises_parameter_level():
+    with pytest.raises(ValueError, match="Hotine_Oblique_Mercator"):
+        CRS.from_user_input(
+            'PROJCS["x",GEOGCS["g",DATUM["D",'
+            'SPHEROID["s",6378137,298.25]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Hotine_Oblique_Mercator"],'
+            'PARAMETER["central_meridian",0],UNIT["metre",1]]'
+        )
+    with pytest.raises(ValueError, match=r"\+proj=somethingelse"):
+        CRS.from_user_input("+proj=somethingelse +lon_0=3")
+
+
+def test_geobox_dict_roundtrip_parameterized():
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.grid.geobox import GeoBox
+
+    c = CRS.from_user_input(WKT2_NOID)
+    gb = GeoBox(10, 8, Affine(10.0, 0.0, 700000.0, 0.0, -10.0, 4600000.0), c)
+    gb2 = GeoBox.from_dict(gb.to_dict())
+    assert gb2.crs == gb.crs
+    assert gb2.affine == gb.affine
+    # older checkpoints recorded a bare EPSG int
+    gb3 = GeoBox.from_dict({"width": 4, "height": 4,
+                            "affine": gb.affine.tolist(), "crs": 32615})
+    assert gb3.crs.epsg == 32615
+
+
+def test_burn_parameterized_crs_matches_registry(spark):
+    """End-to-end: make_geocube with a WKT2-text output CRS (no
+    registry entry) must produce the same chunks as epsg:32615 — the
+    spec string survives the GeoBox dict ship + executor rebuild."""
+    from geocube_spark import datagen as DG
+    from geocube_spark.cube import make_geocube
+
+    docs = DG.to_spark(spark, DG.flat_polygon_docs(n=7))
+
+    def burn(crs):
+        cube = make_geocube(
+            docs, measurements=["om_r"], output_crs=crs,
+            resolution=(-10, 10), fill=0.0, tile_size=64,
+        )
+        rows = cube.chunks.select(
+            "tile_id", "measurement", "values"
+        ).orderBy("tile_id", "measurement").collect()
+        return [(r["tile_id"], r["measurement"], list(r["values"]))
+                for r in rows]
+
+    ref = burn("epsg:32615")
+    # WGS84-ellipsoid twin of the WKT above so cells match bit-exact
+    wkt = WKT2_NOID.replace(
+        'ELLIPSOID["GRS 1980",6378137,298.257222101',
+        'ELLIPSOID["WGS 84",6378137,298.257223563'
+    ).replace('"NAD83"', '"WGS 84"').replace(
+        "North American Datum 1983", "World Geodetic System 1984")
+    got = burn(wkt)
+    assert got == ref
