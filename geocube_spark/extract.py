@@ -71,13 +71,20 @@ def doc_seq(doc_id: pd.Series) -> pd.Series:
 def infer_measurements(documents: DataFrame, sample_docs: int = 50):
     """Driver-side schema inference: sample attr spans, union JSON keys.
 
-    Returns list[(name, spark_type_str)] in first-seen order.
+    Returns list[(name, spark_type_str)] in first-seen order. The
+    sample is the global first N spans by (doc_id, offset) — a bare
+    ``limit`` takes whatever rows arrive first, so the inferred field
+    order would depend on the table's physical layout. orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition top-K + driver
+    merge), not a full sort shuffle.
     """
     rows = (
         documents.select("doc_id", F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "attr")
-        .select("s.text")
+        .select("doc_id", F.col("s.offset").alias("off"), "s.text")
+        .orderBy("doc_id", "off")
         .limit(sample_docs * 4)
+        .select("text")
         .collect()
     )
     fields: dict[str, str] = {}

@@ -345,10 +345,26 @@ def _rbf_kernel(r, function, epsilon):
     raise ValueError(f"unsupported RBF function {function!r}")
 
 
+# Hard cap on the dense RBF solve: the system is O(n^2) memory /
+# O(n^3) time, so an uncapped call on a large point set dies in one
+# task with an opaque OOM. 20k points ~= 3.2 GB of O(n^2) temporaries
+# and a few seconds of LAPACK — the practical single-task ceiling.
+RBF_MAX_POINTS = 20_000
+
+
 def _rbf_fit(px, py, values, function):
     """Solve the dense RBF system once; returns the fitted model."""
     v = np.asarray(values, dtype=np.float64)
     n = len(px)
+    if n > RBF_MAX_POINTS:
+        raise ValueError(
+            f"rasterize_points_radial: {n} input points exceed the "
+            f"dense-solve cap of {RBF_MAX_POINTS} (the RBF system is "
+            "O(n^2) memory / O(n^3) time and cannot be tiled without "
+            "changing semantics). Subsample the points, or use "
+            "rasterize_points_griddata (nearest/linear/cubic), whose "
+            "fit scales to far larger point sets."
+        )
     dx = px[:, None] - px[None, :]
     dy = py[:, None] - py[None, :]
     r = np.hypot(dx, dy)

@@ -27,12 +27,14 @@ GDAL's ASCII nodata tag.
 from __future__ import annotations
 
 import math
+import os
 import struct
 import zlib
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
 import numpy as np
+import pandas as pd
 
 # --------------------------------------------------------------------------
 # TIFF constants
@@ -654,7 +656,7 @@ def _decimate2(arr: np.ndarray, valid: np.ndarray):
 
 def write_geotiff(cube, path: str, *, compression: str = "deflate",
                   tile_size: Optional[int] = None,
-                  overviews=0) -> str:
+                  overviews=0, mode: str = "file") -> str:
     """Write an (ungrouped) GeoCube as a tiled GeoTIFF, optionally
     Cloud-Optimized: ``overviews=N`` appends N chained reduced-
     resolution IFDs (2x decimation each, fill-aware averaging, GDAL
@@ -675,6 +677,12 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
             "write_geotiff writes ungrouped cubes; select one group "
             "(filter chunks on group_key) or use to_netcdf"
         )
+    if mode == "parts":
+        return _write_geotiff_parts(cube, path, compression=compression,
+                                    tile_size=tile_size,
+                                    overviews=overviews)
+    if mode != "file":
+        raise ValueError(f"mode must be 'file' or 'parts', got {mode!r}")
     comp = {"none": C_NONE, "deflate": C_DEFLATE, "lzw": C_LZW}[compression]
     ts = tile_size or cube.tile_size
     if ts != cube.tile_size:
@@ -895,4 +903,273 @@ def write_geotiff(cube, path: str, *, compression: str = "deflate",
         )
     with open(path, "wb") as fp:
         fp.write(bytes(out))
+    return path
+
+
+def _write_geotiff_parts(cube, path: str, *, compression: str = "deflate",
+                         tile_size: Optional[int] = None,
+                         overviews=0) -> str:
+    """Distributed GeoTIFF export (round-2 review item 5): executors
+    compress their chunk rows into per-partition part files plus a
+    tiny manifest; the driver renders the IFD with absolute offsets
+    and STREAMS the part bodies into the final file. Nothing dense is
+    ever materialized on the driver — memory is O(n_tiles) manifest
+    rows, disk I/O is one sequential concatenation pass.
+
+    Tiles land in the body in whatever order partitions finished;
+    TIFF's explicit per-tile offset array makes that legal. Grid
+    positions with no chunk all point at ONE shared compressed fill
+    tile per band (offset reuse is legal TIFF and is how sparse COGs
+    keep empty oceans free).
+
+    The parts directory (``<path>.parts``) must be on storage the
+    driver can read — the same contract as every Spark file sink.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F, types as T
+
+    if overviews not in (0, None):
+        raise ValueError(
+            "mode='parts' writes the base image only; build overviews "
+            "with the single-file writer (mode='file', overviews=N) "
+            "or downsample distributed via cube.coarsen and write a "
+            "second file"
+        )
+    comp = {"none": C_NONE, "deflate": C_DEFLATE, "lzw": C_LZW}[compression]
+    ts = tile_size or cube.tile_size
+    if ts != cube.tile_size:
+        raise ValueError(
+            f"tile_size {ts} != cube chunk size {cube.tile_size}: the "
+            "writer maps chunks 1:1 onto TIFF tiles — re-chunk first"
+        )
+    if ts % 16:
+        raise ValueError(f"TIFF tile size must be a multiple of 16: {ts}")
+    gb = cube.geobox
+    names = list(cube.bands)
+    dtype = np.result_type(*[np.dtype(cube.bands[m].dtype) for m in names])
+    if dtype.kind not in "uif":
+        raise ValueError(f"cannot write dtype {dtype} to GeoTIFF")
+    dts = dtype.str.lstrip("<>|=")
+    if dts not in _DTYPE_SF:
+        raise ValueError(f"unsupported GeoTIFF dtype {dtype}")
+    sf, bits = _DTYPE_SF[dts]
+    fills = {m: float(cube.bands[m].fill) for m in names}
+    H, W = int(gb.height), int(gb.width)
+    ntx = (W + ts - 1) // ts
+    nty = (H + ts - 1) // ts
+    n_tiles = ntx * nty
+    nb = len(names)
+
+    parts_dir = path + ".parts"
+    os.makedirs(parts_dir, exist_ok=True)
+    dtype_str, ts_c, comp_c = dtype.str, ts, comp
+    fills_c = dict(fills)
+
+    man_schema = T.StructType([
+        T.StructField("measurement", T.StringType()),
+        T.StructField("ty", T.IntegerType()),
+        T.StructField("tx", T.IntegerType()),
+        T.StructField("part", T.StringType()),
+        T.StructField("off", T.LongType()),
+        T.StructField("nbytes", T.LongType()),
+    ])
+
+    def _emit(batches):
+        dt = np.dtype(dtype_str)
+        fname = os.path.join(parts_dir, f"part-{uuid.uuid4().hex}.bin")
+        rows = []
+        off = 0
+        fp = None
+        try:
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    m = r.measurement
+                    if m not in fills_c:
+                        continue
+                    if (r.row0 % ts_c) or (r.col0 % ts_c):
+                        raise ValueError(
+                            "chunk grid does not align with the tile "
+                            f"size {ts_c}"
+                        )
+                    if fp is None:
+                        fp = open(fname, "wb")
+                    arr = np.asarray(r.values, dtype=np.float64).reshape(
+                        r.h, r.w
+                    )
+                    full = np.full((ts_c, ts_c), fills_c[m], dtype=dt)
+                    full[: r.h, : r.w] = arr.astype(dt)
+                    raw = full.tobytes()
+                    if comp_c == C_DEFLATE:
+                        data = zlib.compress(raw, 6)
+                    elif comp_c == C_LZW:
+                        data = lzw_encode(raw)
+                    else:
+                        data = raw
+                    fp.write(data)
+                    rows.append((m, r.row0 // ts_c, r.col0 // ts_c,
+                                 os.path.basename(fname), off, len(data)))
+                    off += len(data)
+        finally:
+            if fp is not None:
+                fp.close()
+        yield pd.DataFrame(
+            rows, columns=["measurement", "ty", "tx", "part", "off",
+                           "nbytes"],
+        )
+
+    manifest = (
+        cube.chunks.filter(F.col("measurement").isin(names))
+        .select("measurement", "row0", "col0", "h", "w", "values")
+        .mapInPandas(_emit, schema=man_schema)
+        .collect()
+    )
+
+    # ---- driver: fill tiles + IFD + streamed body ----------------------
+    def _compress(raw: bytes) -> bytes:
+        if comp == C_DEFLATE:
+            return zlib.compress(raw, 6)
+        if comp == C_LZW:
+            return lzw_encode(raw)
+        return raw
+
+    fill_tiles: dict = {}  # fill value -> compressed bytes
+    for m in names:
+        f_v = fills[m]
+        key = (f_v if not math.isnan(f_v) else "nan")
+        if key not in fill_tiles:
+            fill_tiles[key] = _compress(
+                np.full((ts, ts), f_v, dtype=dtype).tobytes()
+            )
+
+    a, b, c, d, e, f = gb.affine.tolist()[:6]
+    nd = fills[names[0]]
+    nd_s = "nan" if math.isnan(nd) else repr(nd)
+
+    def _entry(tag, typ, vals):
+        cnt = len(vals)
+        if typ == 2:
+            payload = vals[0]
+            cnt = len(payload)
+        else:
+            payload = struct.pack("<" + _TYPE_FMT[typ] * cnt, *vals)
+        return tag, typ, cnt, payload
+
+    ln_chunks = n_tiles * nb
+    tags = [
+        _entry(T_WIDTH, 4, [W]),
+        _entry(T_HEIGHT, 4, [H]),
+        _entry(T_BITS, 3, [bits] * nb),
+        _entry(T_COMPRESSION, 3, [comp]),
+        _entry(T_PHOTOMETRIC, 3, [1]),
+        _entry(T_SAMPLES, 3, [nb]),
+        _entry(T_PLANAR, 3, [2]),
+        _entry(T_TILE_W, 3, [ts]),
+        _entry(T_TILE_H, 3, [ts]),
+        _entry(T_TILE_OFFSETS, 4, [0] * ln_chunks),
+        _entry(T_TILE_COUNTS, 4, [0] * ln_chunks),
+        _entry(T_SAMPLE_FORMAT, 3, [sf] * nb),
+        _entry(T_GDAL_NODATA, 2, [nd_s.encode() + b"\0"]),
+    ]
+    rotated = (b != 0.0) or (d != 0.0)
+    if rotated:
+        tags.append(_entry(T_TRANSFORM, 12,
+                           [a, b, 0.0, c, d, e, 0.0, f,
+                            0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]))
+    else:
+        tags.append(_entry(T_PIXEL_SCALE, 12, [a, -e, 0.0]))
+        tags.append(_entry(T_TIEPOINT, 12, [0.0, 0.0, 0.0, c, f, 0.0]))
+    epsg = gb.crs.epsg
+    if epsg <= 0:
+        epsg = 32767  # user-defined: parameterized CRS, see mode='file'
+    geo = [1, 1, 0, 3,
+           1024, 0, 1, (2 if gb.crs.is_geographic else 1),
+           1025, 0, 1, 1,
+           (2048 if gb.crs.is_geographic else 3072), 0, 1, epsg]
+    tags.append(_entry(T_GEO_DIR, 3, geo))
+    tags.sort(key=lambda t: t[0])
+
+    n_entries = len(tags)
+    base_off = 8
+    ifd_size = 2 + n_entries * 12 + 4
+    data_off = base_off + ifd_size
+
+    def _render(tag_list):
+        entry_bytes = b""
+        payload = b""
+        for tag, typ, cnt, pl in tag_list:
+            size = _TYPE_SIZE[typ] * cnt
+            if size <= 4:
+                val = pl.ljust(4, b"\0")
+            else:
+                val = struct.pack("<I", data_off + len(payload))
+                payload += pl
+            entry_bytes += struct.pack("<HHI", tag, typ, cnt) + val
+        return entry_bytes, payload
+
+    _, payload0 = _render(tags)
+    fill_base = data_off + len(payload0)
+    fill_off = {}
+    pos = fill_base
+    for key, data in fill_tiles.items():
+        fill_off[key] = (pos, len(data))
+        pos += len(data)
+    body_base = pos
+
+    # lay part files into the body in sorted-name order
+    part_sizes = {}
+    for r in manifest:
+        part_sizes.setdefault(r["part"], 0)
+        part_sizes[r["part"]] = max(
+            part_sizes[r["part"]], r["off"] + r["nbytes"]
+        )
+    part_base = {}
+    pos = body_base
+    for pname in sorted(part_sizes):
+        part_base[pname] = pos
+        pos += part_sizes[pname]
+    total = pos
+    if total > 0xFFFFFFFF:
+        raise ValueError(
+            "output exceeds 4 GB classic-TIFF limit; write per-band "
+            "files or increase compression"
+        )
+
+    plane = {m: i for i, m in enumerate(names)}
+    offsets = [0] * ln_chunks
+    counts = [0] * ln_chunks
+    for m in names:
+        f_v = fills[m]
+        key = (f_v if not math.isnan(f_v) else "nan")
+        o, n = fill_off[key]
+        p0 = plane[m] * n_tiles
+        for i in range(n_tiles):
+            offsets[p0 + i] = o
+            counts[p0 + i] = n
+    for r in manifest:
+        idx = plane[r["measurement"]] * n_tiles + r["ty"] * ntx + r["tx"]
+        offsets[idx] = part_base[r["part"]] + r["off"]
+        counts[idx] = r["nbytes"]
+
+    tags = [
+        _entry(T_TILE_OFFSETS, 4, offsets) if t[0] == T_TILE_OFFSETS
+        else _entry(T_TILE_COUNTS, 4, counts) if t[0] == T_TILE_COUNTS
+        else t
+        for t in tags
+    ]
+    entry_bytes, payload = _render(tags)
+    assert len(payload) == len(payload0)
+
+    with open(path, "wb") as out_fp:
+        out_fp.write(b"II*\0" + struct.pack("<I", base_off))
+        out_fp.write(struct.pack("<H", n_entries) + entry_bytes
+                     + struct.pack("<I", 0))
+        out_fp.write(payload)
+        for data in fill_tiles.values():
+            out_fp.write(data)
+        for pname in sorted(part_sizes):
+            with open(os.path.join(parts_dir, pname), "rb") as pf:
+                shutil.copyfileobj(pf, out_fp, 1 << 20)
+    shutil.rmtree(parts_dir, ignore_errors=True)
     return path

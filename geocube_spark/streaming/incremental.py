@@ -56,7 +56,7 @@ class IncrementalCube:
                  merge_alg: str = "add", tile_size: int = 256,
                  input_schema: str = SPANS_SCHEMA,
                  event_time_col: str = None, watermark: str = None,
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", categorical_enums=None):
         if merge_alg not in ("add", "replace"):
             raise ValueError(f"unsupported merge_alg {merge_alg!r}")
         if (event_time_col is None) != (watermark is None):
@@ -73,6 +73,9 @@ class IncrementalCube:
         self.event_time_col = event_time_col
         self.watermark = watermark
         self.id_col = id_col
+        # explicit enum -> stable category codes across micro-batches
+        # (per-batch derived categories would renumber between batches)
+        self.categorical_enums = categorical_enums
         self._fills: dict = {}
 
     # -- write side --------------------------------------------------------
@@ -85,6 +88,7 @@ class IncrementalCube:
             fill=self.fill,
             merge_alg=self.merge_alg,
             tile_size=self.tile_size,
+            categorical_enums=self.categorical_enums,
             _emit_partials=True,
         )
         self._fills = {m: b.fill for m, b in cube.bands.items()}

@@ -204,29 +204,56 @@ def main():
     # and keep the best run per level - the standard protocol for
     # measuring scalability on a contended box.
     rounds = int(os.environ.get("SCALING_BENCH_ROUNDS", "3"))
+    # loadavg gate (round-2 review item 8): a level timed while
+    # external tenants hold the cores reads as an engine regression.
+    # If the best run of a level started above the gate, re-queue it
+    # (waiting up to CALM_WAIT for the host to calm) and flag it as
+    # saturated_host in the report if it never got a calm run.
+    gate = float(os.environ.get("SCALING_BENCH_LOADAVG_GATE", "8.0"))
+    calm_wait = int(os.environ.get("SCALING_BENCH_CALM_WAIT", "90"))
     results: dict = {}
     loads = []
+
+    def _one(cpus):
+        load = round(os.getloadavg()[0], 1)
+        loads.append(load)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run",
+             str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+        )
+        if out.returncode != 0 or not out.stdout.strip():
+            raise RuntimeError(
+                f"level local[{cpus}] failed "
+                f"(rc={out.returncode}):\n{out.stderr[-2000:]}"
+            )
+        line = out.stdout.strip().splitlines()[-1]
+        r = json.loads(line)
+        r["host_loadavg"] = load
+        if (
+            cpus not in results
+            or r["wall_sec"] < results[cpus]["wall_sec"]
+        ):
+            results[cpus] = r
+
     for _ in range(rounds):
         for cpus in LEVELS:
-            loads.append(round(os.getloadavg()[0], 1))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run",
-                 str(cpus)],
-                capture_output=True, text=True, cwd=REPO,
-                env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
-            )
-            if out.returncode != 0 or not out.stdout.strip():
-                raise RuntimeError(
-                    f"level local[{cpus}] failed "
-                    f"(rc={out.returncode}):\n{out.stderr[-2000:]}"
-                )
-            line = out.stdout.strip().splitlines()[-1]
-            r = json.loads(line)
-            if (
-                cpus not in results
-                or r["wall_sec"] < results[cpus]["wall_sec"]
-            ):
-                results[cpus] = r
+            _one(cpus)
+
+    # re-queue levels whose best run started on a saturated host
+    for cpus in LEVELS:
+        for _ in range(2):
+            if results[cpus]["host_loadavg"] <= gate:
+                break
+            waited = 0
+            while os.getloadavg()[0] > gate and waited < calm_wait:
+                time.sleep(10)
+                waited += 10
+            _one(cpus)
+        results[cpus]["saturated_host"] = (
+            results[cpus]["host_loadavg"] > gate
+        )
 
     def _eff(lo, hi):
         return round(
@@ -255,6 +282,11 @@ def main():
         },
         "criterion": ">=0.8 from N to 4N (north rule)",
         "pass": eff_2_8 >= 0.8,
+        "loadavg_gate": gate,
+        "saturated_levels": [
+            f"local[{c}]" for c in LEVELS
+            if results[c].get("saturated_host")
+        ],
         "host_loadavg_before_each_run": loads,
         "note": (
             "shared-host sandbox: external loadavg steals cores from "

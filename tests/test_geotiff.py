@@ -361,3 +361,54 @@ def test_cog_overviews_roundtrip(spark, tmp_path):
     # explicit count + reading past the chain raises
     with pytest.raises(IndexError):
         read_tiff_info(path, ifd_index=n)
+
+
+def test_parts_mode_matches_single_file(spark, tmp_path):
+    """Distributed export (mode='parts'): executors write compressed
+    tile part files + a manifest, the driver streams them into one
+    TIFF — no dense driver materialization. The result must decode
+    identically to the single-file writer's output."""
+    cube = _small_cube(spark, meas=("m0", "m1"))
+    p1 = str(tmp_path / "single.tif")
+    p2 = str(tmp_path / "parts.tif")
+    write_geotiff(cube, p1)
+    out = write_geotiff(cube, p2, mode="parts")
+    assert out == p2
+    assert not os.path.exists(p2 + ".parts")  # cleaned up
+
+    i1, i2 = read_tiff_info(p1), read_tiff_info(p2)
+    assert (i2.width, i2.height, i2.tile_w, i2.compression, i2.epsg) == (
+        i1.width, i1.height, i1.tile_w, i1.compression, i1.epsg
+    )
+    a1 = read_geotiff(spark, p1).assemble()
+    a2 = read_geotiff(spark, p2).assemble()
+    assert sorted(a1) == sorted(a2)
+    for k in a1:
+        np.testing.assert_array_equal(a2[k], a1[k])
+
+
+def test_parts_mode_sparse_fill_tiles(spark, tmp_path):
+    """Grid positions with no chunk read back as fill (they all share
+    one fill tile in the file body)."""
+    from pyspark.sql import functions as F
+
+    import dataclasses
+
+    cube = _small_cube(spark)
+    # drop half the tiles to force shared-fill-tile references
+    sparse = dataclasses.replace(
+        cube, chunks=cube.chunks.filter(F.col("tile_id") % 2 == 0)
+    )
+    path = str(tmp_path / "sparse.tif")
+    write_geotiff(sparse, path, mode="parts")
+    back = read_geotiff(spark, path).assemble()["band_1"]
+    full = sparse.assemble()["m0"]
+    np.testing.assert_array_equal(back.astype(np.float64),
+                                  full.astype(np.float64))
+
+
+def test_parts_mode_rejects_overviews(spark, tmp_path):
+    cube = _small_cube(spark)
+    with pytest.raises(ValueError, match="base image only"):
+        write_geotiff(cube, str(tmp_path / "x.tif"), mode="parts",
+                      overviews=2)

@@ -778,3 +778,37 @@ def test_interp_parallel_plan_grouped(spark):
     np.testing.assert_array_equal(
         np.asarray(arrs_a["value"]), np.asarray(arrs_b["value"])
     )
+
+
+def test_rbf_dense_solve_cap():
+    """The RBF fit is O(n^2) memory / O(n^3) time; over-cap inputs
+    must fail fast with guidance instead of an opaque executor OOM
+    (round-2 review: kernels/interpolate.py dense solve had no guard)."""
+    import pytest
+
+    from geocube_spark.kernels.interpolate import (
+        RBF_MAX_POINTS, rbf_interp,
+    )
+
+    n = RBF_MAX_POINTS + 1
+    px = np.linspace(0.0, 1.0, n)
+    py = np.linspace(0.0, 1.0, n)
+    with pytest.raises(ValueError, match="dense-solve cap"):
+        rbf_interp(px, py, px, np.linspace(0, 1, 4), np.linspace(0, 1, 4))
+
+
+def test_infer_measurements_layout_independent(spark):
+    """Schema inference samples the global first-N spans by
+    (doc_id, offset), so a repartitioned/shuffled copy of the same
+    table must infer the identical measurement list."""
+    from pyspark.sql import functions as F
+
+    from geocube_spark import datagen as DG
+    from geocube_spark.extract import infer_measurements
+
+    docs = DG.to_spark(spark, DG.flat_polygon_docs(n=40))
+    base = infer_measurements(docs)
+    shuffled = docs.repartition(7).sortWithinPartitions("doc_id")
+    assert infer_measurements(shuffled) == base
+    reversed_layout = docs.orderBy(F.col("doc_id").desc()).coalesce(2)
+    assert infer_measurements(reversed_layout) == base

@@ -271,3 +271,59 @@ def test_windowed_watermark_stream(spark, tmp_path):
         if r["window_start"].hour < 5
     }
     assert {k: v for k, v in rows.items() if k[0] < 5} == want
+
+
+def test_restart_compact_categorical_band(spark, tmp_path):
+    """Round-2 review item 7: crash between refresh and compact with a
+    CATEGORICAL band. A fresh instance (empty in-memory _fills, wrong
+    constructor fill) must compact using the persisted per-band fills
+    (-1 for categorical) and the pinned enum so codes are stable
+    across batches and restarts."""
+    pdf1 = DG.grouped_polygon_docs(n_groups=1, per_group=6, seed=3)
+    pdf2 = DG.grouped_polygon_docs(n_groups=1, per_group=6, seed=4)
+    pdf2["doc_id"] = [d.replace("soil_group-", "soil_group-1")
+                      for d in pdf2["doc_id"]]
+    enums = {"drclassdcd": ["Well drained", "Poorly drained"]}
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "cube_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    geobox = _grid(spark)
+
+    inc = IncrementalCube(
+        out_dir, geobox, measurements=["drclassdcd"], fill=0.0,
+        merge_alg="replace", tile_size=32, categorical_enums=enums,
+    )
+    DG.to_spark(spark, pdf1).coalesce(1).write.parquet(f"{in_dir}/b1")
+    inc.refresh(spark, f"{in_dir}/*", ckpt)
+    DG.to_spark(spark, pdf2).coalesce(1).write.parquet(f"{in_dir}/b2")
+    inc.refresh(spark, f"{in_dir}/*", ckpt)
+    import json as _json
+
+    with open(f"{out_dir}/fills.json") as f:
+        assert _json.load(f)["drclassdcd"] == -1.0
+
+    # crash + restart: fresh instance, wrong constructor fill
+    inc2 = IncrementalCube(
+        out_dir, geobox, measurements=["drclassdcd"], fill=0.0,
+        merge_alg="replace", tile_size=32, categorical_enums=enums,
+    )
+    final = inc2.compact(spark)
+
+    import pandas as pd
+
+    batch_cube = make_geocube(
+        DG.to_spark(spark, pd.concat([pdf1, pdf2], ignore_index=True)),
+        measurements=["drclassdcd"], like=geobox, fill=0.0,
+        merge_alg="replace", tile_size=32, categorical_enums=enums,
+    )
+    want = batch_cube.assemble()["drclassdcd"]
+    got = GeoCube(
+        chunks=final, geobox=geobox, bands=batch_cube.bands,
+        tile_size=32, fill=-1.0,
+    ).assemble()["drclassdcd"]
+    assert want.dtype == np.int8
+    np.testing.assert_array_equal(want, got)
+    # untouched cells must be the categorical nodata code, not 0
+    assert (got == -1).any()
