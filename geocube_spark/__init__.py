@@ -2,7 +2,9 @@
 
 Public surface mirrors the reference package (geocube/__init__.py):
 ``make_geocube`` / ``vectorize`` via ``api.core``, plus
-``show_versions`` (reference geocube/show_versions.py).
+``show_versions`` (reference geocube/show_versions.py) and the
+logging helpers in ``geocube_spark.logger`` (reference
+geocube/logger.py).
 """
 
 __version__ = "0.1.0"

@@ -812,3 +812,34 @@ def test_infer_measurements_layout_independent(spark):
     assert infer_measurements(shuffled) == base
     reversed_layout = docs.orderBy(F.col("doc_id").desc()).coalesce(2)
     assert infer_measurements(reversed_layout) == base
+
+
+def test_logger_helpers(tmp_path):
+    """Reference geocube/logger.py parity: get_logger / set_log_level /
+    log_to_console / log_to_file control the package logger."""
+    import logging
+
+    from geocube_spark.logger import (
+        get_logger, log_to_console, log_to_file, set_log_level,
+    )
+
+    log = get_logger()
+    assert log.name == "geocube_spark"
+    set_log_level("DEBUG")
+    assert log.level == logging.DEBUG
+
+    log_to_console(True)
+    assert any(type(h) is logging.StreamHandler for h in log.handlers)
+    log_to_console(False)
+    assert not any(type(h) is logging.StreamHandler for h in log.handlers)
+
+    fname = str(tmp_path / "x.log")
+    log_to_file(True, filename=fname)
+    log.warning("hello file")
+    log_to_file(False)
+    assert not any(
+        isinstance(h, logging.FileHandler) for h in log.handlers
+    )
+    with open(fname) as f:
+        assert "hello file" in f.read()
+    set_log_level("WARNING")
