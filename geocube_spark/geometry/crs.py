@@ -448,6 +448,67 @@ def merc_k0_from_sp(ellps: str, sp1_deg: float) -> float:
 
 
 # ---------------------------------------------------------------------------
+# polar stereographic (EPSG 9810 variant A / 9829 variant B)
+# ---------------------------------------------------------------------------
+
+def _ps_scale(p):
+    """rho = K * t(phi); K from the standard parallel (variant B,
+    'sp1' in the def) or the natural-origin scale factor (variant A,
+    'k0'). EPSG GN7-2 formulas."""
+    a, e2, e = _eccentricity(p["ellps"])
+    if "sp1" in p and p["sp1"] is not None:
+        pf = np.radians(abs(p["sp1"]))
+        s = e * np.sin(pf)
+        mF = np.cos(pf) / np.sqrt(1 - e2 * np.sin(pf) ** 2)
+        tF = np.tan(np.pi / 4 - pf / 2) * ((1 + s) / (1 - s)) ** (e / 2)
+        return a * mF / tF
+    k0 = p.get("k0", 1.0)
+    C = np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    return 2 * a * k0 / C
+
+
+def _ps_forward(lon, lat, p):
+    """North aspect; the south aspect maps through (-lat, same lon)
+    with the northing mirrored (the two variants' published formulas
+    are exactly this reflection of each other)."""
+    a, e2, e = _eccentricity(p["ellps"])
+    K = _ps_scale(p)
+    south = p.get("south", False)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    if south:
+        phi = -phi
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    s = e * np.sin(phi)
+    t = np.tan(np.pi / 4 - phi / 2) * ((1 + s) / (1 - s)) ** (e / 2)
+    rho = K * t
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    if south:
+        y = -y
+    return x, y
+
+
+def _ps_inverse(x, y, p):
+    a, e2, e = _eccentricity(p["ellps"])
+    K = _ps_scale(p)
+    south = p.get("south", False)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if south:
+        y = -y
+    rho = np.hypot(x, y)
+    t = rho / K
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (e / 2))
+    lam = np.arctan2(x, -y)
+    if south:
+        phi = -phi
+    return np.degrees(lam) + p["lon0"], np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # datum shift: geodetic <-> geocentric + 7-parameter Helmert
 # ---------------------------------------------------------------------------
 
@@ -546,6 +607,18 @@ CRS_DEFS: dict = {
     3035: {"kind": "laea", "lon0": 10.0, "lat0": 52.0,
            "fe": 4321000.0, "fn": 3210000.0,
            "ellps": "GRS80", "datum": "ETRS89"},
+    # WGS 84 / World Mercator (ellipsoidal, variant A, k0=1)
+    3395: {"kind": "merc", "lon0": 0.0, "k0": 1.0, "fe": 0.0, "fn": 0.0,
+           "ellps": "WGS84", "datum": "WGS84"},
+    # WGS 84 / Antarctic Polar Stereographic (variant B, sp=-71)
+    3031: {"kind": "ps", "south": True, "sp1": -71.0, "lon0": 0.0,
+           "fe": 0.0, "fn": 0.0, "ellps": "WGS84", "datum": "WGS84"},
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North (sp=70, lon0=-45)
+    3413: {"kind": "ps", "south": False, "sp1": 70.0, "lon0": -45.0,
+           "fe": 0.0, "fn": 0.0, "ellps": "WGS84", "datum": "WGS84"},
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic South (sp=-70)
+    3976: {"kind": "ps", "south": True, "sp1": -70.0, "lon0": 0.0,
+           "fe": 0.0, "fn": 0.0, "ellps": "WGS84", "datum": "WGS84"},
 }
 
 # WGS84 / UTM north + south and ETRS89 / UTM
@@ -593,7 +666,7 @@ def _resolve_pdef(pdef: tuple) -> dict:
     else:
         d["datum"] = raw.get("datum", "WGS84")
     for k in ("lon0", "lat0", "k0", "fe", "fn", "sp1", "sp2",
-              "to_meter"):
+              "south", "to_meter"):
         if k in raw:
             d[k] = raw[k]
     if d["kind"] == "merc" and d.get("k0") is None:
@@ -791,16 +864,32 @@ class CRS:
             "albers": ('Albers Equal Area', 9822),
             "laea": ('Lambert Azimuthal Equal Area', 9820),
             "merc": ('Mercator (variant A)', 9804),
+            "ps": (('Polar Stereographic (variant B)', 9829)
+                   if d.get("sp1") is not None
+                   else ('Polar Stereographic (variant A)', 9810)),
         }[kind]
-        natural = kind in ("tm", "laea", "merc") or lcc_1sp
-        params = [
-            ("Latitude of natural origin"
-             if natural else "Latitude of false origin",
-             d.get("lat0", 0.0)),
-            ("Longitude of natural origin"
-             if natural else "Longitude of false origin",
-             d.get("lon0", 0.0)),
-        ]
+        if kind == "ps" and d.get("sp1") is not None:
+            params = [
+                ("Latitude of standard parallel", d["sp1"]),
+                ("Longitude of origin", d.get("lon0", 0.0)),
+            ]
+        elif kind == "ps":
+            params = [
+                ("Latitude of natural origin",
+                 -90.0 if d.get("south") else 90.0),
+                ("Longitude of natural origin", d.get("lon0", 0.0)),
+                ("Scale factor at natural origin", d.get("k0", 1.0)),
+            ]
+        else:
+            natural = kind in ("tm", "laea", "merc") or lcc_1sp
+            params = [
+                ("Latitude of natural origin"
+                 if natural else "Latitude of false origin",
+                 d.get("lat0", 0.0)),
+                ("Longitude of natural origin"
+                 if natural else "Longitude of false origin",
+                 d.get("lon0", 0.0)),
+            ]
         if kind in ("tm", "merc") or lcc_1sp:
             params.append(
                 ("Scale factor at natural origin", d.get("k0", 1.0))
@@ -845,6 +934,12 @@ class CRS:
             y = np.asarray(y, dtype=np.float64) * tmu
         if kind == "merc":
             lon, lat = _merc_inverse(
+                np.asarray(x, dtype=np.float64) - d["fe"],
+                np.asarray(y, dtype=np.float64) - d["fn"], d,
+            )
+            return _datum_to_wgs84(lon, lat, d["ellps"], d["datum"])
+        if kind == "ps":
+            lon, lat = _ps_inverse(
                 np.asarray(x, dtype=np.float64) - d["fe"],
                 np.asarray(y, dtype=np.float64) - d["fn"], d,
             )
@@ -909,6 +1004,9 @@ class CRS:
         tmu = d.get("to_meter", 1.0)
         if kind == "merc":
             x, y = _merc_forward(lon, lat, d)
+            return (x + d["fe"]) / tmu, (y + d["fn"]) / tmu
+        if kind == "ps":
+            x, y = _ps_forward(lon, lat, d)
             return (x + d["fe"]) / tmu, (y + d["fn"]) / tmu
         if kind == "tm":
             e, n = _tm_forward(lon, lat, d["lon0"], d["ellps"])

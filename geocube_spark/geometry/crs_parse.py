@@ -163,6 +163,11 @@ _METHODS = {
     "popularvisualisationpseudomercator3857": ("webmerc", None),
     "pseudomercator": ("webmerc", None),
     "mercatorauxiliarysphere": ("webmerc", None),
+    "polarstereographic": ("ps", None),
+    "polarstereographicvarianta": ("ps", "a"),
+    "polarstereographicvariantb": ("ps", "b"),
+    "stereographicnorthpole": ("ps", "b"),
+    "stereographicsouthpole": ("ps", "b"),
 }
 
 # parameter name -> canonical key
@@ -208,8 +213,8 @@ def _supported():
     return (
         "Transverse Mercator, Lambert Conic Conformal (1SP/2SP), "
         "Albers Equal Area, Lambert Azimuthal Equal Area, "
-        "Mercator (variant A/B), Popular Visualisation Pseudo "
-        "Mercator, geographic"
+        "Mercator (variant A/B), Polar Stereographic (variant A/B), "
+        "Popular Visualisation Pseudo Mercator, geographic"
     )
 
 
@@ -484,6 +489,21 @@ def _assemble_projected(d, kind, flavor, vals, mname):
                 "supported (EPSG 9804/9805 define it as 0)"
             )
         d.pop("lat0", None)
+    elif kind == "ps":
+        lat0 = d.pop("lat0", 0.0)
+        if flavor == "b" or ("sp1" in vals and "k0" not in vals):
+            sp1 = vals.get("sp1", lat0)
+            d["sp1"] = sp1
+            d["south"] = sp1 < 0
+        else:
+            if abs(abs(lat0) - 90.0) > 1e-9:
+                raise ValueError(
+                    f"{mname!r}: oblique stereographic (latitude of "
+                    f"origin {lat0}) is not supported; only the polar "
+                    "aspects (+/-90)"
+                )
+            d["south"] = lat0 < 0
+            d["k0"] = vals.get("k0", 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -634,6 +654,19 @@ def parse_proj4(s: str):
             d["k0"] = None
         else:
             d["k0"] = float(kv.get("k", kv.get("k_0", 1.0)))
+    elif proj == "stere":
+        lat0 = fl("lat_0")
+        if abs(abs(lat0) - 90.0) > 1e-9:
+            raise ValueError(
+                f"+proj=stere with +lat_0={lat0}: only the polar "
+                "aspects (+/-90) are supported"
+            )
+        d.update(kind="ps", south=lat0 < 0, lon0=fl("lon_0"),
+                 fe=fl("x_0"), fn=fl("y_0"))
+        if "lat_ts" in kv:
+            d["sp1"] = fl("lat_ts")
+        else:
+            d["k0"] = float(kv.get("k", kv.get("k_0", 1.0)))
     else:
         raise ValueError(
             f"unsupported +proj={proj}; supported: longlat, utm, "
@@ -704,6 +737,16 @@ def def_to_spec(d: dict) -> str:
             parts.append(f"+lat_ts={d.get('sp1', 0.0)!r}")
         else:
             parts.append(f"+k={d.get('k0', 1.0)!r}")
+        parts.append(f"+x_0={d.get('fe', 0.0)!r}")
+        parts.append(f"+y_0={d.get('fn', 0.0)!r}")
+    elif kind == "ps":
+        parts.append("+proj=stere")
+        parts.append("+lat_0=-90.0" if d.get("south") else "+lat_0=90.0")
+        if d.get("sp1") is not None:
+            parts.append(f"+lat_ts={d['sp1']!r}")
+        else:
+            parts.append(f"+k={d.get('k0', 1.0)!r}")
+        parts.append(f"+lon_0={d.get('lon0', 0.0)!r}")
         parts.append(f"+x_0={d.get('fe', 0.0)!r}")
         parts.append(f"+y_0={d.get('fn', 0.0)!r}")
     else:

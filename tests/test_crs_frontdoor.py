@@ -229,3 +229,92 @@ def test_burn_parameterized_crs_matches_registry(spark):
         "North American Datum 1983", "World Geodetic System 1984")
     got = burn(wkt)
     assert got == ref
+
+
+def test_polar_stereographic_sphere_limit():
+    """On a sphere (e=0), variant-B PS must equal the textbook
+    spherical formula rho = 2 a k0 tan(pi/4 - phi/2) with
+    k0 = (1 + sin(lat_ts)) / 2 (Snyder 21-1..21-4)."""
+    a = 6370000.0
+    c = CRS.from_user_input(
+        f"+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +a={a} +b={a}"
+    )
+    lon = np.array([-45.0, 10.0, 135.0])
+    lat = np.array([85.0, 70.0, 60.0])
+    x, y = transform(WGS, c, lon, lat)
+    k0 = (1 + np.sin(np.radians(70.0))) / 2
+    rho = 2 * a * k0 * np.tan(np.pi / 4 - np.radians(lat) / 2)
+    lam = np.radians(lon + 45.0)
+    np.testing.assert_allclose(x, rho * np.sin(lam), rtol=1e-12)
+    np.testing.assert_allclose(y, -rho * np.cos(lam), rtol=1e-12)
+
+
+def test_polar_stereographic_scale_true_at_parallel():
+    """EPSG:3031 (Antarctic PS, lat_ts=-71): the local scale factor at
+    the standard parallel must be 1 (that's what defines variant B)."""
+    c = CRS(3031)
+    lat = np.array([-71.0, -71.0001])
+    lon = np.array([30.0, 30.0])
+    x, y = transform(WGS, c, lon, lat)
+    dist = float(np.hypot(x[1] - x[0], y[1] - y[0]))
+    # true meridian arc length for 0.0001 deg at lat -71 on WGS84
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    phi = np.radians(-71.0)
+    M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    arc = M * np.radians(0.0001)
+    assert abs(dist / arc - 1.0) < 1e-6
+
+
+def test_polar_stereographic_variants_equivalent():
+    """Variant B (lat_ts) == variant A with the derived k0."""
+    from geocube_spark.geometry.crs import _ps_scale, _eccentricity
+
+    b = CRS(3413)
+    K = _ps_scale(b._def)
+    a_, e2, e = _eccentricity("WGS84")
+    C = np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    k0 = K * C / (2 * a_)
+    va = CRS.from_user_input(
+        f"+proj=stere +lat_0=90 +k={float(k0)!r} +lon_0=-45 +ellps=WGS84"
+    )
+    lon = np.array([-45.0, 100.0])
+    lat = np.array([80.0, 65.0])
+    xb, yb = transform(WGS, b, lon, lat)
+    xa, ya = transform(WGS, va, lon, lat)
+    np.testing.assert_allclose(xa, xb, rtol=1e-14)
+    np.testing.assert_allclose(ya, yb, rtol=1e-14)
+
+
+def test_polar_stereographic_south_roundtrip_and_pole():
+    for code in (3031, 3976):
+        c = CRS(code)
+        lon = np.array([0.0, 120.0, -77.7])
+        lat = np.array([-90.0, -75.0, -68.0])
+        x, y = transform(WGS, c, lon, lat)
+        assert abs(float(x[0])) < 1e-6 and abs(float(y[0])) < 1e-6
+        lo, la = transform(c, WGS, x[1:], y[1:])
+        np.testing.assert_allclose(lo, lon[1:], atol=1e-9)
+        np.testing.assert_allclose(la, lat[1:], atol=1e-9)
+    # spec round-trip
+    c = CRS.from_user_input(CRS(3031).to_wkt())
+    assert c.epsg == 3031
+    p = CRS.from_user_input("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +datum=WGS84")
+    x1, y1 = transform(WGS, CRS(3031), np.array([55.0]), np.array([-80.0]))
+    x2, y2 = transform(WGS, p, np.array([55.0]), np.array([-80.0]))
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(y1, y2)
+    assert CRS.from_user_input(p.spec) == p
+
+
+def test_world_mercator_3395():
+    c = CRS(3395)
+    x, y = transform(WGS, c, np.array([1.0]), np.array([0.0]))
+    assert float(x[0]) == pytest.approx(111319.49079327357)
+    assert float(y[0]) == pytest.approx(0.0, abs=1e-9)
+    # ellipsoidal: y at 60N differs from spherical web mercator
+    xw, yw = transform(WGS, CRS(3857), np.array([0.0]), np.array([60.0]))
+    xm, ym = transform(WGS, c, np.array([0.0]), np.array([60.0]))
+    assert abs(float(yw[0]) - float(ym[0])) > 10000
+    lo, la = transform(c, WGS, xm, ym)
+    assert float(la[0]) == pytest.approx(60.0, abs=1e-9)
