@@ -407,8 +407,38 @@ def test_parts_mode_sparse_fill_tiles(spark, tmp_path):
                                   full.astype(np.float64))
 
 
-def test_parts_mode_rejects_overviews(spark, tmp_path):
-    cube = _small_cube(spark)
-    with pytest.raises(ValueError, match="base image only"):
+def test_parts_mode_overviews_match_file_mode(spark, tmp_path):
+    """mode='parts' builds overviews DISTRIBUTED (per-chunk fill-aware
+    2x decimation, narrow map) with per-level tile sizes ts/2^k; each
+    level must decode identically to the single-file writer's
+    overview pyramid."""
+    from geocube_spark import datagen
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.sources.geotiff import tiff_ifd_count
+
+    docs = datagen.to_spark(spark, datagen.scale_docs(800, seed=9))
+    cube = make_geocube(
+        docs, measurements=["m0"],
+        geom=('{"type": "Polygon", "coordinates": [[[-91, 41], '
+              '[-90, 41], [-90, 42], [-91, 42], [-91, 41]]]}'),
+        resolution=(-1.0 / 128, 1.0 / 128), fill=0.0, merge_alg="add",
+        tile_size=64,
+    )
+    p1 = str(tmp_path / "file.tif")
+    p2 = str(tmp_path / "parts.tif")
+    write_geotiff(cube, p1, overviews=2)
+    write_geotiff(cube, p2, mode="parts", overviews=2)
+    assert tiff_ifd_count(p1) == tiff_ifd_count(p2) == 3
+    for k in range(3):
+        i2 = read_tiff_info(p2, ifd_index=k)
+        assert i2.tile_w == 64 >> k  # per-level tile size
+        a1 = read_geotiff(spark, p1, overview=k).assemble()["band_1"]
+        a2 = read_geotiff(spark, p2, overview=k).assemble()["band_1"]
+        np.testing.assert_array_equal(a2, a1)
+
+
+def test_parts_mode_overview_depth_cap(spark, tmp_path):
+    cube = _small_cube(spark)  # ts=32 -> max depth 1 (32 -> 16)
+    with pytest.raises(ValueError, match="depth"):
         write_geotiff(cube, str(tmp_path / "x.tif"), mode="parts",
-                      overviews=2)
+                      overviews=3)
