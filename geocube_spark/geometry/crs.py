@@ -728,7 +728,12 @@ class CRS:
                 if code is not None and code in CRS_DEFS:
                     return CRS(code)
                 raise
-            if epsg is not None and epsg in CRS_DEFS:
+            # registry shortcut ONLY when the text carries no custom
+            # datum transformation — a BOUNDCRS (or inline TOWGS84)
+            # wrapping a registry code exists precisely to override
+            # the registry's transformation, so honor it
+            if (epsg is not None and epsg in CRS_DEFS
+                    and "towgs84" not in d):
                 return CRS(epsg)
             return CRS(epsg if epsg is not None else -1,
                        tuple(sorted(d.items())))

@@ -126,7 +126,12 @@ def _parse_node(toks, i):
 
 def _parse_wkt_tree(s) -> _Node:
     toks = _tokenize(s)
-    node, i = _parse_node(toks, 0)
+    try:
+        node, i = _parse_node(toks, 0)
+    except IndexError:
+        raise ValueError(
+            f"malformed WKT (truncated): {s[:48]!r}..."
+        ) from None
     return node
 
 
@@ -300,11 +305,46 @@ _DATUM_NAMES = {
 
 
 def _datum_name(tree):
+    """Datum name -> engine datum, or raise for unknown datums.
+
+    An unknown datum with no TOWGS84 must NOT silently default to an
+    identity shift — that is a ~100 m-class silent georeferencing
+    error (e.g. DHDN/Potsdam is ~120 m off WGS84)."""
     d = tree.find("DATUM", "TRF", "ENSEMBLE")
     if d is None:
-        return None
+        return "WGS84"
     strs = d.strings()
-    return _DATUM_NAMES.get(_norm(strs[0])) if strs else None
+    if not strs:
+        return "WGS84"
+    mapped = _DATUM_NAMES.get(_norm(strs[0]))
+    if mapped is None:
+        raise ValueError(
+            f"unsupported datum {strs[0]!r} with no TOWGS84: add a "
+            "TOWGS84[tx,ty,tz,rx,ry,rz,ds] node with the Helmert "
+            "parameters, or use a supported datum (WGS84, ETRS89, "
+            "NAD83, NAD27, OSGB36)"
+        )
+    return mapped
+
+
+def _prime_meridian_deg(tree, ang_factor):
+    """PRIMEM longitude in degrees east of Greenwich.
+
+    Uses the node's own ANGLEUNIT when present (WKT2); otherwise the
+    value is taken as DEGREES — the GDAL/PROJ WKT1 dialect always
+    writes PRIMEM in degrees even when the GEOGCS unit is grads
+    (e.g. NTF Paris: 2.33722917 deg, not 2.5969213 grads), and that
+    dialect dominates WKT1 in the wild. ``ang_factor`` is accepted
+    for signature symmetry but deliberately NOT applied here."""
+    pm = tree.find("PRIMEM", "PRIMEMERIDIAN")
+    if pm is None:
+        return 0.0
+    nums = pm.numbers()
+    if not nums:
+        return 0.0
+    u = pm.find("ANGLEUNIT", "UNIT")
+    pf = _unit_factor(u) if u is not None else None
+    return _angle_to_deg(nums[0], pf)  # pf None -> value already deg
 
 
 def _angle_to_deg(value, factor):
@@ -362,12 +402,20 @@ def _parse_crs_node(tree):
 
     if tree.name in ("GEOGCS", "GEOGCRS", "GEODCRS", "GEODETICCRS"):
         a, invf = _ellipsoid(tree)
+        u = tree.find("UNIT", "ANGLEUNIT")
+        gang = _unit_factor(u) if u is not None else None
+        pm = _prime_meridian_deg(tree, gang)
+        if abs(pm) > 1e-12:
+            raise ValueError(
+                f"geographic CRS with non-Greenwich prime meridian "
+                f"({pm} deg east) is not supported"
+            )
         d = {"kind": "geographic", "ellps_a": a, "ellps_invf": invf}
         tw = _towgs84(tree)
         if tw is not None:
             d["towgs84"] = tw
         else:
-            d["datum"] = _datum_name(tree) or "WGS84"
+            d["datum"] = _datum_name(tree)
         return epsg, d
 
     if tree.name not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
@@ -394,23 +442,36 @@ def _parse_crs_node(tree):
     kind, flavor = kindrec
 
     # ---- units ----------------------------------------------------------
-    # linear unit of the projected CRS (WKT1: last UNIT of PROJCS;
-    # WKT2: CS-level LENGTHUNIT / per-parameter LENGTHUNIT)
+    # linear unit of the projected CRS: WKT1 puts the last UNIT at the
+    # PROJCS top level; WKT2 (pyproj/GDAL output) usually nests the
+    # LENGTHUNIT inside each AXIS of CS[Cartesian,2]
     lin = 1.0
+    found_lin = False
     for a in tree.args:
         if isinstance(a, _Node) and a.name in ("UNIT", "LENGTHUNIT"):
             f = _unit_factor(a)
             if f:
+                lin, found_lin = f, True
+    if not found_lin:
+        for ax in tree.children("AXIS"):
+            u = ax.find("LENGTHUNIT", "UNIT")
+            f = _unit_factor(u) if u is not None else None
+            if f:
                 lin = f
+    geog = tree.find("GEOGCS", "BASEGEOGCRS", "GEOGCRS")
     if conv is None:
         # WKT1 angle unit comes from the GEOGCS UNIT
-        geog = tree.find("GEOGCS", "BASEGEOGCRS", "GEOGCRS")
         ang = None
         if geog is not None:
             u = geog.find("UNIT", "ANGLEUNIT")
             ang = _unit_factor(u) if u is not None else None
     else:
         ang = None  # WKT2 defaults to degree unless per-param unit
+
+    # non-Greenwich prime meridian: projected lon0 is stated relative
+    # to it; folding it into lon0 makes the definition
+    # Greenwich-relative (what the kernels and datum shifts expect)
+    pm = _prime_meridian_deg(geog if geog is not None else tree, ang)
 
     # ---- parameters -----------------------------------------------------
     vals = {}
@@ -437,8 +498,10 @@ def _parse_crs_node(tree):
     if tw is not None:
         d["towgs84"] = tw
     else:
-        d["datum"] = _datum_name(tree) or "WGS84"
+        d["datum"] = _datum_name(tree)
 
+    if abs(pm) > 1e-12:
+        vals["lon0"] = vals.get("lon0", 0.0) + pm
     _assemble_projected(d, kind, flavor, vals, mname)
     if abs(lin - 1.0) > 1e-12:
         d["to_meter"] = lin
@@ -632,13 +695,15 @@ def parse_proj4(s: str):
     elif proj == "lcc":
         d.update(kind="lcc", lon0=fl("lon_0"), lat0=fl("lat_0"),
                  fe=fl("x_0"), fn=fl("y_0"))
+        # +k applies in BOTH branches: def_to_spec serializes an LCC
+        # 1SP as lat_1=lat_2 plus +k, and dropping it here would make
+        # a worker rebuilt from the spec disagree with the driver
         if "lat_2" in kv:
             d["sp1"], d["sp2"] = fl("lat_1"), fl("lat_2")
-            d["k0"] = 1.0
         else:
             sp = fl("lat_1", kv.get("lat_0", 0.0))
             d["sp1"] = d["sp2"] = sp
-            d["k0"] = float(kv.get("k", kv.get("k_0", 1.0)))
+        d["k0"] = float(kv.get("k", kv.get("k_0", 1.0)))
     elif proj == "aea":
         d.update(kind="albers", lon0=fl("lon_0"), lat0=fl("lat_0"),
                  sp1=fl("lat_1"), sp2=fl("lat_2"),

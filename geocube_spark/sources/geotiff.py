@@ -421,6 +421,11 @@ def read_tiff_info(path: str, *, ifd_index: int = 0) -> TiffInfo:
             epsg = keys[3072]
         elif keys.get(2048, 32767) != 32767 and 2048 in keys:
             epsg = keys[2048]
+        elif keys.get(3072) == 32767 or keys.get(2048) == 32767:
+            # user-defined CRS sentinel: distinguish from "no geokeys"
+            # so readers demand an explicit crs= instead of silently
+            # defaulting to EPSG:4326
+            epsg = 32767
 
     return TiffInfo(
         path=path, width=width, height=height, dtype=dtype,
@@ -461,15 +466,32 @@ def _decode_chunk(fp, info: TiffInfo, idx: int, plane: int) -> np.ndarray:
     return arr
 
 
-def geobox_from_geotiff(path: str):
-    """Grid of an existing GeoTIFF for ``make_geocube(like=...)``."""
+def geobox_from_geotiff(path: str, crs=None):
+    """Grid of an existing GeoTIFF for ``make_geocube(like=...)``.
+
+    ``crs`` overrides the file's CRS geokey (any
+    ``CRS.from_user_input`` form). Required when the file carries the
+    user-defined sentinel 32767 — GeoTIFF geokeys cannot describe a
+    parameterized CRS, so the writer records 32767 and the identity
+    must be supplied out-of-band on read.
+    """
     from ..geometry.affine import Affine
     from ..geometry.crs import CRS
     from ..grid.geobox import GeoBox
 
     info = read_tiff_info(path)
-    crs = CRS(info.epsg) if info.epsg else CRS(4326)
-    return GeoBox(info.width, info.height, Affine(*info.transform), crs)
+    if crs is not None:
+        c = CRS.from_user_input(crs)
+    elif info.epsg == 32767:
+        raise ValueError(
+            f"{path}: CRS geokey is 32767 (user-defined) — the file "
+            "was written from a parameterized CRS whose identity "
+            "GeoTIFF cannot carry; pass crs=<wkt/proj4/epsg> to "
+            "read it"
+        )
+    else:
+        c = CRS(info.epsg) if info.epsg else CRS(4326)
+    return GeoBox(info.width, info.height, Affine(*info.transform), c)
 
 
 # --------------------------------------------------------------------------
@@ -497,7 +519,7 @@ def tiff_ifd_count(path: str) -> int:
 
 def read_geotiff(spark, path: str, *, measurements: Optional[list] = None,
                  tile_size: Optional[int] = None, fill=None,
-                 overview: int = 0):
+                 overview: int = 0, crs=None):
     """Read a GeoTIFF into a GeoCube, distributed.
 
     The driver parses only the IFD (KBs); every Spark task then reads
@@ -510,6 +532,8 @@ def read_geotiff(spark, path: str, *, measurements: Optional[list] = None,
 
     ``measurements`` names the bands (default band_1..band_n).
     ``fill`` overrides the file's nodata as the BandMeta fill.
+    ``crs`` overrides the file's CRS geokey (required for files whose
+    geokey is the user-defined sentinel 32767).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -518,7 +542,7 @@ def read_geotiff(spark, path: str, *, measurements: Optional[list] = None,
     from ..grid.geobox import GeoBox
 
     info = read_tiff_info(path, ifd_index=overview)
-    gb = geobox_from_geotiff(path)
+    gb = geobox_from_geotiff(path, crs=crs)
     if overview:
         # reduced-resolution read (the COG zoom-out path): same CRS
         # and origin, cell size scaled by the decimation factor
@@ -921,8 +945,11 @@ def _write_geotiff_parts(cube, path: str, *, compression: str = "deflate",
     single-file writer (chunk grids are tile-aligned, so 2x2 blocks
     never cross a chunk border — a narrow map, no shuffle), and each
     level gets its own IFD with tile size ts/2^k. Depth is capped
-    where the tile size would drop below TIFF's 16px minimum; the
-    levels are bit-identical to mode='file' output.
+    where the tile size would drop below TIFF's 16px minimum; levels
+    DECODE identically to mode='file' output (same pixels — the tile
+    grids and bytes differ, since mode='file' keeps tile size ts at
+    every level, and depths past the 16px floor that mode='file'
+    accepts raise here).
 
     Tiles land in the body in whatever order partitions finished;
     TIFF's explicit per-tile offset array makes that legal. Grid
@@ -1082,19 +1109,28 @@ def _write_geotiff_parts(cube, path: str, *, compression: str = "deflate",
         cube.chunks.filter(F.col("measurement").isin(names))
         .select("measurement", "row0", "col0", "h", "w", "values")
     )
-    level_dfs = [base_df]
+    # persist each level: the emit-collect of level k and the
+    # derivation of level k+1 both consume it, and without a persist
+    # the full burn lineage would re-execute once per level (O(n^2)
+    # stage work on a large export)
+    level_dfs = [base_df if n_ov == 0 else base_df.persist()]
     dims = [(W, H)]
     for k in range(n_ov):
-        level_dfs.append(_decimate_level(level_dfs[-1]))
+        level_dfs.append(_decimate_level(level_dfs[-1]).persist())
         pw, ph = dims[-1]
         dims.append((((pw + 1) // 2), ((ph + 1) // 2)))
 
     manifests = []
-    for k, df in enumerate(level_dfs):
-        manifests.append(
-            df.mapInPandas(_emit_level(ts >> k, comp, k > 0),
-                           schema=man_schema).collect()
-        )
+    try:
+        for k, df in enumerate(level_dfs):
+            manifests.append(
+                df.mapInPandas(_emit_level(ts >> k, comp, k > 0),
+                               schema=man_schema).collect()
+            )
+    finally:
+        if n_ov:
+            for df in level_dfs:
+                df.unpersist()
 
     # ---- driver: fill tiles + IFD chain + streamed bodies --------------
     def _compress(raw: bytes) -> bytes:

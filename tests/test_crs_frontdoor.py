@@ -318,3 +318,171 @@ def test_world_mercator_3395():
     assert abs(float(yw[0]) - float(ym[0])) > 10000
     lo, la = transform(c, WGS, xm, ym)
     assert float(la[0]) == pytest.approx(60.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round-3 code-review regressions
+# ---------------------------------------------------------------------------
+
+WKT2_FT = """PROJCRS["NAD83 / Texas South Central (ftUS)",
+  BASEGEOGCRS["NAD83",DATUM["North American Datum 1983",
+    ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]],
+    PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],
+  CONVERSION["SPCS83 Texas South Central zone (US Survey feet)",
+    METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],
+    PARAMETER["Latitude of false origin",27.8333333333333,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Longitude of false origin",-99,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Latitude of 1st standard parallel",30.2833333333333,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Latitude of 2nd standard parallel",28.3833333333333,ANGLEUNIT["degree",0.0174532925199433]],
+    PARAMETER["Easting at false origin",1968500,LENGTHUNIT["US survey foot",0.304800609601219]],
+    PARAMETER["Northing at false origin",13123333.333,LENGTHUNIT["US survey foot",0.304800609601219]]],
+  CS[Cartesian,2],
+  AXIS["easting (X)",east,ORDER[1],LENGTHUNIT["US survey foot",0.304800609601219]],
+  AXIS["northing (Y)",north,ORDER[2],LENGTHUNIT["US survey foot",0.304800609601219]]]"""
+
+
+def test_axis_nested_lengthunit_feet():
+    """pyproj/GDAL WKT2 nests the CRS linear unit inside the AXIS
+    nodes; a feet CRS must NOT silently be treated as metres."""
+    c = CRS.from_user_input(WKT2_FT)
+    d = c._def
+    assert abs(d["to_meter"] - 1200.0 / 3937.0) < 1e-12
+    # projecting the false origin returns its easting in FEET
+    x, y = transform(WGS, c, np.array([-99.0]),
+                     np.array([27.8333333333333]))
+    assert abs(float(x[0]) - 1968500.0) < 0.01
+    assert abs(float(y[0]) - 13123333.333) < 0.01
+
+
+WKT1_NTF_PARIS = (
+    'PROJCS["NTF (Paris) / Lambert zone II",'
+    'GEOGCS["NTF (Paris)",DATUM["Nouvelle_Triangulation_Francaise_Paris",'
+    'SPHEROID["Clarke 1880 (IGN)",6378249.2,293.4660212936269],'
+    "TOWGS84[-168,-60,320,0,0,0,0]],"
+    'PRIMEM["Paris",2.33722917],'
+    'UNIT["grad",0.01570796326794897]],'
+    'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+    'PARAMETER["latitude_of_origin",52],'
+    'PARAMETER["central_meridian",0],'
+    'PARAMETER["scale_factor",0.99987742],'
+    'PARAMETER["false_easting",600000],'
+    'PARAMETER["false_northing",2200000],'
+    'UNIT["metre",1]]'
+)
+
+
+def test_paris_prime_meridian_folded_into_lon0():
+    """EPSG:27572-style WKT1: central_meridian 0 grad EAST OF PARIS
+    with grad angle units. The def must be Greenwich-relative: a point
+    on the TRUE central meridian (2.337229... E Greenwich) maps to the
+    false easting."""
+    c = CRS.from_user_input(WKT1_NTF_PARIS)
+    d = c._def
+    assert abs(d["lon0"] - 2.33722917) < 1e-9  # grads->deg + PM fold
+    assert abs(d["lat0"] - 46.8) < 1e-9        # 52 grad = 46.8 deg
+    x, y = transform(WGS, c, np.array([2.33722917]), np.array([46.8]))
+    # the datum shift moves the geodetic coords, so compute via the
+    # CRS's own inverse for an exact round-trip check instead
+    lo, la = transform(c, WGS, np.array([600000.0]),
+                       np.array([2200000.0]))
+    x2, y2 = transform(WGS, c, lo, la)
+    np.testing.assert_allclose(x2, [600000.0], atol=1e-6)
+    np.testing.assert_allclose(y2, [2200000.0], atol=1e-6)
+    # and the forward of the PM longitude lands near the FE line
+    assert abs(float(x[0]) - 600000.0) < 2000.0  # datum shift ~hundreds m
+
+
+def test_geographic_nongreenwich_pm_raises():
+    with pytest.raises(ValueError, match="prime meridian"):
+        CRS.from_user_input(
+            'GEOGCS["NTF (Paris)",DATUM["D",'
+            'SPHEROID["c",6378249.2,293.466],TOWGS84[-168,-60,320]],'
+            'PRIMEM["Paris",2.33722917],'
+            'UNIT["degree",0.0174532925199433]]'
+        )
+
+
+def test_lcc_1sp_spec_survives_worker_rebuild():
+    """The worker-shipped spec of an LCC-1SP CRS must reconstruct the
+    SAME projection (round-2 review: +k was dropped when +lat_2 was
+    present, skewing worker grids ~9 m)."""
+    c = CRS.from_user_input(
+        "+proj=lcc +lat_1=49.5 +lat_0=49.5 +lon_0=3 +k_0=0.999877341 "
+        "+x_0=600000 +y_0=200000 +ellps=clrk80ign"
+    )
+    w = CRS.from_user_input(c.spec)
+    assert w == c
+    lon = np.array([3.0, 5.5])
+    lat = np.array([50.0, 48.0])
+    x1, y1 = transform(WGS, c, lon, lat)
+    x2, y2 = transform(WGS, w, lon, lat)
+    np.testing.assert_array_equal(x2, x1)
+    np.testing.assert_array_equal(y2, y1)
+
+
+def test_unknown_datum_without_towgs84_raises():
+    with pytest.raises(ValueError, match="Deutsches_Hauptdreiecksnetz"):
+        CRS.from_user_input(
+            'PROJCS["DHDN / 3-degree Gauss zone 3",'
+            'GEOGCS["DHDN",DATUM["Deutsches_Hauptdreiecksnetz",'
+            'SPHEROID["Bessel 1841",6377397.155,299.1528128]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Transverse_Mercator"],'
+            'PARAMETER["central_meridian",9],'
+            'PARAMETER["scale_factor",1],'
+            'PARAMETER["false_easting",3500000],UNIT["metre",1]]'
+        )
+
+
+def test_inline_towgs84_overrides_registry_shortcut():
+    """A WKT whose EPSG id IS registered but which carries its own
+    TOWGS84 must honor the stated transformation, not the registry's
+    (that's the entire point of sending a BOUNDCRS/TOWGS84)."""
+    wkt = WKT1_OSGB[:-1] + ',AUTHORITY["EPSG","27700"]]'
+    c = CRS.from_user_input(wkt)
+    assert c.pdef is not None  # parameterized, not the registry CRS
+    assert c.epsg == 27700     # identity retained for display
+    # ~cm-level agreement with the registry (params differ in the
+    # 4th decimal of the rotations)
+    x1, y1 = transform(WGS, CRS(27700), np.array([-2.0]), np.array([52.0]))
+    x2, y2 = transform(WGS, c, np.array([-2.0]), np.array([52.0]))
+    assert abs(float(x2[0] - x1[0])) < 0.05
+    assert abs(float(y2[0] - y1[0])) < 0.05
+
+
+def test_truncated_wkt_raises_valueerror():
+    with pytest.raises(ValueError, match="WKT"):
+        CRS.from_user_input('PROJCS["x", GEOGCS[')
+
+
+def test_geotiff_user_defined_geokey_requires_crs(spark, tmp_path):
+    """A file written from a parameterized CRS carries geokey 32767;
+    reading it back must demand an explicit crs= (not defer to a
+    misleading 'unsupported EPSG:32767' later), and the override must
+    restore the original grid."""
+    import dataclasses
+
+    from geocube_spark import datagen as DG
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.sources.geotiff import (
+        geobox_from_geotiff, read_geotiff, write_geotiff,
+    )
+
+    spec = "+proj=tmerc +lat_0=0 +lon_0=-93 +k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84"
+    docs = DG.to_spark(spark, DG.flat_polygon_docs(n=7))
+    cube = make_geocube(
+        docs, measurements=["om_r"], output_crs=spec,
+        resolution=(-50, 50), fill=0.0, tile_size=64,
+    )
+    path = str(tmp_path / "param_crs.tif")
+    write_geotiff(cube, path)
+    with pytest.raises(ValueError, match="32767"):
+        geobox_from_geotiff(path)
+    with pytest.raises(ValueError, match="32767"):
+        read_geotiff(spark, path)
+    back = read_geotiff(spark, path, crs=spec)
+    assert back.geobox.crs == cube.geobox.crs
+    np.testing.assert_array_equal(
+        back.assemble()["band_1"].astype(np.float64),
+        cube.assemble()["om_r"].astype(np.float64),
+    )
