@@ -486,3 +486,88 @@ def test_geotiff_user_defined_geokey_requires_crs(spark, tmp_path):
         back.assemble()["band_1"].astype(np.float64),
         cube.assemble()["om_r"].astype(np.float64),
     )
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: spec and WKT round-trips over random parameters
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_ELLPS_CHOICES = ["WGS84", "GRS80", "airy", "intl", "clrk66", "bessel",
+                  "krass"]
+
+_lat = st.floats(-60.0, 60.0)
+_lon = st.floats(-179.0, 179.0)
+_off = st.floats(-2e6, 2e6)
+_k = st.floats(0.99, 1.01)
+
+
+def _proj4_of(kind, lon0, lat0, k0, fe, fn, sp1, sp2, ellps):
+    if kind == "tmerc":
+        return (f"+proj=tmerc +lat_0={lat0} +lon_0={lon0} +k={k0} "
+                f"+x_0={fe} +y_0={fn} +ellps={ellps}")
+    if kind == "lcc1":
+        return (f"+proj=lcc +lat_1={sp1} +lat_0={sp1} +lon_0={lon0} "
+                f"+k_0={k0} +x_0={fe} +y_0={fn} +ellps={ellps}")
+    if kind == "lcc2":
+        lo, hi = sorted((sp1, sp2))
+        return (f"+proj=lcc +lat_1={lo} +lat_2={hi + 1.0} "
+                f"+lat_0={lat0} +lon_0={lon0} +x_0={fe} +y_0={fn} "
+                f"+ellps={ellps}")
+    if kind == "aea":
+        lo, hi = sorted((abs(sp1) + 5.0, abs(sp2) + 20.0))
+        return (f"+proj=aea +lat_1={lo} +lat_2={hi + 1.0} "
+                f"+lat_0={lat0} +lon_0={lon0} +x_0={fe} +y_0={fn} "
+                f"+ellps={ellps}")
+    if kind == "laea":
+        return (f"+proj=laea +lat_0={lat0} +lon_0={lon0} +x_0={fe} "
+                f"+y_0={fn} +ellps={ellps}")
+    if kind == "merc":
+        return (f"+proj=merc +lon_0={lon0} +k={k0} +x_0={fe} "
+                f"+y_0={fn} +ellps={ellps}")
+    if kind == "stere":
+        return (f"+proj=stere +lat_0=90 +lat_ts={abs(sp1) + 20.0} "
+                f"+lon_0={lon0} +x_0={fe} +y_0={fn} +ellps={ellps}")
+    raise AssertionError(kind)
+
+
+@given(
+    kind=st.sampled_from(
+        ["tmerc", "lcc1", "lcc2", "aea", "laea", "merc", "stere"]),
+    lon0=_lon, lat0=_lat, k0=_k, fe=_off, fn=_off,
+    sp1=st.floats(-55.0, 55.0), sp2=st.floats(-55.0, 55.0),
+    ellps=st.sampled_from(_ELLPS_CHOICES),
+)
+@settings(max_examples=60, deadline=None)
+def test_spec_and_wkt_roundtrip_property(kind, lon0, lat0, k0, fe, fn,
+                                         sp1, sp2, ellps):
+    """For random parameters of every projection family: the canonical
+    spec AND the generated WKT2 must both reconstruct a CRS that
+    projects identically (the driver->executor ship path and the
+    file-metadata path)."""
+    c = CRS.from_user_input(
+        _proj4_of(kind, lon0, lat0, k0, fe, fn, sp1, sp2, ellps)
+    )
+    lon = np.array([lon0 - 1.5, lon0 + 2.0])
+    lat = np.array([max(-55.0, lat0 - 2.0), min(55.0, lat0 + 1.5)])
+    if kind == "stere":
+        lat = np.array([70.0, 80.0])
+    x1, y1 = transform(WGS, c, lon, lat)
+    assert np.isfinite(x1).all() and np.isfinite(y1).all()
+
+    c2 = CRS.from_user_input(c.spec)
+    assert c2 == c
+    x2, y2 = transform(WGS, c2, lon, lat)
+    np.testing.assert_array_equal(x2, x1)
+    np.testing.assert_array_equal(y2, y1)
+
+    c3 = CRS.from_user_input(c.to_wkt())
+    x3, y3 = transform(WGS, c3, lon, lat)
+    np.testing.assert_allclose(x3, x1, rtol=1e-12, atol=1e-7)
+    np.testing.assert_allclose(y3, y1, rtol=1e-12, atol=1e-7)
+
+    # inverse round-trip through the original
+    lo, la = transform(c, WGS, x1, y1)
+    np.testing.assert_allclose(lo, lon, atol=1e-7)
+    np.testing.assert_allclose(la, lat, atol=1e-7)
