@@ -222,6 +222,14 @@ def _lcc_consts(ellps, lat0, sp1, sp2):
         nn = np.sin(p1)
     else:
         nn = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    if abs(nn) < 1e-9:
+        # parallels symmetric about / on the equator: the cone
+        # degenerates to a cylinder and every formula divides by n
+        raise ValueError(
+            f"LCC standard parallels lat_1={sp1}, lat_2={sp2} give a "
+            "zero cone constant (projection undefined); use Mercator "
+            "for an equatorial aspect"
+        )
     F = m1 / (nn * t1**nn)
     rho0 = a * F * t0**nn
     return a, e, nn, F, rho0, t
@@ -281,6 +289,12 @@ def _albers_consts(ellps, lat0, sp1, sp2):
         nn = np.sin(p1)
     else:
         nn = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if abs(nn) < 1e-9:
+        raise ValueError(
+            f"Albers standard parallels lat_1={sp1}, lat_2={sp2} give "
+            "a zero cone constant (projection undefined); use a "
+            "cylindrical equal-area CRS for an equatorial aspect"
+        )
     C = m1 * m1 + nn * q1
     rho0 = a * np.sqrt(C - nn * q0) / nn
     return a, e, e2, nn, C, rho0, q

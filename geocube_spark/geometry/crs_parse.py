@@ -214,6 +214,26 @@ _DEG = 0.017453292519943295
 _US_FT = 1200.0 / 3937.0
 
 
+def _check_cone_parallels(proj_label: str, sp1, sp2) -> None:
+    """Reject degenerate conic parameter sets at parse time.
+
+    For both LCC and Albers the cone constant is ``n = sin(lat_1)``
+    when the parallels coincide and an odd function of the parallel
+    pair otherwise; it vanishes exactly when ``lat_1 = -lat_2``
+    (including both on the equator). ``n = 0`` means the cone
+    degenerates to a cylinder: every closed form divides by ``n``, so
+    the projection is undefined (proj rejects these parameter sets
+    too). Raising here, with the parameters in the message, beats a
+    divide-by-zero NaN surfacing later inside a Spark task."""
+    if abs(float(sp1) + float(sp2)) < 1e-6:
+        raise ValueError(
+            f"{proj_label}: standard parallels lat_1={sp1}, "
+            f"lat_2={sp2} are symmetric about (or on) the equator, so "
+            "the cone constant is 0 and the projection is undefined; "
+            "use Mercator for an equatorial aspect"
+        )
+
+
 def _supported():
     return (
         "Transverse Mercator, Lambert Conic Conformal (1SP/2SP), "
@@ -531,6 +551,7 @@ def _assemble_projected(d, kind, flavor, vals, mname):
                 )
             d["sp1"], d["sp2"] = vals["sp1"], vals["sp2"]
             d["k0"] = 1.0
+        _check_cone_parallels(mname, d["sp1"], d["sp2"])
     elif kind == "albers":
         if "sp1" not in vals or "sp2" not in vals:
             raise ValueError(
@@ -538,6 +559,7 @@ def _assemble_projected(d, kind, flavor, vals, mname):
                 f"{sorted(vals)}"
             )
         d["sp1"], d["sp2"] = vals["sp1"], vals["sp2"]
+        _check_cone_parallels(mname, d["sp1"], d["sp2"])
     elif kind == "laea":
         pass
     elif kind == "merc":
@@ -704,10 +726,12 @@ def parse_proj4(s: str):
             sp = fl("lat_1", kv.get("lat_0", 0.0))
             d["sp1"] = d["sp2"] = sp
         d["k0"] = float(kv.get("k", kv.get("k_0", 1.0)))
+        _check_cone_parallels("+proj=lcc", d["sp1"], d["sp2"])
     elif proj == "aea":
         d.update(kind="albers", lon0=fl("lon_0"), lat0=fl("lat_0"),
                  sp1=fl("lat_1"), sp2=fl("lat_2"),
                  fe=fl("x_0"), fn=fl("y_0"))
+        _check_cone_parallels("+proj=aea", d["sp1"], d["sp2"])
     elif proj == "laea":
         d.update(kind="laea", lon0=fl("lon_0"), lat0=fl("lat_0"),
                  fe=fl("x_0"), fn=fl("y_0"))

@@ -508,11 +508,18 @@ def _proj4_of(kind, lon0, lat0, k0, fe, fn, sp1, sp2, ellps):
         return (f"+proj=tmerc +lat_0={lat0} +lon_0={lon0} +k={k0} "
                 f"+x_0={fe} +y_0={fn} +ellps={ellps}")
     if kind == "lcc1":
-        return (f"+proj=lcc +lat_1={sp1} +lat_0={sp1} +lon_0={lon0} "
+        # keep the single parallel off the equator: lat_1 = 0 makes
+        # the cone constant sin(lat_1) = 0 and the CRS is (correctly)
+        # rejected at parse time
+        sp = (1.0 if sp1 >= 0 else -1.0) * (abs(sp1) + 5.0)
+        return (f"+proj=lcc +lat_1={sp} +lat_0={sp} +lon_0={lon0} "
                 f"+k_0={k0} +x_0={fe} +y_0={fn} +ellps={ellps}")
     if kind == "lcc2":
-        lo, hi = sorted((sp1, sp2))
-        return (f"+proj=lcc +lat_1={lo} +lat_2={hi + 1.0} "
+        # same-hemisphere parallels so lat_1 != -lat_2 (a symmetric
+        # pair zeroes the cone constant and is rejected at parse time)
+        s = 1.0 if lat0 >= 0 else -1.0
+        lo, hi = sorted((abs(sp1) + 2.0, abs(sp2) + 10.0))
+        return (f"+proj=lcc +lat_1={s * lo} +lat_2={s * (hi + 1.0)} "
                 f"+lat_0={lat0} +lon_0={lon0} +x_0={fe} +y_0={fn} "
                 f"+ellps={ellps}")
     if kind == "aea":
@@ -571,3 +578,43 @@ def test_spec_and_wkt_roundtrip_property(kind, lon0, lat0, k0, fe, fn,
     lo, la = transform(c, WGS, x1, y1)
     np.testing.assert_allclose(lo, lon, atol=1e-7)
     np.testing.assert_allclose(la, lat, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# degenerate conic parameter sets (cone constant n = 0)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        # LCC 1SP on the equator: n = sin(0) = 0
+        "+proj=lcc +lat_1=0 +lat_0=0 +lon_0=0 +ellps=WGS84",
+        # LCC 2SP symmetric about the equator: m(lat_1) = m(lat_2)
+        "+proj=lcc +lat_1=-10 +lat_2=10 +lat_0=0 +lon_0=0 +ellps=WGS84",
+        # Albers symmetric parallels: m1^2 = m2^2
+        "+proj=aea +lat_1=-20 +lat_2=20 +lat_0=0 +lon_0=0 +ellps=GRS80",
+    ],
+)
+def test_degenerate_cone_rejected_at_parse(spec):
+    """proj rejects these parameter sets too — the engine must raise a
+    parameter-level error at parse time instead of emitting NaN from a
+    divide-by-zero inside a Spark task later."""
+    with pytest.raises(ValueError, match="parallel"):
+        CRS.from_user_input(spec)
+
+
+def test_degenerate_cone_rejected_in_wkt_path():
+    wkt = (
+        'PROJCS["bad",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+        'PARAMETER["standard_parallel_1",-15],'
+        'PARAMETER["standard_parallel_2",15],'
+        'PARAMETER["latitude_of_origin",0],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]'
+    )
+    with pytest.raises(ValueError, match="parallel"):
+        CRS.from_user_input(wkt)
