@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from ..geometry import wkb as W
 from ..grid.tiling import equirect_cell_id_col
 from ..grid.geobox import snap_bounds
+from ..grid.s2 import s2_cell_id_col, s2_parent_col, s2_cover_sql
 
 WORLD_GEOM = json.dumps(
     {
@@ -200,6 +201,30 @@ SELECT CAST(floor(y / 128) AS BIGINT) * 32 + CAST(floor(x / 128) AS BIGINT) AS p
        round(avg(value), 6) AS avg_value
 FROM c GROUP BY 1 ORDER BY parent_id
 """
+
+
+def q_s2_cover(spark, sf_dir):
+    """S2-scheme spherical cell cover: level-12 cell id + level-5
+    parent for every event point (``grid/s2.py`` — cube faces,
+    quadratic ST, Hilbert order). The Spark side is a pure Column
+    fold (no Python in the scan); the oracle re-derives the identical
+    arithmetic as a DuckDB CTE chain, so a hash match proves the face
+    tables, the ST transform, and the Hilbert traversal tables
+    bit-for-bit on 10k real points."""
+    pts = _event_points(spark, sf_dir)
+    cell = s2_cell_id_col(F.col("lon"), F.col("lat"), 12)
+    return (
+        pts.select("event_id", cell.alias("s2_cell"))
+        .select(
+            "event_id",
+            "s2_cell",
+            s2_parent_col(F.col("s2_cell"), 12, 5).alias("s2_parent"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_S2_COVER = s2_cover_sql(_LON_SQL, _LAT_SQL, 12, 5, "events")
 
 
 def _burn_events(spark, sf_dir, merge_alg, fill):
@@ -1784,7 +1809,7 @@ QUERIES = {
     "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "interp_cubic": (q_interp_cubic, None),
-    "interp_rbf": (q_interp_rbf, None),
+    "s2_cover": (q_s2_cover, SQL_S2_COVER),
     "vectorize_components": (q_vectorize_components,
                              SQL_VECTORIZE_COMPONENTS),
     "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_SHAPEFILE_RT),
@@ -1811,7 +1836,13 @@ QUERIES = {
 #   band_stats              -> zonal_stats_raster (same stats partials)
 #   focal_median            -> focal_mean (same halo exchange; rank
 #                              kernel pinned in tests/test_bandops.py)
+#   interp_rbf              -> rows-only in the driver anyway (dense
+#                              solve not SQL-expressible); node-exact +
+#                              reference-golden tests keep covering it,
+#                              and its window slot went to s2_cover's
+#                              FULL SQL oracle (more hash-verified rows)
 EXTRA_QUERIES = {
+    "interp_rbf": (q_interp_rbf, None),
     "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),
     "interp_nearest_dense": (q_interp_nearest_dense,
                              SQL_INTERP_NEAREST_DENSE),
