@@ -206,12 +206,50 @@ def read_geopackage(spark, path: str, layer: str = None,
 
 def write_geopackage(df, path: str, layer: str = "features",
                      geometry_column: str = "geometry_wkb",
-                     epsg: int = 4326) -> str:
-    """Vector-table DataFrame -> one GeoPackage layer (driver-side
-    collect — the single-SQLite-file sink, for small/medium outputs;
-    use the parquet cube sink or ``write_shapefile(mode='parts')`` for
-    distributed writes)."""
-    pdf = df.toPandas()
+                     epsg: int = 4326, mode: str = "single"):
+    """Vector-table DataFrame -> GeoPackage file(s).
+
+    ``mode='single'`` (alias ``'file'``) collects to the driver and
+    writes ONE .gpkg — SQLite allows only one writer, so a single file
+    cannot be appended in parallel; right for small/medium outputs.
+    ``mode='parts'`` is the distributed escape hatch (same contract as
+    ``write_shapefile(mode='parts')`` / ``write_geotiff(mode='parts')``):
+    every Spark partition writes its own complete, metadata-valid
+    .gpkg under ``path``/part-N.gpkg on the executor, so nothing is
+    ever materialized on the driver; returns the written paths.
+    ``read_geopackage`` accepts any one part (or a glob loop) back.
+    """
+    if mode in ("single", "file"):
+        return _write_gpkg_local(
+            df.toPandas(), path, layer, geometry_column, epsg
+        )
+    if mode != "parts":
+        raise ValueError(f"unknown mode {mode!r}")
+    os.makedirs(path, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    tagged = df.withColumn("__pid", F.spark_partition_id())
+
+    def _per_part(key, pdf):
+        pid = int(key[0])
+        out = os.path.join(path, f"part-{pid:05d}.gpkg")
+        _write_gpkg_local(
+            pdf.drop(columns="__pid"), out, layer, geometry_column, epsg
+        )
+        return pd.DataFrame({"path": [out], "n": [len(pdf)]})
+
+    written = (
+        tagged.groupBy("__pid")
+        .applyInPandas(_per_part, schema="path string, n long")
+        .collect()
+    )
+    return [r["path"] for r in written]
+
+
+def _write_gpkg_local(pdf: pd.DataFrame, path: str, layer: str,
+                      geometry_column: str, epsg: int) -> str:
+    """One pandas frame -> one complete GeoPackage (runs on the driver
+    for mode='single', on each executor for mode='parts')."""
     cols = [c for c in pdf.columns if c != geometry_column]
 
     def _decl(s):

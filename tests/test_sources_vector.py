@@ -427,3 +427,43 @@ def test_cli_accepts_shapefile_input(spark, tmp_path):
         "--measurements", "m",
     ])
     assert summary.get("format") == "netcdf" or summary["committed"]
+
+
+def test_geopackage_parts_mode_distributed_write(spark, tmp_path):
+    """mode='parts': every Spark partition writes its own complete
+    .gpkg on the executor (no driver materialization, SQLite's
+    single-writer limit sidestepped); the union of parts read back
+    equals the single-file write."""
+    from geocube_spark.sources.geopackage import (
+        list_layers, read_geopackage, write_geopackage,
+    )
+
+    n = 1200
+    # note: the reader's vector-table contract synthesizes doc_id/seq,
+    # so the test carries its own key column "k"
+    pdf = pd.DataFrame(
+        {"k": np.arange(n),
+         "val": np.arange(n) * 0.5,
+         "geometry_wkb": [
+             W.point(i % 40, i // 40).to_wkb() for i in range(n)
+         ]}
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    out = str(tmp_path / "parts")
+    paths = write_geopackage(df, out, layer="pts", epsg=4326,
+                             mode="parts")
+    assert len(paths) == 5 and all(p.endswith(".gpkg") for p in paths)
+    frames = []
+    for p in sorted(paths):
+        assert list_layers(p) == ["pts"]
+        frames.append(read_geopackage(spark, p).toPandas())
+    got = pd.concat(frames, ignore_index=True).sort_values("k")
+    assert len(got) == n
+    exp = pdf.sort_values("k")
+    assert got["val"].values.tolist() == exp["val"].values.tolist()
+    gx = [W.loads(bytes(b)).parts[0] for b in got["geometry_wkb"]]
+    ex = [W.loads(bytes(b)).parts[0] for b in exp["geometry_wkb"]]
+    assert gx == ex
+
+    with pytest.raises(ValueError, match="mode"):
+        write_geopackage(df, out, mode="bogus")
