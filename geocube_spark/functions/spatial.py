@@ -1,0 +1,161 @@
+"""Distributed vector x vector spatial join (point-in-polygon).
+
+The north rule names point-in-polygon as a first-class join of the
+engine (alongside the raster burn and kNN). The reference ecosystem
+does this single-node via geopandas ``sjoin``; here it is a genuine
+Spark plan that never considers the cross product:
+
+1. **polygon cover** — parse each polygon's WKB once (Arrow-batched)
+   for its envelope, then explode the envelope into covered grid
+   cells JVM-side (``F.sequence`` x 2 + ``explode``): one row per
+   (cell, polygon), the same cover-explode shape as the raster burn.
+2. **point bucketing** — each point maps to exactly ONE cell
+   (``floor(x / cell_size)``), a pure Column program in the scan.
+3. **candidate equi-join on the cell key** — Catalyst broadcasts the
+   exploded polygon side when it is small (the common dim-table
+   case: zero shuffle of the point table) and falls back to a hash
+   shuffle join for polygon tables too big to broadcast. Each
+   (point, polygon) candidate appears exactly once because a point
+   owns one cell.
+4. **exact refinement** — per-partition Arrow batch, pandas groupby
+   polygon, vectorized even-odd crossing test (kernels/pip.py). No
+   per-row Python.
+
+Choosing ``cell_size`` near the median polygon diameter keeps the
+candidate fan-out O(area / cell^2) per polygon while keeping point
+buckets selective; the join never materializes more than the true
+candidate set either way.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geometry import wkb as W
+from ..kernels.pip import geometry_rings, points_in_edges, ring_edges
+
+
+def _poly_envelopes(polys: DataFrame, poly_id: str, wkb_col: str):
+    """(poly_id, wkb, minx, miny, maxx, maxy) — one Arrow-batched parse."""
+    schema = T.StructType(
+        [
+            T.StructField("__pid", polys.schema[poly_id].dataType),
+            T.StructField("__wkb", T.BinaryType()),
+            T.StructField("minx", T.DoubleType()),
+            T.StructField("miny", T.DoubleType()),
+            T.StructField("maxx", T.DoubleType()),
+            T.StructField("maxy", T.DoubleType()),
+        ]
+    )
+
+    def _env(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bounds = np.empty((len(pdf), 4), dtype=np.float64)
+            blobs = pdf[wkb_col].values
+            for i, b in enumerate(blobs):
+                bounds[i] = W.loads(bytes(b)).bounds()
+            yield pd.DataFrame(
+                {
+                    "__pid": pdf[poly_id].values,
+                    "__wkb": blobs,
+                    "minx": bounds[:, 0],
+                    "miny": bounds[:, 1],
+                    "maxx": bounds[:, 2],
+                    "maxy": bounds[:, 3],
+                }
+            )
+
+    return polys.select(poly_id, wkb_col).mapInPandas(_env, schema)
+
+
+def points_in_polygons(
+    points: DataFrame,
+    polys: DataFrame,
+    *,
+    cell_size: float,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id: str = "poly_id",
+    wkb_col: str = "geometry_wkb",
+) -> DataFrame:
+    """Exact point-in-polygon join -> ``(point_id, poly_id)`` pairs.
+
+    Even-odd membership (holes and multi-part polygons supported; a
+    point inside a hole does NOT match). Points exactly on boundaries
+    follow the kernel's deterministic half-open convention."""
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be positive, got {cell_size}")
+
+    env = _poly_envelopes(polys, poly_id, wkb_col)
+    cs = float(cell_size)
+    cover = env.select(
+        "__pid",
+        "__wkb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("minx") / cs).cast("long"),
+                F.floor(F.col("maxx") / cs).cast("long"),
+            )
+        ).alias("__tx"),
+        F.col("miny"),
+        F.col("maxy"),
+    ).select(
+        "__pid",
+        "__wkb",
+        "__tx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("miny") / cs).cast("long"),
+                F.floor(F.col("maxy") / cs).cast("long"),
+            )
+        ).alias("__ty"),
+    )
+
+    pts = points.select(
+        F.col(point_id).alias("__qid"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.floor(F.col(x_col) / cs).cast("long").alias("__tx"),
+        F.floor(F.col(y_col) / cs).cast("long").alias("__ty"),
+    )
+
+    cand = pts.join(cover, on=["__tx", "__ty"], how="inner")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(point_id, points.schema[point_id].dataType),
+            T.StructField(poly_id, polys.schema[poly_id].dataType),
+        ]
+    )
+
+    def _refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for _, sub in pdf.groupby("__pid", sort=False):
+                rings = geometry_rings(
+                    W.loads(bytes(sub["__wkb"].iloc[0]))
+                )
+                inside = points_in_edges(
+                    sub["__x"].values, sub["__y"].values,
+                    *ring_edges(rings),
+                )
+                if inside.any():
+                    hit = sub[inside]
+                    yield pd.DataFrame(
+                        {
+                            point_id: hit["__qid"].values,
+                            poly_id: hit["__pid"].values,
+                        }
+                    )
+
+    return cand.mapInPandas(_refine, out_schema)

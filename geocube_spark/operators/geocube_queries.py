@@ -227,6 +227,61 @@ def q_s2_cover(spark, sf_dir):
 SQL_S2_COVER = s2_cover_sql(_LON_SQL, _LAT_SQL, 12, 5, "events")
 
 
+def q_spatial_join_pip(spark, sf_dir):
+    """Vector x vector spatial join (north rule: point-in-polygon as a
+    first-class join). Event points join 30 synthesized diamond
+    polygons through the REAL distributed pipeline — WKB parse ->
+    envelope cover explode -> cell equi-join (Catalyst broadcasts the
+    small exploded side) -> vectorized even-odd refinement
+    (functions/spatial.py, kernels/pip.py). The oracle reduces the
+    diamonds to ``|dx| + |dy| < r`` arithmetic; the .005-offset radii
+    keep every point >= 1e-3 from any boundary so both sides agree
+    exactly."""
+    from ..functions.spatial import points_in_polygons
+
+    pts = _event_points(spark, sf_dir)
+    ks = np.arange(30)
+    cx = ((ks * 53) % 340) - 170 + 0.013
+    cy = ((ks * 29) % 160) - 80 + 0.017
+    rr = 2.005 + (ks % 5) * 1.7
+    blobs = [
+        W.Geometry(
+            W.POLYGON,
+            [np.array(
+                [[cx[k] - rr[k], cy[k]], [cx[k], cy[k] - rr[k]],
+                 [cx[k] + rr[k], cy[k]], [cx[k], cy[k] + rr[k]],
+                 [cx[k] - rr[k], cy[k]]], dtype=np.float64,
+            )],
+        ).to_wkb()
+        for k in ks
+    ]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": ks.astype(np.int64),
+                      "geometry_wkb": blobs})
+    )
+    return points_in_polygons(
+        pts, polys, cell_size=4.0,
+        point_id="event_id", x_col="lon", y_col="lat",
+    ).orderBy("event_id", "poly_id")
+
+
+SQL_SPATIAL_JOIN = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+), d AS (
+  SELECT k AS poly_id,
+         ((k * 53) % 340) - 170 + 0.013 AS cx,
+         ((k * 29) % 160) - 80 + 0.017 AS cy,
+         2.005 + (k % 5) * 1.7 AS r
+  FROM generate_series(0, 29) t(k)
+)
+SELECT event_id, poly_id
+FROM pts, d
+WHERE abs(lon - cx) + abs(lat - cy) < r
+ORDER BY event_id, poly_id
+"""
+
+
 def _burn_events(spark, sf_dir, merge_alg, fill):
     from ..cube import make_geocube
 
@@ -1808,8 +1863,8 @@ QUERIES = {
     "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
     "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
-    "interp_cubic": (q_interp_cubic, None),
     "s2_cover": (q_s2_cover, SQL_S2_COVER),
+    "spatial_join_pip": (q_spatial_join_pip, SQL_SPATIAL_JOIN),
     "vectorize_components": (q_vectorize_components,
                              SQL_VECTORIZE_COMPONENTS),
     "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_SHAPEFILE_RT),
@@ -1841,8 +1896,14 @@ QUERIES = {
 #                              reference-golden tests keep covering it,
 #                              and its window slot went to s2_cover's
 #                              FULL SQL oracle (more hash-verified rows)
+#   interp_cubic            -> rows-only too (iterative gradient
+#                              fixpoint); the reference-golden
+#                              cell-exact tests are the stronger
+#                              check, and its slot went to
+#                              spatial_join_pip's FULL SQL oracle
 EXTRA_QUERIES = {
     "interp_rbf": (q_interp_rbf, None),
+    "interp_cubic": (q_interp_cubic, None),
     "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),
     "interp_nearest_dense": (q_interp_nearest_dense,
                              SQL_INTERP_NEAREST_DENSE),

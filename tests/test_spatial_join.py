@@ -1,0 +1,184 @@
+"""Vector x vector spatial join: the even-odd kernel against a
+scalar reference implementation, and the distributed operator against
+the brute-force all-pairs answer (which the plan must never build)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.geometry import wkb as W
+from geocube_spark.kernels.pip import (
+    geometry_rings, points_in_edges, points_in_wkb, ring_edges,
+)
+from geocube_spark.functions.spatial import points_in_polygons
+
+RNG = np.random.default_rng(42)
+
+
+def _star_polygon(cx, cy, r, k=9, rng=RNG):
+    """Random star-shaped (simple) polygon around a center."""
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    rad = rng.uniform(0.4 * r, r, k)
+    xs = cx + rad * np.cos(ang)
+    ys = cy + rad * np.sin(ang)
+    ring = np.column_stack([np.append(xs, xs[0]), np.append(ys, ys[0])])
+    return W.Geometry(W.POLYGON, [ring])
+
+
+def _pip_scalar(px, py, rings):
+    """Textbook crossing-number loop — the independent referee."""
+    inside = False
+    for ring in rings:
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            if (y1 > py) != (y2 > py):
+                xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                if px < xint:
+                    inside = not inside
+    return inside
+
+
+def test_kernel_matches_scalar_reference():
+    polys = [_star_polygon(0, 0, 5), _star_polygon(2, -1, 3)]
+    # donut: point in the hole must be OUTSIDE
+    outer = np.array(
+        [[-4, -4], [4, -4], [4, 4], [-4, 4], [-4, -4]], dtype=float
+    )
+    inner = np.array(
+        [[-1, -1], [1, -1], [1, 1], [-1, 1], [-1, -1]], dtype=float
+    )
+    polys.append(W.Geometry(W.POLYGON, [outer, inner]))
+    px = RNG.uniform(-6, 6, 500)
+    py = RNG.uniform(-6, 6, 500)
+    for g in polys:
+        rings = geometry_rings(g)
+        got = points_in_edges(px, py, *ring_edges(rings))
+        exp = np.array(
+            [_pip_scalar(x, y, rings) for x, y in zip(px, py)]
+        )
+        assert (got == exp).all()
+
+
+def test_kernel_donut_and_multipolygon_semantics():
+    outer = np.array(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float
+    )
+    hole = np.array(
+        [[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]], dtype=float
+    )
+    donut = W.Geometry(W.POLYGON, [outer, hole])
+    px = np.array([5.0, 1.0, 11.0, 2.0])
+    py = np.array([5.0, 1.0, 5.0, 5.0])
+    got = points_in_wkb(px, py, donut.to_wkb())
+    # center is in the hole (outside); 2.0 is in the ring between
+    # outer boundary and hole (inside)
+    assert got.tolist() == [False, True, False, True]
+
+    far = np.array(
+        [[20, 20], [22, 20], [22, 22], [20, 22], [20, 20]], dtype=float
+    )
+    multi = W.Geometry(W.MULTIPOLYGON, [[outer, hole], [far]])
+    px2 = np.array([5.0, 21.0, 1.0, 15.0])
+    py2 = np.array([5.0, 21.0, 1.0, 15.0])
+    assert points_in_wkb(px2, py2, multi.to_wkb()).tolist() == [
+        False, True, True, False,
+    ]
+
+
+def test_kernel_rejects_non_polygons():
+    with pytest.raises(ValueError, match="Polygon"):
+        geometry_rings(W.point(1.0, 2.0))
+
+
+def _brute_force(pts_pdf, polys_pdf):
+    pairs = set()
+    for _, p in polys_pdf.iterrows():
+        inside = points_in_wkb(
+            pts_pdf["x"].values, pts_pdf["y"].values, p["geometry_wkb"]
+        )
+        for qid in pts_pdf["point_id"].values[inside]:
+            pairs.add((int(qid), int(p["poly_id"])))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def join_case():
+    n_pts = 3000
+    pts = pd.DataFrame(
+        {
+            "point_id": np.arange(n_pts),
+            "x": RNG.uniform(-50, 50, n_pts),
+            "y": RNG.uniform(-50, 50, n_pts),
+        }
+    )
+    geoms = [
+        _star_polygon(RNG.uniform(-40, 40), RNG.uniform(-40, 40),
+                      RNG.uniform(2, 12))
+        for _ in range(25)
+    ]
+    # one donut + one multipolygon in the mix
+    outer = np.array(
+        [[-30, -30], [-10, -30], [-10, -10], [-30, -10], [-30, -30]],
+        dtype=float,
+    )
+    hole = np.array(
+        [[-25, -25], [-15, -25], [-15, -15], [-25, -15], [-25, -25]],
+        dtype=float,
+    )
+    geoms.append(W.Geometry(W.POLYGON, [outer, hole]))
+    far = np.array(
+        [[30, 30], [45, 30], [45, 45], [30, 45], [30, 30]], dtype=float
+    )
+    geoms.append(W.Geometry(W.MULTIPOLYGON, [[outer, hole], [far]]))
+    polys = pd.DataFrame(
+        {
+            "poly_id": np.arange(len(geoms)),
+            "geometry_wkb": [g.to_wkb() for g in geoms],
+        }
+    )
+    return pts, polys
+
+
+@pytest.mark.parametrize("cell_size", [4.0, 17.0, 100.0])
+def test_join_matches_brute_force(spark, join_case, cell_size):
+    """The tile-bucketed candidate join + exact refinement equals the
+    all-pairs answer for any bucketing granularity (cell_size only
+    affects the plan, never the result)."""
+    pts, polys = join_case
+    got = points_in_polygons(
+        spark.createDataFrame(pts).repartition(7),
+        spark.createDataFrame(polys),
+        cell_size=cell_size,
+    ).collect()
+    got_pairs = {(int(r["point_id"]), int(r["poly_id"])) for r in got}
+    assert len(got) == len(got_pairs)  # each pair exactly once
+    assert got_pairs == _brute_force(pts, polys)
+
+
+def test_join_plan_has_no_cartesian(spark, join_case):
+    pts, polys = join_case
+    df = points_in_polygons(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(polys),
+        cell_size=10.0,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_empty_and_validation(spark, join_case):
+    pts, polys = join_case
+    empty = points_in_polygons(
+        spark.createDataFrame(
+            pts.head(0), schema="point_id long, x double, y double"
+        ),
+        spark.createDataFrame(polys),
+        cell_size=10.0,
+    )
+    assert empty.count() == 0
+    with pytest.raises(ValueError, match="cell_size"):
+        points_in_polygons(
+            spark.createDataFrame(pts), spark.createDataFrame(polys),
+            cell_size=0.0,
+        )
