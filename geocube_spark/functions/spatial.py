@@ -159,3 +159,82 @@ def points_in_polygons(
                     )
 
     return cand.mapInPandas(_refine, out_schema)
+
+
+def points_within_distance(
+    points: DataFrame,
+    queries: DataFrame,
+    *,
+    radius: float,
+    cell_size: float = None,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    query_id: str = "query_id",
+    qx_col: str = "qx",
+    qy_col: str = "qy",
+) -> DataFrame:
+    """Radius (within-distance) join -> ``(point_id, query_id, dist)``.
+
+    Same bucketed shape as :func:`points_in_polygons` but the exact
+    refinement is a plain Column predicate (``dx^2 + dy^2 <= r^2``),
+    so the ENTIRE operator stays inside whole-stage codegen — no
+    Python anywhere. Each query row explodes into the
+    ``ceil(2r / cell)``-wide block of cells that could contain a
+    match; points bucket to one cell; one equi-join, never a cross
+    product. ``cell_size`` defaults to ``radius`` (a ~3x3 block per
+    query); any positive value returns identical rows."""
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    cs = float(cell_size if cell_size is not None else radius)
+    if cs <= 0:
+        raise ValueError(f"cell_size must be positive, got {cs}")
+    r = float(radius)
+
+    qcells = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(qx_col).cast("double").alias("__qx"),
+        F.col(qy_col).cast("double").alias("__qy"),
+    ).select(
+        "__qid",
+        "__qx",
+        "__qy",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__qx") - r) / cs).cast("long"),
+                F.floor((F.col("__qx") + r) / cs).cast("long"),
+            )
+        ).alias("__tx"),
+    ).select(
+        "__qid",
+        "__qx",
+        "__qy",
+        "__tx",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__qy") - r) / cs).cast("long"),
+                F.floor((F.col("__qy") + r) / cs).cast("long"),
+            )
+        ).alias("__ty"),
+    )
+
+    pts = points.select(
+        F.col(point_id).alias("__pid2"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.floor(F.col(x_col) / cs).cast("long").alias("__tx"),
+        F.floor(F.col(y_col) / cs).cast("long").alias("__ty"),
+    )
+
+    dx = F.col("__x") - F.col("__qx")
+    dy = F.col("__y") - F.col("__qy")
+    d2 = dx * dx + dy * dy
+    return (
+        pts.join(qcells, on=["__tx", "__ty"], how="inner")
+        .where(d2 <= F.lit(r * r))
+        .select(
+            F.col("__pid2").alias(point_id),
+            F.col("__qid").alias(query_id),
+            F.sqrt(d2).alias("dist"),
+        )
+    )

@@ -265,6 +265,49 @@ def q_spatial_join_pip(spark, sf_dir):
     ).orderBy("event_id", "poly_id")
 
 
+def q_spatial_join_radius(spark, sf_dir):
+    """Within-distance (radius) join: event points vs 40 synthesized
+    query centers, r = 5. The operator is PURE JVM end-to-end (cell
+    explode + one equi-join + Column distance predicate — the plan
+    contains no Python eval at all, asserted in
+    tests/test_spatial_join.py); both sides compute the identical
+    ``(dx^2 + dy^2)`` doubles so even exact-boundary ties agree."""
+    from ..functions.spatial import points_within_distance
+
+    pts = _event_points(spark, sf_dir)
+    qs = spark.range(40).select(
+        F.col("id").alias("query_id"),
+        (((F.col("id") * 71) % 340) - 170 + 0.021).alias("qx"),
+        (((F.col("id") * 37) % 160) - 80 + 0.029).alias("qy"),
+    )
+    out = points_within_distance(
+        pts, qs, radius=5.0,
+        point_id="event_id", x_col="lon", y_col="lat",
+    )
+    return out.select(
+        "event_id", "query_id",
+        F.round(F.col("dist") + 1e-9, 6).alias("dist_r"),
+    ).orderBy("event_id", "query_id")
+
+
+SQL_SPATIAL_RADIUS = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+), q AS (
+  SELECT k AS query_id,
+         ((k * 71) % 340) - 170 + 0.021 AS qx,
+         ((k * 37) % 160) - 80 + 0.029 AS qy
+  FROM generate_series(0, 39) t(k)
+)
+SELECT event_id, query_id,
+       round(sqrt((lon - qx) * (lon - qx) + (lat - qy) * (lat - qy))
+             + 1e-9, 6) AS dist_r
+FROM pts, q
+WHERE (lon - qx) * (lon - qx) + (lat - qy) * (lat - qy) <= 25.0
+ORDER BY event_id, query_id
+"""
+
+
 SQL_SPATIAL_JOIN = f"""
 WITH pts AS (
   SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
@@ -1902,6 +1945,10 @@ QUERIES = {
 #                              check, and its slot went to
 #                              spatial_join_pip's FULL SQL oracle
 EXTRA_QUERIES = {
+    # spatial_join_radius: outside the 50-slot driver window but
+    # oracle-checked by scripts/check_oracle.py --extra and pinned by
+    # brute-force-parity tests; the pip variant occupies the window
+    "spatial_join_radius": (q_spatial_join_radius, SQL_SPATIAL_RADIUS),
     "interp_rbf": (q_interp_rbf, None),
     "interp_cubic": (q_interp_cubic, None),
     "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),

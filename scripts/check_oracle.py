@@ -38,8 +38,13 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    import __spark_entry__ as E
+    from geocube_spark.operators import all_queries
     from geocube_spark.session import get_spark
+
+    args = sys.argv[1:]
+    include_extra = "--extra" in args
+    if include_extra:
+        args.remove("--extra")
 
     spark = get_spark(app="oracle-check")
     con = duckdb.connect()
@@ -48,9 +53,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
-    qs = E.queries()
-    oracles = E.oracle_sql()
-    only = set(sys.argv[1:])
+    reg = all_queries(include_extra=include_extra)
+    qs = {name: fn for name, (fn, _sql) in reg.items()}
+    oracles = {
+        name: sql for name, (_fn, sql) in reg.items() if sql is not None
+    }
+    only = set(args)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -182,3 +182,86 @@ def test_join_empty_and_validation(spark, join_case):
             spark.createDataFrame(pts), spark.createDataFrame(polys),
             cell_size=0.0,
         )
+
+
+def _brute_force_radius(pts_pdf, q_pdf, r):
+    out = set()
+    for _, q in q_pdf.iterrows():
+        d2 = (pts_pdf["x"].values - q["qx"]) ** 2 + (
+            pts_pdf["y"].values - q["qy"]) ** 2
+        for pid in pts_pdf["point_id"].values[d2 <= r * r]:
+            out.add((int(pid), int(q["query_id"])))
+    return out
+
+
+@pytest.fixture(scope="module")
+def radius_case():
+    n = 4000
+    pts = pd.DataFrame(
+        {
+            "point_id": np.arange(n),
+            "x": RNG.uniform(-50, 50, n),
+            "y": RNG.uniform(-50, 50, n),
+        }
+    )
+    qs = pd.DataFrame(
+        {
+            "query_id": np.arange(30),
+            "qx": RNG.uniform(-45, 45, 30),
+            "qy": RNG.uniform(-45, 45, 30),
+        }
+    )
+    return pts, qs
+
+
+@pytest.mark.parametrize("cell_size", [None, 2.0, 31.0])
+def test_radius_join_matches_brute_force(spark, radius_case, cell_size):
+    from geocube_spark.functions.spatial import points_within_distance
+
+    pts, qs = radius_case
+    r = 6.5
+    got = points_within_distance(
+        spark.createDataFrame(pts).repartition(5),
+        spark.createDataFrame(qs),
+        radius=r, cell_size=cell_size,
+    ).collect()
+    pairs = {(int(x["point_id"]), int(x["query_id"])) for x in got}
+    assert len(pairs) == len(got)
+    assert pairs == _brute_force_radius(pts, qs, r)
+    # dist column is the true euclidean distance
+    by_pair = {(int(x["point_id"]), int(x["query_id"])): x["dist"]
+               for x in got}
+    p0, q0 = next(iter(pairs))
+    px = float(pts.loc[pts.point_id == p0, "x"].iloc[0])
+    py = float(pts.loc[pts.point_id == p0, "y"].iloc[0])
+    qx = float(qs.loc[qs.query_id == q0, "qx"].iloc[0])
+    qy = float(qs.loc[qs.query_id == q0, "qy"].iloc[0])
+    assert by_pair[(p0, q0)] == pytest.approx(
+        np.hypot(px - qx, py - qy), rel=1e-12
+    )
+
+
+def test_radius_join_is_pure_jvm_and_no_cartesian(spark, radius_case):
+    from geocube_spark.functions.spatial import points_within_distance
+
+    pts, qs = radius_case
+    df = points_within_distance(
+        spark.createDataFrame(pts), spark.createDataFrame(qs),
+        radius=5.0,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the whole operator compiles to JVM expressions - no Python eval
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_radius_join_validation(spark, radius_case):
+    from geocube_spark.functions.spatial import points_within_distance
+
+    pts, qs = radius_case
+    with pytest.raises(ValueError, match="radius"):
+        points_within_distance(
+            spark.createDataFrame(pts), spark.createDataFrame(qs),
+            radius=-1.0,
+        )
