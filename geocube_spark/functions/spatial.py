@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.sql import Window
+
 from ..geometry import wkb as W
 from ..kernels.pip import geometry_rings, points_in_edges, ring_edges
 
@@ -238,3 +240,94 @@ def points_within_distance(
             F.sqrt(d2).alias("dist"),
         )
     )
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    initial_radius: float,
+    max_iter: int = 40,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    query_id: str = "query_id",
+    qx_col: str = "qx",
+    qy_col: str = "qy",
+) -> DataFrame:
+    """Exact k-nearest-neighbor join -> ``(query_id, point_id, dist,
+    rank)`` with ``rank`` in 1..k (ties broken by smallest point id,
+    deterministically on both engines).
+
+    Radius-doubling over UNRESOLVED queries: each round runs the
+    bucketed :func:`points_within_distance` at radius ``r`` and keeps
+    the per-query top-k (window over the candidate set, never the
+    corpus). A query that finds >= k candidates within ``r`` is
+    exactly resolved — its true k nearest all lie within ``r`` — and
+    leaves the loop; the rest double ``r``. Total work is a geometric
+    series bounded by ~2x the final-radius join, so a well-chosen
+    ``initial_radius`` (the expected k-NN distance) costs one round.
+    Queries with fewer than k corpus points within
+    ``initial_radius * 2^max_iter`` return what was found.
+
+    The driver loop holds only one scalar count per round; candidates
+    and results stay distributed throughout.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if initial_radius <= 0:
+        raise ValueError(
+            f"initial_radius must be positive, got {initial_radius}"
+        )
+
+    unresolved = queries.select(query_id, qx_col, qy_col)
+    r = float(initial_radius)
+    resolved_parts = []
+    leftovers = None
+    for it in range(max_iter):
+        cand = points_within_distance(
+            points, unresolved, radius=r,
+            point_id=point_id, x_col=x_col, y_col=y_col,
+            query_id=query_id, qx_col=qx_col, qy_col=qy_col,
+        )
+        w = Window.partitionBy(query_id).orderBy("dist", point_id)
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        # a query is resolved when its k-th neighbor exists within r
+        full = topk.groupBy(query_id).agg(
+            F.count(F.lit(1)).alias("__n")
+        ).where(F.col("__n") >= k).select(query_id)
+        part = topk.join(full, on=query_id, how="inner").persist()
+        n_resolved = part.select(query_id).distinct().count()
+        if n_resolved:
+            resolved_parts.append(part)
+            unresolved = unresolved.join(
+                part.select(query_id).distinct(),
+                on=query_id, how="left_anti",
+            )
+        # localCheckpoint: truncate lineage so round t+1 doesn't
+        # recompute the whole chain of prior anti-joins
+        unresolved = unresolved.localCheckpoint(eager=True)
+        proto = topk
+        leftovers = topk  # best-effort rows for never-resolved queries
+        if unresolved.limit(1).count() == 0:
+            leftovers = None
+            break
+        r *= 2.0
+    out_cols = [query_id, point_id, "dist", "rank"]
+    parts = [p.select(out_cols) for p in resolved_parts]
+    if leftovers is not None:
+        parts.append(
+            leftovers.join(
+                unresolved.select(query_id), on=query_id, how="inner"
+            ).select(out_cols)
+        )
+    if not parts:
+        return proto.select(out_cols).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

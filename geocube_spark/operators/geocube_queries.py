@@ -308,6 +308,55 @@ ORDER BY event_id, query_id
 """
 
 
+def q_spatial_join_knn(spark, sf_dir):
+    """Exact distributed kNN join (north rule: kNN as a first-class
+    join): 25 query centers find their 5 nearest event points via
+    radius-doubling bucketed candidate rounds — never a cross join.
+    The oracle is the definitional window over all pairs; identical
+    (dist, id) tie-break on both sides."""
+    from ..functions.spatial import knn_join
+
+    pts = _event_points(spark, sf_dir)
+    qs = spark.range(25).select(
+        F.col("id").alias("query_id"),
+        (((F.col("id") * 67) % 340) - 170 + 0.031).alias("qx"),
+        (((F.col("id") * 41) % 160) - 80 + 0.043).alias("qy"),
+    )
+    out = knn_join(
+        pts, qs, k=5, initial_radius=4.0,
+        point_id="event_id", x_col="lon", y_col="lat",
+    )
+    return out.select(
+        "query_id", "event_id",
+        F.round(F.col("dist") + 1e-9, 6).alias("dist_r"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+SQL_SPATIAL_KNN = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+), q AS (
+  SELECT k AS query_id,
+         ((k * 67) % 340) - 170 + 0.031 AS qx,
+         ((k * 41) % 160) - 80 + 0.043 AS qy
+  FROM generate_series(0, 24) t(k)
+), d AS (
+  SELECT query_id, event_id,
+         sqrt((lon - qx) * (lon - qx) + (lat - qy) * (lat - qy)) AS dist,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY sqrt((lon - qx) * (lon - qx) + (lat - qy) * (lat - qy)),
+                    event_id
+         ) AS rank
+  FROM pts, q
+)
+SELECT query_id, event_id, round(dist + 1e-9, 6) AS dist_r,
+       CAST(rank AS INTEGER) AS rank
+FROM d WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 SQL_SPATIAL_JOIN = f"""
 WITH pts AS (
   SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
@@ -1949,6 +1998,7 @@ EXTRA_QUERIES = {
     # oracle-checked by scripts/check_oracle.py --extra and pinned by
     # brute-force-parity tests; the pip variant occupies the window
     "spatial_join_radius": (q_spatial_join_radius, SQL_SPATIAL_RADIUS),
+    "spatial_join_knn": (q_spatial_join_knn, SQL_SPATIAL_KNN),
     "interp_rbf": (q_interp_rbf, None),
     "interp_cubic": (q_interp_cubic, None),
     "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),

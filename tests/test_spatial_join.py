@@ -265,3 +265,72 @@ def test_radius_join_validation(spark, radius_case):
             spark.createDataFrame(pts), spark.createDataFrame(qs),
             radius=-1.0,
         )
+
+
+def _brute_force_knn(pts_pdf, q_pdf, k):
+    rows = set()
+    for _, q in q_pdf.iterrows():
+        d = np.hypot(pts_pdf["x"].values - q["qx"],
+                     pts_pdf["y"].values - q["qy"])
+        order = np.lexsort((pts_pdf["point_id"].values, d))[:k]
+        for rank, idx in enumerate(order, 1):
+            rows.add((int(q["query_id"]),
+                      int(pts_pdf["point_id"].values[idx]), rank))
+    return rows
+
+
+@pytest.mark.parametrize("r0", [0.5, 4.0, 1000.0])
+def test_knn_join_matches_brute_force(spark, radius_case, r0):
+    """Exact for any initial radius: tiny (many doubling rounds),
+    moderate, and huge (one round, everything a candidate)."""
+    from geocube_spark.functions.spatial import knn_join
+
+    pts, qs = radius_case
+    got = knn_join(
+        spark.createDataFrame(pts).repartition(5),
+        spark.createDataFrame(qs),
+        k=5, initial_radius=r0,
+    ).collect()
+    got_rows = {(int(r["query_id"]), int(r["point_id"]), int(r["rank"]))
+                for r in got}
+    assert got_rows == _brute_force_knn(pts, qs, 5)
+    # dist is consistent with rank ordering
+    by_q = {}
+    for r in got:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), float(r["dist"])))
+    for ranks in by_q.values():
+        ranks.sort()
+        ds = [d for _, d in ranks]
+        assert ds == sorted(ds)
+
+
+def test_knn_join_small_corpus_leftovers(spark):
+    """Fewer corpus points than k: every corpus point comes back once
+    per query instead of looping forever."""
+    from geocube_spark.functions.spatial import knn_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1, 2], "x": [0.0, 1.0],
+                      "y": [0.0, 0.0]})
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": [7], "qx": [0.2], "qy": [0.0]})
+    )
+    got = knn_join(pts, qs, k=5, initial_radius=0.5, max_iter=6)
+    rows = sorted(
+        (int(r["rank"]), int(r["point_id"])) for r in got.collect()
+    )
+    assert rows == [(1, 1), (2, 2)]
+
+
+def test_knn_join_validation(spark, radius_case):
+    from geocube_spark.functions.spatial import knn_join
+
+    pts, qs = radius_case
+    with pytest.raises(ValueError, match="k must"):
+        knn_join(spark.createDataFrame(pts), spark.createDataFrame(qs),
+                 k=0, initial_radius=1.0)
+    with pytest.raises(ValueError, match="initial_radius"):
+        knn_join(spark.createDataFrame(pts), spark.createDataFrame(qs),
+                 k=3, initial_radius=0.0)
