@@ -242,6 +242,45 @@ def points_within_distance(
     )
 
 
+def with_geometry_measures(
+    df: DataFrame, wkb_col: str = "geometry_wkb"
+) -> DataFrame:
+    """Append ``area``, ``perimeter``, ``centroid_x``, ``centroid_y``,
+    ``n_points`` columns computed from the WKB column — the geopandas
+    ``.area`` / ``.length`` / ``.centroid`` accessors re-expressed as
+    one Arrow-batched pass (geometry/measures.py: O(#rings) Python,
+    O(#points) numpy). Non-polygon rows get NaN measures."""
+    from ..geometry.measures import polygon_measures
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("area", T.DoubleType()),
+            T.StructField("perimeter", T.DoubleType()),
+            T.StructField("centroid_x", T.DoubleType()),
+            T.StructField("centroid_y", T.DoubleType()),
+            T.StructField("n_points", T.LongType()),
+        ]
+    )
+
+    def _measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            area, perim, cx, cy, npts = polygon_measures(
+                pdf[wkb_col].values
+            )
+            out = pdf.copy()
+            out["area"] = area
+            out["perimeter"] = perim
+            out["centroid_x"] = cx
+            out["centroid_y"] = cy
+            out["n_points"] = npts
+            yield out
+
+    return df.mapInPandas(_measure, schema)
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,150 @@
+"""Vectorized geometry measures (area / perimeter / centroid).
+
+Reference users compute these single-node via geopandas accessors
+(``.area`` / ``.length`` / ``.centroid``, which delegate to GEOS);
+here they are batch numpy kernels over the engine's parsed-WKB form
+so a DataFrame of millions of polygons measures at Arrow speed:
+O(#rings) Python, O(#points) numpy (the same cost model as the WKB
+batch parsers they build on).
+
+Semantics match the geopandas/GEOS conventions:
+
+* **area**: per polygon part, |outer ring| minus the sum of |holes|
+  (ring winding in the file does NOT matter — each ring's signed
+  shoelace is normalized by its structural role).
+* **perimeter** ("length"): total boundary length of ALL rings,
+  holes included (GEOS ``.length`` counts hole boundaries).
+* **centroid**: area-weighted centroid with holes subtracted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wkb as W
+
+
+def polygon_measures(blobs):
+    """Measures for a batch of Polygon/MultiPolygon WKB blobs.
+
+    Returns ``(area, perimeter, cx, cy, n_points)`` float64/int64
+    arrays aligned with ``blobs``; entries that are not polygons (or
+    None) come back NaN / 0 — callers decide how to treat them.
+    """
+    n = len(blobs)
+    area = np.full(n, np.nan)
+    perim = np.full(n, np.nan)
+    cx = np.full(n, np.nan)
+    cy = np.full(n, np.nan)
+    npts = np.zeros(n, dtype=np.int64)
+
+    mask, parsed = W.batch_parse_polygons(list(blobs))
+    leftovers = [
+        i for i in range(n) if not mask[i] and blobs[i] is not None
+    ]
+    for i in leftovers:
+        try:
+            g = W.loads(bytes(blobs[i]))
+        except Exception:
+            continue
+        if g.geom_type == W.POLYGON:
+            parts = [[np.asarray(r, dtype=np.float64)
+                      for r in g.parts]]
+        elif g.geom_type == W.MULTIPOLYGON:
+            parts = [[np.asarray(r, dtype=np.float64) for r in poly]
+                     for poly in g.parts]
+        else:
+            continue
+        a, p, sx, sy, c = _measure_parts_scalar(parts)
+        area[i], perim[i] = a, p
+        if a > 0:
+            cx[i], cy[i] = sx / (6.0 * a), sy / (6.0 * a)
+        npts[i] = c
+    if parsed is None:
+        return area, perim, cx, cy, npts
+
+    coords = parsed["coords"]
+    x, y = coords[:, 0], coords[:, 1]
+    ring_len = parsed["ring_len"]
+    ring_owner = parsed["ring_owner"]
+    pos = parsed["pos"]
+    starts = np.zeros(len(ring_len), dtype=np.int64)
+    np.cumsum(ring_len[:-1], out=starts[1:])
+
+    # ring role from the WKB structure: first ring of each part is
+    # the outer boundary, the rest are holes
+    role = np.empty(len(ring_len), dtype=np.float64)
+    r_i = 0
+    for blob_struct in parsed["structs"]:
+        for part in blob_struct:
+            for j in range(len(part)):
+                role[r_i] = 1.0 if j == 0 else -1.0
+                r_i += 1
+
+    # consecutive-pair terms over ALL points; the pair that straddles
+    # two rings is subtracted back out per ring (rings are closed, so
+    # each ring's own terms are its first len-1 pairs)
+    cross = np.empty(len(x))
+    cross[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+    cross[-1] = 0.0
+    seg = np.empty(len(x))
+    seg[:-1] = np.hypot(x[1:] - x[:-1], y[1:] - y[:-1])
+    seg[-1] = 0.0
+    sx_t = np.empty(len(x))
+    sx_t[:-1] = (x[:-1] + x[1:]) * cross[:-1]
+    sx_t[-1] = 0.0
+    sy_t = np.empty(len(x))
+    sy_t[:-1] = (y[:-1] + y[1:]) * cross[:-1]
+    sy_t[-1] = 0.0
+
+    last = starts + ring_len - 1
+    ring_cross = np.add.reduceat(cross, starts) - cross[last]
+    ring_seg = np.add.reduceat(seg, starts) - seg[last]
+    ring_sx = np.add.reduceat(sx_t, starts) - sx_t[last]
+    ring_sy = np.add.reduceat(sy_t, starts) - sy_t[last]
+
+    signed = 0.5 * ring_cross
+    # normalize by structural role, independent of file winding
+    flip = role * np.sign(signed)
+    flip[signed == 0.0] = 0.0
+    ring_area = role * np.abs(signed)
+    ring_sx = flip * ring_sx
+    ring_sy = flip * ring_sy
+
+    n_blobs = len(pos)
+    b_area = np.zeros(n_blobs)
+    b_perim = np.zeros(n_blobs)
+    b_sx = np.zeros(n_blobs)
+    b_sy = np.zeros(n_blobs)
+    np.add.at(b_area, ring_owner, ring_area)
+    np.add.at(b_perim, ring_owner, ring_seg)
+    np.add.at(b_sx, ring_owner, ring_sx)
+    np.add.at(b_sy, ring_owner, ring_sy)
+
+    area[pos] = b_area
+    perim[pos] = b_perim
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx[pos] = np.where(b_area > 0, b_sx / (6.0 * b_area), np.nan)
+        cy[pos] = np.where(b_area > 0, b_sy / (6.0 * b_area), np.nan)
+    npts[pos] = parsed["blob_pts"]
+    return area, perim, cx, cy, npts
+
+
+def _measure_parts_scalar(parts):
+    """Reference-style scalar path for exotic layouts (big-endian WKB
+    etc. that the batch parser skips)."""
+    area = perim = sx = sy = 0.0
+    count = 0
+    for rings in parts:
+        for j, ring in enumerate(rings):
+            xr, yr = ring[:, 0], ring[:, 1]
+            cross = xr[:-1] * yr[1:] - xr[1:] * yr[:-1]
+            a = 0.5 * cross.sum()
+            role = 1.0 if j == 0 else -1.0
+            flip = role * np.sign(a) if a != 0 else 0.0
+            area += role * abs(a)
+            perim += np.hypot(np.diff(xr), np.diff(yr)).sum()
+            sx += flip * ((xr[:-1] + xr[1:]) * cross).sum()
+            sy += flip * ((yr[:-1] + yr[1:]) * cross).sum()
+            count += len(ring)
+    return area, perim, sx, sy, count

@@ -357,6 +357,76 @@ FROM d WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_geom_measures(spark, sf_dir):
+    """Geometry measures (geopandas .area/.length/.centroid parity):
+    per-event diamond polygons are batch-ENCODED to WKB, then measured
+    back by the Arrow-batched shoelace kernel — the full encode ->
+    parse -> reduceat-measure pipeline; the oracle holds the closed
+    forms (area 2r^2, perimeter 4r*sqrt(2), centroid = center)."""
+    from ..functions.spatial import with_geometry_measures
+
+    pts = _event_points(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("geometry_wkb", T.BinaryType()),
+        ]
+    )
+
+    def _mk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            r = 0.5 + (pdf["event_id"].values.astype(np.int64) % 7) * 0.25
+            # selectExpr's decimal division reaches pandas as
+            # decimal.Decimal objects - coerce to float64
+            cx = pdf["lon"].astype(np.float64).values
+            cy = pdf["lat"].astype(np.float64).values
+            rings = np.empty((len(pdf), 5, 2), dtype=np.float64)
+            rings[:, 0, 0] = cx - r
+            rings[:, 0, 1] = cy
+            rings[:, 1, 0] = cx
+            rings[:, 1, 1] = cy - r
+            rings[:, 2, 0] = cx + r
+            rings[:, 2, 1] = cy
+            rings[:, 3, 0] = cx
+            rings[:, 3, 1] = cy + r
+            rings[:, 4] = rings[:, 0]
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].values,
+                    "geometry_wkb": W.encode_simple_polygons(rings),
+                }
+            )
+
+    diamonds = pts.mapInPandas(_mk, schema)
+    out = with_geometry_measures(diamonds)
+    return out.select(
+        "event_id",
+        F.round(F.col("area") + 1e-9, 6).alias("area_r"),
+        F.round(F.col("perimeter") + 1e-9, 6).alias("perim_r"),
+        F.round(F.col("centroid_x") + 1e-9, 6).alias("cx_r"),
+        F.round(F.col("centroid_y") + 1e-9, 6).alias("cy_r"),
+        "n_points",
+    ).orderBy("event_id")
+
+
+SQL_GEOM_MEASURES = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat,
+         0.5 + (event_id % 7) * 0.25 AS r
+  FROM events
+)
+SELECT event_id,
+       round(2 * r * r + 1e-9, 6) AS area_r,
+       round(4 * r * sqrt(2.0) + 1e-9, 6) AS perim_r,
+       round(lon + 1e-9, 6) AS cx_r,
+       round(lat + 1e-9, 6) AS cy_r,
+       CAST(5 AS BIGINT) AS n_points
+FROM pts ORDER BY event_id
+"""
+
+
 SQL_SPATIAL_JOIN = f"""
 WITH pts AS (
   SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
@@ -1999,6 +2069,7 @@ EXTRA_QUERIES = {
     # brute-force-parity tests; the pip variant occupies the window
     "spatial_join_radius": (q_spatial_join_radius, SQL_SPATIAL_RADIUS),
     "spatial_join_knn": (q_spatial_join_knn, SQL_SPATIAL_KNN),
+    "geom_measures": (q_geom_measures, SQL_GEOM_MEASURES),
     "interp_rbf": (q_interp_rbf, None),
     "interp_cubic": (q_interp_cubic, None),
     "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),

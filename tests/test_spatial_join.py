@@ -334,3 +334,89 @@ def test_knn_join_validation(spark, radius_case):
     with pytest.raises(ValueError, match="initial_radius"):
         knn_join(spark.createDataFrame(pts), spark.createDataFrame(qs),
                  k=3, initial_radius=0.0)
+
+
+# ---------------------------------------------------------------------------
+# geometry measures (area / perimeter / centroid)
+# ---------------------------------------------------------------------------
+
+def _measures_scalar(geom):
+    """Scalar shoelace referee over the Geometry object."""
+    if geom.geom_type == W.POLYGON:
+        parts = [geom.parts]
+    else:
+        parts = list(geom.parts)
+    area = perim = sx = sy = 0.0
+    for rings in parts:
+        for j, ring in enumerate(rings):
+            r = np.asarray(ring, dtype=float)
+            xr, yr = r[:, 0], r[:, 1]
+            cross = xr[:-1] * yr[1:] - xr[1:] * yr[:-1]
+            a = 0.5 * cross.sum()
+            role = 1.0 if j == 0 else -1.0
+            f = role * np.sign(a) if a != 0 else 0.0
+            area += role * abs(a)
+            perim += np.hypot(np.diff(xr), np.diff(yr)).sum()
+            sx += f * ((xr[:-1] + xr[1:]) * cross).sum()
+            sy += f * ((yr[:-1] + yr[1:]) * cross).sum()
+    return area, perim, sx / (6 * area), sy / (6 * area)
+
+
+def test_measures_kernel_matches_scalar_reference():
+    from geocube_spark.geometry.measures import polygon_measures
+
+    geoms = [_star_polygon(RNG.uniform(-20, 20), RNG.uniform(-20, 20),
+                           RNG.uniform(1, 8)) for _ in range(40)]
+    # donut with a REVERSED outer ring (winding must not matter)
+    outer = np.array(
+        [[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]], dtype=float
+    )
+    hole = np.array(
+        [[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]], dtype=float
+    )
+    geoms.append(W.Geometry(W.POLYGON, [outer, hole]))
+    far = np.array(
+        [[20, 20], [24, 20], [24, 24], [20, 24], [20, 20]], dtype=float
+    )
+    geoms.append(W.Geometry(W.MULTIPOLYGON, [[outer, hole], [far]]))
+    blobs = [g.to_wkb() for g in geoms]
+    area, perim, cx, cy, npts = polygon_measures(blobs)
+    for i, g in enumerate(geoms):
+        ea, ep, ex, ey = _measures_scalar(g)
+        assert area[i] == pytest.approx(ea, rel=1e-12)
+        assert perim[i] == pytest.approx(ep, rel=1e-12)
+        assert cx[i] == pytest.approx(ex, rel=1e-9)
+        assert cy[i] == pytest.approx(ey, rel=1e-9)
+    # closed forms for the donut: 100 - 16 area, 40 + 16 perimeter
+    assert area[-2] == pytest.approx(84.0)
+    assert perim[-2] == pytest.approx(56.0)
+    assert (cx[-2], cy[-2]) == (pytest.approx(5.0), pytest.approx(5.0))
+    # non-polygon -> NaN, None -> NaN
+    a2, p2, _, _, n2 = polygon_measures(
+        [W.point(1, 2).to_wkb(), None, blobs[0]]
+    )
+    assert np.isnan(a2[0]) and np.isnan(a2[1]) and a2[2] == area[0]
+
+
+def test_with_geometry_measures_spark(spark):
+    from geocube_spark.functions.spatial import with_geometry_measures
+    from geocube_spark.geometry.measures import polygon_measures
+
+    geoms = [_star_polygon(0, 0, 3 + i * 0.1) for i in range(50)]
+    pdf = pd.DataFrame(
+        {"gid": np.arange(50),
+         "geometry_wkb": [g.to_wkb() for g in geoms]}
+    )
+    out = (
+        with_geometry_measures(spark.createDataFrame(pdf).repartition(4))
+        .orderBy("gid")
+        .toPandas()
+    )
+    area, perim, cx, cy, npts = polygon_measures(
+        pdf["geometry_wkb"].values
+    )
+    np.testing.assert_allclose(out["area"].values, area, rtol=1e-12)
+    np.testing.assert_allclose(out["perimeter"].values, perim,
+                               rtol=1e-12)
+    np.testing.assert_allclose(out["centroid_x"].values, cx, rtol=1e-9)
+    assert out["n_points"].values.tolist() == npts.tolist()
