@@ -53,6 +53,12 @@ def _batch_circum(allp: np.ndarray, tri: np.ndarray):
 _BFS_THRESHOLD = 4096    # above this, the O(n^2) scan loses to the walk
 
 
+# documented single-task ceiling: the adjacency-walk build is expected
+# O(n) (~7 s per 100k points) but runs as ONE task per (band, group);
+# past this cap the fail-fast error beats a silently-pinned executor
+DELAUNAY_MAX_POINTS = 2_000_000
+
+
 def delaunay(points: np.ndarray) -> np.ndarray:
     """Return (M, 3) int array of triangle vertex indices.
 
@@ -78,6 +84,18 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     """
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
+    if n > DELAUNAY_MAX_POINTS:
+        # the fit is one task per (band, group) — inherent to the
+        # globally-coupled triangulation, and exactly the reference's
+        # own single-node limitation (scipy griddata). Fail fast with
+        # guidance instead of grinding one executor core for minutes.
+        raise ValueError(
+            f"{n} scatter points exceed the single-task Delaunay cap "
+            f"of {DELAUNAY_MAX_POINTS} (the triangulation is fitted "
+            "once per band; ~7 s per 100k points in one task). "
+            "Subsample the input, or use method='nearest' (scales to "
+            "any point count) or a burn + interpolate_na pipeline."
+        )
     if n < 3:
         return np.empty((0, 3), dtype=np.int64)
     if n > _BFS_THRESHOLD:

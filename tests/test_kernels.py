@@ -843,3 +843,11 @@ def test_logger_helpers(tmp_path):
     with open(fname) as f:
         assert "hello file" in f.read()
     set_log_level("WARNING")
+
+
+def test_delaunay_point_cap_raises_with_guidance():
+    from geocube_spark.kernels import delaunay as D
+
+    pts = np.zeros((D.DELAUNAY_MAX_POINTS + 1, 2))
+    with pytest.raises(ValueError, match="Delaunay cap"):
+        D.delaunay(pts)
