@@ -281,6 +281,34 @@ def with_geometry_measures(
     return df.mapInPandas(_measure, schema)
 
 
+def simplify_geometries(
+    df: DataFrame,
+    tolerance: float,
+    wkb_col: str = "geometry_wkb",
+) -> DataFrame:
+    """Douglas-Peucker simplification of a WKB column (geopandas
+    ``.simplify`` re-expressed as an Arrow-batched map; rows whose
+    geometry collapses below the tolerance get NULL — filter or keep
+    by policy downstream)."""
+    from ..geometry.simplify import simplify_wkb
+
+    if tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+
+    def _simp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf.copy()
+            out[wkb_col] = [
+                None if b is None else simplify_wkb(b, tolerance)
+                for b in pdf[wkb_col].values
+            ]
+            yield out
+
+    return df.mapInPandas(_simp, df.schema)
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
