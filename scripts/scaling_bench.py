@@ -217,9 +217,22 @@ def main():
     def _one(cpus):
         load = round(os.getloadavg()[0], 1)
         loads.append(load)
+        cmd = [sys.executable, os.path.abspath(__file__), "--run",
+               str(cpus)]
+        # Pin each level's WHOLE process tree (JVM + GC/shuffle
+        # threads + Python workers) to exactly its core budget. In
+        # unpinned local mode a "2-core" level quietly uses the other
+        # 30 host cores for JVM service threads and pandas workers,
+        # inflating the baseline and understating N->4N efficiency —
+        # the pinned run is the faithful simulation of per-executor
+        # core limits on a real cluster. Levels >= the host core
+        # count cannot be pinned (documented oversubscription pair).
+        pin = os.environ.get("SCALING_BENCH_PIN", "1") != "0"
+        n_host = os.cpu_count() or 0
+        if pin and cpus < n_host and os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run",
-             str(cpus)],
+            cmd,
             capture_output=True, text=True, cwd=REPO,
             env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
         )
