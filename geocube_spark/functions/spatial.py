@@ -281,6 +281,110 @@ def with_geometry_measures(
     return df.mapInPandas(_measure, schema)
 
 
+def polygons_intersect_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    cell_size: float,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    left_wkb: str = "geometry_wkb",
+    right_wkb: str = "geometry_wkb",
+) -> DataFrame:
+    """Polygon x polygon ``intersects`` join (geopandas
+    ``sjoin(predicate='intersects')``) -> ``(left_id, right_id)``.
+
+    Both sides cover-explode their envelopes into grid cells; the
+    cell equi-join yields bbox-overlapping candidates. A pair sharing
+    many cells is emitted ONCE via the reporting-cell technique: the
+    pair survives only in the canonical cell holding the lower-left
+    corner of the two envelopes' intersection — a JVM predicate, no
+    distinct/shuffle needed for dedup. Exact refinement runs the
+    edge-crossing + containment test per candidate (holes exact: a
+    polygon inside the other's hole does not match)."""
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be positive, got {cell_size}")
+    cs = float(cell_size)
+
+    def _cover(env, pid, wkb, tag):
+        return env.select(
+            F.col("__pid").alias(pid + tag),
+            F.col("__wkb").alias(wkb + tag),
+            F.col("minx").alias("minx" + tag),
+            F.col("miny").alias("miny" + tag),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("minx") / cs).cast("long"),
+                    F.floor(F.col("maxx") / cs).cast("long"),
+                )
+            ).alias("__tx"),
+            F.col("maxy").alias("maxy" + tag),
+        ).select(
+            pid + tag, wkb + tag, "minx" + tag, "miny" + tag, "__tx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("miny" + tag) / cs).cast("long"),
+                    F.floor(F.col("maxy" + tag) / cs).cast("long"),
+                )
+            ).alias("__ty"),
+        )
+
+    lc = _cover(_poly_envelopes(left, left_id, left_wkb),
+                left_id, left_wkb, "_l")
+    rc = _cover(_poly_envelopes(right, right_id, right_wkb),
+                right_id, right_wkb, "_r")
+    cand = lc.join(rc, on=["__tx", "__ty"], how="inner").where(
+        (F.col("__tx") == F.floor(
+            F.greatest(F.col("minx_l"), F.col("minx_r")) / cs
+        ).cast("long"))
+        & (F.col("__ty") == F.floor(
+            F.greatest(F.col("miny_l"), F.col("miny_r")) / cs
+        ).cast("long"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(left_id, left.schema[left_id].dataType),
+            T.StructField(right_id, right.schema[right_id].dataType),
+        ]
+    )
+
+    def _refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.pip import polygons_intersect
+
+        ring_cache: dict = {}
+
+        def _rings(side, key, blob):
+            ck = (side, key)
+            got = ring_cache.get(ck)
+            if got is None:
+                got = geometry_rings(W.loads(bytes(blob)))
+                ring_cache[ck] = got
+            return got
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lid = pdf[left_id + "_l"].values
+            rid = pdf[right_id + "_r"].values
+            lb = pdf[left_wkb + "_l"].values
+            rb = pdf[right_wkb + "_r"].values
+            hits_l, hits_r = [], []
+            for i in range(len(pdf)):
+                if polygons_intersect(
+                    _rings("l", lid[i], lb[i]),
+                    _rings("r", rid[i], rb[i]),
+                ):
+                    hits_l.append(lid[i])
+                    hits_r.append(rid[i])
+            if hits_l:
+                yield pd.DataFrame(
+                    {left_id: hits_l, right_id: hits_r}
+                )
+
+    return cand.mapInPandas(_refine, out_schema)
+
+
 def simplify_geometries(
     df: DataFrame,
     tolerance: float,

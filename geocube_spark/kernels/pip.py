@@ -93,3 +93,72 @@ def points_in_wkb(px, py, wkb_blob) -> np.ndarray:
     """Convenience: membership of points in one WKB polygon."""
     rings = geometry_rings(W.loads(bytes(wkb_blob)))
     return points_in_edges(px, py, *ring_edges(rings))
+
+
+def _segments_intersect_any(a, b) -> bool:
+    """True when ANY segment of edge set ``a`` meets any of ``b``
+    (proper crossings, endpoint touches, and collinear overlap).
+
+    Vectorized E1 x E2 orientation test (standard sign method); the
+    all-collinear case falls back to per-axis interval overlap."""
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    if len(ax1) == 0 or len(bx1) == 0:
+        return False
+    # broadcast: rows = edges of a, cols = edges of b
+    rx = (ax2 - ax1)[:, None]
+    ry = (ay2 - ay1)[:, None]
+    d1 = rx * (by1[None, :] - ay1[:, None]) - ry * (
+        bx1[None, :] - ax1[:, None]
+    )
+    d2 = rx * (by2[None, :] - ay1[:, None]) - ry * (
+        bx2[None, :] - ax1[:, None]
+    )
+    sx = (bx2 - bx1)[None, :]
+    sy = (by2 - by1)[None, :]
+    d3 = sx * (ay1[:, None] - by1[None, :]) - sy * (
+        ax1[:, None] - bx1[None, :]
+    )
+    d4 = sx * (ay2[:, None] - by1[None, :]) - sy * (
+        ax2[:, None] - bx1[None, :]
+    )
+    straddle = (d1 * d2 <= 0) & (d3 * d4 <= 0)
+    proper = straddle & ~((d1 == 0) & (d2 == 0))
+    if proper.any():
+        return True
+    col = straddle & (d1 == 0) & (d2 == 0)
+    if not col.any():
+        return False
+    # collinear candidates: intersect iff 1-D projections overlap
+    ii, jj = np.nonzero(col)
+    alo = np.minimum(ax1[ii], ax2[ii])
+    ahi = np.maximum(ax1[ii], ax2[ii])
+    blo = np.minimum(bx1[jj], bx2[jj])
+    bhi = np.maximum(bx1[jj], bx2[jj])
+    ok = (alo <= bhi) & (blo <= ahi)
+    alo = np.minimum(ay1[ii], ay2[ii])
+    ahi = np.maximum(ay1[ii], ay2[ii])
+    blo = np.minimum(by1[jj], by2[jj])
+    bhi = np.maximum(by1[jj], by2[jj])
+    return bool((ok & (alo <= bhi) & (blo <= ahi)).any())
+
+
+def polygons_intersect(rings_a, rings_b) -> bool:
+    """GEOS-style ``intersects`` for two polygon ring sets: true when
+    boundaries meet (any edge pair crosses/touches) or one polygon
+    contains a vertex of the other (even-odd, so holes behave: a
+    polygon sitting wholly inside the other's hole does NOT
+    intersect)."""
+    ea = ring_edges(rings_a)
+    eb = ring_edges(rings_b)
+    if _segments_intersect_any(ea, eb):
+        return True
+    # no boundary contact: containment decides. One test point per
+    # geometry suffices (no crossings => the whole geometry lies on
+    # one side)
+    if len(ea[0]) and len(eb[0]):
+        if points_in_edges(ea[0][:1], ea[1][:1], *eb)[0]:
+            return True
+        if points_in_edges(eb[0][:1], eb[1][:1], *ea)[0]:
+            return True
+    return False

@@ -357,6 +357,98 @@ FROM d WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def _diamond_blobs(cx, cy, rr):
+    rings = np.empty((len(cx), 5, 2), dtype=np.float64)
+    rings[:, 0, 0] = cx - rr
+    rings[:, 0, 1] = cy
+    rings[:, 1, 0] = cx
+    rings[:, 1, 1] = cy - rr
+    rings[:, 2, 0] = cx + rr
+    rings[:, 2, 1] = cy
+    rings[:, 3, 0] = cx
+    rings[:, 3, 1] = cy + rr
+    rings[:, 4] = rings[:, 0]
+    return W.encode_simple_polygons(rings)
+
+
+def q_spatial_join_intersects(spark, sf_dir):
+    """Polygon x polygon intersects join: 1000 event-derived diamonds
+    vs 25 formula diamonds through the real pipeline (envelope cover,
+    reporting-cell dedup, edge-crossing + containment refinement).
+    Oracle: two L1 balls intersect iff |dcx| + |dcy| < r1 + r2
+    (Minkowski-sum closed form); radii offsets keep every pair
+    >= 0.011 from tangency so the geometric kernel and the arithmetic
+    agree exactly."""
+    from ..functions.spatial import polygons_intersect_join
+
+    pts = _event_points(spark, sf_dir).where(
+        F.col("event_id") % 10 == 0
+    )
+    l_schema = T.StructType(
+        [
+            T.StructField("left_id", T.LongType()),
+            T.StructField("geometry_wkb", T.BinaryType()),
+        ]
+    )
+
+    def _mk_left(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            eid = pdf["event_id"].values.astype(np.int64)
+            rr = 2.0005 + ((eid // 10) % 5) * 1.1
+            yield pd.DataFrame(
+                {
+                    "left_id": eid,
+                    "geometry_wkb": _diamond_blobs(
+                        pdf["lon"].astype(np.float64).values,
+                        pdf["lat"].astype(np.float64).values,
+                        rr,
+                    ),
+                }
+            )
+
+    left = pts.mapInPandas(_mk_left, l_schema)
+    ks = np.arange(25)
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "right_id": ks.astype(np.int64),
+                "geometry_wkb": _diamond_blobs(
+                    ((ks * 83) % 340) - 170 + 0.017,
+                    ((ks * 47) % 160) - 80 + 0.023,
+                    3.0005 + (ks % 4) * 1.2,
+                ),
+            }
+        )
+    )
+    return polygons_intersect_join(
+        left, right, cell_size=6.0
+    ).orderBy("left_id", "right_id")
+
+
+SQL_SPATIAL_INTERSECTS = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+  WHERE event_id % 10 = 0
+), l AS (
+  SELECT event_id AS left_id, lon, lat,
+         2.0005 + ((event_id // 10) % 5) * 1.1 AS r1
+  FROM pts
+), r AS (
+  SELECT k AS right_id,
+         ((k * 83) % 340) - 170 + 0.017 AS cx,
+         ((k * 47) % 160) - 80 + 0.023 AS cy,
+         3.0005 + (k % 4) * 1.2 AS r2
+  FROM generate_series(0, 24) t(k)
+)
+SELECT left_id, right_id
+FROM l, r
+WHERE abs(lon - cx) + abs(lat - cy) < r1 + r2
+ORDER BY left_id, right_id
+"""
+
+
 def q_geom_measures(spark, sf_dir):
     """Geometry measures (geopandas .area/.length/.centroid parity):
     per-event diamond polygons are batch-ENCODED to WKB, then measured
@@ -2069,6 +2161,8 @@ EXTRA_QUERIES = {
     # brute-force-parity tests; the pip variant occupies the window
     "spatial_join_radius": (q_spatial_join_radius, SQL_SPATIAL_RADIUS),
     "spatial_join_knn": (q_spatial_join_knn, SQL_SPATIAL_KNN),
+    "spatial_join_intersects": (q_spatial_join_intersects,
+                                SQL_SPATIAL_INTERSECTS),
     "geom_measures": (q_geom_measures, SQL_GEOM_MEASURES),
     "interp_rbf": (q_interp_rbf, None),
     "interp_cubic": (q_interp_cubic, None),

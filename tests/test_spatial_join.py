@@ -420,3 +420,103 @@ def test_with_geometry_measures_spark(spark):
                                rtol=1e-12)
     np.testing.assert_allclose(out["centroid_x"].values, cx, rtol=1e-9)
     assert out["n_points"].values.tolist() == npts.tolist()
+
+
+# ---------------------------------------------------------------------------
+# polygon x polygon intersects
+# ---------------------------------------------------------------------------
+
+def _convex_poly(cx, cy, r, n=8, rot=0.0):
+    th = rot + np.linspace(0, 2 * np.pi, n, endpoint=False)
+    xs, ys = cx + r * np.cos(th), cy + r * np.sin(th)
+    ring = np.column_stack([np.append(xs, xs[0]), np.append(ys, ys[0])])
+    return W.Geometry(W.POLYGON, [ring])
+
+
+def _sat_intersects(ga, gb):
+    """Separating-axis referee for CONVEX polygons (independent
+    logic: no shared code with the kernel)."""
+    pa = np.asarray(ga.parts[0])[:-1]
+    pb = np.asarray(gb.parts[0])[:-1]
+    for poly in (pa, pb):
+        for i in range(len(poly)):
+            edge = poly[(i + 1) % len(poly)] - poly[i]
+            axis = np.array([-edge[1], edge[0]])
+            a0, a1 = (pa @ axis).min(), (pa @ axis).max()
+            b0, b1 = (pb @ axis).min(), (pb @ axis).max()
+            if a1 < b0 or b1 < a0:
+                return False
+    return True
+
+
+def test_polygons_intersect_vs_sat_referee():
+    from geocube_spark.kernels.pip import geometry_rings, polygons_intersect
+
+    rng = np.random.default_rng(7)
+    agree = 0
+    for _ in range(300):
+        ga = _convex_poly(rng.uniform(-10, 10), rng.uniform(-10, 10),
+                          rng.uniform(1, 6), rot=rng.uniform(0, 3))
+        gb = _convex_poly(rng.uniform(-10, 10), rng.uniform(-10, 10),
+                          rng.uniform(1, 6), rot=rng.uniform(0, 3))
+        got = polygons_intersect(geometry_rings(ga), geometry_rings(gb))
+        assert got == _sat_intersects(ga, gb)
+        agree += 1
+    assert agree == 300
+
+
+def test_polygons_intersect_touch_and_hole_semantics():
+    from geocube_spark.kernels.pip import geometry_rings as GR
+    from geocube_spark.kernels.pip import polygons_intersect as PI
+
+    def box(x0, y0, x1, y1, holes=()):
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+            dtype=float,
+        )
+        return W.Geometry(W.POLYGON, [ring, *holes])
+
+    a = box(0, 0, 10, 10)
+    assert PI(GR(a), GR(box(20, 20, 30, 30))) is False  # disjoint
+    assert PI(GR(a), GR(box(5, 5, 15, 15))) is True     # overlap
+    assert PI(GR(a), GR(box(10, 0, 20, 10))) is True    # edge touch
+    assert PI(GR(a), GR(box(10, 10, 20, 20))) is True   # corner touch
+    assert PI(GR(a), GR(box(2, 2, 8, 8))) is True       # containment
+    assert PI(GR(a), GR(a)) is True                     # identical
+    hole = np.array(
+        [[2, 2], [8, 2], [8, 8], [2, 8], [2, 2]], dtype=float
+    )
+    donut = box(0, 0, 10, 10, holes=(hole,))
+    assert PI(GR(donut), GR(box(3, 3, 7, 7))) is False  # in the hole
+    assert PI(GR(donut), GR(box(3, 3, 9, 7))) is True   # crosses hole
+    assert PI(GR(donut), GR(box(-5, -5, 15, 15))) is True  # contains
+
+
+def test_polygons_intersect_join_matches_brute_force(spark):
+    from geocube_spark.functions.spatial import polygons_intersect_join
+    from geocube_spark.kernels.pip import geometry_rings, polygons_intersect
+
+    rng = np.random.default_rng(13)
+    mk = lambda: _convex_poly(rng.uniform(-40, 40), rng.uniform(-40, 40),
+                              rng.uniform(1, 14), rot=rng.uniform(0, 3))
+    la = [mk() for _ in range(40)]
+    rb = [mk() for _ in range(35)]
+    lpdf = pd.DataFrame({"left_id": np.arange(40),
+                         "geometry_wkb": [g.to_wkb() for g in la]})
+    rpdf = pd.DataFrame({"right_id": np.arange(35),
+                         "geometry_wkb": [g.to_wkb() for g in rb]})
+    exp = {
+        (i, j)
+        for i, ga in enumerate(la)
+        for j, gb in enumerate(rb)
+        if polygons_intersect(geometry_rings(ga), geometry_rings(gb))
+    }
+    for cs in (5.0, 23.0):
+        got = polygons_intersect_join(
+            spark.createDataFrame(lpdf).repartition(4),
+            spark.createDataFrame(rpdf),
+            cell_size=cs,
+        ).collect()
+        pairs = [(int(r["left_id"]), int(r["right_id"])) for r in got]
+        assert len(pairs) == len(set(pairs))  # reporting-cell dedup
+        assert set(pairs) == exp
