@@ -413,6 +413,28 @@ def simplify_geometries(
     return df.mapInPandas(_simp, df.schema)
 
 
+def convex_hulls(
+    df: DataFrame, wkb_col: str = "geometry_wkb"
+) -> DataFrame:
+    """Replace the WKB column with each geometry's convex hull
+    (geopandas ``.convex_hull``: Polygon, or LineString/Point for
+    degenerate inputs)."""
+    from ..geometry.simplify import convex_hull_wkb
+
+    def _hull(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf.copy()
+            out[wkb_col] = [
+                None if b is None else convex_hull_wkb(b)
+                for b in pdf[wkb_col].values
+            ]
+            yield out
+
+    return df.mapInPandas(_hull, df.schema)
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,

@@ -97,3 +97,58 @@ def simplify_wkb(blob, tolerance: float):
     """WKB -> simplified WKB (or None when the geometry collapses)."""
     g = simplify_geometry(W.loads(bytes(blob)), tolerance)
     return None if g is None else g.to_wkb()
+
+
+# ---------------------------------------------------------------------------
+# convex hull (geopandas ``.convex_hull`` parity)
+# ---------------------------------------------------------------------------
+
+def convex_hull_points(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain -> CCW hull ring (closed, first ==
+    last). Input order/duplicates don't matter. Degenerate inputs
+    (all collinear) return the 2-point extreme chain unclosed."""
+    pts = np.unique(
+        np.asarray(pts, dtype=np.float64).reshape(-1, 2), axis=0
+    )
+    n = len(pts)
+    if n <= 2:
+        return pts
+    # lexicographic order (x, then y) — np.unique already sorts rows
+
+    def _chain(order):
+        out = []
+        for p in order:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((p[0], p[1]))
+        return out[:-1]
+
+    lower = _chain(pts)
+    upper = _chain(pts[::-1])
+    ring = lower + upper
+    if len(ring) < 3:  # collinear
+        return np.array([pts[0], pts[-1]])
+    ring.append(ring[0])
+    return np.asarray(ring, dtype=np.float64)
+
+
+def convex_hull_wkb(blob):
+    """WKB -> convex hull WKB (Polygon; LineString when all points
+    are collinear; Point passthrough for single points) — GEOS
+    ``.convex_hull`` result-type behavior."""
+    g = W.loads(bytes(blob))
+    pts = np.concatenate(
+        [np.asarray(a, dtype=np.float64).reshape(-1, 2)
+         for a in g.coord_arrays()]
+    )
+    ring = convex_hull_points(pts)
+    if len(ring) == 1:
+        return W.Geometry(W.POINT, ring[0]).to_wkb()
+    if len(ring) == 2:
+        return W.Geometry(W.LINESTRING, ring).to_wkb()
+    return W.Geometry(W.POLYGON, [ring]).to_wkb()

@@ -124,3 +124,86 @@ def test_simplify_geometries_spark(spark):
         assert bytes(out["geometry_wkb"][i]) == exp
     with pytest.raises(ValueError, match="tolerance"):
         simplify_geometries(spark.createDataFrame(pdf), -1.0)
+
+
+# ---------------------------------------------------------------------------
+# convex hull
+# ---------------------------------------------------------------------------
+
+def _is_ccw_convex(ring):
+    r = np.asarray(ring)[:-1]
+    n = len(r)
+    for i in range(n):
+        a, b, c = r[i], r[(i + 1) % n], r[(i + 2) % n]
+        cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (
+            c[0] - a[0]
+        )
+        if cross <= 0:
+            return False
+    return True
+
+
+def test_convex_hull_properties():
+    from geocube_spark.geometry.simplify import convex_hull_points
+    from geocube_spark.kernels.pip import points_in_edges, ring_edges
+
+    for _ in range(30):
+        pts = RNG.uniform(-10, 10, (200, 2))
+        ring = convex_hull_points(pts)
+        assert _is_ccw_convex(ring)
+        verts = {tuple(p) for p in ring}
+        assert verts <= {tuple(p) for p in pts}
+        # every input point inside or on the hull: shrink test — all
+        # points strictly inside a hull dilated about its centroid
+        c = ring[:-1].mean(axis=0)
+        big = c + (ring - c) * (1 + 1e-9)
+        inside = points_in_edges(
+            pts[:, 0], pts[:, 1], *ring_edges([big])
+        )
+        assert inside.all()
+
+
+def test_convex_hull_degenerate_and_wkb():
+    from geocube_spark.geometry.simplify import (
+        convex_hull_points, convex_hull_wkb,
+    )
+
+    col = np.array([[0, 0], [1, 1], [2, 2], [3, 3]], dtype=float)
+    out = convex_hull_points(col)
+    assert out.tolist() == [[0, 0], [3, 3]]
+    g = W.loads(
+        convex_hull_wkb(W.Geometry(W.LINESTRING, col).to_wkb())
+    )
+    assert g.geom_type == W.LINESTRING
+    sq = W.Geometry(W.MULTIPOINT, np.array(
+        [[0, 0], [1, 0], [1, 1], [0, 1], [0.5, 0.5]], dtype=float))
+    h = W.loads(convex_hull_wkb(sq.to_wkb()))
+    assert h.geom_type == W.POLYGON
+    assert len(h.parts[0]) == 5  # square + closure, interior dropped
+    p = W.loads(convex_hull_wkb(W.point(2.0, 3.0).to_wkb()))
+    assert p.geom_type == W.POINT
+
+
+def test_convex_hulls_spark(spark):
+    from geocube_spark.functions.spatial import convex_hulls
+    from geocube_spark.geometry.simplify import convex_hull_wkb
+
+    pdf = pd.DataFrame(
+        {
+            "gid": np.arange(20),
+            "geometry_wkb": [
+                W.Geometry(
+                    W.MULTIPOINT, RNG.uniform(-5, 5, (30, 2))
+                ).to_wkb()
+                for _ in range(20)
+            ],
+        }
+    )
+    out = (
+        convex_hulls(spark.createDataFrame(pdf).repartition(3))
+        .orderBy("gid").toPandas()
+    )
+    for i in range(20):
+        assert bytes(out["geometry_wkb"][i]) == convex_hull_wkb(
+            pdf["geometry_wkb"][i]
+        )
