@@ -255,7 +255,7 @@ def _write_batches(withb, path, n_buckets, commit_batches, fail_after,
 
 
 def _commit_one(part, path, data_dir, snapshot_id, parent, batch,
-            n_buckets, commit_batches, t0, report):
+            n_buckets, commit_batches, t0, report, kind=None):
     (
         part.write.mode("overwrite")
         .partitionBy("zoom", "cell_bucket")
@@ -283,6 +283,7 @@ def _commit_one(part, path, data_dir, snapshot_id, parent, batch,
         "snapshot_id": snapshot_id,
         "parent_id": parent,
         "batch": batch,
+        **({"kind": kind} if kind else {}),
         "n_buckets": n_buckets,
         "commit_batches": commit_batches,
         "data_dir": f"data/snap={snapshot_id}",
@@ -296,6 +297,17 @@ def _commit_one(part, path, data_dir, snapshot_id, parent, batch,
     _commit_manifest(path, manifest)
     report.committed_snapshots.append(snapshot_id)
     report.metrics[snapshot_id] = manifest["metrics"]
+
+def _active_manifests(manifests: list[dict]) -> list[dict]:
+    """Reads start at the LAST compaction snapshot in the (possibly
+    time-traveled) prefix: a compaction rewrote the full row state of
+    everything before it, so earlier data dirs are superseded (kept on
+    disk for time travel until ``expire_snapshots``)."""
+    for i in range(len(manifests) - 1, -1, -1):
+        if manifests[i].get("kind") == "compaction":
+            return manifests[i:]
+    return manifests
+
 
 def _as_of_prefix(manifests: list[dict], as_of) -> list[dict]:
     """Time travel: the manifest prefix up to and including snapshot
@@ -327,7 +339,7 @@ def read_cube(spark: SparkSession, path: str, *,
     whose prefix holds no rows yet reads as an EMPTY table (schema
     borrowed from the first later non-empty snapshot), not an error."""
     all_manifests = _list_manifests(path)
-    manifests = _as_of_prefix(all_manifests, as_of)
+    manifests = _active_manifests(_as_of_prefix(all_manifests, as_of))
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {path}")
 
@@ -354,7 +366,7 @@ def read_cube(spark: SparkSession, path: str, *,
 def read_lineage(spark: SparkSession, path: str, *,
                  as_of=None) -> DataFrame:
     all_manifests = _list_manifests(path)
-    manifests = _as_of_prefix(all_manifests, as_of)
+    manifests = _active_manifests(_as_of_prefix(all_manifests, as_of))
     if not manifests:
         raise FileNotFoundError(f"no committed snapshots under {path}")
 
@@ -443,3 +455,81 @@ def read_cube_window(spark: SparkSession, path: str, geobox,
 def snapshots(path: str) -> list[dict]:
     """Committed snapshot manifests, oldest first."""
     return _list_manifests(path)
+
+
+def compact_snapshots(spark: SparkSession, path: str) -> WriteReport:
+    """Iceberg-style table maintenance (``rewrite_data_files``): fold
+    every committed snapshot's rows into ONE compaction snapshot that
+    becomes the new read base.
+
+    A long-lived cube (streaming refreshes, incremental merges)
+    accumulates one data dir per commit — at 100 TB that is the
+    classic small-files problem: every read lists and opens thousands
+    of files per bucket. Compaction rewrites the CURRENT row state
+    (one big file set, repartitioned by ``cell_bucket``) and commits
+    it with ``kind="compaction"``; readers then start at the
+    compaction manifest instead of unioning history. Row-multiset
+    identical by construction — the rewrite IS ``read_cube(path)``.
+
+    Time travel to ids before the compaction keeps working (old dirs
+    stay on disk) until ``expire_snapshots`` reclaims them. Appending
+    with ``write_cube`` afterwards also keeps working: batch
+    bookkeeping and resume parameters are preserved verbatim."""
+    manifests = _list_manifests(path)
+    if not manifests:
+        raise FileNotFoundError(f"no committed snapshots under {path}")
+    last = manifests[-1]
+    if last.get("kind") == "compaction":
+        report = WriteReport(path=path)
+        report.skipped_snapshots.append(last["snapshot_id"])
+        return report  # already compact: nothing newer to fold in
+    df = read_cube(spark, path)
+    n_buckets = last["n_buckets"]
+    report = WriteReport(path=path)
+    t0 = time.time()
+    # numeric batch suffix 999999 keeps the manifest name inside the
+    # (millis, batch) sort contract and after same-millis batches
+    snapshot_id = f"{int(time.time() * 1000)}-999999"
+    data_dir = os.path.join(path, "data", f"snap={snapshot_id}")
+    part = df.repartition(max(1, int(n_buckets)), "cell_bucket").persist()
+    try:
+        _commit_one(
+            part, path, data_dir, snapshot_id, last["snapshot_id"],
+            -1, n_buckets, last["commit_batches"], t0, report,
+            kind="compaction",
+        )
+    finally:
+        part.unpersist()
+    return report
+
+
+def expire_snapshots(path: str) -> list[str]:
+    """Drop manifests + data/lineage dirs superseded by the LAST
+    compaction (Iceberg ``expire_snapshots``): reclaims the space of
+    the folded history at the cost of time travel to ids before the
+    compaction (which then raise unknown-snapshot, as after Iceberg
+    expiry). Returns the expired snapshot ids."""
+    manifests = _list_manifests(path)
+    idx = None
+    for i in range(len(manifests) - 1, -1, -1):
+        if manifests[i].get("kind") == "compaction":
+            idx = i
+            break
+    if not idx:  # no compaction, or compaction is the very first
+        return []
+    dead = manifests[:idx]
+    mdir = _manifest_dir(path)
+    expired = []
+    for m in dead:
+        sid = str(m["snapshot_id"])
+        for key in ("data_dir", "lineage_dir"):
+            if m.get(key):
+                shutil.rmtree(
+                    os.path.join(path, m[key]), ignore_errors=True
+                )
+        try:
+            os.remove(os.path.join(mdir, f"snapshot-{sid}.json"))
+        except FileNotFoundError:
+            pass
+        expired.append(sid)
+    return expired

@@ -247,3 +247,84 @@ def test_read_cube_window_prunes_and_matches(spark, cube, tmp_path):
         spark, path, gb, ts, (1e9, 1e9, 2e9, 2e9)
     )
     assert off.count() == 0
+
+
+def test_compact_snapshots_rewrites_read_base(spark, cube, tmp_path):
+    """Compaction folds the committed history into one snapshot:
+    row-identical reads from FEWER data files, manifests record the
+    compaction, appends and time travel still work."""
+    path = str(tmp_path / "cube")
+    cube.write(path, commit_batches=4)
+    before_rows = CP.read_cube(spark, path).count()
+    before_files = len(_data_files(path))
+    pre_ids = [m["snapshot_id"] for m in CP.snapshots(path)]
+
+    report = CP.compact_snapshots(spark, path)
+    assert len(report.committed_snapshots) == 1
+    comp_id = report.committed_snapshots[0]
+
+    after = CP.read_cube(spark, path)
+    assert after.count() == before_rows
+    a = cube.chunks.select("measurement", "tile_id", "values")
+    b = after.select("measurement", "tile_id", "values")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # read base = compaction snapshot only
+    ms = CP.snapshots(path)
+    assert ms[-1]["kind"] == "compaction"
+    # old snapshot files still on disk (time travel keeps working)
+    assert CP.read_cube(spark, path, as_of=pre_ids[1]).count() > 0
+    # reading as_of the compaction id = full state
+    assert CP.read_cube(spark, path, as_of=comp_id).count() == before_rows
+    # lineage readable after compaction and covers every tile
+    lin = CP.read_lineage(spark, path)
+    tiles_before = {
+        r["tile_id"] for r in
+        cube.chunks.select("tile_id").distinct().collect()
+    }
+    tiles_after = {
+        r["tile_id"] for r in lin.select("tile_id").distinct().collect()
+    }
+    assert tiles_after == tiles_before
+    # a second compact is a no-op
+    again = CP.compact_snapshots(spark, path)
+    assert again.committed_snapshots == []
+    # resume bookkeeping unchanged: rewriting the same cube skips all
+    rep2 = cube.write(path, commit_batches=4)
+    assert rep2.committed_snapshots == []
+    assert len(rep2.skipped_snapshots) == 4
+
+    # expire: superseded files reclaimed, expired ids now raise
+    expired = CP.expire_snapshots(path)
+    assert set(expired) == set(pre_ids)
+    # all superseded snapshot dirs gone: ONE data dir remains (at toy
+    # scale per-file counts tie — one file per bucket either way; the
+    # dir count is the small-files invariant that matters)
+    assert os.listdir(os.path.join(path, "data")) == [
+        f"snap={comp_id}"
+    ]
+    assert len(_data_files(path)) <= before_files
+    assert CP.read_cube(spark, path).count() == before_rows
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        CP.read_cube(spark, path, as_of=pre_ids[0])
+
+
+def test_compact_then_window_read(spark, cube, tmp_path):
+    path = str(tmp_path / "cube")
+    cube.write(path, commit_batches=3)
+    gb = cube.geobox
+    bbox = (
+        gb.affine.c, gb.affine.f + gb.affine.e * gb.height,
+        gb.affine.c + gb.affine.a * (gb.width / 2), gb.affine.f,
+    )
+    want = sorted(
+        r["tile_id"] for r in CP.read_cube_window(
+            spark, path, gb, 64, bbox
+        ).select("tile_id").distinct().collect()
+    )
+    CP.compact_snapshots(spark, path)
+    got = sorted(
+        r["tile_id"] for r in CP.read_cube_window(
+            spark, path, gb, 64, bbox
+        ).select("tile_id").distinct().collect()
+    )
+    assert got == want and len(got) > 0
