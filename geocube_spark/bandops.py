@@ -838,3 +838,164 @@ def merge_cubes(a: GeoCube, b: GeoCube, merge_alg: str = "replace",
         group_by=a.group_by, group_keys=group_keys,
         tile_size=a.tile_size, fill=a.fill,
     )
+
+
+# ---------------------------------------------------------------------------
+# contour lines (marching squares over the halo stencil)
+# ---------------------------------------------------------------------------
+
+def contour_segments_table(cube: GeoCube, levels: Sequence[float],
+                           measurements: Optional[Sequence[str]] = None,
+                           ) -> DataFrame:
+    """Distributed iso-line SEGMENTS of every band at each level —
+    the scale-path API (one row per segment; global cell-center
+    coordinates), stitched into LineStrings by :func:`contour`.
+
+    Same physical plan as the other stencil operators: r=1 halo
+    strips -> ONE equi-shuffle -> per-tile marching squares
+    (``kernels/contour.py``). Each square is owned by the tile of its
+    top-left cell, so tiling never duplicates or drops a segment, and
+    shared crossings are computed bit-identically on both sides of a
+    tile border (canonical edge parameterization + identical halo
+    values) — exact cross-tile stitching needs no tolerance."""
+    import pandas as pd
+
+    from .cube import _grouped_map
+    from .kernels.contour import contour_segments
+
+    c = cube.chunks
+    if measurements:
+        for m in measurements:
+            if m not in cube.bands:
+                raise ValueError(f"unknown band {m!r}")
+        c = c.filter(F.col("measurement").isin(list(measurements)))
+    levels = [float(v) for v in levels]
+    if not levels:
+        raise ValueError("levels must be a non-empty sequence")
+    fills = {m: float(b.fill) for m, b in cube.bands.items()}
+
+    n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
+    strips = _halo_strips(c, ntx, nty, 1)
+
+    from pyspark.sql import types as T
+
+    seg_schema = T.StructType([
+        T.StructField("measurement", T.StringType()),
+        T.StructField("group_key", T.StringType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("r1", T.DoubleType()),
+        T.StructField("c1", T.DoubleType()),
+        T.StructField("r2", T.DoubleType()),
+        T.StructField("c2", T.DoubleType()),
+    ])
+    cols = [f.name for f in seg_schema.fields]
+
+    def _reduce(key, sub: pd.DataFrame) -> pd.DataFrame:
+        m, gk, _tid = key
+        center = sub[sub["role"].values == 0]
+        if not len(center):
+            # squares owned by an un-burned tile have a nodata
+            # top-left corner by definition: nothing to contour
+            return pd.DataFrame([], columns=cols)
+        ctr = center.iloc[0]
+        pad, th, tw, row0, col0 = _paste_padded(sub, ctr, 1)
+        f = fills[m]
+        if not np.isnan(f):
+            pad = np.where(pad == f, np.nan, pad)
+        frames = []
+        for lv in levels:
+            segs = contour_segments(pad, lv, float(row0), float(col0))
+            if len(segs):
+                frames.append(pd.DataFrame({
+                    "measurement": m,
+                    "group_key": gk,
+                    "level": lv,
+                    "r1": segs[:, 0], "c1": segs[:, 1],
+                    "r2": segs[:, 2], "c2": segs[:, 3],
+                }))
+        if not frames:
+            return pd.DataFrame([], columns=cols)
+        return pd.concat(frames, ignore_index=True)[cols]
+
+    sc = c.sparkSession.sparkContext
+    n_parts = max(
+        1,
+        min(int(n_tiles),
+            max(4 * sc.defaultParallelism, int(n_tiles) // 64)),
+    )
+    keys = ["measurement", "group_key", "tile_id"]
+    return _grouped_map(strips, keys, n_parts, _reduce, seg_schema)
+
+
+CONTOUR_SEGMENT_CAP = 2_000_000
+
+
+def contour(cube: GeoCube, levels: Sequence[float],
+            measurements: Optional[Sequence[str]] = None,
+            *, segment_cap: int = CONTOUR_SEGMENT_CAP) -> DataFrame:
+    """Iso-lines as a vector table: ``(measurement, group_key, level,
+    line_id, geometry_wkb, n_points, closed)`` — the engine's
+    ``gdal_contour`` (reference users shell out to GDAL for this).
+
+    Segment extraction is fully distributed
+    (:func:`contour_segments_table`); chain STITCHING joins segments
+    on bit-identical shared endpoints, currently on the driver under
+    ``segment_cap`` (same escape-hatch pattern as vectorize's
+    union-find cap: contours are 1-D — a 10^9-cell raster yields
+    ~10^4-10^6 segments, far below the cap in practice; past it,
+    consume the distributed segments table directly)."""
+    from .geometry import wkb as W
+    from .kernels.contour import stitch_segments
+
+    seg_df = contour_segments_table(cube, levels, measurements)
+    rows = seg_df.collect() if segment_cap <= 0 else (
+        seg_df.limit(segment_cap + 1).collect()
+    )
+    if segment_cap > 0 and len(rows) > segment_cap:
+        raise ValueError(
+            f"contour produced more than {segment_cap} segments; "
+            "raise segment_cap or consume contour_segments_table() "
+            "directly (distributed)"
+        )
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(
+            (r["measurement"], r["group_key"], r["level"]), []
+        ).append((r["r1"], r["c1"], r["r2"], r["c2"]))
+
+    A = cube.geobox.affine
+    out = []
+    for (m, gk, lv), segs in sorted(
+        by_group.items(), key=lambda kv: (kv[0][0], str(kv[0][1]),
+                                          kv[0][2])
+    ):
+        chains = stitch_segments(np.asarray(segs, dtype=np.float64))
+        # deterministic order: by first point of each chain
+        chains.sort(key=lambda ch: (ch[0][0], ch[0][1], len(ch)))
+        for i, ch in enumerate(chains):
+            rr = ch[:, 0] + 0.5
+            cc = ch[:, 1] + 0.5
+            xs = A.c + A.a * cc + A.b * rr
+            ys = A.f + A.d * cc + A.e * rr
+            geom = W.Geometry(
+                W.LINESTRING, np.column_stack([xs, ys])
+            )
+            closed = bool((ch[0] == ch[-1]).all())
+            out.append({
+                "measurement": m, "group_key": gk, "level": lv,
+                "line_id": i, "geometry_wkb": geom.to_wkb(),
+                "n_points": int(len(ch)), "closed": closed,
+            })
+    spark = cube.chunks.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("measurement", T.StringType()),
+        T.StructField("group_key", T.StringType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("line_id", T.IntegerType()),
+        T.StructField("geometry_wkb", T.BinaryType()),
+        T.StructField("n_points", T.IntegerType()),
+        T.StructField("closed", T.BooleanType()),
+    ])
+    return spark.createDataFrame(out, schema=schema)

@@ -449,6 +449,76 @@ ORDER BY left_id, right_id
 """
 
 
+def q_contour_lines(spark, sf_dir):
+    """Contour extraction through the full distributed pipeline
+    (chunked cube -> halo exchange -> marching squares -> cross-tile
+    stitch -> LineString WKB -> point explode). The band is the
+    world-x plane, where linear interpolation is EXACT: the contour
+    at level L is the vertical line x = L sampled once per square
+    row, so the oracle generates the expected points in closed form."""
+    from ..bandops import contour
+    from ..cube import CHUNK_SCHEMA, BandMeta, GeoCube
+    from ..geometry.affine import Affine
+    from ..geometry.crs import CRS as _CRS
+    from ..grid.geobox import GeoBox
+
+    ts, H, Wd = 16, 48, 48
+    gb = GeoBox(Wd, H, Affine(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+                _CRS(32615))
+    rows = []
+    for tid, row0, col0, h, w in gb.tile_grid(ts):
+        _yy, xx = np.mgrid[row0:row0 + h, col0:col0 + w]
+        vals = 10.0 * (xx.astype(np.float64) + 0.5)
+        rows.append((
+            "z", None, 0, int(tid), int(row0), int(col0), int(h),
+            int(w), [float(v) for v in vals.ravel()], 1, h * w, 0, 0,
+        ))
+    cube = GeoCube(
+        chunks=spark.createDataFrame(rows, CHUNK_SCHEMA), geobox=gb,
+        bands={"z": BandMeta("z", "float64", float("nan"))},
+        tile_size=ts, fill=float("nan"),
+    )
+    lines = contour(cube, [120.0, 200.0, 310.0])
+
+    def _explode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for _, r in pdf.iterrows():
+                pts = W.loads(bytes(r["geometry_wkb"])).parts
+                for p in pts:
+                    out.append((float(r["level"]), float(p[0]),
+                                float(p[1])))
+            yield pd.DataFrame(
+                out, columns=["level", "x_r", "y_r"]
+            )
+
+    schema = T.StructType([
+        T.StructField("level", T.DoubleType()),
+        T.StructField("x_r", T.DoubleType()),
+        T.StructField("y_r", T.DoubleType()),
+    ])
+    pts = lines.mapInPandas(_explode, schema)
+    return pts.select(
+        "level",
+        F.round(F.col("x_r") + 1e-9, 6).alias("x_r"),
+        F.round(F.col("y_r") + 1e-9, 6).alias("y_r"),
+    ).orderBy("level", "y_r")
+
+
+SQL_CONTOUR_LINES = """
+WITH lv AS (
+  SELECT unnest([120.0, 200.0, 310.0]) AS level
+), pts AS (
+  SELECT level, level AS x_r, -10.0 * (r + 0.5) AS y_r
+  FROM lv, generate_series(0, 47) t(r)
+)
+SELECT level, round(x_r + 1e-9, 6) AS x_r, round(y_r + 1e-9, 6) AS y_r
+FROM pts ORDER BY level, y_r
+"""
+
+
 def q_geom_measures(spark, sf_dir):
     """Geometry measures (geopandas .area/.length/.centroid parity):
     per-event diamond polygons are batch-ENCODED to WKB, then measured
@@ -2164,6 +2234,7 @@ EXTRA_QUERIES = {
     "spatial_join_intersects": (q_spatial_join_intersects,
                                 SQL_SPATIAL_INTERSECTS),
     "geom_measures": (q_geom_measures, SQL_GEOM_MEASURES),
+    "contour_lines": (q_contour_lines, SQL_CONTOUR_LINES),
     "interp_rbf": (q_interp_rbf, None),
     "interp_cubic": (q_interp_cubic, None),
     "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),
