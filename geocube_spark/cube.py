@@ -242,6 +242,15 @@ class GeoCube:
         return terrain(self, band, mode, azimuth=azimuth,
                        altitude=altitude, z_factor=z_factor)
 
+    def contour(self, levels, measurements=None, *,
+                segment_cap: int = 2_000_000):
+        """Iso-line vector table (marching squares on the halo
+        stencil); see ``bandops.contour``."""
+        from .bandops import contour
+
+        return contour(self, levels, measurements,
+                       segment_cap=segment_cap)
+
     def zonal_stats_raster(self, zone_band: str, value_band: str):
         """Per-zone value statistics, zones from a raster band."""
         from .bandops import zonal_stats_raster
