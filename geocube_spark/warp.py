@@ -52,18 +52,23 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
     """Regrid ``cube`` onto the grid of ``like`` (GeoBox, dict, or a
     .tif/.nc path), reprojecting between CRSs when they differ.
 
-    ``method``: 'nearest' (categorical-safe, the default) or
-    'bilinear' (continuous fields; 4-neighbor weighted average with
+    ``method``: 'nearest' (categorical-safe, the default), 'bilinear'
+    (continuous fields; 4-neighbor weighted average with
     renormalization — neighbors beyond the raster edge OR carrying
     nodata (band fill / NaN) drop out and the remaining weights
     rescale, GDAL's warp-with-nodata behavior; an all-nodata
-    neighborhood stays fill). Returns a new
+    neighborhood stays fill), or 'cubic' (Keys a=-1/2 bicubic, the
+    GDAL 'cubic' kernel: separable 4x4 convolution that reproduces
+    quadratic fields exactly; cells whose 16-point support is not
+    fully data — raster borders, nodata boundaries — fall back to
+    the renormalized bilinear value, keeping negative cubic weights
+    away from partial neighborhoods). Returns a new
     GeoCube on the target grid; cells outside the source raster take
     each band's fill."""
-    if method not in ("nearest", "bilinear"):
+    if method not in ("nearest", "bilinear", "cubic"):
         raise NotImplementedError(
-            f"warp method {method!r}; 'nearest' and 'bilinear' are "
-            "implemented"
+            f"warp method {method!r}; 'nearest', 'bilinear' and "
+            "'cubic' are implemented"
         )
     src_gb = cube.geobox
     dst_gb = _resolve_geobox(like)
@@ -133,11 +138,13 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
                 if not ok.any():
                     continue
                 px, py = px[ok], py[ok]
-                # one-cell margin absorbs border rounding
-                tx0 = max(0, int(np.floor((px.min() - 1) / src_ts)))
-                tx1 = min(s_ntx - 1, int(np.floor((px.max() + 1) / src_ts)))
-                ty0 = max(0, int(np.floor((py.min() - 1) / src_ts)))
-                ty1 = min(s_nty - 1, int(np.floor((py.max() + 1) / src_ts)))
+                # margin absorbs border rounding + the resampler's
+                # neighbor reach (cubic needs 2 source cells)
+                mg = 2.0 if method == "cubic" else 1.0
+                tx0 = max(0, int(np.floor((px.min() - mg) / src_ts)))
+                tx1 = min(s_ntx - 1, int(np.floor((px.max() + mg) / src_ts)))
+                ty0 = max(0, int(np.floor((py.min() - mg) / src_ts)))
+                ty1 = min(s_nty - 1, int(np.floor((py.max() + mg) / src_ts)))
                 if tx1 < tx0 or ty1 < ty0:
                     continue
                 for sy in range(ty0, ty1 + 1):
@@ -203,6 +210,91 @@ def warp(cube: GeoCube, like, *, method: str = "nearest",
                 if k.any():
                     vals = np.asarray(crow.values, dtype=np.float64)
                     band[k] = vals[lr[k] * w + lc[k]]
+        elif method == "cubic":
+            # Keys a=-1/2 bicubic: separable 4x4 convolution. Cubic
+            # and bilinear accumulators run together; a target cell
+            # uses the cubic value only when ALL 16 support points
+            # are in-raster data (negative lobe weights are unsafe to
+            # renormalize over partial neighborhoods), else the
+            # renormalized bilinear value, else fill.
+            gx = px - 0.5
+            gy = py - 0.5
+            x0 = np.floor(gx).astype(np.int64)
+            y0 = np.floor(gy).astype(np.int64)
+            tx = gx - x0
+            ty = gy - y0
+
+            def _keys(t):
+                # |t| <= 1: 1.5|t|^3 - 2.5|t|^2 + 1
+                # 1 < |t| < 2: -0.5(|t|^3 - 5|t|^2 + 8|t| - 4)
+                t = np.abs(t)
+                w = np.zeros_like(t)
+                m1 = t <= 1.0
+                w[m1] = ((1.5 * t[m1] - 2.5) * t[m1] * t[m1] + 1.0)
+                m2 = ~m1 & (t < 2.0)
+                tt = t[m2]
+                w[m2] = -0.5 * (((tt - 5.0) * tt + 8.0) * tt - 4.0)
+                return w
+
+            wxs = [_keys(tx + 1.0), _keys(tx), _keys(1.0 - tx),
+                   _keys(2.0 - tx)]
+            wys = [_keys(ty + 1.0), _keys(ty), _keys(1.0 - ty),
+                   _keys(2.0 - ty)]
+            csum = np.zeros(th * tw, dtype=np.float64)
+            ccnt = np.zeros(th * tw, dtype=np.int64)
+            bsum = np.zeros(th * tw, dtype=np.float64)
+            bacc = np.zeros(th * tw, dtype=np.float64)
+            bl = [
+                (y0, x0, (1.0 - tx) * (1.0 - ty)),
+                (y0, x0 + 1, tx * (1.0 - ty)),
+                (y0 + 1, x0, (1.0 - tx) * ty),
+                (y0 + 1, x0 + 1, tx * ty),
+            ]
+            for crow in pdf.itertuples(index=False):
+                row0, col0 = int(crow.row0), int(crow.col0)
+                h, w = int(crow.h), int(crow.w)
+                vals = np.asarray(crow.values, dtype=np.float64)
+                for dy in range(-1, 3):
+                    lr = y0 + dy - row0
+                    rk = (lr >= 0) & (lr < h)
+                    if not rk.any():
+                        continue
+                    for dx in range(-1, 3):
+                        lc = x0 + dx - col0
+                        k = rk & (lc >= 0) & (lc < w)
+                        if not k.any():
+                            continue
+                        vv = vals[lr[k] * w + lc[k]]
+                        good = ~np.isnan(vv)
+                        if not np.isnan(fills[m]):
+                            good &= vv != fills[m]
+                        if not good.any():
+                            continue
+                        ki = np.flatnonzero(k)[good]
+                        wt = wys[dy + 1][ki] * wxs[dx + 1][ki]
+                        csum[ki] += wt * vv[good]
+                        ccnt[ki] += 1
+                for nr, ncl, wt in bl:
+                    lr = nr - row0
+                    lc = ncl - col0
+                    k = (lr >= 0) & (lr < h) & (lc >= 0) & (lc < w)
+                    k &= wt > 0.0
+                    if not k.any():
+                        continue
+                    vv = vals[lr[k] * w + lc[k]]
+                    good = ~np.isnan(vv)
+                    if not np.isnan(fills[m]):
+                        good &= vv != fills[m]
+                    if not good.any():
+                        continue
+                    ki = np.flatnonzero(k)[good]
+                    bsum[ki] += wt[ki] * vv[good]
+                    bacc[ki] += wt[ki]
+            band = np.full(th * tw, fills[m], dtype=np.float64)
+            part = bacc > 0.0
+            band[part] = bsum[part] / bacc[part]
+            full = ccnt == 16
+            band[full] = csum[full]
         else:
             # bilinear: 4 neighbor pixel centers + weights; each
             # source chunk contributes the neighbors it holds and the

@@ -127,7 +127,7 @@ def test_warp_grouped(spark):
 
 def test_warp_rejects_other_methods(src_cube):
     with pytest.raises(NotImplementedError):
-        warp(src_cube, src_cube.geobox, method="cubic")
+        warp(src_cube, src_cube.geobox, method="lanczos")
 
 
 def _bilinear_expect(src_arr, src_gb, dst_gb, fill):
@@ -187,3 +187,123 @@ def test_warp_bilinear_matches_numpy(spark, src_cube):
     np.testing.assert_allclose(
         out.assemble()["m0"], want, rtol=0, atol=1e-10
     )
+
+
+# ---------------------------------------------------------------------------
+# cubic (Keys a=-1/2) resampling
+# ---------------------------------------------------------------------------
+
+def _poly_cube(spark, ts=16, H=48, Wd=48):
+    from geocube_spark.cube import CHUNK_SCHEMA, BandMeta, GeoCube
+
+    gb = GeoBox(Wd, H, Affine(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+                CRS(32615))
+
+    def q(x, y):
+        return (2.0 + 0.01 * x + 0.02 * y + 3e-4 * x * x
+                + 2e-4 * x * y + 1e-4 * y * y)
+
+    rows = []
+    for tid, row0, col0, h, w in gb.tile_grid(ts):
+        yy, xx = np.mgrid[row0:row0 + h, col0:col0 + w]
+        x = 10.0 * (xx + 0.5)
+        y = -10.0 * (yy + 0.5)
+        rows.append((
+            "z", None, 0, int(tid), int(row0), int(col0), int(h),
+            int(w), [float(v) for v in q(x, y).ravel()], 1, h * w,
+            0, 0,
+        ))
+    chunks = spark.createDataFrame(rows, CHUNK_SCHEMA)
+    cube = GeoCube(
+        chunks=chunks, geobox=gb,
+        bands={"z": BandMeta("z", "float64", float("nan"))},
+        tile_size=ts, fill=float("nan"),
+    )
+    return cube, q
+
+
+def test_warp_cubic_identity(spark, src_cube):
+    """Aligned same-grid cubic is the exact identity: interior cells
+    hit tx=ty=0 (all weight on the center tap), border cells fall
+    back to bilinear which is also exact at zero offset."""
+    out = warp(src_cube, src_cube.geobox, method="cubic")
+    np.testing.assert_allclose(
+        out.assemble()["m0"], src_cube.assemble()["m0"], rtol=0, atol=0
+    )
+
+
+def test_warp_cubic_reproduces_quadratic(spark):
+    """The Keys a=-1/2 kernel reproduces quadratic polynomials
+    exactly — warp a quadratic field onto a half-cell-shifted grid
+    (multi-tile, so the 4x4 support crosses chunk borders) and
+    compare with the analytic values."""
+    cube, q = _poly_cube(spark)
+    gb = cube.geobox
+    a = gb.affine
+    dst = GeoBox(40, 40, Affine(a.a, 0.0, a.c + 0.5 * a.a,
+                                0.0, a.e, a.f + 0.5 * a.e), gb.crs)
+    out = warp(cube, dst, method="cubic", tile_size=16)
+    got = out.assemble()["z"]
+    cols = 0.5 + np.arange(40)
+    rows = 0.5 + np.arange(40)
+    cc, rr = np.meshgrid(cols, rows)
+    x = dst.affine.c + dst.affine.a * cc
+    y = dst.affine.f + dst.affine.e * rr
+    want = q(x, y)
+    # interior: full 16-point support -> exact cubic
+    np.testing.assert_allclose(
+        got[2:-2, 2:-2], want[2:-2, 2:-2], rtol=1e-12
+    )
+    # border ring: bilinear fallback (never NaN inside the source)
+    assert np.isfinite(got).all()
+
+
+def test_warp_cubic_nodata_falls_back(spark):
+    """Cells whose 4x4 support touches nodata fall back to the
+    bilinear value computed from data neighbors only — identical to
+    method='bilinear' there, with no NaN bleed-through."""
+    cube, q = _poly_cube(spark)
+    # poke a nodata hole: drop one whole tile from the chunk table
+    holey = cube.chunks.filter("tile_id != 4")
+    from geocube_spark.cube import GeoCube
+
+    cube2 = GeoCube(
+        chunks=holey, geobox=cube.geobox, bands=cube.bands,
+        tile_size=cube.tile_size, fill=cube.fill,
+    )
+    gb = cube.geobox
+    a = gb.affine
+    dst = GeoBox(46, 46, Affine(a.a, 0.0, a.c + 0.4 * a.a,
+                                0.0, a.e, a.f + 0.6 * a.e), gb.crs)
+    got = warp(cube2, dst, method="cubic", tile_size=16).assemble()["z"]
+    bil = warp(cube2, dst, method="bilinear",
+               tile_size=16).assemble()["z"]
+    # near the hole the two agree (fallback); far inside they differ
+    # from bilinear but match the analytic quadratic
+    hole_adjacent = np.isnan(got)
+    np.testing.assert_array_equal(np.isnan(bil), hole_adjacent)
+    both = ~hole_adjacent
+    # everywhere the cubic support is full, got == analytic
+    cols = 0.5 + np.arange(46)
+    rows = 0.5 + np.arange(46)
+    cc, rr = np.meshgrid(cols, rows)
+    want = q(dst.affine.c + dst.affine.a * cc,
+             dst.affine.f + dst.affine.e * rr)
+    interior = np.zeros_like(got, dtype=bool)
+    interior[3:-3, 3:-3] = True
+    # mask out the hole's influence zone (hole tile + 2-cell apron)
+    influence = np.zeros_like(got, dtype=bool)
+    ys, xs = np.nonzero(hole_adjacent)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            yy2 = np.clip(ys + dy, 0, 45)
+            xx2 = np.clip(xs + dx, 0, 45)
+            influence[yy2, xx2] = True
+    ok = interior & ~influence & both
+    assert ok.sum() > 200
+    np.testing.assert_allclose(got[ok], want[ok], rtol=1e-12)
+
+
+def test_warp_cubic_unknown_method_still_raises(spark, src_cube):
+    with pytest.raises(NotImplementedError, match="lanczos"):
+        warp(src_cube, src_cube.geobox, method="lanczos")
