@@ -249,7 +249,8 @@ def with_geometry_measures(
     ``n_points`` columns computed from the WKB column — the geopandas
     ``.area`` / ``.length`` / ``.centroid`` accessors re-expressed as
     one Arrow-batched pass (geometry/measures.py: O(#rings) Python,
-    O(#points) numpy). Non-polygon rows get NaN measures."""
+    O(#points) numpy). Lines measure as length/length-weighted
+    centroid; point rows get NaN measures."""
     from ..geometry.measures import polygon_measures
 
     schema = T.StructType(

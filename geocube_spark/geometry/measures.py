@@ -28,8 +28,9 @@ def polygon_measures(blobs):
     """Measures for a batch of Polygon/MultiPolygon WKB blobs.
 
     Returns ``(area, perimeter, cx, cy, n_points)`` float64/int64
-    arrays aligned with ``blobs``; entries that are not polygons (or
-    None) come back NaN / 0 — callers decide how to treat them.
+    arrays aligned with ``blobs``. Lines measure too (area 0,
+    perimeter = length, centroid length-weighted — GEOS ``.length`` /
+    ``.centroid`` semantics); points/None come back NaN / 0.
     """
     n = len(blobs)
     area = np.full(n, np.nan)
@@ -39,8 +40,34 @@ def polygon_measures(blobs):
     npts = np.zeros(n, dtype=np.int64)
 
     mask, parsed = W.batch_parse_polygons(list(blobs))
+    rest = [None if mask[i] else blobs[i] for i in range(n)]
+    # vectorized path for plain LINESTRINGs (area 0, perimeter =
+    # length, centroid = length-weighted — GEOS ``.length`` /
+    # ``.centroid`` on lines)
+    lmask, lgroups = W.batch_parse_simple_lines(rest)
+    for idx, coords in lgroups:
+        seg = np.hypot(
+            np.diff(coords[:, :, 0], axis=1),
+            np.diff(coords[:, :, 1], axis=1),
+        )
+        mx = 0.5 * (coords[:, :-1, 0] + coords[:, 1:, 0])
+        my = 0.5 * (coords[:, :-1, 1] + coords[:, 1:, 1])
+        tot = seg.sum(axis=1)
+        area[idx] = 0.0
+        perim[idx] = tot
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cx[idx] = np.where(
+                tot > 0, (seg * mx).sum(axis=1) / tot,
+                coords[:, :, 0].mean(axis=1),
+            )
+            cy[idx] = np.where(
+                tot > 0, (seg * my).sum(axis=1) / tot,
+                coords[:, :, 1].mean(axis=1),
+            )
+        npts[idx] = coords.shape[1]
     leftovers = [
-        i for i in range(n) if not mask[i] and blobs[i] is not None
+        i for i in range(n)
+        if not mask[i] and not lmask[i] and blobs[i] is not None
     ]
     for i in leftovers:
         try:
@@ -53,6 +80,25 @@ def polygon_measures(blobs):
         elif g.geom_type == W.MULTIPOLYGON:
             parts = [[np.asarray(r, dtype=np.float64) for r in poly]
                      for poly in g.parts]
+        elif g.geom_type in (W.LINESTRING, W.MULTILINESTRING):
+            chains = (
+                [np.asarray(g.parts, dtype=np.float64)]
+                if g.geom_type == W.LINESTRING
+                else [np.asarray(p, dtype=np.float64)
+                      for p in g.parts]
+            )
+            tot = sx = sy = 0.0
+            c = 0
+            for ch in chains:
+                seg = np.hypot(np.diff(ch[:, 0]), np.diff(ch[:, 1]))
+                tot += seg.sum()
+                sx += (seg * 0.5 * (ch[:-1, 0] + ch[1:, 0])).sum()
+                sy += (seg * 0.5 * (ch[:-1, 1] + ch[1:, 1])).sum()
+                c += len(ch)
+            area[i], perim[i], npts[i] = 0.0, tot, c
+            if tot > 0:
+                cx[i], cy[i] = sx / tot, sy / tot
+            continue
         else:
             continue
         a, p, sx, sy, c = _measure_parts_scalar(parts)

@@ -130,3 +130,64 @@ def test_sql_oracle_matches_numpy(_duck):
     assert (
         out["s2_parent"].values == s2.compact_cell_id(LON, LAT, 5)
     ).all()
+
+
+def test_edge_cases_poles_antimeridian_face_boundaries():
+    """Degenerate inputs every lon/lat corpus contains: poles (cos=0),
+    the antimeridian, the equator/prime-meridian face seams, and face
+    centers — all three implementations must agree and produce valid
+    ids with the prefix property intact."""
+    lon = np.array([0.0, 180.0, -180.0, 179.999999, -179.999999,
+                    0.0, 0.0, 45.0, -45.0, 135.0, 90.0, -90.0,
+                    45.0, 0.0, 1e-12, -1e-12])
+    lat = np.array([90.0, 90.0, -90.0, 0.0, 0.0,
+                    -90.0, 0.0, 0.0, 0.0, 0.0, 45.0, -45.0,
+                    35.26438968275465, 45.0, 0.0, 0.0])
+    for level in (1, 12, 29):
+        c = s2.compact_cell_id(lon, lat, level)
+        n_cells = 6 << (2 * level)
+        assert ((c >= 0) & (c < n_cells)).all()
+        if level > 5:
+            assert (
+                s2.compact_parent(c, level, 5)
+                == s2.compact_cell_id(lon, lat, 5)
+            ).all()
+    # the antimeridian seam: sin(+pi_float) = +1.2e-16 while
+    # sin(-pi_float) = -1.2e-16, so +180 and -180 land on OPPOSITE
+    # sides of the face-3 cell boundary (real S2 behaves the same —
+    # normalize longitude to [-180, 180) upstream for canonical ids).
+    # They must still be immediate curve-order neighbors, not far apart
+    c180 = s2.compact_cell_id(np.array([180.0, -180.0]),
+                              np.array([17.3, 17.3]), 12)
+    lo0, la0 = s2.compact_cell_center(c180[:1], 12)
+    lo1, la1 = s2.compact_cell_center(c180[1:], 12)
+    width_deg = 360.0 / (1 << 12)
+    dlon = abs(abs(lo0[0]) - abs(lo1[0]))  # both near +/-180
+    assert dlon < 2 * width_deg and abs(la0[0] - la1[0]) < 2 * width_deg
+    # canonical ids stay valid at the poles
+    k = s2.cell_id(lon, lat, 12)
+    assert (s2.cell_id_level(k) == 12).all()
+
+
+def test_edge_cases_sql_and_column_agree(spark, _duck):
+    lon = np.array([0.0, 180.0, -180.0, 179.999999, 0.0, 90.0,
+                    -90.0, 45.0, 1e-12, -135.0])
+    lat = np.array([90.0, -90.0, 0.0, 0.0, -90.0, 45.0, -45.0,
+                    35.26438968275465, 0.0, 52.5])
+    exp = s2.compact_cell_id(lon, lat, 12)
+    pdf = pd.DataFrame({"event_id": np.arange(len(lon)),
+                        "lon": lon, "lat": lat})
+    _duck.register("edge_pts", pdf)
+    got_sql = (
+        _duck.execute(s2.s2_cover_sql("lon", "lat", 12, 5, "edge_pts"))
+        .df().sort_values("event_id")["s2_cell"].values
+    )
+    assert (got_sql == exp).all()
+    out = (
+        spark.createDataFrame(pdf)
+        .select("event_id",
+                s2.s2_cell_id_col(F.col("lon"), F.col("lat"), 12)
+                .alias("c"))
+        .toPandas().sort_values("event_id")
+    )
+    assert (out["c"].values == exp).all()

@@ -520,3 +520,31 @@ def test_polygons_intersect_join_matches_brute_force(spark):
         pairs = [(int(r["left_id"]), int(r["right_id"])) for r in got]
         assert len(pairs) == len(set(pairs))  # reporting-cell dedup
         assert set(pairs) == exp
+
+
+def test_measures_lines():
+    from geocube_spark.geometry.measures import polygon_measures
+
+    # batched simple linestrings + a scalar-path multilinestring
+    l1 = W.Geometry(W.LINESTRING, np.array(
+        [[0, 0], [3, 4], [3, 10]], dtype=float))
+    l2 = W.Geometry(W.LINESTRING, np.array(
+        [[1, 1], [4, 5], [4, 11]], dtype=float))
+    ml = W.Geometry(W.MULTILINESTRING, [
+        np.array([[0, 0], [2, 0]], dtype=float),
+        np.array([[10, 0], [10, 4]], dtype=float),
+    ])
+    area, perim, cx, cy, npts = polygon_measures(
+        [l1.to_wkb(), l2.to_wkb(), ml.to_wkb()]
+    )
+    assert area.tolist() == [0.0, 0.0, 0.0]
+    np.testing.assert_allclose(perim, [11.0, 11.0, 6.0], rtol=1e-12)
+    # l1: segments len 5 (mid 1.5,2) and 6 (mid 3,7) -> weighted
+    np.testing.assert_allclose(
+        cx[0], (5 * 1.5 + 6 * 3.0) / 11.0, rtol=1e-12)
+    np.testing.assert_allclose(
+        cy[0], (5 * 2.0 + 6 * 7.0) / 11.0, rtol=1e-12)
+    # ml: centroid weighted across parts: (2*1 + 4*10)/6, (0 + 4*2)/6
+    np.testing.assert_allclose(cx[2], (2 * 1.0 + 4 * 10.0) / 6.0)
+    np.testing.assert_allclose(cy[2], (2 * 0.0 + 4 * 2.0) / 6.0)
+    assert npts.tolist() == [3, 3, 4]
