@@ -327,3 +327,48 @@ def test_restart_compact_categorical_band(spark, tmp_path):
     np.testing.assert_array_equal(want, got)
     # untouched cells must be the categorical nodata code, not 0
     assert (got == -1).any()
+
+
+def test_streaming_output_compacts_through_table_maintenance(
+    spark, tmp_path
+):
+    """End-to-end interplay: streaming partial burns -> compact() ->
+    checkpointed write (4 snapshots) -> snapshot compaction + expiry
+    -> reads stay row-identical to the one-shot batch burn."""
+    from geocube_spark.plans import checkpoint as CP
+
+    pdf = DG.flat_polygon_docs(n=16, seed=5)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "inc")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    geobox = _grid(spark)
+    inc = IncrementalCube(
+        out_dir, geobox, measurements=MEAS, fill=-9999.0,
+        merge_alg="replace", tile_size=32,
+    )
+    DG.to_spark(spark, pdf).coalesce(1).write.parquet(f"{in_dir}/b1")
+    inc.refresh(spark, f"{in_dir}/*", ckpt)
+    final = inc.compact(spark)
+
+    cube_path = str(tmp_path / "cube")
+    batch_cube = make_geocube(
+        DG.to_spark(spark, pdf), measurements=MEAS, like=geobox,
+        fill=-9999.0, merge_alg="replace", tile_size=32,
+    )
+    got_cube = GeoCube(
+        chunks=final, geobox=geobox, bands=batch_cube.bands,
+        tile_size=32, fill=-9999.0,
+    )
+    got_cube.write(cube_path, commit_batches=4)
+    CP.compact_snapshots(spark, cube_path)
+    CP.expire_snapshots(cube_path)
+    back = CP.read_cube(spark, cube_path)
+    read_cube = GeoCube(
+        chunks=back, geobox=geobox, bands=batch_cube.bands,
+        tile_size=32, fill=-9999.0,
+    )
+    want = batch_cube.assemble()
+    got = read_cube.assemble()
+    for m in MEAS:
+        np.testing.assert_array_equal(want[m], got[m])
