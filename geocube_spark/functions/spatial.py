@@ -429,6 +429,114 @@ def simplify_geometries(
     return df.mapInPandas(_simp, df.schema)
 
 
+EARTH_RADIUS_M = 6_371_008.8  # IUGG mean radius
+
+
+def haversine_join(
+    points: DataFrame,
+    queries: DataFrame,
+    *,
+    radius_m: float,
+    point_id: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    query_id: str = "query_id",
+    qlon_col: str = "qlon",
+    qlat_col: str = "qlat",
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """Great-circle within-distance join for lon/lat data ->
+    ``(point_id, query_id, dist_m)``, exact on the sphere.
+
+    Same shape as :func:`points_within_distance` but the bucketing
+    grid lives in degrees and accounts for meridian convergence: each
+    query explodes into the lat band ``+- r/R`` and a lon span
+    widened by ``1/cos(phi)`` at the band's most poleward latitude
+    (a band touching a pole degrades to all lon cells — correct,
+    just wide). Longitude cells WRAP across the antimeridian
+    (``pmod`` on both sides), so a Fiji-vs-Samoa pair is never
+    missed. Refinement is the haversine formula as a Column
+    expression — the whole operator stays JVM-side."""
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    r = float(radius_m)
+    R = float(earth_radius_m)
+    dlat = np.degrees(r / R)             # lat reach in degrees
+    # the index-pmod wrap is exact ONLY when the cell size divides
+    # 360 evenly (floor((x + 360)/cs) == floor(x/cs) + n_lon): snap
+    # the grid to 360/n cells, n chosen so cs >= the lat reach
+    n_lon = max(1, int(360.0 // max(1e-6, dlat)))
+    cs = 360.0 / n_lon
+
+    pts = points.select(
+        F.col(point_id).alias("__pid3"),
+        F.col(lon_col).cast("double").alias("__lon"),
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.pmod(
+            F.floor((F.col(lon_col) + 180.0) / cs).cast("long"),
+            F.lit(n_lon),
+        ).alias("__tx"),
+        F.floor(F.col(lat_col) / cs).cast("long").alias("__ty"),
+    )
+
+    # per-query lon reach: r / (R cos(phi_max)) with phi_max the most
+    # poleward latitude inside the query's lat band (clamped so a
+    # pole-touching band explodes the full lon circle)
+    qlat = F.col("__qlat")
+    phi_max = F.least(
+        F.lit(89.9999),
+        F.greatest(F.abs(qlat - dlat), F.abs(qlat + dlat)),
+    )
+    dlon = F.least(
+        F.lit(180.0),
+        F.lit(np.degrees(r / R)) / F.cos(F.radians(phi_max)),
+    )
+    qcells = queries.select(
+        F.col(query_id).alias("__qid3"),
+        F.col(qlon_col).cast("double").alias("__qlon"),
+        F.col(qlat_col).cast("double").alias("__qlat"),
+    ).select(
+        "__qid3", "__qlon", "__qlat",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__qlon") + 180.0 - dlon) / cs)
+                .cast("long"),
+                F.floor((F.col("__qlon") + 180.0 + dlon) / cs)
+                .cast("long"),
+            )
+        ).alias("__rawx"),
+    ).select(
+        "__qid3", "__qlon", "__qlat",
+        F.pmod(F.col("__rawx"), F.lit(n_lon)).alias("__tx"),
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__qlat") - dlat) / cs).cast("long"),
+                F.floor((F.col("__qlat") + dlat) / cs).cast("long"),
+            )
+        ).alias("__ty"),
+    ).dropDuplicates(["__qid3", "__tx", "__ty"])
+
+    # haversine, entirely Column-side
+    p1 = F.radians(F.col("__lat"))
+    p2 = F.radians(F.col("__qlat"))
+    dphi = F.radians(F.col("__lat") - F.col("__qlat"))
+    dlam = F.radians(F.col("__lon") - F.col("__qlon"))
+    a = (
+        F.pow(F.sin(dphi / 2), 2)
+        + F.cos(p1) * F.cos(p2) * F.pow(F.sin(dlam / 2), 2)
+    )
+    dist = 2.0 * R * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+    return (
+        pts.join(qcells, on=["__tx", "__ty"], how="inner")
+        .where(dist <= F.lit(r))
+        .select(
+            F.col("__pid3").alias(point_id),
+            F.col("__qid3").alias(query_id),
+            dist.alias("dist_m"),
+        )
+    )
+
+
 def convex_hulls(
     df: DataFrame, wkb_col: str = "geometry_wkb"
 ) -> DataFrame:

@@ -519,6 +519,52 @@ FROM pts ORDER BY level, y_r
 """
 
 
+def q_spatial_join_haversine(spark, sf_dir):
+    """Great-circle radius join on the sphere (lon/lat + meters):
+    event points vs 30 centers at r = 300 km through the wrap-aware
+    degree-grid bucketing; the oracle is the identical haversine
+    arithmetic over all pairs."""
+    from ..functions.spatial import haversine_join
+
+    pts = _event_points(spark, sf_dir)
+    qs = spark.range(30).select(
+        F.col("id").alias("query_id"),
+        (((F.col("id") * 61) % 340) - 170 + 0.037).alias("qlon"),
+        (((F.col("id") * 43) % 150) - 75 + 0.041).alias("qlat"),
+    )
+    out = haversine_join(
+        pts, qs, radius_m=300_000.0,
+        point_id="event_id", lon_col="lon", lat_col="lat",
+    )
+    return out.select(
+        "event_id", "query_id",
+        F.round(F.col("dist_m") + 1e-9, 3).alias("dist_r"),
+    ).orderBy("event_id", "query_id")
+
+
+SQL_SPATIAL_HAVERSINE = f"""
+WITH pts AS (
+  SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+), q AS (
+  SELECT k AS query_id,
+         ((k * 61) % 340) - 170 + 0.037 AS qlon,
+         ((k * 43) % 150) - 75 + 0.041 AS qlat
+  FROM generate_series(0, 29) t(k)
+), d AS (
+  SELECT event_id, query_id,
+         2.0 * 6371008.8 * asin(least(1.0, sqrt(
+           pow(sin(radians(lat - qlat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(qlat))
+             * pow(sin(radians(lon - qlon) / 2), 2)
+         ))) AS dist_m
+  FROM pts, q
+)
+SELECT event_id, query_id, round(dist_m + 1e-9, 3) AS dist_r
+FROM d WHERE dist_m <= 300000.0
+ORDER BY event_id, query_id
+"""
+
+
 def q_geom_measures(spark, sf_dir):
     """Geometry measures (geopandas .area/.length/.centroid parity):
     per-event diamond polygons are batch-ENCODED to WKB, then measured
@@ -2233,6 +2279,8 @@ EXTRA_QUERIES = {
     "spatial_join_knn": (q_spatial_join_knn, SQL_SPATIAL_KNN),
     "spatial_join_intersects": (q_spatial_join_intersects,
                                 SQL_SPATIAL_INTERSECTS),
+    "spatial_join_haversine": (q_spatial_join_haversine,
+                               SQL_SPATIAL_HAVERSINE),
     "geom_measures": (q_geom_measures, SQL_GEOM_MEASURES),
     "contour_lines": (q_contour_lines, SQL_CONTOUR_LINES),
     "interp_rbf": (q_interp_rbf, None),

@@ -548,3 +548,75 @@ def test_measures_lines():
     np.testing.assert_allclose(cx[2], (2 * 1.0 + 4 * 10.0) / 6.0)
     np.testing.assert_allclose(cy[2], (2 * 0.0 + 4 * 2.0) / 6.0)
     assert npts.tolist() == [3, 3, 4]
+
+
+def _haversine_np(lon1, lat1, lon2, lat2, R=6_371_008.8):
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dphi = np.radians(lat1 - lat2)
+    dlam = np.radians(lon1 - lon2)
+    a = (np.sin(dphi / 2) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin(dlam / 2) ** 2)
+    return 2 * R * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+
+def test_haversine_join_matches_brute_force(spark):
+    from geocube_spark.functions.spatial import haversine_join
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    # global points incl. high latitudes and the antimeridian strip
+    lon = np.concatenate([rng.uniform(-180, 180, n - 200),
+                          rng.uniform(179.0, 180.0, 100),
+                          rng.uniform(-180.0, -179.0, 100)])
+    lat = np.concatenate([np.degrees(np.arcsin(
+        rng.uniform(-1, 1, n - 200))),
+        rng.uniform(-60, 60, 200)])
+    pts = pd.DataFrame({"point_id": np.arange(n), "lon": lon,
+                        "lat": lat})
+    qs = pd.DataFrame({
+        "query_id": np.arange(40),
+        "qlon": np.concatenate([rng.uniform(-180, 180, 36),
+                                [179.95, -179.95, 0.0, 10.0]]),
+        "qlat": np.concatenate([rng.uniform(-85, 85, 36),
+                                [-17.0, -17.1, 89.2, 0.0]]),
+    })
+    r = 400_000.0  # 400 km
+    got = haversine_join(
+        spark.createDataFrame(pts).repartition(5),
+        spark.createDataFrame(qs), radius_m=r,
+    ).collect()
+    pairs = {(int(x["point_id"]), int(x["query_id"])) for x in got}
+    assert len(pairs) == len(got)  # no duplicate pairs
+    exp = set()
+    for _, q in qs.iterrows():
+        d = _haversine_np(lon, lat, q["qlon"], q["qlat"])
+        for pid in pts["point_id"].values[d <= r]:
+            exp.add((int(pid), int(q["query_id"])))
+    assert pairs == exp
+    assert len(exp) > 50
+    # antimeridian coverage is real: the 179.95E query matches
+    # points on the -180 side
+    west_side = {p for (p, q) in pairs if q == 36 and lon[p] < -179.0}
+    assert len(west_side) > 0
+    # dist_m is the true great-circle distance
+    x0 = got[0]
+    d0 = _haversine_np(lon[int(x0["point_id"])],
+                       lat[int(x0["point_id"])],
+                       float(qs.loc[int(x0["query_id"]), "qlon"]),
+                       float(qs.loc[int(x0["query_id"]), "qlat"]))
+    assert x0["dist_m"] == pytest.approx(d0, rel=1e-12)
+
+
+def test_haversine_join_is_pure_jvm(spark):
+    from geocube_spark.functions.spatial import haversine_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1], "lon": [0.0], "lat": [0.0]}))
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1], "qlon": [0.1], "qlat": [0.1]}))
+    df = haversine_join(pts, qs, radius_m=50_000.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="radius_m"):
+        haversine_join(pts, qs, radius_m=0.0)
