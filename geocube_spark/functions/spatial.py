@@ -572,10 +572,16 @@ def knn_join(
     query_id: str = "query_id",
     qx_col: str = "qx",
     qy_col: str = "qy",
+    metric: str = "planar",
 ) -> DataFrame:
     """Exact k-nearest-neighbor join -> ``(query_id, point_id, dist,
     rank)`` with ``rank`` in 1..k (ties broken by smallest point id,
     deterministically on both engines).
+
+    ``metric='planar'`` (euclidean in grid units) or
+    ``metric='haversine'`` (x/y columns are lon/lat degrees,
+    ``initial_radius`` and ``dist`` in meters on the sphere; the
+    resolved-at-r exactness argument is metric-independent).
 
     Radius-doubling over UNRESOLVED queries: each round runs the
     bucketed :func:`points_within_distance` at radius ``r`` and keeps
@@ -602,12 +608,23 @@ def knn_join(
     r = float(initial_radius)
     resolved_parts = []
     leftovers = None
-    for it in range(max_iter):
-        cand = points_within_distance(
-            points, unresolved, radius=r,
-            point_id=point_id, x_col=x_col, y_col=y_col,
-            query_id=query_id, qx_col=qx_col, qy_col=qy_col,
+    if metric not in ("planar", "haversine"):
+        raise ValueError(
+            f"metric {metric!r}; 'planar' and 'haversine' supported"
         )
+    for it in range(max_iter):
+        if metric == "haversine":
+            cand = haversine_join(
+                points, unresolved, radius_m=r,
+                point_id=point_id, lon_col=x_col, lat_col=y_col,
+                query_id=query_id, qlon_col=qx_col, qlat_col=qy_col,
+            ).withColumnRenamed("dist_m", "dist")
+        else:
+            cand = points_within_distance(
+                points, unresolved, radius=r,
+                point_id=point_id, x_col=x_col, y_col=y_col,
+                query_id=query_id, qx_col=qx_col, qy_col=qy_col,
+            )
         w = Window.partitionBy(query_id).orderBy("dist", point_id)
         topk = (
             cand.withColumn("rank", F.row_number().over(w))

@@ -620,3 +620,44 @@ def test_haversine_join_is_pure_jvm(spark):
     assert "CartesianProduct" not in plan
     with pytest.raises(ValueError, match="radius_m"):
         haversine_join(pts, qs, radius_m=0.0)
+
+
+def test_knn_join_haversine_matches_brute_force(spark):
+    from geocube_spark.functions.spatial import knn_join
+
+    rng = np.random.default_rng(33)
+    n = 3000
+    lon = np.concatenate([rng.uniform(-180, 180, n - 100),
+                          rng.uniform(178.5, 180.0, 50),
+                          rng.uniform(-180.0, -178.5, 50)])
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    pts = pd.DataFrame({"point_id": np.arange(n), "lon": lon,
+                        "lat": lat})
+    qs = pd.DataFrame({
+        "query_id": np.arange(12),
+        "qlon": np.concatenate([rng.uniform(-180, 180, 10),
+                                [179.7, -179.7]]),
+        "qlat": np.concatenate([rng.uniform(-80, 80, 10),
+                                [5.0, 5.1]]),
+    })
+    got = knn_join(
+        spark.createDataFrame(pts).repartition(4),
+        spark.createDataFrame(qs),
+        k=4, initial_radius=200_000.0, metric="haversine",
+        x_col="lon", y_col="lat", qx_col="qlon", qy_col="qlat",
+    ).collect()
+    got_rows = {(int(r["query_id"]), int(r["point_id"]), int(r["rank"]))
+                for r in got}
+    exp = set()
+    for _, q in qs.iterrows():
+        d = _haversine_np(lon, lat, q["qlon"], q["qlat"])
+        order = np.lexsort((pts["point_id"].values, d))[:4]
+        for rank, idx in enumerate(order, 1):
+            exp.add((int(q["query_id"]),
+                     int(pts["point_id"].values[idx]), rank))
+    assert got_rows == exp
+    with pytest.raises(ValueError, match="metric"):
+        knn_join(spark.createDataFrame(pts), spark.createDataFrame(qs),
+                 k=2, initial_radius=1.0, metric="chebyshev",
+                 x_col="lon", y_col="lat", qx_col="qlon",
+                 qy_col="qlat")
