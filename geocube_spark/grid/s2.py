@@ -271,6 +271,40 @@ def cell_id_parent(cid, parent_level: int):
     return ((u & (~(lsb - np.uint64(1)) ^ lsb)) | lsb).view(np.int64)
 
 
+def compact_cell_polygon(cid, level: int, n_seg: int = 4):
+    """Boundary of a compact cell as a closed lon/lat ring (k, 2).
+
+    The cell is a rect in (s, t) face space; each edge is sampled
+    ``n_seg`` times and mapped through ST->UV->XYZ->lon/lat, so the
+    ring follows the true curved cell boundary. Useful for
+    visualization and for handing S2 cells to the vector x vector
+    spatial joins as ordinary polygons."""
+    cid = int(np.asarray(cid, dtype=np.int64))
+    face = cid >> (2 * level)
+    pos = cid - (face << (2 * level))
+    i, j = hilbert_ij(np.array([face]), np.array([pos]), level)
+    n = float(1 << level)
+    s0, s1 = i[0] / n, (i[0] + 1) / n
+    t0, t1 = j[0] / n, (j[0] + 1) / n
+    ts = np.linspace(0.0, 1.0, n_seg + 1)
+    ss = np.concatenate([
+        s0 + (s1 - s0) * ts, np.full(n_seg + 1, s1),
+        s1 + (s0 - s1) * ts, np.full(n_seg + 1, s0),
+    ])
+    tt = np.concatenate([
+        np.full(n_seg + 1, t0), t0 + (t1 - t0) * ts,
+        np.full(n_seg + 1, t1), t1 + (t0 - t1) * ts,
+    ])
+    u = st_to_uv(ss)
+    v = st_to_uv(tt)
+    x, y, z = _face_uv_to_xyz(np.full(len(u), face), u, v)
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    ring = np.column_stack([lon, lat])
+    ring[-1] = ring[0]  # exact closure
+    return ring
+
+
 def cell_token(cid) -> str:
     """Canonical hex token: uint64 hex with trailing zeros stripped."""
     u = int(np.asarray(cid, dtype=np.int64).view(np.uint64))

@@ -191,3 +191,31 @@ def test_edge_cases_sql_and_column_agree(spark, _duck):
         .toPandas().sort_values("event_id")
     )
     assert (out["c"].values == exp).all()
+
+
+def test_cell_polygon_boundary():
+    """The sampled cell boundary ring is closed and contains the
+    cell's own center (checked with the engine's even-odd kernel);
+    every ring vertex maps back to the cell itself or a direct
+    neighbor (boundary points are shared)."""
+    from geocube_spark.kernels.pip import points_in_edges, ring_edges
+
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-170, 170, 40)
+    lat = rng.uniform(-80, 80, 40)
+    cids = s2.compact_cell_id(lon, lat, 8)
+    for cid in cids[:15]:
+        ring = s2.compact_cell_polygon(cid, 8, n_seg=6)
+        assert (ring[0] == ring[-1]).all()
+        lo_c, la_c = s2.compact_cell_center(np.array([cid]), 8)
+        # antimeridian-crossing rings aren't simple in lon space
+        if ring[:, 0].max() - ring[:, 0].min() < 180:
+            inside = points_in_edges(
+                lo_c, la_c, *ring_edges([ring])
+            )
+            assert inside[0]
+        # vertices (nudged inward) belong to the cell
+        mid = ring[:-1].mean(axis=0)
+        shrunk = mid + (ring[:-1] - mid) * 0.99
+        back = s2.compact_cell_id(shrunk[:, 0], shrunk[:, 1], 8)
+        assert (back == int(cid)).mean() > 0.9
