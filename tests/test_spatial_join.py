@@ -661,3 +661,33 @@ def test_knn_join_haversine_matches_brute_force(spark):
                  k=2, initial_radius=1.0, metric="chebyshev",
                  x_col="lon", y_col="lat", qx_col="qlon",
                  qy_col="qlat")
+
+
+def test_vectorize_output_feeds_vector_analytics(spark, sf_dir):
+    """Composition: burn -> vectorize (raster->vector) -> geometry
+    measures + simplify run directly on the vectorize output — the
+    vector analytics accept the engine's own vector tables."""
+    from geocube_spark.operators.geocube_queries import (
+        WORLD_GEOM, _event_vector_df,
+    )
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.functions.spatial import (
+        simplify_geometries, with_geometry_measures,
+    )
+    from geocube_spark.vector import vectorize
+
+    cube = make_geocube(
+        _event_vector_df(spark, sf_dir), measurements=["value"],
+        geom=WORLD_GEOM, resolution=(-1.0, 1.0), fill=-9999.0,
+        merge_alg="replace", tile_size=64,
+    )
+    vec = vectorize(cube, measurement="value")
+    assert "geometry_wkb" in vec.columns
+    measured = with_geometry_measures(vec)
+    rows = measured.limit(200).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["area"] > 0 and r["perimeter"] > 0
+    simp = simplify_geometries(vec, 0.5)
+    n_in = vec.count()
+    assert simp.count() == n_in  # tolerance < cell size: nothing collapses
