@@ -314,11 +314,12 @@ def _dbf_bytes(attrs: pd.DataFrame) -> bytes:
             # width 26 = sign + d.17digits + 'e±XXX' (3-digit exps)
             fields.append((c, "F", 26, 17))
         else:
-            width = int(
-                s.dropna().astype(str).str.encode(
-                    "latin-1", errors="replace"
-                ).str.len().max() or 1
-            )
+            wmax = s.dropna().astype(str).str.encode(
+                "latin-1", errors="replace"
+            ).str.len().max()
+            # an empty / all-null column: pandas max() is NaN, and
+            # `NaN or 1` stays NaN (NaN is truthy) — guard explicitly
+            width = int(wmax) if pd.notna(wmax) else 1
             fields.append((c, "C", min(max(width, 1), 254), 0))
     hdr_size = 32 + 32 * len(fields) + 1
     rec_size = 1 + sum(f[2] for f in fields)

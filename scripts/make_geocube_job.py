@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overviews", default="0",
                    help=".tif outputs: overview count or 'auto' "
                         "(internal COG pyramid)")
+    p.add_argument("--contours", default=None,
+                   help="comma-separated iso-levels; writes contour "
+                        "LineStrings next to the cube output")
+    p.add_argument("--contours-out", default=None,
+                   help="contour sink: .shp path (default "
+                        "<output>_contours.shp)")
     return p
 
 
@@ -137,6 +143,28 @@ def main(argv=None) -> dict:
         tile_size=args.tile_size,
         salt=args.salt,
     )
+    contour_files = None
+    if args.contours:
+        # gdal_contour parity: iso-lines of every band at the given
+        # levels, written as a shapefile vector table
+        from geocube_spark.sources.shapefile import write_shapefile
+
+        levels = [float(v) for v in args.contours.split(",") if v]
+        lines = cube.contour(levels)
+        dest = args.contours_out or (
+            args.output.rsplit(".", 1)[0] + "_contours.shp"
+        )
+        contour_files = write_shapefile(
+            lines.withColumn(
+                "level", lines["level"].cast("double")
+            ).select(
+                "measurement", "level", "line_id", "closed",
+                "geometry_wkb",
+            ),
+            dest,
+            epsg=cube.geobox.crs.epsg,
+        )
+
     if args.output.endswith((".tif", ".tiff")):
         from geocube_spark.sources.geotiff import write_geotiff
 
@@ -151,6 +179,8 @@ def main(argv=None) -> dict:
             "grid": {"shape": list(cube.geobox.shape)},
             "bands": sorted(cube.bands),
         }
+        if contour_files:
+            summary["contours"] = contour_files
         print(json.dumps(summary))
         return summary
     if args.output.endswith(".nc"):
@@ -163,6 +193,8 @@ def main(argv=None) -> dict:
             "grid": {"shape": list(cube.geobox.shape)},
             "bands": sorted(cube.bands),
         }
+        if contour_files:
+            summary["contours"] = contour_files
         print(json.dumps(summary))
         return summary
     report = cube.write(
@@ -180,6 +212,8 @@ def main(argv=None) -> dict:
         "grid": {"shape": list(cube.geobox.shape)},
         "bands": sorted(cube.bands),
     }
+    if contour_files:
+        summary["contours"] = contour_files
     print(json.dumps(summary))
     return summary
 

@@ -105,3 +105,38 @@ def test_cli_geotiff_output_with_overviews(spark, tmp_path):
     assert tiff_ifd_count(out) >= 2  # 229x153-ish grid -> >=1 overview
     back = read_geotiff(spark, out, measurements=["om_r"], tile_size=64)
     assert back.chunks.count() > 0
+
+
+def test_cli_contours_flag(spark, sf_dir, tmp_path):
+    """--contours writes a shapefile of iso-lines next to the cube
+    (direct-invoke path; the spark-submit path is covered by the main
+    CLI test)."""
+    import glob
+
+    from geocube_spark import datagen as DG
+    from scripts.make_geocube_job import main as job_main
+    from geocube_spark.sources.shapefile import read_shapefile
+
+    docs_path = str(tmp_path / "docs")
+    DG.to_spark(spark, DG.flat_polygon_docs(n=9)).write.parquet(
+        docs_path
+    )
+    out = str(tmp_path / "cube")
+    summary = job_main([
+        "--input", docs_path,
+        "--output", out,
+        "--measurements", "om_r",
+        "--output-crs", "epsg:32615",
+        "--resolution", "-50", "50",
+        "--fill", "-9999.0",
+        "--tile-size", "64",
+        "--commit-batches", "2",
+        "--contours", "20.0,60.0",
+    ])
+    assert "contours" in summary and len(summary["contours"]) >= 1
+    shp = summary["contours"][0]
+    assert shp.endswith(".shp") and glob.glob(shp)
+    back = read_shapefile(spark, shp)
+    rows = back.collect()
+    assert len(rows) > 0
+    assert {float(r["level"]) for r in rows} <= {20.0, 60.0}
