@@ -691,3 +691,26 @@ def test_vectorize_output_feeds_vector_analytics(spark, sf_dir):
     simp = simplify_geometries(vec, 0.5)
     n_in = vec.count()
     assert simp.count() == n_in  # tolerance < cell size: nothing collapses
+
+
+def test_join_correct_under_shuffle_plan(spark, join_case):
+    """With broadcast disabled the candidate join becomes a shuffle
+    hash/sort-merge join (the big-polygon-table regime at scale) —
+    results must be identical to the broadcast plan."""
+    pts, polys = join_case
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = points_in_polygons(
+            spark.createDataFrame(pts).repartition(7),
+            spark.createDataFrame(polys),
+            cell_size=10.0,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+        got = {(int(r["point_id"]), int(r["poly_id"]))
+               for r in df.collect()}
+        assert got == _brute_force(pts, polys)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
