@@ -21,7 +21,7 @@ finite = st.floats(allow_nan=False, allow_infinity=False,
     st.floats(min_value=-6.0, max_value=6.0),
     st.integers(min_value=1, max_value=60),
 )
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 def test_utm_roundtrip_property(lat, dlon, zone):
     """forward+inverse TM is the identity to sub-micrometer within a
     zone's +/-6 degree span, any zone, any latitude in UTM range."""
@@ -55,7 +55,7 @@ _NATIONAL_GRIDS = {
     st.floats(min_value=0.0, max_value=1.0),
     st.floats(min_value=0.0, max_value=1.0),
 )
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 def test_national_grid_roundtrip_property(epsg, fx, fy):
     """National grids (TM incl. non-UTM params + datum shift, LCC 2SP,
     Albers, LAEA) roundtrip through WGS84 within each grid's domain."""
@@ -106,7 +106,7 @@ def test_unsupported_crs_raises_with_guidance():
 
 
 @given(st.lists(st.tuples(finite, finite), min_size=1, max_size=8))
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 def test_wkb_multipoint_roundtrip(points):
     g = W.Geometry(
         W.MULTIPOINT,
@@ -123,7 +123,7 @@ def test_wkb_multipoint_roundtrip(points):
     st.floats(min_value=-1e3, max_value=1e3),
     st.floats(min_value=-1e3, max_value=1e3),
 )
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 def test_wkb_polygon_roundtrip_and_transform(pts, dx, dy):
     ring = np.asarray(pts + pts[:1], dtype=np.float64)
     g = W.polygon(ring)
@@ -186,7 +186,7 @@ def _geometries(draw):
 
 
 @given(_geometries())
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 def test_wkt_roundtrip_property(g):
     """loads(dumps(g)) is coordinate-exact for arbitrary float64
     geometry, and agrees with the WKB codec's view of the same."""

@@ -68,7 +68,7 @@ def quad(draw):
 
 
 @given(st.lists(quad(), min_size=1, max_size=6))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 def test_scanline_matches_brute_force(rings):
     for ring in rings:
         got_r, got_c = _polygon_interior_cells([ring], H, Wd)
@@ -78,7 +78,7 @@ def test_scanline_matches_brute_force(rings):
 
 
 @given(st.lists(quad(), min_size=1, max_size=8))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 def test_batched_scanline_matches_per_geometry(rings):
     coords = np.stack(rings)
     owners = np.arange(len(rings), dtype=np.int64)
@@ -95,7 +95,7 @@ def test_batched_scanline_matches_per_geometry(rings):
 
 
 @given(st.lists(quad(), min_size=1, max_size=5))
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 def test_wkb_batch_parse_matches_loads(rings):
     blobs = [W.polygon(r).to_wkb() for r in rings]
     mask, groups = W.batch_parse_simple_polygons(blobs)
