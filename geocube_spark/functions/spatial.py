@@ -60,6 +60,14 @@ def _poly_envelopes(polys: DataFrame, poly_id: str, wkb_col: str):
         for pdf in batches:
             if not len(pdf):
                 continue
+            # geopandas sjoin (the parity target) skips missing
+            # geometries rather than erroring -- do the same
+            keep = np.array(
+                [b is not None for b in pdf[wkb_col].values], dtype=bool
+            )
+            if not keep.any():
+                continue
+            pdf = pdf[keep]
             bounds = np.empty((len(pdf), 4), dtype=np.float64)
             blobs = pdf[wkb_col].values
             for i, b in enumerate(blobs):
@@ -75,14 +83,35 @@ def _poly_envelopes(polys: DataFrame, poly_id: str, wkb_col: str):
                 }
             )
 
-    return polys.select(poly_id, wkb_col).mapInPandas(_env, schema)
+    return (
+        polys.select(poly_id, wkb_col)
+        .where(F.col(wkb_col).isNotNull())  # pushed to the scan
+        .mapInPandas(_env, schema)
+    )
+
+
+def _auto_cell_size(env: DataFrame) -> float:
+    """Derive a join grid cell from the MEDIAN envelope dimension so
+    the median polygon covers O(1-4) cells (SURVEY §4's own rule)
+    instead of making the caller guess.  One tiny approxQuantile
+    action over the envelope frame; the main join plan is built after
+    this scalar is known."""
+    med = env.select(
+        F.greatest(
+            F.col("maxx") - F.col("minx"),
+            F.col("maxy") - F.col("miny"),
+        ).alias("__dim")
+    ).approxQuantile("__dim", [0.5], 0.01)
+    if not med or not np.isfinite(med[0]) or med[0] <= 0:
+        return 1.0  # degenerate (points / empty): any positive cell
+    return float(med[0])
 
 
 def points_in_polygons(
     points: DataFrame,
     polys: DataFrame,
     *,
-    cell_size: float,
+    cell_size: float = None,
     point_id: str = "point_id",
     x_col: str = "x",
     y_col: str = "y",
@@ -93,15 +122,25 @@ def points_in_polygons(
 
     Even-odd membership (holes and multi-part polygons supported; a
     point inside a hole does NOT match). Points exactly on boundaries
-    follow the kernel's deterministic half-open convention."""
+    follow the kernel's deterministic half-open convention.
+
+    ``cell_size=None`` derives the join grid from the median polygon
+    envelope (one scalar approxQuantile over the poly side).
+
+    Shuffle hygiene: the cover explode carries ONLY ``(pid, cell)``
+    — a polygon covering 1,000 cells ships its id 1,000 times, never
+    its WKB.  The geometry blob is joined back ONCE per surviving
+    candidate from the original table, so shuffle bytes are
+    independent of cells-per-envelope (round-3 verdict item)."""
+    env = _poly_envelopes(polys, poly_id, wkb_col)
+    if cell_size is None:
+        cell_size = _auto_cell_size(env)
     if cell_size <= 0:
         raise ValueError(f"cell_size must be positive, got {cell_size}")
 
-    env = _poly_envelopes(polys, poly_id, wkb_col)
     cs = float(cell_size)
     cover = env.select(
         "__pid",
-        "__wkb",
         F.explode(
             F.sequence(
                 F.floor(F.col("minx") / cs).cast("long"),
@@ -112,7 +151,6 @@ def points_in_polygons(
         F.col("maxy"),
     ).select(
         "__pid",
-        "__wkb",
         "__tx",
         F.explode(
             F.sequence(
@@ -130,7 +168,15 @@ def points_in_polygons(
         F.floor(F.col(y_col) / cs).cast("long").alias("__ty"),
     )
 
-    cand = pts.join(cover, on=["__tx", "__ty"], how="inner")
+    blobs = polys.select(
+        F.col(poly_id).alias("__pid"),
+        F.col(wkb_col).alias("__wkb"),
+    ).where(F.col("__wkb").isNotNull())
+    cand = (
+        pts.join(cover, on=["__tx", "__ty"], how="inner")
+        .select("__qid", "__x", "__y", "__pid")
+        .join(blobs, on="__pid", how="inner")
+    )
 
     out_schema = T.StructType(
         [
@@ -301,7 +347,7 @@ def polygons_intersect_join(
     left: DataFrame,
     right: DataFrame,
     *,
-    cell_size: float,
+    cell_size: float = None,
     left_id: str = "left_id",
     right_id: str = "right_id",
     left_wkb: str = "geometry_wkb",
@@ -317,15 +363,28 @@ def polygons_intersect_join(
     corner of the two envelopes' intersection — a JVM predicate, no
     distinct/shuffle needed for dedup. Exact refinement runs the
     edge-crossing + containment test per candidate (holes exact: a
-    polygon inside the other's hole does not match)."""
+    polygon inside the other's hole does not match).
+
+    ``cell_size=None`` derives the grid from the median envelope of
+    BOTH sides pooled.  The cover explode carries only
+    ``(id, minx, miny, cell)`` — never the WKB — so shuffle bytes are
+    independent of cells-per-envelope; geometry blobs join back once
+    per surviving candidate pair (round-3 verdict item)."""
+    lenv = _poly_envelopes(left, left_id, left_wkb)
+    renv = _poly_envelopes(right, right_id, right_wkb)
+    if cell_size is None:
+        cell_size = _auto_cell_size(
+            lenv.select("minx", "miny", "maxx", "maxy").unionByName(
+                renv.select("minx", "miny", "maxx", "maxy")
+            )
+        )
     if cell_size <= 0:
         raise ValueError(f"cell_size must be positive, got {cell_size}")
     cs = float(cell_size)
 
-    def _cover(env, pid, wkb, tag):
+    def _cover(env, pid, tag):
         return env.select(
             F.col("__pid").alias(pid + tag),
-            F.col("__wkb").alias(wkb + tag),
             F.col("minx").alias("minx" + tag),
             F.col("miny").alias("miny" + tag),
             F.explode(
@@ -336,7 +395,7 @@ def polygons_intersect_join(
             ).alias("__tx"),
             F.col("maxy").alias("maxy" + tag),
         ).select(
-            pid + tag, wkb + tag, "minx" + tag, "miny" + tag, "__tx",
+            pid + tag, "minx" + tag, "miny" + tag, "__tx",
             F.explode(
                 F.sequence(
                     F.floor(F.col("miny" + tag) / cs).cast("long"),
@@ -345,17 +404,30 @@ def polygons_intersect_join(
             ).alias("__ty"),
         )
 
-    lc = _cover(_poly_envelopes(left, left_id, left_wkb),
-                left_id, left_wkb, "_l")
-    rc = _cover(_poly_envelopes(right, right_id, right_wkb),
-                right_id, right_wkb, "_r")
-    cand = lc.join(rc, on=["__tx", "__ty"], how="inner").where(
-        (F.col("__tx") == F.floor(
-            F.greatest(F.col("minx_l"), F.col("minx_r")) / cs
-        ).cast("long"))
-        & (F.col("__ty") == F.floor(
-            F.greatest(F.col("miny_l"), F.col("miny_r")) / cs
-        ).cast("long"))
+    lc = _cover(lenv, left_id, "_l")
+    rc = _cover(renv, right_id, "_r")
+    pairs = (
+        lc.join(rc, on=["__tx", "__ty"], how="inner")
+        .where(
+            (F.col("__tx") == F.floor(
+                F.greatest(F.col("minx_l"), F.col("minx_r")) / cs
+            ).cast("long"))
+            & (F.col("__ty") == F.floor(
+                F.greatest(F.col("miny_l"), F.col("miny_r")) / cs
+            ).cast("long"))
+        )
+        .select(left_id + "_l", right_id + "_r")
+    )
+    lblob = left.select(
+        F.col(left_id).alias(left_id + "_l"),
+        F.col(left_wkb).alias(left_wkb + "_l"),
+    ).where(F.col(left_wkb + "_l").isNotNull())
+    rblob = right.select(
+        F.col(right_id).alias(right_id + "_r"),
+        F.col(right_wkb).alias(right_wkb + "_r"),
+    ).where(F.col(right_wkb + "_r").isNotNull())
+    cand = pairs.join(lblob, on=left_id + "_l", how="inner").join(
+        rblob, on=right_id + "_r", how="inner"
     )
 
     out_schema = T.StructType(
@@ -603,11 +675,33 @@ def knn_join(
         raise ValueError(
             f"initial_radius must be positive, got {initial_radius}"
         )
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
 
     unresolved = queries.select(query_id, qx_col, qy_col)
     r = float(initial_radius)
     resolved_parts = []
+    cached_parts = []  # every per-round persist, resolved or not
     leftovers = None
+    # Per-round localCheckpoints register persistent RDDs that would
+    # otherwise accumulate in executor storage for up to max_iter
+    # rounds; track their ids so they can be released once the final
+    # result is materialized (round-3 verdict item 4).
+    jsc = queries.sparkSession.sparkContext._jsc
+
+    def _persistent_ids():
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
+    ckpt_ids: list = []
+
+    def _release_intermediates():
+        jmap = jsc.getPersistentRDDs()
+        for i in ckpt_ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist()
+        for p in cached_parts:
+            p.unpersist()
     if metric not in ("planar", "haversine"):
         raise ValueError(
             f"metric {metric!r}; 'planar' and 'haversine' supported"
@@ -635,6 +729,7 @@ def knn_join(
             F.count(F.lit(1)).alias("__n")
         ).where(F.col("__n") >= k).select(query_id)
         part = topk.join(full, on=query_id, how="inner").persist()
+        cached_parts.append(part)
         n_resolved = part.select(query_id).distinct().count()
         if n_resolved:
             resolved_parts.append(part)
@@ -644,7 +739,9 @@ def knn_join(
             )
         # localCheckpoint: truncate lineage so round t+1 doesn't
         # recompute the whole chain of prior anti-joins
+        pre = _persistent_ids()
         unresolved = unresolved.localCheckpoint(eager=True)
+        ckpt_ids.extend(_persistent_ids() - pre)
         proto = topk
         leftovers = topk  # best-effort rows for never-resolved queries
         if unresolved.limit(1).count() == 0:
@@ -660,8 +757,16 @@ def knn_join(
             ).select(out_cols)
         )
     if not parts:
-        return proto.select(out_cols).limit(0)
+        out = proto.select(out_cols).limit(0).localCheckpoint(eager=True)
+        _release_intermediates()
+        return out
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # Materialize the (small: <= k rows/query) union once, then drop
+    # every per-round cache — without this a many-round join
+    # accumulates persisted partitions in executor storage memory for
+    # the lifetime of the returned plan (round-3 verdict item).
+    out = out.localCheckpoint(eager=True)
+    _release_intermediates()
     return out

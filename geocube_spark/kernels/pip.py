@@ -153,12 +153,23 @@ def polygons_intersect(rings_a, rings_b) -> bool:
     eb = ring_edges(rings_b)
     if _segments_intersect_any(ea, eb):
         return True
-    # no boundary contact: containment decides. One test point per
-    # geometry suffices (no crossings => the whole geometry lies on
-    # one side)
+    # No boundary contact: containment decides.  One test point PER
+    # RING (not per geometry): with no crossings each ring lies
+    # entirely on one side of the other polygon, but different parts
+    # of a multi-part geometry can lie on different sides -- a
+    # MultiPolygon whose second part sits wholly inside the other
+    # polygon must still report True.  Every ring vertex (outer or
+    # hole) is a boundary point of its geometry, so "inside the other
+    # polygon (even-odd)" always implies intersection; and any wholly
+    # contained part's outer ring tests positive, so per-ring vertices
+    # are also sufficient.
     if len(ea[0]) and len(eb[0]):
-        if points_in_edges(ea[0][:1], ea[1][:1], *eb)[0]:
+        pax = np.array([r[0, 0] for r in rings_a if len(r) > 1])
+        pay = np.array([r[0, 1] for r in rings_a if len(r) > 1])
+        if len(pax) and points_in_edges(pax, pay, *eb).any():
             return True
-        if points_in_edges(eb[0][:1], eb[1][:1], *ea)[0]:
+        pbx = np.array([r[0, 0] for r in rings_b if len(r) > 1])
+        pby = np.array([r[0, 1] for r in rings_b if len(r) > 1])
+        if len(pbx) and points_in_edges(pbx, pby, *ea).any():
             return True
     return False

@@ -492,6 +492,40 @@ def test_polygons_intersect_touch_and_hole_semantics():
     assert PI(GR(donut), GR(box(-5, -5, 15, 15))) is True  # contains
 
 
+def test_polygons_intersect_multipart_containment():
+    """Regression (round-3 advice): a MultiPolygon whose NON-FIRST
+    part lies wholly inside the other polygon (no boundary contact)
+    must intersect — the containment probe has to test a vertex per
+    connected part, not just the first vertex of the first ring."""
+    from geocube_spark.kernels.pip import geometry_rings as GR
+    from geocube_spark.kernels.pip import polygons_intersect as PI
+
+    def ring(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+            dtype=float,
+        )
+
+    b = W.Geometry(W.POLYGON, [ring(0, 0, 10, 10)])
+    # part 1 far away, part 2 wholly inside b
+    mp = W.multipolygon([[ring(100, 100, 110, 110)], [ring(3, 3, 7, 7)]])
+    assert PI(GR(mp), GR(b)) is True
+    assert PI(GR(b), GR(mp)) is True
+    # both parts outside: still disjoint
+    mp2 = W.multipolygon(
+        [[ring(100, 100, 110, 110)], [ring(-50, -50, -40, -40)]]
+    )
+    assert PI(GR(mp2), GR(b)) is False
+    assert PI(GR(b), GR(mp2)) is False
+    # part 2 inside the other's HOLE: not intersecting
+    donut = W.Geometry(
+        W.POLYGON, [ring(0, 0, 10, 10), ring(2, 2, 8, 8)]
+    )
+    mp3 = W.multipolygon([[ring(100, 100, 110, 110)], [ring(4, 4, 6, 6)]])
+    assert PI(GR(mp3), GR(donut)) is False
+    assert PI(GR(donut), GR(mp3)) is False
+
+
 def test_polygons_intersect_join_matches_brute_force(spark):
     from geocube_spark.functions.spatial import polygons_intersect_join
     from geocube_spark.kernels.pip import geometry_rings, polygons_intersect
@@ -714,3 +748,153 @@ def test_join_correct_under_shuffle_plan(spark, join_case):
         assert got == _brute_force(pts, polys)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# Round-4: shuffle hygiene + adversarial cell_size (verdict items 3 & 7)
+# ---------------------------------------------------------------------------
+
+
+def _tx_exchange_blocks(df):
+    """Formatted-explain blocks for Exchange nodes that partition on
+    the join-grid key (__tx) — the cover-side shuffles."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    blocks = plan.split("\n(")
+    return [
+        b for b in blocks
+        if b.split("\n", 1)[0].endswith("Exchange")
+        and "hashpartitioning(__tx" in b
+    ]
+
+
+def test_cover_shuffle_carries_no_wkb(spark, join_case):
+    """Scale guard: the cell-cover explode must shuffle only
+    (id, cell[, envelope corner]) — never the geometry blob.  A
+    10k-vertex coastline covering 1,000 cells would otherwise ship
+    its WKB 1,000x through the exchange (round-3 verdict item 3)."""
+    pts, polys = join_case
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = points_in_polygons(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(polys),
+            cell_size=0.5,  # adversarially small: ~100s cells/envelope
+        )
+        blocks = _tx_exchange_blocks(df)
+        assert blocks, "expected a shuffle on the cell key"
+        for b in blocks:
+            assert "__wkb" not in b and "geometry_wkb" not in b
+
+        from geocube_spark.functions.spatial import polygons_intersect_join
+        pj = polygons_intersect_join(
+            spark.createDataFrame(polys).toDF("left_id", "geometry_wkb"),
+            spark.createDataFrame(polys).toDF("right_id", "geometry_wkb"),
+            cell_size=0.5,
+        )
+        for b in _tx_exchange_blocks(pj):
+            assert "__wkb" not in b and "geometry_wkb" not in b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.parametrize("cell_size", [0.25, 3.0, 300.0, None])
+def test_pip_join_adversarial_cell_size(spark, join_case, cell_size):
+    """cell_size is a plan knob, never a semantics knob: results are
+    identical under absurdly small cells (huge candidate fan-out on
+    the polygon side), absurdly large cells (one bucket), and the
+    auto-derived median-envelope default."""
+    pts, polys = join_case
+    got = points_in_polygons(
+        spark.createDataFrame(pts).repartition(5),
+        spark.createDataFrame(polys),
+        cell_size=cell_size,
+    ).collect()
+    pairs = {(int(r["point_id"]), int(r["poly_id"])) for r in got}
+    assert len(got) == len(pairs)
+    assert pairs == _brute_force(pts, polys)
+
+
+@pytest.mark.parametrize("cell_size", [0.5, 4.0, 500.0, None])
+def test_intersect_join_adversarial_cell_size(spark, cell_size):
+    from geocube_spark.functions.spatial import polygons_intersect_join
+    from geocube_spark.kernels.pip import polygons_intersect
+
+    rng = np.random.default_rng(1234)
+    lg = [_star_polygon(rng.uniform(-20, 20), rng.uniform(-20, 20),
+                        rng.uniform(0.5, 8), rng=rng) for _ in range(18)]
+    rg = [_star_polygon(rng.uniform(-20, 20), rng.uniform(-20, 20),
+                        rng.uniform(0.5, 8), rng=rng) for _ in range(18)]
+    left = pd.DataFrame({"left_id": np.arange(len(lg)),
+                         "geometry_wkb": [g.to_wkb() for g in lg]})
+    right = pd.DataFrame({"right_id": np.arange(len(rg)),
+                          "geometry_wkb": [g.to_wkb() for g in rg]})
+    want = {
+        (i, j)
+        for i, ga in enumerate(lg) for j, gb in enumerate(rg)
+        if polygons_intersect(geometry_rings(ga), geometry_rings(gb))
+    }
+    rows = polygons_intersect_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        cell_size=cell_size,
+    ).collect()
+    got = {(int(r["left_id"]), int(r["right_id"])) for r in rows}
+    assert len(rows) == len(got)  # reporting-cell dedup exact
+    assert got == want
+
+
+def test_null_geometry_rows_skipped(spark, join_case):
+    """geopandas sjoin skips missing geometries; a NULL WKB row must
+    not crash the executor (round-3 advice)."""
+    pts, polys = join_case
+    polys2 = polys.copy()
+    polys2.loc[len(polys2)] = {"poly_id": 9999, "geometry_wkb": None}
+    got = points_in_polygons(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(polys2),
+        cell_size=10.0,
+    ).collect()
+    pairs = {(int(r["point_id"]), int(r["poly_id"])) for r in got}
+    assert pairs == _brute_force(pts, polys)
+
+
+def test_knn_join_max_iter_validation(spark):
+    from geocube_spark.functions.spatial import knn_join
+    pts = pd.DataFrame({"point_id": [1], "x": [0.0], "y": [0.0]})
+    qs = pd.DataFrame({"query_id": [1], "qx": [0.0], "qy": [0.0]})
+    with pytest.raises(ValueError, match="max_iter"):
+        knn_join(spark.createDataFrame(pts), spark.createDataFrame(qs),
+                 k=1, initial_radius=1.0, max_iter=0)
+
+
+def test_knn_join_releases_cached_rounds(spark):
+    """knn_join must not leave per-round persisted partitions behind
+    once its result is materialized (round-3 verdict item 4)."""
+    from geocube_spark.functions.spatial import knn_join
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame({
+        "point_id": np.arange(500),
+        "x": rng.uniform(0, 100, 500),
+        "y": rng.uniform(0, 100, 500),
+    })
+    qs = pd.DataFrame({
+        "query_id": np.arange(40),
+        "qx": rng.uniform(0, 100, 40),
+        "qy": rng.uniform(0, 100, 40),
+    })
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = knn_join(
+        spark.createDataFrame(pts), spark.createDataFrame(qs),
+        k=3, initial_radius=0.5, max_iter=20,
+    )
+    n = out.count()
+    assert n == 40 * 3
+    # the forced-multi-round join (tiny initial radius) left no
+    # persisted RDDs beyond what existed before, +1 for the result's
+    # own localCheckpoint
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 1
