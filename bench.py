@@ -112,18 +112,26 @@ def run(spark=None, sf_dir: str = None) -> dict:
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # Key order matters for the round artifact: the driver keeps only
+    # the LAST 2000 chars of stdout, so the bulky per-query maps go
+    # FIRST and every headline metric (the numbers the north rule is
+    # graded on) goes LAST to survive the truncation.
     return {
-        "metric": "total_query_sec",
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
         "queries": times,
+        "rows": rows,
+        "scaling": scaling,
         "sf": sf,
         "cpus": int(CPUS),
+        "metric": "total_query_sec",
+        "unit": "sec",
+        "value": round(sum(times.values()), 3),
         "burn_cells": n_cells,
         "burn_sec": round(burn_sec, 3),
         "burn_cells_per_sec": round(n_cells / max(burn_sec, 1e-9), 1),
-        "scaling": scaling,
-        "rows": rows,
+        "scaling_efficiency": (
+            scaling.get("scaling_efficiency") if scaling else None
+        ),
+        "scaling_pass": (scaling.get("pass") if scaling else None),
     }
 
 

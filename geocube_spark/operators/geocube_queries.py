@@ -2235,6 +2235,12 @@ QUERIES = {
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "s2_cover": (q_s2_cover, SQL_S2_COVER),
     "spatial_join_pip": (q_spatial_join_pip, SQL_SPATIAL_JOIN),
+    # promoted from extras to fill the slot freed by ann_ivf_topk
+    # (round-3 verdict item 2): full closed-form SQL oracle, and it
+    # exercises the round-4 shuffle-hygiene rewrite of
+    # polygons_intersect_join end-to-end every round
+    "spatial_join_intersects": (q_spatial_join_intersects,
+                                SQL_SPATIAL_INTERSECTS),
     "vectorize_components": (q_vectorize_components,
                              SQL_VECTORIZE_COMPONENTS),
     "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_SHAPEFILE_RT),
@@ -2277,8 +2283,6 @@ EXTRA_QUERIES = {
     # brute-force-parity tests; the pip variant occupies the window
     "spatial_join_radius": (q_spatial_join_radius, SQL_SPATIAL_RADIUS),
     "spatial_join_knn": (q_spatial_join_knn, SQL_SPATIAL_KNN),
-    "spatial_join_intersects": (q_spatial_join_intersects,
-                                SQL_SPATIAL_INTERSECTS),
     "spatial_join_haversine": (q_spatial_join_haversine,
                                SQL_SPATIAL_HAVERSINE),
     "geom_measures": (q_geom_measures, SQL_GEOM_MEASURES),
