@@ -768,17 +768,29 @@ class CRS:
         try:
             return CRS_DEFS[self.epsg]
         except KeyError:
-            raise ValueError(
-                f"unsupported projected CRS EPSG:{self.epsg} — supported "
-                "families: geographic (4326/4258/4269), UTM (326xx/327xx/"
-                "258xx/269xx/267xx), web mercator (3857), TM national "
-                "grids (27700, 2180), LCC (2154), Albers (5070), LAEA "
-                "(3035). Any other CRS can be passed as WKT1/WKT2 or "
-                "proj4 TEXT (Transverse Mercator, LCC 1SP/2SP, Albers, "
-                "LAEA, Mercator methods are parsed into closed-form "
-                "kernels), or extend geometry.crs.CRS_DEFS with public "
-                "EPSG parameters"
-            ) from None
+            pass
+        # bare-EPSG front door: curated public-registry parameter
+        # table for common projected families (routes through the
+        # same proj4 parser as pasted text)
+        from .epsg_table import lookup_def
+
+        d = lookup_def(self.epsg)
+        if d is not None:
+            return d
+        raise ValueError(
+            f"unsupported projected CRS EPSG:{self.epsg} — supported "
+            "families: geographic (4326/4258/4269), UTM (326xx/327xx/"
+            "258xx/269xx/267xx), web mercator (3857), TM national "
+            "grids (27700, 2180), LCC (2154), Albers (5070), LAEA "
+            "(3035), plus the curated bare-code table in "
+            "geometry/epsg_table.py (US State Plane NAD83, NZTM, "
+            "MGA/GDA, SIRGAS UTM, European TM/LCC grids). Any other "
+            "CRS can be passed as WKT1/WKT2 or proj4 TEXT (Transverse "
+            "Mercator, LCC 1SP/2SP, Albers, LAEA, Mercator, polar "
+            "stereographic methods are parsed into closed-form "
+            "kernels), or extend geometry.epsg_table.EPSG_PROJ4 with "
+            "public EPSG parameters"
+        ) from None
 
     @property
     def spec(self) -> str:

@@ -618,3 +618,113 @@ def test_degenerate_cone_rejected_in_wkt_path():
     )
     with pytest.raises(ValueError, match="parallel"):
         CRS.from_user_input(wkt)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: bare-EPSG front door (geometry/epsg_table.py)
+# ---------------------------------------------------------------------------
+
+
+def test_epsg_table_natural_origins():
+    """Each tabled projection maps its natural origin to exactly
+    (FE, FN) in the CRS's own unit — pins false origins and the
+    us-ft unit factor against the public EPSG parameters."""
+    from geocube_spark.geometry.crs import transform
+    wgs = CRS(4326)
+    cases = [
+        # code, lon0, lat0, FE, FN (CRS units)
+        (2193, 173.0, 0.0, 1600000.0, 10000000.0),       # NZTM2000
+        (2263, -74.0, 40.16666666666666, 984250.0, 0.0),  # NY LI ftUS
+        (2229, -118.0, 33.5, 6561666.667, 1640416.66691667),
+        (2271, -77.75, 40.16666666666666, 1968500.0, 0.0),  # PA North
+        (2157, -8.0, 53.5, 600000.0, 750000.0),          # Irish TM
+        (3006, 15.0, 0.0, 500000.0, 0.0),                # SWEREF99 TM
+        (3978, -95.0, 49.0, 0.0, 0.0),                   # Canada Atlas
+        (3946, 3.0, 46.0, 1700000.0, 5200000.0),         # RGF93 CC46
+        (32118, -74.0, 40.16666666666666, 300000.0, 0.0),  # NY LI m
+    ]
+    for code, lon, lat, fe, fn in cases:
+        x, y = transform(wgs, CRS(code), np.array([lon]), np.array([lat]))
+        assert abs(x[0] - fe) < 1e-3, (code, x[0], fe)
+        assert abs(y[0] - fn) < 1e-3, (code, y[0], fn)
+
+
+def test_epsg_table_null_transform_twins_match_utm_registry():
+    """Tabled national TM grids that are parameter-identical to a UTM
+    zone (null datum transformation) must agree with the trusted UTM
+    registry kernels to sub-millimeter."""
+    from geocube_spark.geometry.crs import transform
+    wgs = CRS(4326)
+    twins = [
+        (3006, 32633, 15.8, 59.3),    # SWEREF99 TM == UTM 33N
+        (3067, 32635, 27.5, 61.5),    # ETRS-TM35FIN == UTM 35N
+        (28355, 32755, 147.3, -37.8),  # GDA94 MGA55 == UTM 55S
+        (7855, 32755, 147.3, -37.8),   # GDA2020 MGA55 == UTM 55S
+        (31983, 32723, -45.6, -23.55),  # SIRGAS UTM 23S == WGS84 23S
+    ]
+    for ncode, ucode, lon, lat in twins:
+        x1, y1 = transform(wgs, CRS(ncode), np.array([lon]), np.array([lat]))
+        x2, y2 = transform(wgs, CRS(ucode), np.array([lon]), np.array([lat]))
+        assert abs(x1[0] - x2[0]) < 1e-3
+        assert abs(y1[0] - y2[0]) < 1e-3
+
+
+def test_epsg_table_city_anchors():
+    """Published coordinate anchors (loose tolerance: catches unit,
+    false-origin, and parallel mix-ups; exact kernels are pinned by
+    the worked-example tests above)."""
+    from geocube_spark.geometry.crs import transform
+    wgs = CRS(4326)
+    # Empire State Building in NY Long Island ftUS: ~ (988200, 211900)
+    x, y = transform(wgs, CRS(2263), np.array([-73.9857]), np.array([40.7484]))
+    assert abs(x[0] - 988212.0) < 50 and abs(y[0] - 211939.0) < 50
+    # Wellington in NZTM2000: ~ (1748735, 5427916)
+    x, y = transform(wgs, CRS(2193), np.array([174.7762]), np.array([-41.2865]))
+    assert abs(x[0] - 1748736.0) < 50 and abs(y[0] - 5427916.0) < 50
+    # Munich in DHDN GK zone 4: ~ (4468600, 5333100) +- datum residue
+    x, y = transform(wgs, CRS(31468), np.array([11.5755]), np.array([48.1374]))
+    assert 4.46e6 < x[0] < 4.48e6 and 5.32e6 < y[0] < 5.34e6
+
+
+def test_epsg_table_roundtrip_and_unknown_still_raises():
+    from geocube_spark.geometry.crs import transform
+    wgs = CRS(4326)
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-74.2, -73.8, 50)
+    lat = rng.uniform(40.4, 41.0, 50)
+    c = CRS(2263)
+    x, y = transform(wgs, c, lon, lat)
+    lon2, lat2 = transform(c, wgs, x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    with pytest.raises(ValueError, match="unsupported projected CRS"):
+        CRS(99999)._def
+
+
+def test_burn_bare_epsg_codes(spark):
+    """Round-3 verdict item 5 done-criterion: a US state-plane code
+    and NZTM burn the soil-like fixture with NO WKT text supplied,
+    bit-identical to the same parameters pasted as proj4 text (the
+    already-trusted front door)."""
+    from geocube_spark import datagen as DG
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.geometry.epsg_table import EPSG_PROJ4
+
+    docs = DG.to_spark(spark, DG.flat_polygon_docs(n=7))
+
+    def burn(crs, res):
+        cube = make_geocube(
+            docs, measurements=["om_r"], output_crs=crs,
+            resolution=res, fill=0.0, tile_size=64,
+        )
+        rows = cube.chunks.select(
+            "tile_id", "measurement", "values"
+        ).orderBy("tile_id", "measurement").collect()
+        assert rows, crs
+        return [(r["tile_id"], r["measurement"], list(r["values"]))
+                for r in rows]
+
+    for code, res in ((2263, (-40, 40)), (2193, (-10, 10))):
+        bare = burn(f"EPSG:{code}", res)
+        pasted = burn(EPSG_PROJ4[code], res)
+        assert bare == pasted, code
