@@ -227,6 +227,71 @@ def q_s2_cover(spark, sf_dir):
 SQL_S2_COVER = s2_cover_sql(_LON_SQL, _LAT_SQL, 12, 5, "events")
 
 
+def q_hex_cover(spark, sf_dir):
+    """Aperture-7 hexagonal cell cover (H3-scheme, ``grid/hex.py``):
+    res-8 hex cell id + res-6 parent (two index-arithmetic parent
+    steps) for every event point. The Spark side is a pure Column
+    program (cube rounding + the exact integer M^k lattice transform
+    — no Python in the scan); the oracle re-derives the identical
+    arithmetic as DuckDB CTEs, so a hash match proves the lattice
+    constants, the cube-round tie rules, and the aperture-7 parent
+    arithmetic bit-for-bit on 10k real points."""
+    from ..grid.hex import hex_cell_id_col, with_hex_parent
+
+    pts = _event_points(spark, sf_dir)
+    cell = hex_cell_id_col(F.col("lon"), F.col("lat"), 8)
+    base = pts.select("event_id", cell.alias("hex_cell"))
+    return with_hex_parent(base, "hex_cell", 2, "hex_parent").orderBy(
+        "event_id"
+    )
+
+
+def _sql_hex_cover():
+    from ..grid.hex import hex_cover_sql
+
+    return hex_cover_sql(_LON_SQL, _LAT_SQL, 8, 6, "events")
+
+
+SQL_HEX_COVER = _sql_hex_cover()
+
+
+def _sql_hex_rollup_cover():
+    from ..grid.hex import hex_cover_sql
+
+    return hex_cover_sql(_LON_SQL, _LAT_SQL, 5, 2, "events")
+
+
+def q_hex_rollup(spark, sf_dir):
+    """Hierarchical rollup on the hex index: aggregate events by the
+    res-2 PARENT of their res-5 cell — the multi-resolution rollup
+    pattern (fine cells -> coarse tiles) in ONE shuffle; the parent
+    key is pure Column arithmetic so map-side partial aggregation
+    applies before the exchange."""
+    from ..grid.hex import hex_cell_id_col, with_hex_parent
+
+    pts = _event_points(spark, sf_dir)
+    cell = hex_cell_id_col(F.col("lon"), F.col("lat"), 5)
+    base = pts.select("value", cell.alias("__c"))
+    return (
+        with_hex_parent(base, "__c", 3, "hex_parent")
+        .groupBy("hex_parent")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("hex_parent")
+    )
+
+
+SQL_HEX_ROLLUP = f"""WITH cover AS (
+{_sql_hex_rollup_cover()}
+)
+SELECT c.hex_parent AS hex_parent, count(*) AS n_events,
+       round(sum(e.value), 6) AS sum_value
+FROM cover c JOIN events e USING (event_id)
+GROUP BY 1 ORDER BY hex_parent"""
+
+
 def q_spatial_join_pip(spark, sf_dir):
     """Vector x vector spatial join (north rule: point-in-polygon as a
     first-class join). Event points join 30 synthesized diamond
@@ -2234,6 +2299,10 @@ QUERIES = {
     "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
     "s2_cover": (q_s2_cover, SQL_S2_COVER),
+    # round 4: the hex half of the north rule's "H3/S2 index" —
+    # aperture-7 hierarchy (grid/hex.py), FULL SQL oracles
+    "hex_cover": (q_hex_cover, SQL_HEX_COVER),
+    "hex_rollup": (q_hex_rollup, SQL_HEX_ROLLUP),
     "spatial_join_pip": (q_spatial_join_pip, SQL_SPATIAL_JOIN),
     # promoted from extras to fill the slot freed by ann_ivf_topk
     # (round-3 verdict item 2): full closed-form SQL oracle, and it

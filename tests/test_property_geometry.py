@@ -101,7 +101,7 @@ def test_projection_natural_origins():
 def test_unsupported_crs_raises_with_guidance():
     import pytest
 
-    with pytest.raises(ValueError, match="CRS_DEFS"):
+    with pytest.raises(ValueError, match="epsg_table"):
         CRS(9999)._to_lonlat(np.array([0.0]), np.array([0.0]))
 
 
