@@ -141,6 +141,29 @@ def test_polyfill_center_semantics():
     assert set(hit[inside].tolist()) <= set(ids.tolist())
 
 
+def test_polyfill_wkb_donut():
+    """Polygon polyfill (H3 semantics: centers-in-polygon) respects
+    holes and matches the brute bbox-enumerate + PIP answer."""
+    from geocube_spark.geometry import wkb as W
+    from geocube_spark.kernels.pip import points_in_wkb
+
+    outer = np.array(
+        [[0, -8], [8, 0], [0, 8], [-8, 0], [0, -8]], dtype=np.float64
+    )
+    inner = np.array(
+        [[0, -3], [3, 0], [0, 3], [-3, 0], [0, -3]], dtype=np.float64
+    )[::-1]
+    blob = W.Geometry(W.POLYGON, [outer, inner]).to_wkb()
+    ids = H.hex_polyfill_wkb(blob, 6)
+    x, y = H.hex_center(ids)
+    assert ((np.abs(x) + np.abs(y)) < 8).all()
+    assert ((np.abs(x) + np.abs(y)) > 3).all()
+    cand = H.hex_polyfill(-8, -8, 8, 8, 6)
+    cx, cy = H.hex_center(cand)
+    want = set(cand[points_in_wkb(cx, cy, blob)].tolist())
+    assert set(ids.tolist()) == want
+
+
 def test_validation_errors():
     with pytest.raises(ValueError, match="res"):
         H.hex_cell_id(XS[:2], YS[:2], 16)
@@ -236,6 +259,69 @@ def test_duckdb_oracle_matches_numpy(res, pres):
     assert np.array_equal(
         out.hex_parent.values, H.hex_parent(np_cell, res - pres)
     )
+
+
+def test_streaming_hex_rollup_matches_batch(spark, tmp_path):
+    """The hex index is a pure Column program, so it composes with
+    Structured Streaming as a stateful aggregation key: an
+    availableNow stream over two parquet micro-batches grouped by the
+    res-2 ancestor equals the batch answer exactly."""
+    import os
+
+    from pyspark.sql import types as T
+
+    in_dir = str(tmp_path / "hex_in")
+    os.makedirs(in_dir)
+    pdf = _frame(4000, seed=99)
+    pdf["value"] = np.arange(4000, dtype=np.float64) * 0.25
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.parquet(
+        f"{in_dir}/b1"
+    )
+    spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.parquet(
+        f"{in_dir}/b2"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def keyed(df):
+        cells = df.select(
+            H.hex_cell_id_col(F.col("x"), F.col("y"), 5).alias("c"),
+            "value",
+        )
+        return (
+            H.with_hex_parent(cells, "c", 3, "p")
+            .groupBy("p")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 6).alias("s"),
+            )
+        )
+
+    q = (
+        keyed(spark.readStream.schema(schema).parquet(f"{in_dir}/*"))
+        .writeStream.format("memory")
+        .queryName("hexroll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM hexroll_stream")
+        .orderBy("p")
+        .toPandas()
+    )
+    want = keyed(spark.createDataFrame(pdf)).orderBy("p").toPandas()
+    assert np.array_equal(got.p.values, want.p.values)
+    assert np.array_equal(got.n.values, want.n.values)
+    np.testing.assert_allclose(got.s.values, want.s.values, atol=1e-6)
 
 
 def test_column_program_is_pure_catalyst(spark):
