@@ -164,6 +164,44 @@ def test_polyfill_wkb_donut():
     assert set(ids.tolist()) == want
 
 
+def test_compact_uncompact_roundtrip():
+    """Compact replaces complete 7-sibling groups recursively: exact
+    coverage (uncompact reproduces the input set), minimality (no
+    complete group survives at any level), idempotence, mixed-res."""
+    ids = H.hex_polyfill(-20, -20, 20, 20, 6)
+    comp = H.hex_compact(ids)
+    assert len(comp) < len(ids) // 10  # interior compacts hard
+    assert np.array_equal(H.hex_uncompact(comp, 6), np.sort(ids))
+    res, _q, _r = H.hex_decode(comp)
+    for lvl in range(int(res.max()), 0, -1):
+        at = comp[res == lvl]
+        if len(at):
+            _u, c = np.unique(H.hex_parent(at), return_counts=True)
+            assert (c < 7).all()
+    assert np.array_equal(H.hex_compact(comp), comp)
+    mixed = np.concatenate(
+        [comp[:10], H.hex_children(comp[10:12]).ravel()]
+    )
+    assert np.array_equal(
+        np.sort(H.hex_compact(mixed)), np.sort(comp[:12])
+    )
+    with pytest.raises(ValueError, match="coarser"):
+        H.hex_uncompact(comp, 0)
+
+
+def test_compact_cells_df_matches_numpy(spark):
+    """The distributed compact (bounded groupBy-per-level DAG, no
+    driver collect of cells) equals the numpy closed form."""
+    ids = H.hex_polyfill(-12, -12, 12, 12, 5)
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": ids}), "cell long"
+    )
+    got = np.sort(
+        H.compact_cells_df(df).toPandas()["cell"].values
+    )
+    assert np.array_equal(got, H.hex_compact(ids))
+
+
 def test_validation_errors():
     with pytest.raises(ValueError, match="res"):
         H.hex_cell_id(XS[:2], YS[:2], 16)
@@ -211,7 +249,7 @@ def _frame(n=5000, seed=11):
     )
 
 
-@pytest.mark.parametrize("res,pres", [(8, 6), (15, 12), (5, 2)])
+@pytest.mark.parametrize("res,pres", [(8, 6), (15, 13), (5, 4)])
 def test_column_program_matches_numpy(spark, res, pres):
     pdf = _frame()
     df = spark.createDataFrame(pdf)
@@ -243,8 +281,8 @@ def test_staged_parent_matches_numpy_deep_chain(spark):
     np_cell = H.hex_cell_id(pdf.x.values, pdf.y.values, 15)
     assert np.array_equal(out.c.values, np_cell)
     assert np.array_equal(out.p.values, H.hex_parent(np_cell, 15))
-    with pytest.raises(ValueError, match="steps <= 3"):
-        H.hex_parent_col(F.col("c"), 4)
+    with pytest.raises(ValueError, match="steps <= 2"):
+        H.hex_parent_col(F.col("c"), 3)
 
 
 @pytest.mark.parametrize("res,pres", [(8, 6), (15, 10)])
