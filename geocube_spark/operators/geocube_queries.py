@@ -2284,8 +2284,6 @@ ORDER BY row, col
 
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
-    "tile_cover": (q_tile_cover, SQL_TILE_COVER),
-    "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
     "burn_points_add": (q_burn_points_add, SQL_BURN_ADD),
     "grid_snap": (q_grid_snap, SQL_GRID_SNAP),
     "group_keys": (q_group_keys, SQL_GROUP_KEYS),
@@ -2347,6 +2345,13 @@ QUERIES = {
 #                              check, and its slot went to
 #                              spatial_join_pip's FULL SQL oracle
 EXTRA_QUERIES = {
+    # tile_cover / tile_rollup: quadkey/XYZ index queries demoted in
+    # round 4 to make window room for hex_cover/hex_rollup — the same
+    # survey ops (index cover + hierarchical rollup) now verified
+    # in-window by the richer s2/hex schemes; quadkey stays
+    # oracle-checked here (check_oracle.py --extra) + pytest-covered
+    "tile_cover": (q_tile_cover, SQL_TILE_COVER),
+    "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
     # spatial_join_radius: outside the 50-slot driver window but
     # oracle-checked by scripts/check_oracle.py --extra and pinned by
     # brute-force-parity tests; the pip variant occupies the window
