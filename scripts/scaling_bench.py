@@ -217,8 +217,27 @@ def main():
     def _one(cpus):
         load = round(os.getloadavg()[0], 1)
         loads.append(load)
-        cmd = [sys.executable, os.path.abspath(__file__), "--run",
-               str(cpus)]
+        # North-rule execution contract: each level is a real
+        # `spark-submit --py-files <pkg.zip>` job (the same command a
+        # cluster run would use, with --master swapped for the real
+        # cluster manager). Falls back to plain python if spark-submit
+        # is absent; SCALING_BENCH_SPARK_SUBMIT=0 forces the fallback.
+        import shutil as _sh
+
+        submit = _sh.which("spark-submit")
+        if submit and os.environ.get(
+            "SCALING_BENCH_SPARK_SUBMIT", "1"
+        ) != "0":
+            from geocube_spark.session import package_zip
+
+            cmd = [
+                submit, "--master", f"local[{cpus}]",
+                "--py-files", package_zip(),
+                os.path.abspath(__file__), "--run", str(cpus),
+            ]
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__), "--run",
+                   str(cpus)]
         # Pin each level's WHOLE process tree (JVM + GC/shuffle
         # threads + Python workers) to exactly its core budget. In
         # unpinned local mode a "2-core" level quietly uses the other
