@@ -362,6 +362,48 @@ def test_streaming_hex_rollup_matches_batch(spark, tmp_path):
     np.testing.assert_allclose(got.s.values, want.s.values, atol=1e-6)
 
 
+def test_hex_cover_df_matches_numpy_polyfill(spark):
+    """The distributed envelope polyfill (pure-JVM sequence/explode)
+    returns exactly the numpy hex_polyfill set per row."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(12):
+        x0, y0 = rng.uniform(-100, 80), rng.uniform(-60, 40)
+        rows.append(
+            {
+                "box_id": i,
+                "minx": x0,
+                "miny": y0,
+                "maxx": x0 + rng.uniform(0.5, 25),
+                "maxy": y0 + rng.uniform(0.5, 25),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    out = (
+        H.hex_cover_df(spark.createDataFrame(pdf), 5)
+        .groupBy("box_id")
+        .agg(F.collect_list("hex_cell").alias("cells"))
+        .toPandas()
+        .set_index("box_id")
+    )
+    for r in rows:
+        want = set(
+            H.hex_polyfill(
+                r["minx"], r["miny"], r["maxx"], r["maxy"], 5
+            ).tolist()
+        )
+        got = set(out.loc[r["box_id"], "cells"])
+        assert got == want, r["box_id"]
+    # stays JVM-side
+    plan = (
+        H.hex_cover_df(spark.createDataFrame(pdf), 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
 def test_column_program_is_pure_catalyst(spark):
     """The scan side must stay in Tungsten codegen: no Python eval
     nodes in the hex cover plan."""
