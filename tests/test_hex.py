@@ -200,6 +200,21 @@ def test_compact_cells_df_matches_numpy(spark):
         H.compact_cells_df(df).toPandas()["cell"].values
     )
     assert np.array_equal(got, H.hex_compact(ids))
+    # mixed resolutions through the distributed path too
+    comp = H.hex_compact(ids)
+    mixed = np.concatenate(
+        [comp[:20], H.hex_children(comp[20:23]).ravel()]
+    )
+    got2 = np.sort(
+        H.compact_cells_df(
+            spark.createDataFrame(
+                pd.DataFrame({"cell": mixed}), "cell long"
+            )
+        )
+        .toPandas()["cell"]
+        .values
+    )
+    assert np.array_equal(got2, H.hex_compact(mixed))
 
 
 def test_validation_errors():
