@@ -419,6 +419,38 @@ def test_hex_cover_df_matches_numpy_polyfill(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
+def test_hex_cover_df_pad_is_join_superset(spark):
+    """With pad = the res-k circumradius, the envelope cover contains
+    the cell of EVERY point inside the envelope — the guarantee a
+    hex-bucketed join needs (pad=0 polyfill covers can miss boundary
+    cells whose center falls just outside)."""
+    res = 6
+    rng = np.random.default_rng(17)
+    env = {"box_id": 0, "minx": 3.2, "miny": -7.7, "maxx": 19.9,
+           "maxy": 4.1}
+    pad = H.BASE_SIZE / (7.0 ** (res / 2.0))
+    cover = set(
+        H.hex_cover_df(
+            spark.createDataFrame(pd.DataFrame([env])), res, pad=pad
+        )
+        .toPandas()["hex_cell"]
+        .values.tolist()
+    )
+    px = rng.uniform(env["minx"], env["maxx"], 20000)
+    py = rng.uniform(env["miny"], env["maxy"], 20000)
+    cells = set(np.unique(H.hex_cell_id(px, py, res)).tolist())
+    assert cells <= cover
+    # and pad=0 is strictly smaller (polyfill semantics)
+    cover0 = set(
+        H.hex_cover_df(
+            spark.createDataFrame(pd.DataFrame([env])), res
+        )
+        .toPandas()["hex_cell"]
+        .values.tolist()
+    )
+    assert cover0 < cover
+
+
 def test_column_program_is_pure_catalyst(spark):
     """The scan side must stay in Tungsten codegen: no Python eval
     nodes in the hex cover plan."""
