@@ -117,6 +117,7 @@ def points_in_polygons(
     y_col: str = "y",
     poly_id: str = "poly_id",
     wkb_col: str = "geometry_wkb",
+    grid: str = "square",
 ) -> DataFrame:
     """Exact point-in-polygon join -> ``(point_id, poly_id)`` pairs.
 
@@ -127,11 +128,23 @@ def points_in_polygons(
     ``cell_size=None`` derives the join grid from the median polygon
     envelope (one scalar approxQuantile over the poly side).
 
-    Shuffle hygiene: the cover explode carries ONLY ``(pid, cell)``
-    — a polygon covering 1,000 cells ships its id 1,000 times, never
-    its WKB.  The geometry blob is joined back ONCE per surviving
-    candidate from the original table, so shuffle bytes are
-    independent of cells-per-envelope (round-3 verdict item)."""
+    ``grid='square'`` buckets on an axis-aligned grid;
+    ``grid='hex'`` buckets on the aperture-7 hex index
+    (``grid/hex.py``): polygon envelopes explode through
+    ``hex_cover_df`` padded by one circumradius (a guaranteed
+    superset of the intersecting cells), points key by
+    ``hex_cell_id_col``, and the resolution is chosen so the hex
+    circumradius matches ``cell_size``. Results are identical; the
+    hex path exercises the H3-scheme index as the join bucketing.
+
+    Shuffle hygiene (both grids): the cover explode carries ONLY
+    ``(pid, cell)`` — a polygon covering 1,000 cells ships its id
+    1,000 times, never its WKB.  The geometry blob is joined back
+    ONCE per surviving candidate from the original table, so shuffle
+    bytes are independent of cells-per-envelope (round-3 verdict
+    item)."""
+    if grid not in ("square", "hex"):
+        raise ValueError(f"grid must be 'square' or 'hex', got {grid!r}")
     env = _poly_envelopes(polys, poly_id, wkb_col)
     if cell_size is None:
         cell_size = _auto_cell_size(env)
@@ -139,41 +152,78 @@ def points_in_polygons(
         raise ValueError(f"cell_size must be positive, got {cell_size}")
 
     cs = float(cell_size)
-    cover = env.select(
-        "__pid",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("minx") / cs).cast("long"),
-                F.floor(F.col("maxx") / cs).cast("long"),
-            )
-        ).alias("__tx"),
-        F.col("miny"),
-        F.col("maxy"),
-    ).select(
-        "__pid",
-        "__tx",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("miny") / cs).cast("long"),
-                F.floor(F.col("maxy") / cs).cast("long"),
-            )
-        ).alias("__ty"),
-    )
+    if grid == "hex":
+        import math
 
-    pts = points.select(
-        F.col(point_id).alias("__qid"),
-        F.col(x_col).cast("double").alias("__x"),
-        F.col(y_col).cast("double").alias("__y"),
-        F.floor(F.col(x_col) / cs).cast("long").alias("__tx"),
-        F.floor(F.col(y_col) / cs).cast("long").alias("__ty"),
-    )
+        from ..grid.hex import (
+            BASE_SIZE,
+            MAX_RES,
+            hex_cell_id_col,
+            hex_cover_df,
+        )
+
+        # resolution whose circumradius best matches cell_size
+        res = max(
+            0,
+            min(
+                MAX_RES,
+                round(2.0 * math.log(BASE_SIZE / cs) / math.log(7.0)),
+            ),
+        )
+        pad = BASE_SIZE / 7.0 ** (res / 2.0)
+        cover = hex_cover_df(
+            env.select("__pid", "minx", "miny", "maxx", "maxy"),
+            res,
+            pad=pad,
+            out_col="__cell",
+        ).select("__pid", "__cell")
+        pts = points.select(
+            F.col(point_id).alias("__qid"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+            hex_cell_id_col(
+                F.col(x_col).cast("double"),
+                F.col(y_col).cast("double"),
+                res,
+            ).alias("__cell"),
+        )
+        join_keys = ["__cell"]
+    else:
+        cover = env.select(
+            "__pid",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("minx") / cs).cast("long"),
+                    F.floor(F.col("maxx") / cs).cast("long"),
+                )
+            ).alias("__tx"),
+            F.col("miny"),
+            F.col("maxy"),
+        ).select(
+            "__pid",
+            "__tx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("miny") / cs).cast("long"),
+                    F.floor(F.col("maxy") / cs).cast("long"),
+                )
+            ).alias("__ty"),
+        )
+        pts = points.select(
+            F.col(point_id).alias("__qid"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+            F.floor(F.col(x_col) / cs).cast("long").alias("__tx"),
+            F.floor(F.col(y_col) / cs).cast("long").alias("__ty"),
+        )
+        join_keys = ["__tx", "__ty"]
 
     blobs = polys.select(
         F.col(poly_id).alias("__pid"),
         F.col(wkb_col).alias("__wkb"),
     ).where(F.col("__wkb").isNotNull())
     cand = (
-        pts.join(cover, on=["__tx", "__ty"], how="inner")
+        pts.join(cover, on=join_keys, how="inner")
         .select("__qid", "__x", "__y", "__pid")
         .join(blobs, on="__pid", how="inner")
     )

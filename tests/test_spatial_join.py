@@ -139,32 +139,53 @@ def join_case():
     return pts, polys
 
 
-@pytest.mark.parametrize("cell_size", [4.0, 17.0, 100.0])
-def test_join_matches_brute_force(spark, join_case, cell_size):
+@pytest.mark.parametrize(
+    "cell_size,grid",
+    [
+        (4.0, "square"),
+        (17.0, "square"),
+        (100.0, "square"),
+        (4.0, "hex"),
+        (17.0, "hex"),
+        (None, "hex"),
+    ],
+)
+def test_join_matches_brute_force(spark, join_case, cell_size, grid):
     """The tile-bucketed candidate join + exact refinement equals the
-    all-pairs answer for any bucketing granularity (cell_size only
-    affects the plan, never the result)."""
+    all-pairs answer for any bucketing granularity AND either grid
+    scheme (cell_size/grid only affect the plan, never the result —
+    grid='hex' buckets through the aperture-7 index instead of the
+    axis-aligned grid)."""
     pts, polys = join_case
     got = points_in_polygons(
         spark.createDataFrame(pts).repartition(7),
         spark.createDataFrame(polys),
         cell_size=cell_size,
+        grid=grid,
     ).collect()
     got_pairs = {(int(r["point_id"]), int(r["poly_id"])) for r in got}
     assert len(got) == len(got_pairs)  # each pair exactly once
     assert got_pairs == _brute_force(pts, polys)
 
 
-def test_join_plan_has_no_cartesian(spark, join_case):
+@pytest.mark.parametrize("grid", ["square", "hex"])
+def test_join_plan_has_no_cartesian(spark, join_case, grid):
     pts, polys = join_case
     df = points_in_polygons(
         spark.createDataFrame(pts),
         spark.createDataFrame(polys),
         cell_size=10.0,
+        grid=grid,
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="grid"):
+        points_in_polygons(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(polys),
+            grid="triangle",
+        )
 
 
 def test_join_empty_and_validation(spark, join_case):
