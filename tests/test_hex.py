@@ -314,6 +314,32 @@ def test_duckdb_oracle_matches_numpy(res, pres):
     )
 
 
+@given(
+    st.floats(0.5, 5000.0, allow_nan=False),
+    st.integers(0, 12),
+    st.integers(0, 4),
+)
+@settings(max_examples=40, deadline=None, derandomize=True)
+def test_fuzz_duckdb_oracle_any_base_size(base, res, dp):
+    """The SQL generator and numpy agree bit-for-bit for ANY base_size
+    and parent depth, not just the query defaults."""
+    import duckdb
+
+    pres = max(0, res - dp)
+    pdf = _frame(400, seed=7)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    out = con.execute(
+        H.hex_cover_sql("x", "y", res, pres, "events", base_size=base)
+    ).df()
+    np_cell = H.hex_cell_id(pdf.x.values, pdf.y.values, res, base)
+    want_par = (
+        np_cell if pres == res else H.hex_parent(np_cell, res - pres)
+    )
+    assert np.array_equal(out.hex_cell.values, np_cell)
+    assert np.array_equal(out.hex_parent.values, want_par)
+
+
 def test_streaming_hex_rollup_matches_batch(spark, tmp_path):
     """The hex index is a pure Column program, so it composes with
     Structured Streaming as a stateful aggregation key: an
