@@ -4,11 +4,17 @@ Media payloads are opaque ``binary`` columns with typed metadata —
 exactly how a 100 TB multimodal corpus stores them next to text. The
 Spark-side machinery here is real and tested: schemas, Arrow batch
 shape, ``mapInPandas`` decode pipelines, partition-friendly metadata
-extraction. The actual codec step is STUBBED (the image/audio
-libraries are not in this container): ``decode_media`` with
-``codec='real'`` raises NotImplementedError; the default
-``codec='stub'`` produces deterministic metadata derived from the
-bytes, which keeps every downstream operator testable.
+extraction.
+
+Codecs (round 4): PNG decoding is REAL — a pure-stdlib codec
+(``kernels/png.py``: zlib + the five scanline filters, public W3C
+spec) powers ``decode_media(codec='real')`` and
+``image_pixel_stats``. JPEG/audio/video remain honestly stubbed
+(those libraries genuinely aren't in this container): 'real' rows
+whose bytes aren't PNG get NULL dimensions rather than failing the
+job, and the default ``codec='stub'`` still produces deterministic
+metadata from raw bytes so every downstream operator is testable on
+any payload.
 """
 
 from __future__ import annotations
@@ -47,17 +53,52 @@ def with_media_bytes(df: DataFrame, text_col: str = "text",
 def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
     """Arrow-batched decode: binary -> typed metadata via mapInPandas.
 
-    ``codec='real'`` is the integration point for PIL/ffmpeg-style
-    decoders (not available here) — it raises NotImplementedError.
+    ``codec='real'`` parses PNG payloads with the pure-stdlib codec
+    (``kernels/png.py``): width/height come from IHDR (no pixel
+    inflation — O(bytes scanned) per blob), ``n_frames=1``; non-PNG
+    payloads yield NULL dimensions (a real pipeline flags undecodable
+    rows, it doesn't fail the job — JPEG/video decoders genuinely
+    aren't available in this container).
     ``codec='stub'`` derives deterministic width/height/frame-count
     from the byte payload so the batch shape, schema, and partitioning
-    behavior are exercised for real.
+    behavior are exercised on any payload.
     """
     if codec == "real":
-        raise NotImplementedError(
-            "real media decoding requires image/audio codecs not present "
-            "in this environment; use codec='stub'"
-        )
+        from ..kernels.png import is_png, png_info
+
+        def _real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                blobs = pdf["media"].values
+                n = np.array(
+                    [len(b) if b is not None else 0 for b in blobs],
+                    dtype=np.int64,
+                )
+                header, width, height, frames = [], [], [], []
+                for b in blobs:
+                    header.append(
+                        bytes(b[:4]).hex().upper() if b is not None else ""
+                    )
+                    if b is not None and is_png(bytes(b)):
+                        info = png_info(bytes(b))
+                        width.append(info["width"])
+                        height.append(info["height"])
+                        frames.append(1)
+                    else:
+                        width.append(None)
+                        height.append(None)
+                        frames.append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "n_bytes": n.astype("int32"),
+                        "header_hex": header,
+                        "width": pd.array(width, dtype="Int32"),
+                        "height": pd.array(height, dtype="Int32"),
+                        "n_frames": pd.array(frames, dtype="Int32"),
+                    }
+                )
+
+        return media_df.mapInPandas(_real, schema=MEDIA_META_SCHEMA)
     if codec != "stub":
         raise ValueError(f"unknown codec {codec!r}")
 
@@ -213,3 +254,57 @@ def extract_features(media_df: DataFrame, *, dim: int = 64,
             yield pd.DataFrame({"doc_id": ids, "features": feats})
 
     return media_df.mapInPandas(_feat, schema=FEATURE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_std", T.DoubleType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def image_pixel_stats(media_df: DataFrame) -> DataFrame:
+    """REAL pixel-level feature extraction for PNG payloads: each blob
+    is fully decoded by the pure-stdlib codec (``kernels/png.py`` —
+    zlib inflate + scanline unfiltering) and reduced to per-image
+    pixel statistics; non-PNG / undecodable rows are dropped (the
+    standard select-what-you-can-decode pipeline shape). Arrow-batched
+    ``mapInPandas``; each task decodes only its own partition's blobs.
+    """
+    from ..kernels.png import decode_png, is_png
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"].values, pdf["media"].values):
+                if blob is None or not is_png(bytes(blob)):
+                    continue
+                try:
+                    px = decode_png(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    continue
+                h, w = px.shape[:2]
+                ch = 1 if px.ndim == 2 else px.shape[2]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "px_mean": float(px.mean()),
+                        "px_std": float(px.std()),
+                        "px_min": int(px.min()),
+                        "px_max": int(px.max()),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)

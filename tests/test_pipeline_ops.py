@@ -221,9 +221,15 @@ def test_media_decode_stub_schema_and_batches(spark, sf_dir, docs):
     assert (meta["header_hex"].str.len() == 8).all()
 
 
-def test_media_decode_real_is_stubbed(spark, sf_dir, docs):
-    with pytest.raises(NotImplementedError):
-        M.decode_media(M.with_media_bytes(docs), codec="real")
+def test_media_decode_real_nulls_non_png(spark, sf_dir, docs):
+    """codec='real' (round 4: backed by the pure-stdlib PNG codec)
+    yields NULL dimensions for non-PNG payloads instead of failing —
+    the documents table's utf-8 payloads are all non-PNG. Real PNG
+    decoding is covered in tests/test_png.py."""
+    meta = M.decode_media(M.with_media_bytes(docs), codec="real").toPandas()
+    assert len(meta) > 0
+    assert meta["width"].isna().all() and meta["n_frames"].isna().all()
+    assert (meta["n_bytes"] > 0).all()
 
 
 def test_frame_sample_stride(spark, sf_dir, docs):
