@@ -320,8 +320,12 @@ def test_resize_media_shape_and_determinism(spark, docs):
     assert out.sort_values("doc_id").reset_index(drop=True).equals(
         again.sort_values("doc_id").reset_index(drop=True)
     )
-    with pytest.raises(NotImplementedError):
-        M.resize_media(M.with_media_bytes(docs), codec="real")
+    # codec='real' now PNG-decodes (round 4); the documents table's
+    # utf-8 payloads are all non-PNG, so every row drops out — the
+    # select-what-you-can-decode shape. Real resizing: tests/test_png.py
+    assert (
+        M.resize_media(M.with_media_bytes(docs), codec="real").count() == 0
+    )
 
 
 def test_extract_features_feeds_similarity(spark, docs):

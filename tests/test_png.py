@@ -145,6 +145,24 @@ def test_decode_media_real_and_pixel_stats(spark):
     assert meta[4]["width"] is None and meta[4]["n_frames"] is None
     assert meta[4]["n_bytes"] == 16
 
+    from geocube_spark.functions.multimodal import resize_media
+
+    rz = {
+        r["doc_id"]: r
+        for r in resize_media(df, out_w=4, out_h=3, codec="real").collect()
+    }
+    assert set(rz) == {1, 2, 3}
+    for k, v in imgs.items():
+        px = v.astype(np.float64)
+        if px.ndim == 3:
+            px = px.mean(axis=2)
+        h, w = px.shape
+        yi = np.minimum((np.arange(3) * h / 3).astype(int), h - 1)
+        xi = np.minimum((np.arange(4) * w / 4).astype(int), w - 1)
+        want = px[yi][:, xi].astype(np.uint8)
+        got = np.frombuffer(bytes(rz[k]["pixels"]), dtype=np.uint8)
+        assert np.array_equal(got.reshape(3, 4), want)
+
     stats = {
         r["doc_id"]: r for r in image_pixel_stats(df).collect()
     }
