@@ -9,12 +9,14 @@ extraction.
 Codecs (round 4): PNG decoding is REAL — a pure-stdlib codec
 (``kernels/png.py``: zlib + the five scanline filters, public W3C
 spec) powers ``decode_media(codec='real')`` and
-``image_pixel_stats``. JPEG/audio/video remain honestly stubbed
-(those libraries genuinely aren't in this container): 'real' rows
-whose bytes aren't PNG get NULL dimensions rather than failing the
-job, and the default ``codec='stub'`` still produces deterministic
-metadata from raw bytes so every downstream operator is testable on
-any payload.
+``image_pixel_stats``. WAV audio is REAL too (``kernels/wav.py``:
+RIFF parser, PCM/float, cross-checked against stdlib ``wave``) and
+powers ``audio_features(codec='real')``. JPEG/compressed-audio/video
+remain honestly stubbed (those libraries genuinely aren't in this
+container): 'real' rows whose bytes aren't decodable get NULLs or are
+dropped rather than failing the job, and the default ``codec='stub'``
+still produces deterministic metadata from raw bytes so every
+downstream operator is testable on any payload.
 """
 
 from __future__ import annotations
@@ -350,3 +352,88 @@ def image_pixel_stats(media_df: DataFrame) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(_stats, schema=PIXEL_STATS_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def _audio_feature_row(did: int, samples: np.ndarray, rate: int,
+                       channels: int, bits: int) -> dict:
+    """Features over float samples in [-1, 1], shape (n, channels).
+    zero_cross_rate = sign changes per sample on the channel mean."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    zc = 0.0
+    if n > 1:
+        s = np.signbit(mono)
+        zc = float(np.count_nonzero(s[1:] != s[:-1])) / (n - 1)
+    return {
+        "doc_id": int(did),
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bit_depth": int(bits),
+        "duration_s": n / float(rate),
+        "rms": float(np.sqrt(np.mean(mono * mono))) if n else 0.0,
+        "peak": float(np.abs(samples).max()) if n else 0.0,
+        "zero_cross_rate": zc,
+    }
+
+
+def audio_features(media_df: DataFrame, codec: str = "real") -> DataFrame:
+    """Audio feature extraction: binary -> (duration, RMS, peak,
+    zero-crossing rate) via Arrow-batched ``mapInPandas``.
+
+    ``codec='real'`` decodes WAV payloads with the pure-stdlib codec
+    (``kernels/wav.py``: PCM 8/16/24/32-bit, float32/64, extensible);
+    non-WAV / compressed rows are dropped (select-what-you-can-decode
+    — MP3/AAC/opus decoders genuinely aren't in this container).
+    ``codec='stub'`` interprets the raw bytes as 8-bit unsigned PCM
+    mono at a nominal 8 kHz — deterministic on any payload, and the
+    feature math is the SAME code path as the real decode.
+
+    Scale shape: one narrow map stage, each task decodes only its own
+    partition's blobs; features are O(samples) with numpy inner loops.
+    """
+    from ..kernels.wav import is_wav, wav_decode, wav_info
+
+    if codec not in ("real", "stub"):
+        raise ValueError(f"unknown codec {codec!r}")
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"].values, pdf["media"].values):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                if codec == "real":
+                    if not is_wav(b):
+                        continue
+                    try:
+                        info = wav_info(b)
+                        samples, rate = wav_decode(b)
+                    except ValueError:
+                        continue
+                    rows.append(_audio_feature_row(
+                        did, samples, rate, info["channels"],
+                        info["bit_depth"]))
+                else:
+                    x = (np.frombuffer(b, dtype=np.uint8)
+                         .astype(np.float64) - 128.0) / 128.0
+                    rows.append(_audio_feature_row(
+                        did, x[:, None], 8000, 1, 8))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(_feats, schema=AUDIO_FEATURES_SCHEMA)
