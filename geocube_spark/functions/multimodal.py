@@ -6,17 +6,22 @@ Spark-side machinery here is real and tested: schemas, Arrow batch
 shape, ``mapInPandas`` decode pipelines, partition-friendly metadata
 extraction.
 
-Codecs (round 4): PNG decoding is REAL — a pure-stdlib codec
-(``kernels/png.py``: zlib + the five scanline filters, public W3C
-spec) powers ``decode_media(codec='real')`` and
-``image_pixel_stats``. WAV audio is REAL too (``kernels/wav.py``:
-RIFF parser, PCM/float, cross-checked against stdlib ``wave``) and
-powers ``audio_features(codec='real')``. JPEG/compressed-audio/video
-remain honestly stubbed (those libraries genuinely aren't in this
-container): 'real' rows whose bytes aren't decodable get NULLs or are
-dropped rather than failing the job, and the default ``codec='stub'``
-still produces deterministic metadata from raw bytes so every
-downstream operator is testable on any payload.
+Codecs (round 4): image decoding is REAL for PNG, baseline JPEG, GIF
+and BMP — pure-stdlib codecs written from the public specs
+(``kernels/png.py``, ``kernels/jpeg.py``, ``kernels/gif.py``,
+``kernels/bmp.py``, dispatched by ``kernels/media.py``) power
+``decode_media(codec='real')``, ``image_pixel_stats`` and
+``resize_media(codec='real')``. Video is REAL for uncompressed AVI
+(``kernels/avi.py``: RIFF walk + DIB frames) — true frame counts in
+``decode_media`` and true per-frame decode in
+``frame_sample(codec='real')``. WAV audio is REAL
+(``kernels/wav.py``) behind ``audio_features(codec='real')``.
+Formats whose decoders can't be built without external libraries
+(H.264, MP3, ...) stay honestly out of scope: 'real' rows whose
+bytes aren't decodable get NULLs or are dropped rather than failing
+the job, and the default ``codec='stub'`` still produces
+deterministic metadata from raw bytes so every downstream operator
+is testable on any payload.
 """
 
 from __future__ import annotations
@@ -55,18 +60,19 @@ def with_media_bytes(df: DataFrame, text_col: str = "text",
 def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
     """Arrow-batched decode: binary -> typed metadata via mapInPandas.
 
-    ``codec='real'`` parses PNG payloads with the pure-stdlib codec
-    (``kernels/png.py``): width/height come from IHDR (no pixel
-    inflation — O(bytes scanned) per blob), ``n_frames=1``; non-PNG
-    payloads yield NULL dimensions (a real pipeline flags undecodable
-    rows, it doesn't fail the job — JPEG/video decoders genuinely
-    aren't available in this container).
+    ``codec='real'`` parses visual payloads with the pure-stdlib
+    codecs (``kernels/media.py`` dispatch — PNG/JPEG/GIF/BMP/AVI):
+    width/height come from the format headers (no pixel inflation —
+    O(bytes scanned) per blob), ``n_frames`` is real data for GIF
+    animations and AVI video; audio/unknown payloads yield NULL
+    dimensions (a real pipeline flags undecodable rows, it doesn't
+    fail the job).
     ``codec='stub'`` derives deterministic width/height/frame-count
     from the byte payload so the batch shape, schema, and partitioning
     behavior are exercised on any payload.
     """
     if codec == "real":
-        from ..kernels.png import is_png, png_info
+        from ..kernels.media import image_info
 
         def _real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -80,11 +86,14 @@ def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
                     header.append(
                         bytes(b[:4]).hex().upper() if b is not None else ""
                     )
-                    if b is not None and is_png(bytes(b)):
-                        info = png_info(bytes(b))
+                    try:
+                        info = image_info(b) if b is not None else None
+                    except (ValueError, NotImplementedError):
+                        info = None
+                    if info is not None:
                         width.append(info["width"])
                         height.append(info["height"])
-                        frames.append(1)
+                        frames.append(info["n_frames"])
                     else:
                         width.append(None)
                         height.append(None)
@@ -127,10 +136,21 @@ def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
     return media_df.mapInPandas(_decode, schema=MEDIA_META_SCHEMA)
 
 
-def frame_sample(media_df: DataFrame, stride: int = 64) -> DataFrame:
-    """'Frame sampling' over opaque bytes: every ``stride``-th byte as
-    a frame fingerprint (stand-in for video frame extraction; the
-    Spark-side explode/partition shape is the real thing)."""
+def frame_sample(media_df: DataFrame, stride: int = 64,
+                 codec: str = "stub") -> DataFrame:
+    """Frame sampling over media payloads.
+
+    ``codec='stub'`` (default; the driver-window oracle pins it):
+    every ``stride``-th byte as a frame fingerprint — the Spark-side
+    explode/partition shape on any payload.
+
+    ``codec='real'`` (round 4): uncompressed-AVI payloads are decoded
+    for REAL (``kernels/avi.py``) — every ``stride``-th video frame
+    becomes a row whose ``frame_byte`` is the frame's rounded mean
+    luminance; the selective walk decodes ONLY sampled frames (other
+    chunks are skipped by size). Non-AVI payloads are dropped
+    (select-what-you-can-decode). Same output schema either way, so
+    downstream operators are codec-agnostic."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -138,6 +158,40 @@ def frame_sample(media_df: DataFrame, stride: int = 64) -> DataFrame:
             T.StructField("frame_byte", T.IntegerType()),
         ]
     )
+    if codec == "real":
+        from ..kernels.avi import avi_info, decode_avi_frames, is_avi
+        from ..kernels.media import to_luminance
+
+        def _real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, fno, fb = [], [], []
+                for did, blob in zip(
+                    pdf["doc_id"].values, pdf["media"].values
+                ):
+                    if blob is None or not is_avi(bytes(blob[:12])):
+                        continue
+                    try:
+                        b = bytes(blob)
+                        n = avi_info(b)["n_frames"]
+                        picks = list(range(0, n, max(1, stride)))
+                        frames = decode_avi_frames(b, indices=picks)
+                    except (ValueError, NotImplementedError):
+                        continue
+                    for k, fr in zip(picks, frames):
+                        ids.append(did)
+                        fno.append(k)
+                        fb.append(int(round(to_luminance(fr).mean())))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "frame_no": pd.Series(fno, dtype="int32"),
+                        "frame_byte": pd.Series(fb, dtype="int32"),
+                    }
+                )
+
+        return media_df.mapInPandas(_real, schema=schema)
+    if codec != "stub":
+        raise ValueError(f"unknown codec {codec!r}")
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,7 +241,7 @@ def resize_media(media_df: DataFrame, *, out_w: int = 32, out_h: int = 32,
     """
     size = out_w * out_h
     if codec == "real":
-        from ..kernels.png import decode_png, is_png
+        from ..kernels.media import decode_image, to_luminance
 
         def _real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -195,14 +249,12 @@ def resize_media(media_df: DataFrame, *, out_w: int = 32, out_h: int = 32,
                 for did, blob in zip(
                     pdf["doc_id"].values, pdf["media"].values
                 ):
-                    if blob is None or not is_png(bytes(blob)):
+                    if blob is None:
                         continue
                     try:
-                        px = decode_png(bytes(blob))
+                        px = to_luminance(decode_image(blob))
                     except (ValueError, NotImplementedError):
                         continue
-                    if px.ndim == 3:
-                        px = px.mean(axis=2)
                     h, w = px.shape
                     yi = (
                         np.arange(out_h, dtype=np.float64) * h / out_h
@@ -315,23 +367,23 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def image_pixel_stats(media_df: DataFrame) -> DataFrame:
-    """REAL pixel-level feature extraction for PNG payloads: each blob
-    is fully decoded by the pure-stdlib codec (``kernels/png.py`` —
-    zlib inflate + scanline unfiltering) and reduced to per-image
-    pixel statistics; non-PNG / undecodable rows are dropped (the
+    """REAL pixel-level feature extraction for image payloads: each
+    blob is fully decoded by the pure-stdlib codecs (PNG/baseline
+    JPEG/GIF/BMP via the ``kernels/media.py`` dispatch) and reduced to
+    per-image pixel statistics; undecodable rows are dropped (the
     standard select-what-you-can-decode pipeline shape). Arrow-batched
     ``mapInPandas``; each task decodes only its own partition's blobs.
     """
-    from ..kernels.png import decode_png, is_png
+    from ..kernels.media import decode_image
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf["doc_id"].values, pdf["media"].values):
-                if blob is None or not is_png(bytes(blob)):
+                if blob is None:
                     continue
                 try:
-                    px = decode_png(bytes(blob))
+                    px = decode_image(blob)
                 except (ValueError, NotImplementedError):
                     continue
                 h, w = px.shape[:2]

@@ -155,7 +155,8 @@ def test_decode_media_real_and_pixel_stats(spark):
     for k, v in imgs.items():
         px = v.astype(np.float64)
         if px.ndim == 3:
-            px = px.mean(axis=2)
+            # luminance drops alpha (kernels/media.py to_luminance)
+            px = px[..., :3].mean(axis=2)
         h, w = px.shape
         yi = np.minimum((np.arange(3) * h / 3).astype(int), h - 1)
         xi = np.minimum((np.arange(4) * w / 4).astype(int), w - 1)
