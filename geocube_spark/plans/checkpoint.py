@@ -138,6 +138,11 @@ def _gc_uncommitted(path: str, committed_ids: set) -> list:
     return removed
 
 
+def cluster_order(ntx: int, nty: int) -> int:
+    """Hilbert order covering an ``ntx x nty`` tile grid."""
+    return max(1, int(max(ntx, nty) - 1).bit_length())
+
+
 def write_cube(
     chunks: DataFrame,
     path: str,
@@ -146,6 +151,7 @@ def write_cube(
     commit_batches: int = 4,
     fail_after: int | None = None,
     verify_input: bool = False,
+    cluster: dict | None = None,
 ) -> WriteReport:
     """Write a chunk DataFrame as a sequence of committed snapshots.
 
@@ -158,14 +164,46 @@ def write_cube(
     The batch key is ``pmod(tile_id, n_buckets) % commit_batches`` —
     deterministic from the data, so resume selects exactly the rows
     that were never committed, regardless of input order.
+
+    ``cluster={"scheme": "hilbert", "ntx": int, "nty": int,
+    "n_files": int}`` sorts every batch's rows by the Hilbert key of
+    the tile coordinate (``grid/hilbert.py``) and range-partitions
+    them into ``n_files`` (default 8) files per batch, so each data
+    file's ``cluster_key`` min/max covers a narrow, spatially-compact
+    key run.  ``read_cube_window`` then prunes row groups with an
+    OR-of-BETWEENs over the window's Hilbert ranges — file-level
+    skipping a row-major ``tile_id`` envelope cannot provide (a 2-D
+    window intersects one short id run per tile ROW, so its single
+    BETWEEN spans nearly the whole table).  The clustering spec is
+    recorded in every manifest; resume validates it like the other
+    split parameters.
     """
     os.makedirs(path, exist_ok=True)
+    if cluster is not None:
+        scheme = cluster.get("scheme", "hilbert")
+        if scheme != "hilbert":
+            raise ValueError(f"unknown cluster scheme {scheme!r}")
+        cluster = {
+            "scheme": "hilbert",
+            "ntx": int(cluster["ntx"]),
+            "nty": int(cluster["nty"]),
+            "n_files": int(cluster.get("n_files", 8)),
+        }
+        cluster["order"] = cluster_order(cluster["ntx"], cluster["nty"])
     prior = _list_manifests(path)
     # resume safety: skipping a committed batch is only valid when the
     # deterministic row->batch split is THE SAME split the prior
     # manifests were written with — otherwise rows silently go missing
     # or double. Both parameters are recorded in every manifest.
     for m in prior:
+        if m.get("cluster") != cluster:
+            raise ValueError(
+                f"resume parameter mismatch at {path}: prior snapshot "
+                f"{m.get('snapshot_id')} was written with "
+                f"cluster={m.get('cluster')}; this call uses "
+                f"cluster={cluster}. Use the original parameters or "
+                "write to a fresh path"
+            )
         if (m.get("n_buckets"), m.get("commit_batches")) != (
             n_buckets, commit_batches,
         ):
@@ -184,6 +222,18 @@ def write_cube(
     withb = chunks.withColumn(
         "cell_bucket", F.pmod(F.col("tile_id"), F.lit(n_buckets))
     )
+    if cluster is not None:
+        from ..grid.hilbert import with_hilbert_key
+
+        ntx = cluster["ntx"]
+        withb = with_hilbert_key(
+            withb.withColumn(
+                "__ctx", F.pmod(F.col("tile_id"), F.lit(ntx))
+            ).withColumn(
+                "__cty", F.floor(F.col("tile_id") / ntx).cast("long")
+            ),
+            "__ctx", "__cty", cluster["order"], "cluster_key",
+        ).drop("__ctx", "__cty")
     # one materialization of the (expensive) upstream pipeline; the
     # per-batch filters below read the cache instead of re-burning
     withb = withb.persist()
@@ -220,14 +270,14 @@ def write_cube(
     try:
         return _write_batches(
             withb, path, n_buckets, commit_batches, fail_after,
-            done_batches, parent, report,
+            done_batches, parent, report, cluster,
         )
     finally:
         withb.unpersist()
 
 
 def _write_batches(withb, path, n_buckets, commit_batches, fail_after,
-                   done_batches, parent, report):
+                   done_batches, parent, report, cluster=None):
     new_commits = 0
     for batch in range(commit_batches):
         if batch in done_batches:
@@ -246,7 +296,8 @@ def _write_batches(withb, path, n_buckets, commit_batches, fail_after,
         part = part.persist()
         try:
             _commit_one(part, path, data_dir, snapshot_id, parent, batch,
-                        n_buckets, commit_batches, t0, report)
+                        n_buckets, commit_batches, t0, report,
+                        cluster=cluster)
         finally:
             part.unpersist()
         parent = snapshot_id
@@ -255,9 +306,19 @@ def _write_batches(withb, path, n_buckets, commit_batches, fail_after,
 
 
 def _commit_one(part, path, data_dir, snapshot_id, parent, batch,
-            n_buckets, commit_batches, t0, report, kind=None):
+            n_buckets, commit_batches, t0, report, kind=None,
+            cluster=None):
+    towrite = part
+    if cluster is not None:
+        # range-partition so each of the batch's files covers a
+        # narrow, contiguous hilbert-key run -> tight parquet min/max
+        # stats on cluster_key; sortWithinPartitions keeps every ROW
+        # GROUP inside a file narrow too
+        towrite = part.repartitionByRange(
+            cluster["n_files"], F.col("cluster_key")
+        ).sortWithinPartitions("cluster_key")
     (
-        part.write.mode("overwrite")
+        towrite.write.mode("overwrite")
         .partitionBy("zoom", "cell_bucket")
         .parquet(data_dir)
     )
@@ -284,6 +345,7 @@ def _commit_one(part, path, data_dir, snapshot_id, parent, batch,
         "parent_id": parent,
         "batch": batch,
         **({"kind": kind} if kind else {}),
+        **({"cluster": cluster} if cluster else {}),
         "n_buckets": n_buckets,
         "commit_batches": commit_batches,
         "data_dir": f"data/snap={snapshot_id}",
@@ -435,6 +497,23 @@ def read_cube_window(spark: SparkSession, path: str, geobox,
         & F.floor(F.col("tile_id") / ntx).between(ty0, ty1)
         & F.pmod(F.col("tile_id"), F.lit(ntx)).between(tx0, tx1)
     )
+    cluster = manifests[-1].get("cluster") if manifests else None
+    if cluster and cluster.get("scheme") == "hilbert":
+        # hilbert-clustered layout: the window becomes a handful of
+        # contiguous cluster_key ranges; each BETWEEN disjunct prunes
+        # at parquet row-group min/max level (row-major tile_id's one
+        # envelope cannot — it spans nearly the full id space for any
+        # 2-D window)
+        from ..grid.hilbert import hilbert_ranges, ranges_predicate
+
+        order = int(cluster["order"])
+        side = 1 << order
+        ranges = hilbert_ranges(
+            min(tx0, side - 1), min(tx1, side - 1),
+            min(ty0, side - 1), min(ty1, side - 1),
+            order, max_ranges=32,
+        )
+        cond = ranges_predicate(F.col("cluster_key"), ranges) & cond
     if n_buckets:
         buckets = set()
         for ty in range(ty0, ty1 + 1):
@@ -491,12 +570,21 @@ def compact_snapshots(spark: SparkSession, path: str) -> WriteReport:
     # (millis, batch) sort contract and after same-millis batches
     snapshot_id = f"{int(time.time() * 1000)}-999999"
     data_dir = os.path.join(path, "data", f"snap={snapshot_id}")
-    part = df.repartition(max(1, int(n_buckets)), "cell_bucket").persist()
+    cluster = last.get("cluster")
+    if cluster:
+        # clustered layout: _commit_one re-applies the hilbert range
+        # sort (cluster_key is already a data column), so the rewrite
+        # stays skippable after compaction
+        part = df.persist()
+    else:
+        part = df.repartition(
+            max(1, int(n_buckets)), "cell_bucket"
+        ).persist()
     try:
         _commit_one(
             part, path, data_dir, snapshot_id, last["snapshot_id"],
             -1, n_buckets, last["commit_batches"], t0, report,
-            kind="compaction",
+            kind="compaction", cluster=cluster,
         )
     finally:
         part.unpersist()
