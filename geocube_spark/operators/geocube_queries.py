@@ -203,6 +203,45 @@ FROM c GROUP BY 1 ORDER BY parent_id
 """
 
 
+def q_hilbert_cover(spark, sf_dir):
+    """Hilbert space-filling-curve keys (``grid/hilbert.py``) for
+    every event point on the order-12 equirect tile grid — the key
+    ``write_cube(cluster=...)`` sorts data files by. The Spark side
+    is the staged Column program (one cheap projection per bit level,
+    all JVM-side); the oracle is :func:`hilbert_key_sql`'s CTE chain
+    re-deriving the identical per-level transform, so a hash match
+    proves the xy->d bit algorithm bit-for-bit on 10k real points."""
+    from ..grid.hilbert import with_hilbert_key
+
+    order = 12
+    n = 1 << order
+    pts = _event_points(spark, sf_dir)
+    cell = equirect_cell_id_col(F.col("lon"), F.col("lat"), order)
+    base = pts.select(
+        "event_id",
+        (cell % n).alias("tx"),
+        (cell / n).cast("long").alias("ty"),
+    )
+    return (
+        with_hilbert_key(base, "tx", "ty", order, "hilbert_key")
+        .select("event_id", "hilbert_key")
+        .orderBy("event_id")
+    )
+
+
+def _sql_hilbert_cover():
+    from ..grid.hilbert import hilbert_key_sql
+
+    tx = (f"least(4095, greatest(0, "
+          f"floor(({_LON_SQL} + 180.0) / 360.0 * 4096.0)))")
+    ty = (f"least(4095, greatest(0, "
+          f"floor((90.0 - ({_LAT_SQL})) / 180.0 * 4096.0)))")
+    return hilbert_key_sql(tx, ty, 12, "events") + " ORDER BY event_id"
+
+
+SQL_HILBERT_COVER = _sql_hilbert_cover()
+
+
 def q_s2_cover(spark, sf_dir):
     """S2-scheme spherical cell cover: level-12 cell id + level-5
     parent for every event point (``grid/s2.py`` — cube faces,
@@ -2352,6 +2391,10 @@ EXTRA_QUERIES = {
     # oracle-checked here (check_oracle.py --extra) + pytest-covered
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
     "tile_rollup": (q_tile_rollup, SQL_TILE_ROLLUP),
+    # hilbert_cover: the clustering key behind write_cube(cluster=...)
+    # data skipping, oracle-checked (full SQL CTE chain) like the
+    # other index schemes; window stays pinned at 50
+    "hilbert_cover": (q_hilbert_cover, SQL_HILBERT_COVER),
     # spatial_join_radius: outside the 50-slot driver window but
     # oracle-checked by scripts/check_oracle.py --extra and pinned by
     # brute-force-parity tests; the pip variant occupies the window
