@@ -143,6 +143,54 @@ def cluster_order(ntx: int, nty: int) -> int:
     return max(1, int(max(ntx, nty) - 1).bit_length())
 
 
+_STATS_COLS = ("tile_id", "cluster_key")
+
+
+def _collect_file_stats(data_dir: str, table_root: str) -> list[dict]:
+    """Per-data-file column stats for the snapshot manifest (Iceberg's
+    manifest-entry shape): relative path, row count, and [min, max] of
+    ``tile_id`` / ``cluster_key`` folded across the file's row groups.
+
+    Driver-side and O(files in THIS snapshot) — footers are read once
+    at commit time so that readers never have to. At 100 TB the
+    windowed reader prunes on these recorded stats BEFORE handing
+    paths to Spark, skipping both the file listing and the footer
+    reads for everything outside the window."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for root, _dirs, files in os.walk(data_dir):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fname)
+            md = pq.ParquetFile(fp).metadata
+            names = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            ent: dict = {
+                "path": os.path.relpath(fp, table_root),
+                "rows": md.num_rows,
+            }
+            for col in _STATS_COLS:
+                if col not in names:
+                    continue
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(names[col]).statistics
+                    if s is None or not s.has_min_max:
+                        ok = False
+                        break
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+                if ok and mn is not None:
+                    ent[col] = [int(mn), int(mx)]
+            entries.append(ent)
+    return entries
+
+
 def write_cube(
     chunks: DataFrame,
     path: str,
@@ -350,6 +398,7 @@ def _commit_one(part, path, data_dir, snapshot_id, parent, batch,
         "commit_batches": commit_batches,
         "data_dir": f"data/snap={snapshot_id}",
         "lineage_dir": f"lineage/snap={snapshot_id}",
+        "files": _collect_file_stats(data_dir, path),
         "metrics": {
             "rows": int(stats["rows"] or 0),
             "cells": int(stats["cells"] or 0),
@@ -456,16 +505,23 @@ def read_cube_window(spark: SparkSession, path: str, geobox,
     """Spatially-pruned cube read: only the chunks whose tiles
     intersect ``bbox`` (minx, miny, maxx, maxy in the cube's CRS).
 
-    Pruning happens at three levels, all metadata-driven — the query
+    Pruning happens at four levels, all metadata-driven — the query
     never scans the 100 TB table to find a city-sized window:
 
-    1. **partition pruning** — the candidate tiles' ``cell_bucket``
-       values (buckets recorded in the snapshot manifests) become an
-       ``IN`` filter on the partition column, so non-matching
-       ``cell_bucket=`` directories are never listed;
-    2. **row-group pruning** — a ``tile_id BETWEEN`` envelope predicate
-       is pushed to the parquet reader's min/max statistics;
-    3. an exact tile-rectangle predicate (div/mod arithmetic) drops
+    1. **manifest file pruning** — every snapshot manifest records
+       per-file ``tile_id`` / ``cluster_key`` [min, max] (collected
+       once at commit time); files whose recorded stats cannot
+       intersect the window are dropped DRIVER-SIDE, before Spark
+       ever lists a directory or reads a footer;
+    2. **partition pruning** — the candidate tiles' ``cell_bucket``
+       values become an ``IN`` filter on the partition column, so
+       non-matching ``cell_bucket=`` directories are never listed
+       (and the same residue test prunes the manifest file list);
+    3. **row-group pruning** — a ``tile_id BETWEEN`` envelope
+       predicate (plus, on hilbert-clustered tables, an
+       OR-of-BETWEENs over the window's curve ranges) is pushed to
+       the parquet reader's min/max statistics;
+    4. an exact tile-rectangle predicate (div/mod arithmetic) drops
        the envelope's false positives after the scan.
     """
     minx, miny, maxx, maxy = (float(v) for v in bbox)
@@ -490,14 +546,16 @@ def read_cube_window(spark: SparkSession, path: str, geobox,
     if tx1 < tx0 or ty1 < ty0:
         return df.limit(0)
 
-    manifests = _list_manifests(path)
-    n_buckets = manifests[-1].get("n_buckets") if manifests else None
+    all_manifests = _list_manifests(path)
+    active = _active_manifests(_as_of_prefix(all_manifests, as_of))
+    n_buckets = active[-1].get("n_buckets") if active else None
     cond = (
         F.col("tile_id").between(ty0 * ntx + tx0, ty1 * ntx + tx1)
         & F.floor(F.col("tile_id") / ntx).between(ty0, ty1)
         & F.pmod(F.col("tile_id"), F.lit(ntx)).between(tx0, tx1)
     )
-    cluster = manifests[-1].get("cluster") if manifests else None
+    ranges = None
+    cluster = active[-1].get("cluster") if active else None
     if cluster and cluster.get("scheme") == "hilbert":
         # hilbert-clustered layout: the window becomes a handful of
         # contiguous cluster_key ranges; each BETWEEN disjunct prunes
@@ -514,6 +572,7 @@ def read_cube_window(spark: SparkSession, path: str, geobox,
             order, max_ranges=32,
         )
         cond = ranges_predicate(F.col("cluster_key"), ranges) & cond
+    buckets = None
     if n_buckets:
         buckets = set()
         for ty in range(ty0, ty1 + 1):
@@ -528,7 +587,51 @@ def read_cube_window(spark: SparkSession, path: str, geobox,
             )
         if len(buckets) < n_buckets:
             cond = F.col("cell_bucket").isin(sorted(buckets)) & cond
+        else:
+            buckets = None
+
+    # level-1 pruning: select data FILES from the recorded manifest
+    # stats (older tables without "files" fall back to dir reads)
+    nonempty = [
+        m for m in active
+        if m.get("metrics", {}).get("rows", 1) > 0
+    ]
+    if nonempty and all("files" in m for m in nonempty):
+        env_lo, env_hi = ty0 * ntx + tx0, ty1 * ntx + tx1
+        kept = []
+        for m in nonempty:
+            for ent in m["files"]:
+                if ent.get("rows", 1) == 0:
+                    continue
+                t = ent.get("tile_id")
+                if t is not None and (t[1] < env_lo or t[0] > env_hi):
+                    continue
+                ck = ent.get("cluster_key")
+                if ranges is not None and ck is not None and not any(
+                    not (hi < ck[0] or lo > ck[1]) for lo, hi in ranges
+                ):
+                    continue
+                if buckets is not None:
+                    b = _bucket_from_path(ent["path"])
+                    if b is not None and b not in buckets:
+                        continue
+                kept.append(os.path.join(path, ent["path"]))
+        if not kept:
+            return df.limit(0)
+        df = spark.read.option("basePath", path).parquet(*kept)
     return df.filter(cond)
+
+
+def _bucket_from_path(rel_path: str):
+    """``cell_bucket`` partition value encoded in a data-file path,
+    or None when absent."""
+    for part in rel_path.split(os.sep):
+        if part.startswith("cell_bucket="):
+            try:
+                return int(part.split("=", 1)[1])
+            except ValueError:
+                return None
+    return None
 
 
 def snapshots(path: str) -> list[dict]:

@@ -133,6 +133,68 @@ def test_clustered_window_parity_and_skipping(spark, geobox, chunks,
         plain_hit / len(plain_stats))
 
 
+def test_manifest_file_pruning(spark, geobox, chunks, tmp_path):
+    """Level-1 pruning: the windowed reader hands Spark ONLY the data
+    files whose manifest-recorded stats can intersect the window —
+    checked via inputFiles(), i.e. what the scan would actually open."""
+    clustered = str(tmp_path / "h")
+    CP.write_cube(
+        chunks, clustered, n_buckets=8, commit_batches=2,
+        cluster={"scheme": "hilbert", "ntx": NTX, "nty": NTY,
+                 "n_files": 8},
+    )
+    total = len(_parquet_files(clustered))
+    manifests = CP.snapshots(clustered)
+    assert all("files" in m for m in manifests)
+    assert sum(len(m["files"]) for m in manifests) == total
+    # every entry carries both stat columns
+    for m in manifests:
+        for ent in m["files"]:
+            assert "tile_id" in ent and "cluster_key" in ent
+
+    bbox = (5 * TILE, NTY * TILE - 143, 9 * TILE - 1, NTY * TILE - 80)
+    got = CP.read_cube_window(spark, clustered, geobox, TILE, bbox)
+    opened = got.inputFiles()
+    assert 0 < len(opened) <= 0.5 * total
+    want = {
+        tid for tid in range(NTX * NTY)
+        if 5 <= tid % NTX <= 8 and 5 <= tid // NTX <= 8
+    }
+    tiles = {r["tile_id"] for r in got.select("tile_id").collect()}
+    assert tiles == want
+
+
+def test_window_read_without_file_stats_falls_back(spark, geobox,
+                                                   chunks, tmp_path):
+    """Tables written before manifests recorded per-file stats still
+    read correctly (dir-level read + predicate pruning only)."""
+    import json as J
+
+    path = str(tmp_path / "legacy")
+    CP.write_cube(
+        chunks, path, n_buckets=8, commit_batches=2,
+        cluster={"scheme": "hilbert", "ntx": NTX, "nty": NTY,
+                 "n_files": 8},
+    )
+    mdir = os.path.join(path, "_manifests")
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        fp = os.path.join(mdir, name)
+        with open(fp) as f:
+            m = J.load(f)
+        m.pop("files", None)
+        with open(fp, "w") as f:
+            J.dump(m, f)
+    bbox = (5 * TILE, NTY * TILE - 143, 9 * TILE - 1, NTY * TILE - 80)
+    got = CP.read_cube_window(spark, path, geobox, TILE, bbox)
+    want = {
+        tid for tid in range(NTX * NTY)
+        if 5 <= tid % NTX <= 8 and 5 <= tid // NTX <= 8
+    }
+    assert {r["tile_id"] for r in got.select("tile_id").collect()} == want
+
+
 def test_cluster_resume_param_mismatch(spark, chunks, tmp_path):
     path = str(tmp_path / "c")
     spec = {"scheme": "hilbert", "ntx": NTX, "nty": NTY}
