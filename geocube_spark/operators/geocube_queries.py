@@ -1798,6 +1798,40 @@ def q_geopackage_roundtrip(spark, sf_dir):
 SQL_GPKG_RT = SQL_SHAPEFILE_RT
 
 
+def q_geoparquet_roundtrip(spark, sf_dir):
+    """GeoParquet (OGC spec) sink + source roundtrip
+    (sources/geoparquet.py — the 'geo' footer + WKB column on plain
+    pyarrow; the reference reaches this format through geopandas/
+    pyogrio). Every 50th event point writes through the distributed
+    parts-mode writer WITH the spec's per-row bbox covering column,
+    reads back via spark.read.parquet, and decodes to the exact input
+    doubles; the footer metadata must also parse and validate."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.geoparquet import read_geoparquet, write_geoparquet
+
+    vec = _event_vector_df(spark, sf_dir).filter(F.col("seq") % 50 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(), f"geocube_gpq_rt_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_geoparquet(
+        vec.select(
+            F.col("seq").alias("event_id"), "value", "geometry_wkb"
+        ),
+        path, wkb_col="geometry_wkb", epsg=4326, covering=True,
+    )
+    back, meta = read_geoparquet(spark, path)
+    assert meta["encoding"] == "WKB" and meta["crs_epsg"] == 4326
+    assert meta["geometry_types"] == ["Point"]
+    return _decode_point_coords(back).orderBy("event_id")
+
+
+SQL_GEOPARQUET_RT = SQL_SHAPEFILE_RT
+
+
 def q_geotiff_roundtrip(spark, sf_dir):
     """GeoTIFF raster sink + distributed source roundtrip (the raster
     interchange the reference delegates to rioxarray/GDAL;
@@ -2395,6 +2429,9 @@ EXTRA_QUERIES = {
     # data skipping, oracle-checked (full SQL CTE chain) like the
     # other index schemes; window stays pinned at 50
     "hilbert_cover": (q_hilbert_cover, SQL_HILBERT_COVER),
+    # geoparquet_roundtrip: OGC GeoParquet footer + covering bbox
+    # column through the parts-mode writer and back
+    "geoparquet_roundtrip": (q_geoparquet_roundtrip, SQL_GEOPARQUET_RT),
     # spatial_join_radius: outside the 50-slot driver window but
     # oracle-checked by scripts/check_oracle.py --extra and pinned by
     # brute-force-parity tests; the pip variant occupies the window
