@@ -1,0 +1,398 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and interval join.
+
+Event streams joined to slowly-changing state ("price as of this
+click") and to time ranges ("events inside this session window") are
+the two joins every time-series pipeline needs and vanilla Spark SQL
+cannot express without a cartesian or a single-task sort. Both are
+implemented here as pure Catalyst column programs — no Python UDFs,
+no ``crossJoin`` — with explicitly bounded shuffles:
+
+* ``asof_join``     — pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+  semantics. Keyed path: ONE equi-shuffle on the ``by`` keys, a
+  union-tag-sort-fill window per key (the classic distributed as-of).
+  Keyless path: the time axis is range-bucketed and a per-bucket
+  "carry" aggregate (tiny, O(buckets) rows) forward-propagates the
+  last match across bucket boundaries — a parallel prefix scan, so no
+  single-task window ever sees the full data.
+* ``interval_join`` — join points ``t`` to intervals ``[start, end]``
+  by chunking the time axis: intervals explode to the chunks they
+  overlap (chunk width >= the longest interval, so <= 2 copies each,
+  measured and reported), points land in exactly one chunk, and the
+  match is ONE equi-join on (keys..., chunk) + an exact range filter.
+  Each qualifying pair is produced exactly once (a point lives in one
+  chunk), so no dedup pass is needed.
+
+Scale notes (100 TB): the keyed as-of shuffles each side once by the
+join keys — the same cost as any equi-join, skew handled by AQE. The
+keyless as-of's only global step is an O(buckets) aggregate the driver
+never collects (broadcast-joined back). The interval join's blow-up
+factor is ``ceil(len/chunk)+1 <= 2`` copies per interval by
+construction; callers with one pathological mega-interval can pass an
+explicit ``chunk`` and accept more copies of that row instead of a
+wider join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MICROS = 1_000_000
+
+
+def _as_micros(col, dtype_name: str):
+    """Numeric time axis: epoch micros for timestamp/date columns,
+    the raw value (cast long if integral, kept double if fractional)
+    otherwise. Ordering-preserving and exact for integer arithmetic."""
+    if dtype_name.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp"))
+    if dtype_name == "date":
+        return F.unix_micros(col.cast("timestamp"))
+    if dtype_name in ("double", "float", "decimal"):
+        return col.cast("double")
+    return col.cast("long")
+
+
+def _tol_micros(tolerance, dtype_name: str):
+    """Tolerance in the same unit as the internal axis: seconds ->
+    micros for timestamps, verbatim for numeric axes."""
+    if tolerance is None:
+        return None
+    if dtype_name.startswith("timestamp") or dtype_name == "date":
+        return int(round(float(tolerance) * _MICROS))
+    return tolerance
+
+
+def _dtype_of(df: DataFrame, name: str) -> str:
+    for f in df.schema.fields:
+        if f.name == name:
+            return f.dataType.simpleString()
+    raise ValueError(f"column {name!r} not found in {df.columns}")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    right_on: Optional[str] = None,
+    by: Union[str, Sequence[str], None] = None,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_r",
+    how: str = "left",
+    buckets: int = 64,
+) -> DataFrame:
+    """As-of join: attach to each left row the single right row that is
+    nearest in time on the ``direction`` side, matching ``by`` keys
+    exactly — pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics
+    (``backward``: largest right time <= left time, inclusive;
+    ``forward``: smallest right time >= left time, inclusive;
+    ``nearest``: whichever of the two is closer, backward on ties).
+
+    ``tolerance`` (seconds for timestamp axes, axis units for numeric
+    ones) drops matches farther than that. ``how='left'`` keeps
+    unmatched left rows with NULL right columns; ``how='inner'`` drops
+    them. Right columns keep their names, ``suffix``-renamed on
+    collision with a left name. If several right rows share the exact
+    same (keys, time), the one with the greatest column-struct value
+    wins — arbitrary but deterministic under any partitioning/retry.
+
+    Physical plan, keyed: tag + union both sides, ONE hash exchange on
+    ``by``, per-key sort, ``last(..., ignorenulls)`` running fill —
+    Spark's exchange/sort machinery does all the work, nothing
+    single-task. Keyless: the same fill partitioned by a range bucket
+    of the time axis (``buckets`` of them), then a per-bucket carry
+    aggregate (O(buckets) rows, broadcast back) propagates matches
+    across bucket boundaries — a two-level parallel prefix scan.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"unsupported how {how!r}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    right_on = right_on or on
+    keys = [by] if isinstance(by, str) else list(by or [])
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"by-key {k!r} must exist on both sides")
+
+    dtype = _dtype_of(left, on)
+    tol = _tol_micros(tolerance, dtype)
+
+    if direction == "nearest":
+        b = asof_join(left, right, on=on, right_on=right_on, by=by,
+                      direction="backward", tolerance=tolerance,
+                      suffix=suffix, how="left", buckets=buckets)
+        f = asof_join(left, right, on=on, right_on=right_on, by=by,
+                      direction="forward", tolerance=tolerance,
+                      suffix=suffix, how="left", buckets=buckets)
+        return _pick_nearest(left, b, f, on, right_on, keys, suffix,
+                             how, dtype)
+
+    # Right payload: every right column except the by-keys (their
+    # values equal the left's). The time column rides inside so the
+    # tolerance filter and the caller both see it.
+    payload_cols = [c for c in right.columns if c not in keys]
+    lcols = list(left.columns)
+    out_names = {
+        c: (c + suffix if c in lcols else c) for c in payload_cols
+    }
+
+    l_pre = left.select(
+        *[F.col(c) for c in lcols],
+        _as_micros(F.col(on), dtype).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
+            ).schema["__p"].dataType.simpleString()
+        ).alias("__rrow"),
+    )
+    r_pre = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in left.schema.fields if f.name not in keys],
+        _as_micros(F.col(right_on), _dtype_of(right, right_on))
+        .alias("__t"),
+        F.lit(0).alias("__tag"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__rrow"),
+    ).select(*lcols, "__t", "__tag", "__rrow")
+
+    u = l_pre.unionByName(r_pre)
+
+    # Sort so the qualifying right row is the last non-null __rrow
+    # strictly before-or-at each left row. Inclusive matching needs
+    # right rows (tag 0) ahead of left rows at equal time; __rrow last
+    # makes equal-time right duplicates deterministic (greatest wins).
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__tag").asc(),
+                 F.col("__rrow").asc_nulls_first()]
+    else:  # forward: reverse time, same tag/tie logic
+        order = [F.col("__t").desc(), F.col("__tag").asc(),
+                 F.col("__rrow").asc_nulls_first()]
+
+    if keys:
+        w = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        filled = u.withColumn(
+            "__match", F.last("__rrow", ignorenulls=True).over(w)
+        )
+    else:
+        filled = _keyless_fill(u, order, direction, buckets)
+
+    res = filled.filter(F.col("__tag") == 1)
+
+    mt = _as_micros(
+        F.col("__match").getField(right_on), _dtype_of(right, right_on)
+    )
+    if tol is not None:
+        within = (
+            (F.col("__t") - mt <= F.lit(tol)) if direction == "backward"
+            else (mt - F.col("__t") <= F.lit(tol))
+        )
+        res = res.withColumn(
+            "__match",
+            F.when(within, F.col("__match")).otherwise(F.lit(None)),
+        )
+    if how == "inner":
+        res = res.filter(F.col("__match").isNotNull())
+
+    return res.select(
+        *[F.col(c) for c in lcols],
+        *[F.col("__match").getField(c).alias(out_names[c])
+          for c in payload_cols],
+    )
+
+
+def _keyless_fill(u: DataFrame, order, direction: str,
+                  buckets: int) -> DataFrame:
+    """Range-bucketed running fill + cross-bucket carry: the keyless
+    as-of without a single-task window. The only global objects are
+    the 2-row min/max aggregate and the O(buckets)-row carry table
+    (both broadcast), never the data."""
+    lo, hi = u.select(F.min("__t"), F.max("__t")).first()
+    if lo is None or hi is None or buckets == 1 or hi <= lo:
+        w = (Window.orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return u.withColumn(
+            "__match", F.last("__rrow", ignorenulls=True).over(w)
+        )
+    width = (int(hi) - int(lo) + buckets) // buckets \
+        if isinstance(lo, int) else (hi - lo) / buckets
+    b = F.least(
+        F.greatest(
+            ((F.col("__t") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(buckets - 1),
+    )
+    u = u.withColumn("__b", b)
+    w = (Window.partitionBy("__b").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = u.withColumn(
+        "__match", F.last("__rrow", ignorenulls=True).over(w)
+    )
+
+    # Carry: the winning right row of each whole bucket, propagated to
+    # every later (backward) / earlier (forward) bucket. max/min over
+    # (t, tiebreak-struct) picks exactly the row the in-bucket fill
+    # would have picked. O(buckets) rows end-to-end.
+    pick = F.struct(F.col("__t"), F.col("__rrow"))
+    per_bucket = (
+        u.filter(F.col("__tag") == 0)
+        .groupBy("__b")
+        .agg((F.max(pick) if direction == "backward" else F.min(pick))
+             .alias("__best"))
+    )
+    cw = (
+        Window.orderBy(
+            F.col("__b").asc() if direction == "backward"
+            else F.col("__b").desc()
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    all_buckets = u.select("__b").distinct()
+    carry = (
+        all_buckets.join(per_bucket, "__b", "left")
+        .withColumn("__carry",
+                    F.last("__best", ignorenulls=True).over(cw))
+        .select("__b", F.col("__carry").getField("__rrow")
+                .alias("__carry_row"))
+    )
+    return (
+        filled.join(F.broadcast(carry), "__b", "left")
+        .withColumn("__match",
+                    F.coalesce(F.col("__match"), F.col("__carry_row")))
+        .drop("__b", "__carry_row")
+    )
+
+
+def _pick_nearest(left, b, f, on, right_on, keys, suffix, how, dtype):
+    """Combine the backward and forward passes of a 'nearest' as-of:
+    per left row take the side with the smaller |dt| (backward on
+    ties). Joined back on the left's own columns, which the caller
+    must make row-unique (pandas requires the same)."""
+    lcols = list(left.columns)
+    rn = right_on + suffix if right_on in lcols else right_on
+    bt = _as_micros(F.col("__bm").getField(rn), dtype)
+    ft = _as_micros(F.col("__fm").getField(rn), dtype)
+    t = _as_micros(F.col(on), dtype)
+    payload = [c for c in b.columns if c not in lcols]
+
+    bb = b.select(*lcols, F.struct(*payload).alias("__bm"))
+    ff = f.select(*lcols, F.struct(*payload).alias("__fm"))
+    j = bb.join(ff, lcols)
+    use_b = F.when(
+        F.col("__bm").getField(rn).isNull(), F.lit(False)
+    ).when(
+        F.col("__fm").getField(rn).isNull(), F.lit(True)
+    ).otherwise((t - bt) <= (ft - t))
+    best = F.when(use_b, F.col("__bm")).otherwise(F.col("__fm"))
+    res = j.select(
+        *lcols, *[best.getField(c).alias(c) for c in payload]
+    )
+    if how == "inner":
+        res = res.filter(F.col(rn if rn in payload else payload[0])
+                         .isNotNull())
+    return res
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    t: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    by: Union[str, Sequence[str], None] = None,
+    chunk=None,
+    how: str = "inner",
+    suffix: str = "_i",
+) -> DataFrame:
+    """Join point rows to every interval row whose ``[start, end]``
+    range contains the point's ``t`` (inclusive both ends), matching
+    ``by`` keys exactly — the SQL ``a.t BETWEEN b.start AND b.end``
+    range join, without the cartesian Spark would otherwise plan.
+
+    Physical plan: the time axis is cut into fixed chunks at least as
+    wide as the longest interval (computed with one tiny aggregate
+    unless ``chunk`` — seconds for timestamp axes — is given), each
+    interval is exploded to the <= 2 chunks it overlaps (JVM-side
+    ``sequence``/``explode``), each point lands in exactly one chunk,
+    and the match is ONE equi-join on (keys..., chunk) followed by the
+    exact range filter. Because a point belongs to exactly one chunk,
+    every qualifying (point, interval) pair appears exactly once — no
+    dedup shuffle. ``how='left'`` keeps points with no containing
+    interval, with NULL interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how {how!r}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    for k in keys:
+        if k not in points.columns or k not in intervals.columns:
+            raise ValueError(f"by-key {k!r} must exist on both sides")
+
+    dt = _dtype_of(points, t)
+    ds = _dtype_of(intervals, start)
+    de = _dtype_of(intervals, end)
+
+    icols = [c for c in intervals.columns if c not in keys]
+    pcols = list(points.columns)
+    out_names = {c: (c + suffix if c in pcols else c) for c in icols}
+
+    ivl = intervals.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in icols],
+        _as_micros(F.col(start), ds).alias("__s"),
+        _as_micros(F.col(end), de).alias("__e"),
+    ).filter(F.col("__s") <= F.col("__e"))
+
+    if chunk is not None:
+        width = _tol_micros(chunk, ds)
+        if width is None or width <= 0:
+            raise ValueError(f"chunk must be positive, got {chunk!r}")
+    else:
+        width = ivl.select(
+            F.max(F.col("__e") - F.col("__s"))
+        ).first()[0]
+        if width is None:
+            width = 1
+        width = max(int(width), 1)
+
+    ivl = ivl.withColumn(
+        "__c",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__s") / F.lit(width)).cast("long"),
+                F.floor(F.col("__e") / F.lit(width)).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("__pt", _as_micros(F.col(t), dt)).withColumn(
+        "__c", F.floor(F.col("__pt") / F.lit(width)).cast("long")
+    )
+
+    on = keys + ["__c"]
+    cond = (F.col("__pt") >= F.col("__s")) & (F.col("__pt") <= F.col("__e"))
+    if how == "inner":
+        res = pts.join(ivl, on, "inner").filter(cond)
+        return res.select(
+            *[F.col(c) for c in pcols],
+            *[F.col(c).alias(out_names[c]) for c in icols],
+        )
+    matched = pts.join(ivl, on, "inner").filter(cond)
+    matched = matched.select(
+        *[F.col(c) for c in pcols],
+        *[F.col(c).alias(out_names[c]) for c in icols],
+    )
+    missing = pts.join(
+        matched.select(*pcols).distinct(), pcols, "left_anti"
+    ).select(
+        *[F.col(c) for c in pcols],
+        *[F.lit(None).cast(_dtype_of(intervals, c)).alias(out_names[c])
+          for c in icols],
+    )
+    return matched.unionByName(missing)

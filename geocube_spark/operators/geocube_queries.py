@@ -2355,6 +2355,89 @@ ORDER BY row, col
 """
 
 
+def q_asof_join_price(spark, sf_dir):
+    """As-of join (functions/temporal.py): each click/view event picks
+    up the latest preceding purchase of the same user — pandas
+    merge_asof / DuckDB ASOF JOIN semantics, implemented as a
+    union-tag-sort-fill window program (one equi-shuffle on the by
+    key, no cartesian, no Python)."""
+    from ..functions.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_price"))
+    )
+    left = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts"
+    )
+    res = asof_join(left, right, on="ts", by="user_id",
+                    direction="backward", how="inner")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("price_t_us"),
+        F.round("last_price", 6).alias("last_price"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF_PRICE = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS last_price
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), l AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type IN ('click', 'view')
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
+       epoch_us(r.ts) AS price_t_us,
+       round(r.last_price, 6) AS last_price
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_interval_join_sessions(spark, sf_dir):
+    """Interval (range) join (functions/temporal.py): events joined to
+    6-hour session windows seeded by every 101st event of the same
+    user — the BETWEEN range join, planned as a chunked equi-join
+    (intervals explode to <= 2 time chunks, points to exactly one;
+    no cartesian)."""
+    from ..functions.temporal import interval_join
+
+    ev = _events(spark, sf_dir)
+    seeds = ev.filter(F.col("event_id") % 101 == 0).select(
+        F.col("event_id").alias("seed_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end"),
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    res = interval_join(pts, seeds, t="ts", start="start", end="end",
+                        by="user_id")
+    return res.select(
+        "event_id",
+        "seed_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    ).orderBy("event_id", "seed_id")
+
+
+SQL_INTERVAL_SESSIONS = """
+WITH s AS (
+  SELECT event_id AS seed_id, user_id, ts AS start_ts,
+         ts + INTERVAL 6 HOUR AS end_ts
+  FROM events WHERE event_id % 101 = 0
+)
+SELECT e.event_id, s.seed_id, e.user_id, epoch_us(e.ts) AS t_us
+FROM events e JOIN s
+  ON e.user_id = s.user_id AND e.ts BETWEEN s.start_ts AND s.end_ts
+ORDER BY e.event_id, s.seed_id
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "burn_points_add": (q_burn_points_add, SQL_BURN_ADD),
@@ -2450,4 +2533,11 @@ EXTRA_QUERIES = {
                                 SQL_INTERP_NEAREST_PARALLEL),
     "band_stats": (q_band_stats, SQL_BAND_STATS),
     "focal_median": (q_focal_median, SQL_FOCAL_MEDIAN),
+    # temporal joins (round 4, functions/temporal.py): as-of join
+    # (DuckDB ASOF JOIN oracle) and interval/range join (BETWEEN
+    # oracle) — both pure-Catalyst, no-cartesian plans, pandas
+    # merge_asof / brute-force parity in tests/test_temporal.py
+    "asof_join_price": (q_asof_join_price, SQL_ASOF_PRICE),
+    "interval_join_sessions": (q_interval_join_sessions,
+                               SQL_INTERVAL_SESSIONS),
 }

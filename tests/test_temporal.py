@@ -1,0 +1,251 @@
+"""asof_join / interval_join vs pandas oracles (merge_asof, brute force).
+
+pandas.merge_asof is the published reference semantics for the as-of
+join (the reference engine's users reach for it after make_geocube
+when aligning event attributes in time); the interval join's oracle is
+a brute-force O(n*m) pandas filter. Both are run over seeded random
+data, keyed and keyless, all directions, with and without tolerance.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.temporal import asof_join, interval_join
+
+
+def _mk(spark, seed=7, n_left=400, n_right=120, n_keys=5):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_left),
+            "k": rng.integers(0, n_keys, n_left),
+            "t": rng.integers(0, 10_000, n_left).astype(np.int64),
+            "lv": rng.normal(size=n_left).round(6),
+        }
+    )
+    # unique (k, t) on the right so every oracle agrees on ties
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "t": rng.integers(0, 10_000, n_right).astype(np.int64),
+            "rv": rng.normal(size=n_right).round(6),
+        }
+    ).drop_duplicates(["k", "t"])
+    return (
+        left,
+        right,
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+    )
+
+
+def _pd_asof(left, right, direction, by, tolerance=None):
+    kw = {}
+    if by:
+        kw["by"] = by
+    if tolerance is not None:
+        kw["tolerance"] = tolerance
+    exp = pd.merge_asof(
+        left.sort_values(["t", "lid"]),
+        right.sort_values("t"),
+        on="t",
+        direction=direction,
+        suffixes=("", "_r"),
+        **kw,
+    )
+    return exp.sort_values("lid").reset_index(drop=True)
+
+
+def _got(df):
+    return (
+        df.toPandas().sort_values("lid").reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_keyed_matches_pandas(spark, direction):
+    left, right, L, R = _mk(spark)
+    got = _got(
+        asof_join(L, R, on="t", by="k", direction=direction)
+    )
+    exp = _pd_asof(left, right, direction, by="k")
+    assert len(got) == len(left)
+    pd.testing.assert_series_equal(
+        got["rv"], exp["rv"], check_names=False
+    )
+    # the matched right time is carried through as t_r
+    if direction != "nearest":
+        matched = got["t_r"].notna()
+        if direction == "backward":
+            assert (got.loc[matched, "t_r"] <= got.loc[matched, "t"]).all()
+        else:
+            assert (got.loc[matched, "t_r"] >= got.loc[matched, "t"]).all()
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("buckets", [1, 7, 64])
+def test_asof_keyless_matches_pandas(spark, direction, buckets):
+    left, right, L, R = _mk(spark, seed=11)
+    # keyless: drop k from the match (keep it as a passthrough column)
+    got = _got(
+        asof_join(L, R.drop("k"), on="t", direction=direction,
+                  buckets=buckets)
+    )
+    exp = _pd_asof(left, right.drop(columns="k").drop_duplicates("t"),
+                   direction, by=None)
+    pd.testing.assert_series_equal(
+        got["rv"], exp["rv"], check_names=False
+    )
+
+
+def test_asof_keyless_sparse_buckets_carry(spark):
+    """Right rows clustered at the start: most buckets have no right
+    row, so matches must flow through the cross-bucket carry."""
+    left = pd.DataFrame({"lid": range(100),
+                         "t": np.arange(100, dtype=np.int64) * 1000})
+    right = pd.DataFrame({"t": np.array([5, 17], dtype=np.int64),
+                          "rv": [1.5, 2.5]})
+    L, R = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = _got(asof_join(L, R, on="t", direction="backward", buckets=32))
+    assert pd.isna(got.loc[0, "rv"])        # t=0 precedes both rights
+    assert (got.loc[1:, "rv"] == 2.5).all()  # t=17 is the latest right
+
+
+def test_asof_tolerance_and_inner(spark):
+    left, right, L, R = _mk(spark, seed=23)
+    tol = 150
+    got = _got(
+        asof_join(L, R, on="t", by="k", direction="backward",
+                  tolerance=tol)
+    )
+    exp = _pd_asof(left, right, "backward", by="k", tolerance=tol)
+    pd.testing.assert_series_equal(
+        got["rv"], exp["rv"], check_names=False
+    )
+    inner = asof_join(L, R, on="t", by="k", direction="backward",
+                      tolerance=tol, how="inner")
+    assert inner.count() == int(exp["rv"].notna().sum())
+
+
+def test_asof_inclusive_equal_time(spark):
+    L = spark.createDataFrame(pd.DataFrame({"lid": [0], "t": [100]}))
+    R = spark.createDataFrame(
+        pd.DataFrame({"t": [100], "rv": [9.0]})
+    )
+    for d in ("backward", "forward"):
+        got = asof_join(L, R, on="t", direction=d).collect()
+        assert got[0]["rv"] == 9.0
+
+
+def test_asof_timestamp_axis_tolerance_seconds(spark):
+    left = pd.DataFrame(
+        {"lid": [0, 1],
+         "t": pd.to_datetime(["2024-01-01 00:10:00",
+                              "2024-01-01 09:00:00"])}
+    )
+    right = pd.DataFrame(
+        {"t": pd.to_datetime(["2024-01-01 00:00:00"]), "rv": [4.0]}
+    )
+    L, R = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = _got(asof_join(L, R, on="t", direction="backward",
+                         tolerance=3600))
+    assert got.loc[0, "rv"] == 4.0          # 10 min back: within 1 h
+    assert pd.isna(got.loc[1, "rv"])        # 9 h back: outside
+
+
+def test_asof_no_cartesian_or_global_sort_on_data(spark):
+    _, _, L, R = _mk(spark)
+    plan = asof_join(L, R, on="t", by="k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # keyless: the windows on the DATA are partitioned by bucket; only
+    # the O(buckets) carry table may sort globally
+    plan2 = asof_join(L, R.drop("k"), on="t", buckets=16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
+    assert "partitionBy=[__b]" in plan2.replace(" ", "") or "__b" in plan2
+
+
+def _mk_intervals(spark, seed=3, n_pts=500, n_ivl=40, n_keys=4):
+    rng = np.random.default_rng(seed)
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n_pts),
+            "k": rng.integers(0, n_keys, n_pts),
+            "t": rng.integers(0, 10_000, n_pts).astype(np.int64),
+        }
+    )
+    s = rng.integers(0, 9_000, n_ivl).astype(np.int64)
+    ivl = pd.DataFrame(
+        {
+            "iid": np.arange(n_ivl),
+            "k": rng.integers(0, n_keys, n_ivl),
+            "start": s,
+            "end": s + rng.integers(0, 2_000, n_ivl),
+        }
+    )
+    return pts, ivl, spark.createDataFrame(pts), spark.createDataFrame(ivl)
+
+
+def _brute_pairs(pts, ivl, by):
+    m = pts.merge(ivl, on=by, how="inner") if by else pts.merge(
+        ivl, how="cross"
+    )
+    m = m[(m["t"] >= m["start"]) & (m["t"] <= m["end"])]
+    return set(zip(m["pid"], m["iid"]))
+
+
+@pytest.mark.parametrize("chunk", [None, 100, 5000])
+def test_interval_join_matches_brute_force(spark, chunk):
+    pts, ivl, P, I = _mk_intervals(spark)
+    got = interval_join(P, I, t="t", by="k", chunk=chunk).toPandas()
+    assert set(zip(got["pid"], got["iid"])) == _brute_pairs(pts, ivl, "k")
+    assert len(got) == len(set(zip(got["pid"], got["iid"])))  # no dups
+
+
+def test_interval_join_keyless_and_boundaries(spark):
+    pts = pd.DataFrame({"pid": [0, 1, 2, 3],
+                        "t": np.array([10, 20, 30, 31], dtype=np.int64)})
+    ivl = pd.DataFrame({"iid": [0],
+                        "start": np.array([10], dtype=np.int64),
+                        "end": np.array([30], dtype=np.int64)})
+    P, I = spark.createDataFrame(pts), spark.createDataFrame(ivl)
+    got = interval_join(P, I, t="t").toPandas()
+    assert sorted(got["pid"]) == [0, 1, 2]  # both ends inclusive
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    pts, ivl, P, I = _mk_intervals(spark, seed=9)
+    got = interval_join(P, I, t="t", by="k", how="left").toPandas()
+    matched = _brute_pairs(pts, ivl, "k")
+    n_matched_pts = len({p for p, _ in matched})
+    assert len(got) == len(matched) + (len(pts) - n_matched_pts)
+    unmatched = got[got["iid"].isna()]
+    assert not (set(unmatched["pid"]) & {p for p, _ in matched})
+
+
+def test_interval_join_no_cartesian(spark):
+    _, _, P, I = _mk_intervals(spark)
+    plan = interval_join(P, I, t="t", by="k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_timestamp_axis(spark):
+    pts = pd.DataFrame(
+        {"pid": [0, 1],
+         "t": pd.to_datetime(["2024-01-01 00:30:00",
+                              "2024-01-01 05:00:00"])}
+    )
+    ivl = pd.DataFrame(
+        {"iid": [0],
+         "start": pd.to_datetime(["2024-01-01 00:00:00"]),
+         "end": pd.to_datetime(["2024-01-01 01:00:00"])}
+    )
+    P, I = spark.createDataFrame(pts), spark.createDataFrame(ivl)
+    got = interval_join(P, I, t="t").toPandas()
+    assert list(got["pid"]) == [0]
