@@ -21,6 +21,17 @@ no ``crossJoin`` — with explicitly bounded shuffles:
   match is ONE equi-join on (keys..., chunk) + an exact range filter.
   Each qualifying pair is produced exactly once (a point lives in one
   chunk), so no dedup pass is needed.
+* ``sessionize``    — gap-based session assignment (a new session
+  starts when the time since the previous same-key event exceeds
+  ``gap``). Keyed: one equi-shuffle + lag/cumsum window. Keyless: the
+  same two-level bucketed prefix scan as the keyless as-of — break
+  flags are local to a time bucket, the cross-bucket break and the
+  running session offset come from an O(buckets) aggregate broadcast
+  back, so no single-task window.
+* ``rolling_agg``   — time-range rolling aggregates (``RANGE BETWEEN
+  w PRECEDING AND CURRENT ROW``) via Spark's native range frame; one
+  shuffle on the keys, the frame scan is streaming within each
+  partition.
 
 Scale notes (100 TB): the keyed as-of shuffles each side once by the
 join keys — the same cost as any equi-join, skew handled by AQE. The
@@ -396,3 +407,181 @@ def interval_join(
           for c in icols],
     )
     return matched.unionByName(missing)
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    t: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    gap,
+    session_col: str = "session_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Gap-based sessionization: assign every row a session index such
+    that consecutive same-key rows more than ``gap`` apart (seconds for
+    timestamp axes, axis units for numeric ones; strictly greater
+    breaks) start a new session. Sessions are numbered 1..n per key in
+    time order — the classic sessionize every clickstream pipeline
+    runs before per-session aggregation.
+
+    Equal timestamps never break a session (dt = 0 <= gap). Output is
+    the input plus ``session_col`` (long).
+
+    Physical plan, keyed: ONE hash exchange on ``by``, a lag to flag
+    breaks, a running sum to number them — all Catalyst window ops.
+    Keyless: a global ordered window would be single-task, so the time
+    axis is range-bucketed (``buckets``); break flags are computed
+    inside each bucket, the boundary break (first row of bucket i vs
+    last row of bucket i-1) and the running break-count offset come
+    from an O(buckets)-row aggregate broadcast back — the same
+    two-level parallel prefix scan as the keyless :func:`asof_join`.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    for k in keys:
+        if k not in df.columns:
+            raise ValueError(f"by-key {k!r} not in {df.columns}")
+    if t not in df.columns:
+        raise ValueError(f"time column {t!r} not in {df.columns}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+
+    dtype = _dtype_of(df, t)
+    g = _tol_micros(gap, dtype)
+    if g is None or g < 0:
+        raise ValueError(f"gap must be >= 0, got {gap!r}")
+
+    cols = list(df.columns)
+    u = df.withColumn("__t", _as_micros(F.col(t), dtype))
+
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__t")
+        brk = F.when(
+            F.col("__t") - F.lag("__t").over(w) > F.lit(g), F.lit(1)
+        ).otherwise(F.lit(0))
+        ws = (Window.partitionBy(*keys).orderBy("__t")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = u.withColumn("__brk", brk).withColumn(
+            session_col, (F.sum("__brk").over(ws) + 1).cast("long")
+        )
+        return out.select(*cols, session_col)
+
+    # Keyless: two-level prefix scan over time buckets.
+    lo, hi = u.select(F.min("__t"), F.max("__t")).first()
+    if lo is None:
+        return df.withColumn(session_col, F.lit(None).cast("long"))
+    if buckets == 1 or hi <= lo:
+        w = Window.orderBy("__t")
+        brk = F.when(
+            F.col("__t") - F.lag("__t").over(w) > F.lit(g), F.lit(1)
+        ).otherwise(F.lit(0))
+        ws = (Window.orderBy("__t")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = u.withColumn("__brk", brk).withColumn(
+            session_col, (F.sum("__brk").over(ws) + 1).cast("long")
+        )
+        return out.select(*cols, session_col)
+
+    width = (int(hi) - int(lo) + buckets) // buckets \
+        if isinstance(lo, int) else (hi - lo) / buckets
+    b = F.least(
+        F.greatest(
+            ((F.col("__t") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(buckets - 1),
+    )
+    u = u.withColumn("__b", b)
+    wb = Window.partitionBy("__b").orderBy("__t")
+    brk = F.when(
+        F.col("__t") - F.lag("__t").over(wb) > F.lit(g), F.lit(1)
+    ).otherwise(F.lit(0))
+    ws = (Window.partitionBy("__b").orderBy("__t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = u.withColumn("__brk", brk).withColumn(
+        "__local", F.sum("__brk").over(ws)
+    )
+
+    # O(buckets) summary: per-bucket (min_t, max_t, total local
+    # breaks). The boundary break between bucket i-1 and i is decided
+    # on this tiny table; the session offset of bucket i is the
+    # running sum of earlier buckets' breaks (local + boundary).
+    summary = (
+        u.groupBy("__b")
+        .agg(F.min("__t").alias("__mn"), F.max("__t").alias("__mx"))
+        .join(
+            local.groupBy("__b").agg(F.sum("__brk").alias("__nb")),
+            "__b",
+        )
+    )
+    cw = Window.orderBy("__b")
+    summary = summary.withColumn(
+        "__bound",
+        F.when(
+            F.col("__mn") - F.lag("__mx").over(cw) > F.lit(g), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    off_w = (Window.orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = summary.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum(F.col("__nb") + F.col("__bound")).over(off_w), F.lit(0)
+        ) + F.col("__bound"),
+    ).select("__b", "__off")
+
+    out = local.join(F.broadcast(offsets), "__b").withColumn(
+        session_col,
+        (F.col("__local") + F.col("__off") + 1).cast("long"),
+    )
+    return out.select(*cols, session_col)
+
+
+def rolling_agg(
+    df: DataFrame,
+    aggs,
+    *,
+    t: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    window,
+    side: str = "trailing",
+) -> DataFrame:
+    """Time-range rolling aggregates: for each row, aggregate all
+    same-key rows whose time lies within ``window`` (seconds for
+    timestamp axes, axis units for numeric) on the ``side`` of the
+    row's own time — ``trailing`` = [t-window, t], ``centered`` =
+    [t-window/2, t+window/2], ``leading`` = [t, t+window]. The SQL
+    ``RANGE BETWEEN w PRECEDING AND CURRENT ROW`` frame, which Spark's
+    window machinery executes natively (streaming frame scan inside
+    each partition; ONE shuffle on the keys).
+
+    ``aggs`` maps output column name -> (value column, fn name) with
+    fn in sum/avg/min/max/count — e.g.
+    ``{"spend_1h": ("value", "sum")}``.
+    """
+    if side not in ("trailing", "centered", "leading"):
+        raise ValueError(f"unsupported side {side!r}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    dtype = _dtype_of(df, t)
+    w = _tol_micros(window, dtype)
+    if w is None or w <= 0:
+        raise ValueError(f"window must be > 0, got {window!r}")
+    fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+           "count": F.count}
+
+    u = df.withColumn("__t", _as_micros(F.col(t), dtype))
+    lo_hi = {
+        "trailing": (-w, 0),
+        "leading": (0, w),
+        "centered": (-(w // 2) if isinstance(w, int) else -w / 2,
+                     (w // 2) if isinstance(w, int) else w / 2),
+    }[side]
+    win = Window.orderBy("__t").rangeBetween(*lo_hi)
+    if keys:
+        win = Window.partitionBy(*keys).orderBy("__t").rangeBetween(*lo_hi)
+    out = u
+    for name, (col, fn) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"unsupported agg {fn!r}")
+        out = out.withColumn(name, fns[fn](F.col(col)).over(win))
+    return out.select(*df.columns, *aggs.keys())

@@ -2438,6 +2438,80 @@ ORDER BY e.event_id, s.seed_id
 """
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap sessionization (functions/temporal.py): distinct per-user
+    event times split into sessions at >1h gaps — one equi-shuffle on
+    user_id, lag + running-sum window, no Python. Times deduped first
+    so the lag order (and hence the oracle) is deterministic."""
+    from ..functions.temporal import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "ts").distinct()
+    res = sessionize(ev, t="ts", by="user_id", gap=3600)
+    return res.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "session_id",
+    ).orderBy("user_id", "t_us")
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT DISTINCT user_id, ts FROM events
+), b AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts) > 3600000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+)
+SELECT user_id, epoch_us(ts) AS t_us,
+       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+FROM b
+ORDER BY user_id, t_us
+"""
+
+
+def q_rolling_spend(spark, sf_dir):
+    """Time-range rolling aggregate (functions/temporal.py): per-user
+    trailing-1h purchase spend at every purchase — Spark's native
+    RANGE frame (rangeBetween on the micros axis), one shuffle on
+    user_id. Input deduped to distinct (user, ts) with summed value so
+    tie order cannot perturb float accumulation across engines."""
+    from ..functions.temporal import rolling_agg
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum("value").alias("v"))
+    )
+    res = rolling_agg(ev, {"spend_1h": ("v", "sum"),
+                           "n_1h": ("v", "count")},
+                      t="ts", by="user_id", window=3600)
+    return res.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round("spend_1h", 6).alias("spend_1h"),
+        F.col("n_1h").cast("long").alias("n_1h"),
+    ).orderBy("user_id", "t_us")
+
+
+SQL_ROLLING_SPEND = """
+WITH p AS (
+  SELECT user_id, ts, sum(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT user_id, epoch_us(ts) AS t_us,
+       round(SUM(v) OVER w, 6) AS spend_1h,
+       COUNT(v) OVER w AS n_1h
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, t_us
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "burn_points_add": (q_burn_points_add, SQL_BURN_ADD),
@@ -2540,4 +2614,9 @@ EXTRA_QUERIES = {
     "asof_join_price": (q_asof_join_price, SQL_ASOF_PRICE),
     "interval_join_sessions": (q_interval_join_sessions,
                                SQL_INTERVAL_SESSIONS),
+    # gap sessionization + trailing time-range rolling aggregate —
+    # the other two temporal primitives (lag/cumsum and RANGE-frame
+    # windows); pandas parity in tests/test_temporal.py
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+    "rolling_spend": (q_rolling_spend, SQL_ROLLING_SPEND),
 }

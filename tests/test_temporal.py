@@ -249,3 +249,148 @@ def test_interval_join_timestamp_axis(spark):
     P, I = spark.createDataFrame(pts), spark.createDataFrame(ivl)
     got = interval_join(P, I, t="t").toPandas()
     assert list(got["pid"]) == [0]
+
+
+# ---------------------------------------------------------------- sessionize
+
+from geocube_spark.functions.temporal import rolling_agg, sessionize  # noqa: E402
+
+
+def _pd_sessions(df, by, gap):
+    """Reference sessionization: per-key time-sorted lag + cumsum."""
+    out = []
+    groups = df.groupby(by) if by else [(None, df)]
+    for _, g in groups:
+        g = g.sort_values("t").copy()
+        brk = (g["t"].diff() > gap).astype(int)
+        g["sid"] = brk.cumsum() + 1
+        out.append(g)
+    return pd.concat(out)
+
+
+@pytest.mark.parametrize("gap", [0, 50, 500])
+def test_sessionize_keyed_matches_pandas(spark, gap):
+    rng = np.random.default_rng(41)
+    pdf = pd.DataFrame({
+        "rid": np.arange(600),
+        "k": rng.integers(0, 6, 600),
+        "t": rng.integers(0, 20_000, 600).astype(np.int64),
+    }).drop_duplicates(["k", "t"])  # unique times per key: defined order
+    got = (
+        sessionize(spark.createDataFrame(pdf), t="t", by="k", gap=gap)
+        .toPandas().sort_values("rid").reset_index(drop=True)
+    )
+    exp = _pd_sessions(pdf, "k", gap).sort_values("rid") \
+        .reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["session_id"].astype(int), exp["sid"].astype(int),
+        check_names=False,
+    )
+
+
+@pytest.mark.parametrize("buckets", [1, 5, 64])
+def test_sessionize_keyless_matches_pandas(spark, buckets):
+    rng = np.random.default_rng(43)
+    t = np.unique(rng.integers(0, 50_000, 800).astype(np.int64))
+    pdf = pd.DataFrame({"rid": np.arange(len(t)), "t": t})
+    got = (
+        sessionize(spark.createDataFrame(pdf), t="t", gap=40,
+                   buckets=buckets)
+        .toPandas().sort_values("rid").reset_index(drop=True)
+    )
+    exp = _pd_sessions(pdf, None, 40).sort_values("rid") \
+        .reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["session_id"].astype(int), exp["sid"].astype(int),
+        check_names=False,
+    )
+
+
+def test_sessionize_boundary_break_across_buckets(spark):
+    """Two dense runs separated by one huge hole that is also a bucket
+    boundary: the break must be detected on the O(buckets) summary."""
+    t = np.concatenate([np.arange(100), np.arange(100) + 100_000]) \
+        .astype(np.int64)
+    pdf = pd.DataFrame({"rid": np.arange(len(t)), "t": t})
+    got = (
+        sessionize(spark.createDataFrame(pdf), t="t", gap=10, buckets=16)
+        .toPandas().sort_values("rid")
+    )
+    assert (got["session_id"].iloc[:100] == 1).all()
+    assert (got["session_id"].iloc[100:] == 2).all()
+
+
+def test_sessionize_timestamp_gap_seconds(spark):
+    pdf = pd.DataFrame({
+        "rid": [0, 1, 2],
+        "t": pd.to_datetime(["2024-01-01 00:00:00",
+                             "2024-01-01 00:20:00",
+                             "2024-01-01 02:00:00"]),
+    })
+    got = (
+        sessionize(spark.createDataFrame(pdf), t="t", gap=1800)
+        .toPandas().sort_values("rid")
+    )
+    assert list(got["session_id"]) == [1, 1, 2]  # 100-min hole breaks
+
+
+def test_sessionize_no_single_task_window_keyless(spark):
+    pdf = pd.DataFrame({"rid": np.arange(50),
+                        "t": np.arange(50, dtype=np.int64) * 10})
+    plan = sessionize(spark.createDataFrame(pdf), t="t", gap=5,
+                      buckets=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the window over the DATA is partitioned by the bucket column
+    assert "__b" in plan
+
+
+# ---------------------------------------------------------------- rolling_agg
+
+def test_rolling_agg_matches_pandas(spark):
+    rng = np.random.default_rng(47)
+    pdf = pd.DataFrame({
+        "rid": np.arange(500),
+        "k": rng.integers(0, 5, 500),
+        "t": rng.integers(0, 10_000, 500).astype(np.int64),
+        "v": rng.normal(size=500).round(6),
+    })
+    got = (
+        rolling_agg(spark.createDataFrame(pdf),
+                    {"s": ("v", "sum"), "n": ("v", "count")},
+                    t="t", by="k", window=250)
+        .toPandas().set_index("rid").sort_index()
+    )
+    for _, g in pdf.groupby("k"):
+        for _, row in g.iterrows():
+            m = g[(g["t"] >= row["t"] - 250) & (g["t"] <= row["t"])]
+            assert abs(got.loc[row["rid"], "s"] - m["v"].sum()) < 1e-9
+            assert got.loc[row["rid"], "n"] == len(m)
+
+
+def test_rolling_agg_timestamp_window_seconds(spark):
+    pdf = pd.DataFrame({
+        "rid": [0, 1, 2],
+        "t": pd.to_datetime(["2024-01-01 00:00:00",
+                             "2024-01-01 00:30:00",
+                             "2024-01-01 02:00:00"]),
+        "v": [1.0, 2.0, 4.0],
+    })
+    got = (
+        rolling_agg(spark.createDataFrame(pdf), {"s": ("v", "sum")},
+                    t="t", window=3600)
+        .toPandas().sort_values("rid")
+    )
+    assert list(got["s"]) == [1.0, 3.0, 4.0]
+
+
+def test_rolling_agg_sides(spark):
+    pdf = pd.DataFrame({"rid": [0, 1, 2],
+                        "t": np.array([0, 10, 20], dtype=np.int64),
+                        "v": [1.0, 2.0, 4.0]})
+    df = spark.createDataFrame(pdf)
+    lead = rolling_agg(df, {"s": ("v", "sum")}, t="t", window=10,
+                       side="leading").toPandas().sort_values("rid")
+    assert list(lead["s"]) == [3.0, 6.0, 4.0]
+    cent = rolling_agg(df, {"s": ("v", "sum")}, t="t", window=20,
+                       side="centered").toPandas().sort_values("rid")
+    assert list(cent["s"]) == [3.0, 7.0, 6.0]
