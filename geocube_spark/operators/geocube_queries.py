@@ -2282,6 +2282,61 @@ SELECT row, col, round(degrees(atan(sqrt(gx * gx + gy * gy))), 6) AS val
 FROM g ORDER BY row, col
 """
 
+# Shared CTE chain for the three Horn terrain derivatives: slope's
+# oracle replays the weighted differences; aspect/hillshade extend it
+# with the downslope bearing and the sun-shading formula (identical
+# closed forms to the numpy kernel in bandops.terrain).
+_SQL_TERRAIN_G = SQL_TERRAIN_SLOPE[: SQL_TERRAIN_SLOPE.rindex("SELECT")]
+
+SQL_TERRAIN_ASPECT = _SQL_TERRAIN_G + """SELECT row, col,
+       round(degrees(CASE WHEN atan2(-gx, -gy) < 0
+                          THEN atan2(-gx, -gy) + 2 * pi()
+                          ELSE atan2(-gx, -gy) END), 6) AS val
+FROM g WHERE gx <> 0.0 OR gy <> 0.0
+ORDER BY row, col
+"""
+
+SQL_TERRAIN_HILLSHADE = _SQL_TERRAIN_G + """SELECT row, col,
+       round(255.0 * greatest(0.0,
+             cos(radians(45.0)) * cos(atan(sqrt(gx * gx + gy * gy)))
+           + sin(radians(45.0)) * sin(atan(sqrt(gx * gx + gy * gy)))
+             * cos(radians(315.0) -
+                   CASE WHEN gx = 0.0 AND gy = 0.0 THEN 0.0
+                        WHEN atan2(-gx, -gy) < 0
+                        THEN atan2(-gx, -gy) + 2 * pi()
+                        ELSE atan2(-gx, -gy) END)), 6) AS val
+FROM g ORDER BY row, col
+"""
+
+
+def q_terrain_aspect(spark, sf_dir):
+    """Horn aspect (bandops.terrain mode='aspect'): compass bearing of
+    the downslope direction on the same coarsened burn as
+    terrain_slope; flat cells are nodata and drop out with the NaN
+    filter."""
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    out = cube.terrain("value", "aspect")
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.round("val", 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
+
+def q_terrain_hillshade(spark, sf_dir):
+    """Horn hillshade (bandops.terrain mode='hillshade'): sun at
+    azimuth 315 / altitude 45 over the same coarsened burn — exercises
+    slope + aspect + the shading clamp in one oracle-checked query."""
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    out = cube.terrain("value", "hillshade")
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.round("val", 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
 
 _HALVES_CACHE: dict = {}
 
@@ -2619,4 +2674,8 @@ EXTRA_QUERIES = {
     # windows); pandas parity in tests/test_temporal.py
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "rolling_spend": (q_rolling_spend, SQL_ROLLING_SPEND),
+    # aspect + hillshade: the other two Horn terrain modes (slope is
+    # in-window); same stencil plan, closed-form SQL oracles
+    "terrain_aspect": (q_terrain_aspect, SQL_TERRAIN_ASPECT),
+    "terrain_hillshade": (q_terrain_hillshade, SQL_TERRAIN_HILLSHADE),
 }
