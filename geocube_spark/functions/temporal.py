@@ -585,3 +585,54 @@ def rolling_agg(
             raise ValueError(f"unsupported agg {fn!r}")
         out = out.withColumn(name, fns[fn](F.col(col)).over(win))
     return out.select(*df.columns, *aggs.keys())
+
+
+def session_stats(
+    df: DataFrame,
+    aggs,
+    *,
+    t: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    gap,
+) -> DataFrame:
+    """Per-session aggregates via Spark's NATIVE ``session_window`` —
+    the idiomatic form when you want one row per session rather than a
+    session label per event, and the form that runs unchanged under
+    Structured Streaming (add ``withWatermark`` upstream and the state
+    store merges/expires sessions incrementally; see
+    tests/test_temporal.py for the availableNow stream == batch proof).
+
+    ``gap`` is seconds; native semantics merge events strictly closer
+    than ``gap`` (an exact-``gap`` step starts a NEW session), while
+    :func:`sessionize` merges ``dt <= gap`` — the two agree whenever no
+    consecutive step equals the gap exactly. Output: ``by`` keys +
+    ``session_start`` / ``session_end`` + the requested aggregates.
+    ``aggs`` maps output name -> (column, fn) like :func:`rolling_agg`.
+    """
+    dtype = _dtype_of(df, t)
+    if not (dtype.startswith("timestamp") or dtype == "date"):
+        raise ValueError(
+            f"session_window needs a timestamp axis, got {dtype!r}"
+        )
+    g = float(gap)
+    if g <= 0:
+        raise ValueError(f"gap must be > 0 seconds, got {gap!r}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+           "count": F.count}
+    exprs = []
+    for name, (col, fn) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"unsupported agg {fn!r}")
+        exprs.append(fns[fn](F.col(col)).alias(name))
+    w = F.session_window(F.col(t), f"{g} seconds")
+    return (
+        df.groupBy(*keys, w.alias("__w"))
+        .agg(*exprs)
+        .select(
+            *keys,
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            *aggs.keys(),
+        )
+    )

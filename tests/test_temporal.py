@@ -394,3 +394,94 @@ def test_rolling_agg_sides(spark):
     cent = rolling_agg(df, {"s": ("v", "sum")}, t="t", window=20,
                        side="centered").toPandas().sort_values("rid")
     assert list(cent["s"]) == [3.0, 7.0, 6.0]
+
+
+# -------------------------------------------------------- session_stats
+
+from geocube_spark.functions.temporal import session_stats  # noqa: E402
+
+
+def _session_times(seed=53, n=400, n_keys=4):
+    """Per-key event times whose consecutive gaps are never exactly the
+    session gap (90s), so sessionize (dt <= gap merges) and the native
+    session_window (dt < gap merges) agree exactly."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in range(n_keys):
+        t0 = 1_700_000_000
+        for _ in range(n // n_keys):
+            step = int(rng.choice(np.r_[5:85, 95:400]))
+            t0 += step
+            rows.append((k, t0))
+    pdf = pd.DataFrame(rows, columns=["k", "tsec"])
+    pdf["ts"] = pd.to_datetime(pdf["tsec"], unit="s")
+    pdf["v"] = np.arange(len(pdf), dtype=np.float64)
+    return pdf
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    pdf = _session_times()
+    df = spark.createDataFrame(pdf[["k", "ts", "v"]])
+    labeled = sessionize(df, t="ts", by="k", gap=90).toPandas()
+    native = session_stats(
+        df, {"n": ("v", "count"), "s": ("v", "sum")}, t="ts", by="k",
+        gap=90,
+    ).toPandas()
+    # identical session partitioning: same count per key...
+    a = labeled.groupby("k")["session_id"].nunique().sort_index()
+    b = native.groupby("k").size().sort_index()
+    assert (a.values == b.values).all()
+    # ...and identical membership: per-session (min, max, n) sets match
+    mine = {
+        (k, g["ts"].min(), g["ts"].max(), len(g))
+        for (k, _), g in labeled.groupby(["k", "session_id"])
+    }
+    theirs = set()
+    for _, r in native.iterrows():
+        grp = labeled[(labeled["k"] == r["k"])
+                      & (labeled["ts"] >= r["session_start"])
+                      & (labeled["ts"] < r["session_end"])]
+        theirs.add((r["k"], grp["ts"].min(), grp["ts"].max(), int(r["n"])))
+    assert mine == theirs
+
+
+def test_session_stats_streaming_equals_batch(spark, tmp_path):
+    """session_stats under Structured Streaming (availableNow, two
+    input files, watermark) == the same call in batch — the state
+    store's incremental session merge reproduces the batch windows."""
+    pdf = _session_times(seed=59, n=200, n_keys=3)
+    src = str(tmp_path / "events_stream")
+    half = len(pdf) // 2
+    sdf1 = spark.createDataFrame(pdf.iloc[:half][["k", "ts", "v"]])
+    sdf2 = spark.createDataFrame(pdf.iloc[half:][["k", "ts", "v"]])
+    sdf1.coalesce(1).write.parquet(src)
+    sdf2.coalesce(1).write.mode("append").parquet(src)
+
+    batch = session_stats(
+        spark.read.parquet(src), {"n": ("v", "count"), "s": ("v", "sum")},
+        t="ts", by="k", gap=90,
+    ).toPandas()
+
+    stream_in = (
+        spark.readStream.schema(sdf1.schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = session_stats(
+        stream_in, {"n": ("v", "count"), "s": ("v", "sum")},
+        t="ts", by="k", gap=90,
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory").queryName("sess_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_stream").toPandas()
+
+    key = ["k", "session_start", "session_end"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        b[key + ["n"]], g[key + ["n"]], check_dtype=False
+    )
+    assert np.allclose(b["s"].values, g["s"].values)
