@@ -34,6 +34,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import struct
+import zlib
+
+# Exceptions a malformed/truncated media blob can raise inside the
+# pure-python codecs (png/jpeg/gif/bmp/wav/avi): zlib errors from a
+# corrupt IDAT, Key/IndexErrors from dangling Huffman/palette refs,
+# struct.error from short reads. Decoding untrusted bytes must drop
+# the ROW (NULLs), never the job, so every codec='real' call site
+# catches this tuple.
+DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    KeyError,
+    IndexError,
+    TypeError,
+    OverflowError,
+    EOFError,
+    struct.error,
+    zlib.error,
+)
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -88,7 +109,7 @@ def decode_media(media_df: DataFrame, codec: str = "stub") -> DataFrame:
                     )
                     try:
                         info = image_info(b) if b is not None else None
-                    except (ValueError, NotImplementedError):
+                    except DECODE_ERRORS:
                         info = None
                     if info is not None:
                         width.append(info["width"])
@@ -175,7 +196,7 @@ def frame_sample(media_df: DataFrame, stride: int = 64,
                         n = avi_info(b)["n_frames"]
                         picks = list(range(0, n, max(1, stride)))
                         frames = decode_avi_frames(b, indices=picks)
-                    except (ValueError, NotImplementedError):
+                    except DECODE_ERRORS:
                         continue
                     for k, fr in zip(picks, frames):
                         ids.append(did)
@@ -253,7 +274,7 @@ def resize_media(media_df: DataFrame, *, out_w: int = 32, out_h: int = 32,
                         continue
                     try:
                         px = to_luminance(decode_image(blob))
-                    except (ValueError, NotImplementedError):
+                    except DECODE_ERRORS:
                         continue
                     h, w = px.shape
                     yi = (
@@ -384,7 +405,7 @@ def image_pixel_stats(media_df: DataFrame) -> DataFrame:
                     continue
                 try:
                     px = decode_image(blob)
-                except (ValueError, NotImplementedError):
+                except DECODE_ERRORS:
                     continue
                 h, w = px.shape[:2]
                 ch = 1 if px.ndim == 2 else px.shape[2]

@@ -61,7 +61,8 @@ def _as_micros(col, dtype_name: str):
         return F.unix_micros(col.cast("timestamp"))
     if dtype_name == "date":
         return F.unix_micros(col.cast("timestamp"))
-    if dtype_name in ("double", "float", "decimal"):
+    if (dtype_name in ("double", "float")
+            or dtype_name.startswith("decimal")):
         return col.cast("double")
     return col.cast("long")
 
@@ -135,14 +136,20 @@ def asof_join(
     tol = _tol_micros(tolerance, dtype)
 
     if direction == "nearest":
-        b = asof_join(left, right, on=on, right_on=right_on, by=by,
+        # A unique, never-null row id makes the backward/forward
+        # recombination join exact: joining on the left's own columns
+        # would drop rows holding NULLs (null-unsafe equi-join) and
+        # fan out duplicate left rows quadratically.
+        lid = "__asof_lid"
+        left_id = left.withColumn(lid, F.monotonically_increasing_id())
+        b = asof_join(left_id, right, on=on, right_on=right_on, by=by,
                       direction="backward", tolerance=tolerance,
                       suffix=suffix, how="left", buckets=buckets)
-        f = asof_join(left, right, on=on, right_on=right_on, by=by,
+        f = asof_join(left_id, right, on=on, right_on=right_on, by=by,
                       direction="forward", tolerance=tolerance,
                       suffix=suffix, how="left", buckets=buckets)
-        return _pick_nearest(left, b, f, on, right_on, keys, suffix,
-                             how, dtype)
+        return _pick_nearest(left_id, b, f, on, right_on, keys, suffix,
+                             how, dtype, lid)
 
     # Right payload: every right column except the by-keys (their
     # values equal the left's). The time column rides inside so the
@@ -281,21 +288,23 @@ def _keyless_fill(u: DataFrame, order, direction: str,
     )
 
 
-def _pick_nearest(left, b, f, on, right_on, keys, suffix, how, dtype):
+def _pick_nearest(left, b, f, on, right_on, keys, suffix, how, dtype,
+                  lid):
     """Combine the backward and forward passes of a 'nearest' as-of:
     per left row take the side with the smaller |dt| (backward on
-    ties). Joined back on the left's own columns, which the caller
-    must make row-unique (pandas requires the same)."""
-    lcols = list(left.columns)
+    ties). The passes rejoin on ``lid``, a unique non-null row id the
+    caller stamped on the left — never on data columns, which may hold
+    NULLs or duplicates."""
+    lcols = [c for c in left.columns if c != lid]
     rn = right_on + suffix if right_on in lcols else right_on
     bt = _as_micros(F.col("__bm").getField(rn), dtype)
     ft = _as_micros(F.col("__fm").getField(rn), dtype)
     t = _as_micros(F.col(on), dtype)
-    payload = [c for c in b.columns if c not in lcols]
+    payload = [c for c in b.columns if c not in lcols and c != lid]
 
-    bb = b.select(*lcols, F.struct(*payload).alias("__bm"))
-    ff = f.select(*lcols, F.struct(*payload).alias("__fm"))
-    j = bb.join(ff, lcols)
+    bb = b.select(lid, *lcols, F.struct(*payload).alias("__bm"))
+    ff = f.select(lid, F.struct(*payload).alias("__fm"))
+    j = bb.join(ff, lid)
     use_b = F.when(
         F.col("__bm").getField(rn).isNull(), F.lit(False)
     ).when(
@@ -394,17 +403,23 @@ def interval_join(
             *[F.col(c) for c in pcols],
             *[F.col(c).alias(out_names[c]) for c in icols],
         )
+    # how='left': identify unmatched points by a unique non-null row
+    # id — an anti-join on the data columns would mis-handle NULLs
+    # (null-unsafe, so a matched row with a NULL attribute would also
+    # land in the missing branch) and conflate duplicate point rows.
+    pid = "__ivl_pid"
+    pts = pts.withColumn(pid, F.monotonically_increasing_id())
     matched = pts.join(ivl, on, "inner").filter(cond)
-    matched = matched.select(
-        *[F.col(c) for c in pcols],
-        *[F.col(c).alias(out_names[c]) for c in icols],
-    )
     missing = pts.join(
-        matched.select(*pcols).distinct(), pcols, "left_anti"
+        matched.select(pid).distinct(), pid, "left_anti"
     ).select(
         *[F.col(c) for c in pcols],
         *[F.lit(None).cast(_dtype_of(intervals, c)).alias(out_names[c])
           for c in icols],
+    )
+    matched = matched.select(
+        *[F.col(c) for c in pcols],
+        *[F.col(c).alias(out_names[c]) for c in icols],
     )
     return matched.unionByName(missing)
 
@@ -570,20 +585,53 @@ def rolling_agg(
            "count": F.count}
 
     u = df.withColumn("__t", _as_micros(F.col(t), dtype))
+
+    fractional_axis = (dtype in ("double", "float")
+                       or dtype.startswith("decimal"))
+    if not fractional_axis and not isinstance(w, int):
+        # integer axis: |dt| <= 2.5 is the same predicate as |dt| <= 2
+        w = int(w)
+        if w <= 0:
+            raise ValueError(
+                f"window {window!r} is narrower than the integer axis"
+            )
     lo_hi = {
         "trailing": (-w, 0),
         "leading": (0, w),
         "centered": (-(w // 2) if isinstance(w, int) else -w / 2,
                      (w // 2) if isinstance(w, int) else w / 2),
     }[side]
-    win = Window.orderBy("__t").rangeBetween(*lo_hi)
-    if keys:
-        win = Window.partitionBy(*keys).orderBy("__t").rangeBetween(*lo_hi)
+
     out = u
-    for name, (col, fn) in aggs.items():
-        if fn not in fns:
-            raise ValueError(f"unsupported agg {fn!r}")
-        out = out.withColumn(name, fns[fn](F.col(col)).over(win))
+    if fractional_axis:
+        # Window.rangeBetween only takes long bounds, but a SQL RANGE
+        # frame accepts fractional literals matching a double axis —
+        # same plan, built through F.expr.
+        def _bound(v, kw):
+            return "CURRENT ROW" if v == 0 else f"{abs(float(v))!r} {kw}"
+
+        part = (
+            "PARTITION BY " + ", ".join(f"`{k}`" for k in keys) + " "
+            if keys else ""
+        )
+        frame = (f"OVER ({part}ORDER BY `__t` RANGE BETWEEN "
+                 f"{_bound(lo_hi[0], 'PRECEDING')} AND "
+                 f"{_bound(lo_hi[1], 'FOLLOWING')})")
+        for name, (col, fn) in aggs.items():
+            if fn not in fns:
+                raise ValueError(f"unsupported agg {fn!r}")
+            out = out.withColumn(
+                name, F.expr(f"{fn}(`{col}`) {frame}")
+            )
+    else:
+        win = Window.orderBy("__t").rangeBetween(*lo_hi)
+        if keys:
+            win = (Window.partitionBy(*keys).orderBy("__t")
+                   .rangeBetween(*lo_hi))
+        for name, (col, fn) in aggs.items():
+            if fn not in fns:
+                raise ValueError(f"unsupported agg {fn!r}")
+            out = out.withColumn(name, fns[fn](F.col(col)).over(win))
     return out.select(*df.columns, *aggs.keys())
 
 

@@ -247,7 +247,11 @@ def with_hilbert_key(
         ny = F.when(swap, F.when(flip, F.lit(n - 1) - x).otherwise(x)) \
               .otherwise(y)
         cur = (
-            cur.withColumn(dc, F.col(dc) + F.lit(s) * F.lit(s) * quad)
+            cur.withColumn(
+                dc,
+                F.col(dc)
+                + F.lit(s).cast("long") * F.lit(s).cast("long") * quad,
+            )
             .withColumn(f"{xc}_n", nx)
             .withColumn(f"{yc}_n", ny)
             .drop(xc, yc, rxc, ryc)

@@ -564,6 +564,17 @@ def read_cube_window(spark: SparkSession, path: str, geobox,
         # 2-D window)
         from ..grid.hilbert import hilbert_ranges, ranges_predicate
 
+        # the stored cluster_key was computed from the WRITE-time tile
+        # grid; range-pruning with a different grid would silently
+        # drop in-window rows, so a mismatched geobox/tile_size is an
+        # error, not a wrong answer
+        if (int(cluster["ntx"]), int(cluster["nty"])) != (ntx, nty):
+            raise ValueError(
+                f"geobox/tile_size derive a {ntx}x{nty} tile grid but "
+                f"the table was clustered on {cluster['ntx']}x"
+                f"{cluster['nty']} (see _manifests); pass the geobox "
+                "and tile_size the cube was written with"
+            )
         order = int(cluster["order"])
         side = 1 << order
         ranges = hilbert_ranges(

@@ -235,9 +235,19 @@ def geoparquet_metadata(path: str) -> dict:
         epsg = 4326
         if isinstance(crs, dict):
             ident = crs.get("id", {})
-            if str(ident.get("authority", "")).upper() in ("EPSG", "OGC"):
+            if (isinstance(ident, dict)
+                    and str(ident.get("authority", "")).upper()
+                    in ("EPSG", "OGC")):
                 code = ident.get("code")
-                epsg = 4326 if str(code) == "CRS84" else int(code)
+                if str(code).upper() == "CRS84":
+                    epsg = 4326  # OGC:CRS84 is lon/lat WGS84
+                else:
+                    try:
+                        epsg = int(code)
+                    except (TypeError, ValueError):
+                        raise GeoParquetError(
+                            f"unparseable crs id {ident!r} in {fp}"
+                        ) from None
         cur = {
             "version": geo.get("version"),
             "primary_column": col,

@@ -149,3 +149,40 @@ def test_null_geometry_and_errors(spark, tmp_path):
     df.drop("geom").write.parquet(plain)
     with pytest.raises(GeoParquetError, match="geo"):
         geoparquet_metadata(plain)
+
+
+def _rewrite_crs_id(src: str, dst: str, ident):
+    """Copy a GeoParquet file, replacing the crs id object in the geo
+    footer — simulates third-party writers."""
+    import pyarrow as pa
+
+    pf = pq.ParquetFile(src)
+    tbl = pf.read()
+    md = dict(tbl.schema.metadata or {})
+    geo = json.loads(md[b"geo"].decode())
+    col = geo["primary_column"]
+    geo["columns"][col]["crs"] = {"type": "GeographicCRS", "id": ident}
+    md[b"geo"] = json.dumps(geo).encode()
+    pq.write_table(tbl.replace_schema_metadata(md), dst)
+
+
+def test_crs_id_variants_from_third_party_writers(spark, vec_df,
+                                                  tmp_path):
+    """OGC:CRS84 maps to 4326; a malformed id raises the module's
+    typed error, not a raw TypeError/ValueError (review regression)."""
+    src = str(tmp_path / "base.parquet")
+    write_geoparquet(vec_df, src, wkb_col="geom", mode="single")
+
+    ok = str(tmp_path / "crs84.parquet")
+    _rewrite_crs_id(src, ok, {"authority": "OGC", "code": "CRS84"})
+    assert geoparquet_metadata(ok)["crs_epsg"] == 4326
+
+    bad = str(tmp_path / "bad.parquet")
+    _rewrite_crs_id(src, bad, {"authority": "EPSG", "code": "not-a-code"})
+    with pytest.raises(GeoParquetError, match="unparseable crs id"):
+        geoparquet_metadata(bad)
+
+    nocode = str(tmp_path / "nocode.parquet")
+    _rewrite_crs_id(src, nocode, {"authority": "EPSG"})
+    with pytest.raises(GeoParquetError, match="unparseable crs id"):
+        geoparquet_metadata(nocode)

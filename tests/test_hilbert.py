@@ -163,3 +163,25 @@ def test_ranges_predicate_filters_exactly(spark):
     rows = {(r["tx"], r["ty"]) for r in got.collect()}
     want = {(x, y) for x in range(4, 10) for y in range(17, 24)}
     assert rows == want
+
+
+def test_column_program_no_overflow_above_order_16(spark):
+    """order >= 17 puts s*s past 2^32: the per-level quadrant term must
+    accumulate in long arithmetic (review regression — int literals
+    overflowed under ANSI mode)."""
+    order = 17
+    n = 1 << order
+    rng = np.random.default_rng(7)
+    tx = rng.integers(0, n, 50)
+    ty = rng.integers(0, n, 50)
+    want = hilbert_key(tx, ty, order)
+    df = spark.createDataFrame(
+        [(int(i), int(a), int(b)) for i, (a, b) in
+         enumerate(zip(tx, ty))],
+        "id long, tx long, ty long",
+    )
+    got = {
+        r["id"]: r["hilbert_key"]
+        for r in with_hilbert_key(df, "tx", "ty", order).collect()
+    }
+    assert [got[i] for i in range(50)] == want.tolist()

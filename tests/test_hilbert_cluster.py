@@ -235,3 +235,19 @@ def test_compaction_preserves_clustering(spark, geobox, chunks,
     # values survive the trip
     s = got.agg(F.sum(F.element_at("values", 1)).alias("s")).collect()
     assert s[0]["s"] == float(sum(tiles))
+
+
+def test_window_read_rejects_mismatched_tile_grid(spark, geobox,
+                                                  chunks, tmp_path):
+    """cluster_key was computed on the write-time tile grid; pruning
+    with a different grid would silently drop in-window rows, so the
+    reader must raise instead (review regression)."""
+    path = str(tmp_path / "hilbert_guard")
+    CP.write_cube(
+        chunks, path, n_buckets=8, commit_batches=1,
+        cluster={"scheme": "hilbert", "ntx": NTX, "nty": NTY,
+                 "n_files": 4},
+    )
+    bbox = (5 * TILE, NTY * TILE - 143, 9 * TILE - 1, NTY * TILE - 80)
+    with pytest.raises(ValueError, match="clustered on"):
+        CP.read_cube_window(spark, path, geobox, TILE * 2, bbox)

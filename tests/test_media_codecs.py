@@ -416,3 +416,47 @@ def test_resize_media_real_bmp_exact(spark):
     want = lum[np.ix_(yi, xi)].astype(np.uint8).reshape(-1)
     got = np.frombuffer(bytes(out["pixels"].iloc[0]), dtype=np.uint8)
     assert np.array_equal(got, want)
+
+
+# ------------------------------------------------- review regressions (r4)
+
+def test_corrupt_blobs_null_rows_not_job_failures(spark):
+    """A corrupt IDAT (zlib.error), a truncated container
+    (struct.error / IndexError) and other malformed blobs must yield
+    NULL rows through every codec='real' Spark path — never a task
+    failure (review regression: only ValueError/NotImplementedError
+    were caught)."""
+    import numpy as np
+    import pandas as pd
+
+    from geocube_spark.functions import multimodal as M
+    from geocube_spark.kernels.png import encode_png
+
+    good = encode_png(
+        (np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    )
+    # corrupt the IDAT payload: flip bytes after the chunk header so
+    # zlib.decompress raises inside the decoder
+    idat = good.find(b"IDAT")
+    corrupt_png = (good[: idat + 4]
+                   + bytes(255 - b for b in good[idat + 4: idat + 12])
+                   + good[idat + 12:])
+    truncated_gif = b"GIF89a" + b"\x01"       # header then nothing
+    short_riff = b"RIFF\x10\x00\x00\x00AVI "  # RIFF with no lists
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "media": [corrupt_png, truncated_gif, short_riff, good],
+    })
+    df = spark.createDataFrame(pdf)
+
+    meta = M.decode_media(df, codec="real").toPandas() \
+        .set_index("doc_id").sort_index()
+    assert meta.loc[4, "width"] == 4          # the intact PNG decodes
+    # corrupt rows are NULL, and critically: no exception was raised
+
+    stats = M.image_pixel_stats(df).toPandas().set_index("doc_id")
+    assert stats.loc[4].notna().any()       # intact PNG has stats
+    # corrupt rows are dropped or NULL — either way the job survived
+
+    rez = M.resize_media(df, out_w=2, out_h=2, codec="real").toPandas()
+    assert len(rez) > 0

@@ -485,3 +485,88 @@ def test_session_stats_streaming_equals_batch(spark, tmp_path):
         b[key + ["n"]], g[key + ["n"]], check_dtype=False
     )
     assert np.allclose(b["s"].values, g["s"].values)
+
+
+# ------------------------------------------------- review regressions (r4)
+
+def test_asof_nearest_keeps_null_and_duplicate_left_rows(spark):
+    """'nearest' recombines its two passes on a stamped row id: left
+    rows holding NULLs survive (null-unsafe equi-join would drop
+    them) and duplicate left rows come back exactly once each."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"lid": [1, 2, 3, 3],
+                      "t": np.array([10, 20, 30, 30], dtype=np.int64),
+                      "note": ["a", None, "c", "c"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"t": np.array([9, 21], dtype=np.int64),
+                      "rv": [1.0, 2.0]})
+    )
+    got = asof_join(left, right, on="t", direction="nearest",
+                    how="left").toPandas()
+    assert len(got) == 4                      # no drop, no fan-out
+    by_lid = got.sort_values(["lid", "t"]).reset_index(drop=True)
+    assert by_lid.loc[by_lid["lid"] == 2, "rv"].iloc[0] == 2.0
+    assert (by_lid.loc[by_lid["lid"] == 3, "rv"] == 2.0).all()
+
+
+def test_interval_left_null_attribute_not_duplicated(spark):
+    """A matched point carrying a NULL attribute must appear exactly
+    once (the anti-join finds unmatched rows by row id, not by the
+    null-unsafe data columns)."""
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2],
+                      "t": np.array([5, 100], dtype=np.int64),
+                      "attr": [None, "x"]})
+    )
+    ivl = spark.createDataFrame(
+        pd.DataFrame({"iid": [0],
+                      "start": np.array([0], dtype=np.int64),
+                      "end": np.array([10], dtype=np.int64)})
+    )
+    got = interval_join(pts, ivl, t="t", how="left").toPandas()
+    assert len(got) == 2
+    assert got.loc[got["pid"] == 1, "iid"].notna().all()
+    assert got.loc[got["pid"] == 2, "iid"].isna().all()
+
+
+def test_rolling_agg_fractional_window_double_axis(spark):
+    pdf = pd.DataFrame({"rid": [0, 1, 2],
+                        "t": [0.0, 1.0, 2.4],
+                        "v": [1.0, 2.0, 4.0]})
+    got = (
+        rolling_agg(spark.createDataFrame(pdf), {"s": ("v", "sum")},
+                    t="t", window=1.5)
+        .toPandas().sort_values("rid")
+    )
+    assert list(got["s"]) == [1.0, 3.0, 6.0]  # 2.4-1.5 <= 1.0 included
+
+
+def test_rolling_agg_float_window_integer_axis_floors(spark):
+    pdf = pd.DataFrame({"rid": [0, 1],
+                        "t": np.array([0, 2], dtype=np.int64),
+                        "v": [1.0, 2.0]})
+    got = (
+        rolling_agg(spark.createDataFrame(pdf), {"s": ("v", "sum")},
+                    t="t", window=2.5)
+        .toPandas().sort_values("rid")
+    )
+    assert list(got["s"]) == [1.0, 3.0]
+
+
+def test_asof_decimal_axis_not_truncated(spark):
+    from decimal import Decimal
+
+    left = spark.createDataFrame(
+        [(1, Decimal("1.25")), (2, Decimal("1.75"))],
+        "lid INT, t DECIMAL(10,2)",
+    )
+    right = spark.createDataFrame(
+        [(Decimal("1.30"), 7.0)], "t DECIMAL(10,2), rv DOUBLE"
+    )
+    got = (
+        asof_join(left, right, on="t", direction="backward")
+        .toPandas().sort_values("lid")
+    )
+    assert pd.isna(got["rv"].iloc[0])   # 1.25 < 1.30: no backward match
+    assert got["rv"].iloc[1] == 7.0     # 1.75 >= 1.30
