@@ -684,3 +684,75 @@ def session_stats(
             *aggs.keys(),
         )
     )
+
+
+def time_fill(
+    df: DataFrame,
+    cols: Union[str, Sequence[str]],
+    *,
+    t: str = "ts",
+    by: Union[str, Sequence[str], None] = None,
+    method: str = "ffill",
+) -> DataFrame:
+    """Fill NULL gaps in ``cols`` along the time axis, per ``by`` key —
+    the pandas ``ffill`` / ``bfill`` / time-weighted ``interpolate``
+    a series pipeline runs after joining sparse observations onto a
+    dense clock.
+
+    * ``ffill``  — last non-null value at-or-before each row
+    * ``bfill``  — first non-null value at-or-after each row
+    * ``linear`` — time-weighted interpolation between the bracketing
+      non-null observations (pandas ``interpolate(method='time')``);
+      rows before the first / after the last observation take the
+      one-sided value (pandas limit_direction='both'); linear output
+      columns are double
+
+    Pure window program: ``last(..., ignorenulls)`` over
+    [unbounded, 0] and ``first(..., ignorenulls)`` over [0, unbounded]
+    with RANGE frames — ONE shuffle on the keys, both directions read
+    from the same sorted partition. Ties in ``t`` are frame peers, so
+    a null row sharing its timestamp with an observation picks that
+    observation's value in either direction.
+    """
+    if method not in ("ffill", "bfill", "linear"):
+        raise ValueError(f"unsupported method {method!r}")
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in {df.columns}")
+    dtype = _dtype_of(df, t)
+
+    u = df.withColumn("__t", _as_micros(F.col(t), dtype))
+    wb = (Window.partitionBy(*keys).orderBy("__t")
+          if keys else Window.orderBy("__t"))
+    back = wb.rangeBetween(Window.unboundedPreceding, 0)
+    fwd = wb.rangeBetween(0, Window.unboundedFollowing)
+
+    out = u
+    for c in cols:
+        val = F.col(c)
+        # (time, value) struct so the linear path knows WHEN the
+        # bracketing observation happened, not just its value
+        obs = F.when(val.isNotNull(), F.struct(F.col("__t"), val))
+        if method == "ffill":
+            fill = F.last(obs, ignorenulls=True).over(back)[c]
+        elif method == "bfill":
+            fill = F.first(obs, ignorenulls=True).over(fwd)[c]
+        else:
+            b = F.last(obs, ignorenulls=True).over(back)
+            f2 = F.first(obs, ignorenulls=True).over(fwd)
+            bt, bv = b["__t"], b[c].cast("double")
+            ft, fv = f2["__t"], f2[c].cast("double")
+            span = (ft - bt).cast("double")
+            frac = F.when(
+                span > 0, (F.col("__t") - bt).cast("double") / span
+            ).otherwise(F.lit(0.0))
+            fill = (
+                F.when(b.isNull(), fv)
+                .when(f2.isNull(), bv)
+                .otherwise(bv + (fv - bv) * frac)
+            )
+            val = val.cast("double")
+        out = out.withColumn(c, F.coalesce(val, fill))
+    return out.select(*df.columns)

@@ -2567,6 +2567,68 @@ ORDER BY user_id, t_us
 """
 
 
+def q_time_fill_linear(spark, sf_dir):
+    """Time-weighted gap fill (functions/temporal.py time_fill): a
+    deterministic third of each user's per-timestamp values is nulled,
+    then linearly interpolated between the bracketing observations
+    (pandas interpolate(method='time') semantics, one shuffle on
+    user_id). The oracle replays the bracketing last/first
+    IGNORE NULLS windows and the interpolation closed form."""
+    from ..functions.temporal import time_fill
+
+    ev = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mv"))
+    )
+    base = ev.withColumn(
+        "v",
+        F.when(F.floor(F.abs(F.col("mv"))).cast("int") % 3 == 0,
+               F.lit(None)).otherwise(F.col("mv")),
+    ).drop("mv")
+    res = time_fill(base, "v", t="ts", by="user_id", method="linear")
+    return res.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.round("v", 6).alias("v"),
+    ).orderBy("user_id", "t_us")
+
+
+SQL_TIME_FILL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t_us, max(value) AS mv
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT user_id, t_us,
+         CASE WHEN CAST(floor(abs(mv)) AS INT) % 3 = 0 THEN NULL
+              ELSE mv END AS v
+  FROM e
+), br AS (
+  SELECT user_id, t_us, v,
+         last_value(CASE WHEN v IS NOT NULL
+                         THEN struct_pack(t := t_us, v := v) END
+                    IGNORE NULLS) OVER wb AS b,
+         first_value(CASE WHEN v IS NOT NULL
+                          THEN struct_pack(t := t_us, v := v) END
+                     IGNORE NULLS) OVER wf AS f
+  FROM p
+  WINDOW wb AS (PARTITION BY user_id ORDER BY t_us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY t_us
+                RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t_us,
+       round(coalesce(v,
+         CASE WHEN b IS NULL THEN f.v
+              WHEN f IS NULL THEN b.v
+              WHEN f.t > b.t THEN b.v + (f.v - b.v)
+                   * (t_us - b.t) / (f.t - b.t)
+              ELSE b.v END), 6) AS v
+FROM br
+ORDER BY user_id, t_us
+"""
+
+
 QUERIES = {
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "burn_points_add": (q_burn_points_add, SQL_BURN_ADD),
@@ -2678,4 +2740,7 @@ EXTRA_QUERIES = {
     # in-window); same stencil plan, closed-form SQL oracles
     "terrain_aspect": (q_terrain_aspect, SQL_TERRAIN_ASPECT),
     "terrain_hillshade": (q_terrain_hillshade, SQL_TERRAIN_HILLSHADE),
+    # time-weighted gap fill (pandas interpolate(method='time')
+    # parity in tests/test_temporal.py)
+    "time_fill_linear": (q_time_fill_linear, SQL_TIME_FILL),
 }

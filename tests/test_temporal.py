@@ -570,3 +570,71 @@ def test_asof_decimal_axis_not_truncated(spark):
     )
     assert pd.isna(got["rv"].iloc[0])   # 1.25 < 1.30: no backward match
     assert got["rv"].iloc[1] == 7.0     # 1.75 >= 1.30
+
+
+# ------------------------------------------------------------ time_fill
+
+from geocube_spark.functions.temporal import time_fill  # noqa: E402
+
+
+def _fill_frame(seed=61, n=300, n_keys=4, null_frac=0.4):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "rid": np.arange(n),
+        "k": rng.integers(0, n_keys, n),
+        "t": rng.integers(0, 100_000, n).astype(np.int64),
+        "v": rng.normal(size=n).round(6),
+    }).drop_duplicates(["k", "t"]).reset_index(drop=True)
+    pdf.loc[rng.random(len(pdf)) < null_frac, "v"] = np.nan
+    return pdf
+
+
+@pytest.mark.parametrize("method", ["ffill", "bfill", "linear"])
+def test_time_fill_matches_pandas(spark, method):
+    pdf = _fill_frame()
+    got = (
+        time_fill(spark.createDataFrame(pdf), "v", t="t", by="k",
+                  method=method)
+        .toPandas().sort_values("rid").reset_index(drop=True)
+    )
+    parts = []
+    for _, g in pdf.groupby("k"):
+        g = g.sort_values("t").copy()
+        if method == "linear":
+            s = pd.Series(g["v"].values,
+                          index=pd.to_datetime(g["t"], unit="s"))
+            g["v"] = s.interpolate(method="time",
+                                   limit_direction="both").values
+        else:
+            g["v"] = g["v"].ffill() if method == "ffill" \
+                else g["v"].bfill()
+        parts.append(g)
+    exp = pd.concat(parts).sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["v"], exp["v"], check_names=False, rtol=1e-9, atol=1e-12
+    )
+
+
+def test_time_fill_keyless_and_multicol(spark):
+    pdf = pd.DataFrame({
+        "rid": [0, 1, 2, 3],
+        "t": np.array([0, 10, 20, 30], dtype=np.int64),
+        "a": [1.0, np.nan, np.nan, 4.0],
+        "b": [np.nan, 2.0, np.nan, np.nan],
+    })
+    got = (
+        time_fill(spark.createDataFrame(pdf), ["a", "b"], t="t",
+                  method="linear")
+        .toPandas().sort_values("rid")
+    )
+    assert np.allclose(got["a"], [1.0, 2.0, 3.0, 4.0])
+    assert np.allclose(got["b"], [2.0, 2.0, 2.0, 2.0])  # edges one-sided
+
+
+def test_time_fill_all_null_column_stays_null(spark):
+    pdf = pd.DataFrame({"rid": [0, 1],
+                        "t": np.array([0, 1], dtype=np.int64),
+                        "v": [np.nan, np.nan]})
+    got = time_fill(spark.createDataFrame(pdf), "v", t="t",
+                    method="linear").toPandas()
+    assert got["v"].isna().all()
