@@ -999,3 +999,138 @@ def contour(cube: GeoCube, levels: Sequence[float],
         T.StructField("closed", T.BooleanType()),
     ])
     return spark.createDataFrame(out, schema=schema)
+
+
+def diff_cubes(a: GeoCube, b: GeoCube, mode: str = "delta") -> GeoCube:
+    """Change detection between two cubes on the SAME grid — the
+    classic two-epoch raster compare (this year's mosaic vs last
+    year's).
+
+    * ``'delta'`` cell-wise ``b - a`` where BOTH sides hold data,
+      nodata elsewhere. Tiles present on one side only carry no
+      defined delta, so the plan is an INNER equi-join on
+      (measurement, group_key, tile_id) — single-epoch tiles are
+      never shuffled through.
+    * ``'mask'``  1.0 where the cell changed (different values, or
+      data appearing/disappearing), 0.0 where equal data, nodata
+      where neither side has data. One-sided tiles DO produce change
+      cells, so this one is the full-outer join.
+
+    Both modes are pure ``zip_with``/``transform`` element programs
+    inside whole-stage codegen — no Python, shuffle bounded by the two
+    chunk tables. Output bands keep their names with dtype float64 and
+    NaN nodata (delta/mask are derived quantities, like terrain)."""
+    if mode not in ("delta", "mask"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    if a.geobox.to_dict() != b.geobox.to_dict():
+        raise ValueError("cubes must share the same grid (geobox)")
+    if a.tile_size != b.tile_size:
+        raise ValueError("cubes must share the same tile_size")
+    if set(a.bands) != set(b.bands):
+        raise ValueError(
+            f"band mismatch: {sorted(a.bands)} vs {sorted(b.bands)}"
+        )
+    fills = {m: float(meta.fill) for m, meta in a.bands.items()}
+    for m, meta in b.bands.items():
+        fb = float(meta.fill)
+        if not (fb == fills[m] or (np.isnan(fb) and np.isnan(fills[m]))):
+            raise ValueError(f"band {m!r} fill differs between cubes")
+
+    fill_map = F.create_map(
+        *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
+    )
+
+    left = a.chunks.alias("a")
+    right = b.chunks.alias("b")
+    cond = (
+        (F.col("a.measurement") == F.col("b.measurement"))
+        & F.col("a.group_key").eqNullSafe(F.col("b.group_key"))
+        & (F.col("a.tile_id") == F.col("b.tile_id"))
+    )
+    joined = left.join(
+        right, cond, "inner" if mode == "delta" else "full_outer"
+    )
+
+    def side(col):
+        return F.coalesce(F.col(f"a.{col}"), F.col(f"b.{col}"))
+
+    fill = fill_map[side("measurement")]
+    nan = F.lit(float("nan"))
+
+    def _is_data(x):
+        return x.isNotNull() & ~F.isnan(x) & (
+            F.when(F.isnan(fill), F.lit(True)).otherwise(x != fill)
+        )
+
+    if mode == "delta":
+        def elem(x, y):
+            return F.when(
+                _is_data(x) & _is_data(y), (y - x).cast("double")
+            ).otherwise(nan)
+
+        vals = F.zip_with(F.col("a.values"), F.col("b.values"), elem)
+    else:
+        def elem(x, y):
+            return (
+                F.when(_is_data(x) & _is_data(y),
+                       (x != y).cast("double"))
+                .when(_is_data(x) | _is_data(y), F.lit(1.0))
+                .otherwise(nan)
+            )
+
+        def one_sided(col):
+            return F.transform(
+                col, lambda v: F.when(_is_data(v), F.lit(1.0))
+                .otherwise(nan)
+            )
+
+        vals = F.when(
+            F.col("a.values").isNull(), one_sided(F.col("b.values"))
+        ).when(
+            F.col("b.values").isNull(), one_sided(F.col("a.values"))
+        ).otherwise(
+            F.zip_with(F.col("a.values"), F.col("b.values"), elem)
+        )
+
+    def _sum(col):
+        return (
+            F.coalesce(F.col(f"a.{col}"), F.lit(0))
+            + F.coalesce(F.col(f"b.{col}"), F.lit(0))
+        ).cast("long")
+
+    chunks = joined.select(
+        side("measurement").alias("measurement"),
+        side("group_key").alias("group_key"),
+        side("zoom").alias("zoom"),
+        side("tile_id").alias("tile_id"),
+        side("row0").alias("row0"),
+        side("col0").alias("col0"),
+        side("h").alias("h"),
+        side("w").alias("w"),
+        vals.alias("values"),
+        _sum("n_geoms").alias("n_geoms"),
+        _sum("n_cells_burned").alias("n_cells_burned"),
+        F.least(
+            F.coalesce(F.col("a.min_seq"), F.col("b.min_seq")),
+            F.coalesce(F.col("b.min_seq"), F.col("a.min_seq")),
+        ).alias("min_seq"),
+        F.greatest(
+            F.coalesce(F.col("a.max_seq"), F.col("b.max_seq")),
+            F.coalesce(F.col("b.max_seq"), F.col("a.max_seq")),
+        ).alias("max_seq"),
+    ).select(*[f.name for f in a.chunks.schema.fields])
+
+    bands = {
+        m: BandMeta(name=m, dtype="float64", fill=float("nan"))
+        for m in a.bands
+    }
+    group_keys = a.group_keys
+    if a.group_by and (a.group_keys or b.group_keys):
+        group_keys = sorted(
+            set(a.group_keys or []) | set(b.group_keys or [])
+        )
+    return GeoCube(
+        chunks=chunks, geobox=a.geobox, bands=bands,
+        group_by=a.group_by, group_keys=group_keys,
+        tile_size=a.tile_size, fill=float("nan"),
+    )

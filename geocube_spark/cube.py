@@ -257,6 +257,14 @@ class GeoCube:
 
         return zonal_stats_raster(self, zone_band, value_band)
 
+    def diff(self, other: "GeoCube", mode: str = "delta"):
+        """Change detection vs another cube on the same grid
+        (bandops.diff_cubes): 'delta' = other - self where both hold
+        data; 'mask' = changed/unchanged/nodata."""
+        from .bandops import diff_cubes
+
+        return diff_cubes(self, other, mode)
+
     def warp(self, like, *, method: str = "nearest", tile_size=None):
         """Regrid onto another grid (GeoBox / dict / .tif / .nc path),
         reprojecting when CRSs differ — distributed reproject_match."""

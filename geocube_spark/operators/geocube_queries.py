@@ -2410,6 +2410,42 @@ ORDER BY row, col
 """
 
 
+def q_cube_diff_delta(spark, sf_dir):
+    """Change detection (bandops.diff_cubes): the odd-id half of the
+    corpus vs the even-id half, cell-wise odd - even where BOTH epochs
+    hold data — an INNER equi-join on (measurement, group_key,
+    tile_id) + a zip_with element program, no Python. The oracle
+    replays the two grouped sums and their join."""
+    even, odd = _half_burn_cubes(spark, sf_dir)
+    d = even.diff(odd, "delta")
+    df = _explode_cells(d.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.round("val", 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_CUBE_DIFF_DELTA = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value, event_id % 2 AS par
+  FROM events
+), s AS (
+  SELECT row, col, par, sum(value) AS sv
+  FROM pts GROUP BY 1, 2, 3
+), e AS (
+  SELECT row, col, sv FROM s WHERE par = 0 AND sv <> 0.0
+), o AS (
+  SELECT row, col, sv FROM s WHERE par = 1 AND sv <> 0.0
+)
+SELECT e.row, e.col, round(o.sv - e.sv, 6) AS val
+FROM e JOIN o USING (row, col)
+ORDER BY row, col
+"""
+
+
 def q_asof_join_price(spark, sf_dir):
     """As-of join (functions/temporal.py): each click/view event picks
     up the latest preceding purchase of the same user — pandas
@@ -2743,4 +2779,7 @@ EXTRA_QUERIES = {
     # time-weighted gap fill (pandas interpolate(method='time')
     # parity in tests/test_temporal.py)
     "time_fill_linear": (q_time_fill_linear, SQL_TIME_FILL),
+    # two-epoch raster change detection (bandops.diff_cubes); numpy
+    # parity incl. the 'mask' mode in tests/test_bandops.py
+    "cube_diff_delta": (q_cube_diff_delta, SQL_CUBE_DIFF_DELTA),
 }

@@ -562,3 +562,52 @@ def test_post_ops_on_empty_cube(spark):
     assert cube.terrain("m0", "slope").chunks.count() == 0
     assert cube.merge(cube, "add").chunks.count() == 0
     assert cube.coarsen(4, "mean").chunks.count() == 0
+
+
+def test_diff_cubes_delta_matches_numpy(spark):
+    a, b, _ = _split_docs_cubes(spark, "add")
+    d = a.diff(b, "delta").assemble()["m0"]
+    aa, bb = a.assemble()["m0"], b.assemble()["m0"]
+    both = (aa != 0.0) & (bb != 0.0)
+    np.testing.assert_allclose(d[both], (bb - aa)[both],
+                               rtol=0, atol=1e-12)
+    assert np.isnan(d[~both]).all()
+
+
+def test_diff_cubes_mask_matches_numpy(spark):
+    a, b, _ = _split_docs_cubes(spark, "add")
+    d = a.diff(b, "mask").assemble()["m0"]
+    aa, bb = a.assemble()["m0"], b.assemble()["m0"]
+    da, db = aa != 0.0, bb != 0.0
+    want = np.full(aa.shape, np.nan)
+    want[da & db] = (aa[da & db] != bb[da & db]).astype(float)
+    want[da ^ db] = 1.0
+    np.testing.assert_array_equal(np.isnan(d), np.isnan(want))
+    ok = ~np.isnan(want)
+    np.testing.assert_array_equal(d[ok], want[ok])
+
+
+def test_diff_cubes_one_sided_tiles(spark):
+    """delta: a tile burned on only one side yields no data cells
+    (inner join drops it); mask: the same tile is all-change."""
+    pdf = datagen.scale_docs(300, seed=13)
+    kw = dict(
+        measurements=["m0"], geom=GEOM,
+        resolution=(-1.0 / 32, 1.0 / 32), fill=0.0,
+        merge_alg="add", tile_size=16,
+    )
+    # left half of the corpus vs the full corpus: some tiles exist
+    # only on the right side
+    a = make_geocube(
+        datagen.to_spark(spark, pdf[:100].reset_index(drop=True)), **kw
+    )
+    b = make_geocube(datagen.to_spark(spark, pdf), **kw)
+    aa, bb = a.assemble()["m0"], b.assemble()["m0"]
+    delta = a.diff(b, "delta").assemble()["m0"]
+    both = (aa != 0.0) & (bb != 0.0)
+    assert np.isnan(delta[~both]).all()
+    mask = a.diff(b, "mask").assemble()["m0"]
+    onesided = (aa != 0.0) ^ (bb != 0.0)
+    assert (mask[onesided] == 1.0).all()
+    with pytest.raises(ValueError, match="mode"):
+        a.diff(b, "xor")
