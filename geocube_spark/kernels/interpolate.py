@@ -133,6 +133,20 @@ class GridInterpolator:
                 qx = (qx - self._ox) / self._sx
                 qy = (qy - self._oy) / self._sy
             out = nearest_interp(px_f, py_f, self.values, qx, qy)
+        elif self.method == "proximity":
+            # distance (CRS units) to the nearest input point — the
+            # GDAL/xarray-spatial proximity raster. Reuses the exact
+            # nearest-index machinery: interpolating the point INDEX
+            # recovers argmin (indices are exact in float64), then the
+            # distance is one hypot. rescale would distort distances,
+            # so it is rejected.
+            if self.rescale:
+                raise ValueError("proximity does not support rescale")
+            idx = nearest_interp(
+                self.px, self.py,
+                np.arange(len(self.px), dtype=np.float64), qx, qy,
+            ).astype(np.int64)
+            out = np.hypot(qx - self.px[idx], qy - self.py[idx])
         elif self.method in ("linear", "cubic"):
             if self.rescale:
                 qx = (qx - self._ox) / self._sx

@@ -1293,6 +1293,57 @@ FROM r WHERE rn = 1 ORDER BY row, col
 """
 
 
+def q_interp_proximity(spark, sf_dir):
+    """Proximity raster (GDAL gdal_proximity / xarray-spatial
+    proximity): every grid cell's distance in CRS units to the nearest
+    input point — the nearest-interp plan with the distance, not the
+    value, as the output (kernels/interpolate.py method='proximity').
+    Oracle: sqrt of the per-cell min squared distance."""
+    from ..cube import make_geocube
+
+    vec = _event_vector_df(spark, sf_dir).filter(
+        F.col("seq") % 97 == 0
+    )
+    cube = make_geocube(
+        vec,
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-5.0, 5.0),
+        fill=-9999.0,
+        rasterize_function="points_griddata",
+        interp_method="proximity",
+        tile_size=64,
+    )
+    cell = cube.chunks.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    )
+    return cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
+        F.round("val", 6).alias("val"),
+    ).orderBy("row", "col")
+
+
+SQL_INTERP_PROXIMITY = f"""
+WITH pts AS (
+  SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat
+  FROM events WHERE event_id % 97 = 0
+),
+cells AS (
+  SELECT r.range AS row, c.range AS col,
+         -180.0 + 5.0 * (c.range + 0.5) AS gx,
+         90.0 - 5.0 * (r.range + 0.5) AS gy
+  FROM range(0, 36) r, range(0, 72) c
+)
+SELECT CAST(row AS INT) AS row, CAST(col AS INT) AS col,
+       round(sqrt(min((gx - lon) * (gx - lon)
+                      + (gy - lat) * (gy - lat))), 6) AS val
+FROM cells, pts
+GROUP BY row, col
+ORDER BY row, col
+"""
+
+
 def q_interp_nearest_dense(spark, sf_dir):
     """Same semantics as ``interp_nearest`` but over EVERY event point
     (10k at sf0.01, 100k at sf0.1) — exercises the grid-bucket exact-NN
@@ -2782,4 +2833,7 @@ EXTRA_QUERIES = {
     # two-epoch raster change detection (bandops.diff_cubes); numpy
     # parity incl. the 'mask' mode in tests/test_bandops.py
     "cube_diff_delta": (q_cube_diff_delta, SQL_CUBE_DIFF_DELTA),
+    # proximity raster (distance-to-nearest-feature, GDAL
+    # gdal_proximity semantics) through the nearest-interp plan
+    "interp_proximity": (q_interp_proximity, SQL_INTERP_PROXIMITY),
 }
