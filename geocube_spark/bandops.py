@@ -721,6 +721,93 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
     )
 
 
+def _validate_aligned(a: GeoCube, b: GeoCube) -> dict:
+    """Shared precondition of every two-cube combinator (merge, diff):
+    same grid, same tile_size, same band set, same per-band fills.
+    Returns the band->fill map."""
+    if a.geobox.to_dict() != b.geobox.to_dict():
+        raise ValueError("cubes must share the same grid (geobox)")
+    if a.tile_size != b.tile_size:
+        raise ValueError("cubes must share the same tile_size")
+    if set(a.bands) != set(b.bands):
+        raise ValueError(
+            f"band mismatch: {sorted(a.bands)} vs {sorted(b.bands)}"
+        )
+    fills = {m: float(meta.fill) for m, meta in a.bands.items()}
+    for m, meta in b.bands.items():
+        fb = float(meta.fill)
+        if not (fb == fills[m] or (np.isnan(fb) and np.isnan(fills[m]))):
+            raise ValueError(f"band {m!r} fill differs between cubes")
+    return fills
+
+
+def _aligned_join(a: GeoCube, b: GeoCube, how: str):
+    """Join two chunk tables on (measurement, group_key, tile_id),
+    aliased 'a'/'b' — the ONE equi-shuffle every two-cube combinator
+    pays."""
+    cond = (
+        (F.col("a.measurement") == F.col("b.measurement"))
+        & F.col("a.group_key").eqNullSafe(F.col("b.group_key"))
+        & (F.col("a.tile_id") == F.col("b.tile_id"))
+    )
+    return a.chunks.alias("a").join(b.chunks.alias("b"), cond, how)
+
+
+def _either_side(col: str):
+    """Column value from whichever side of an aligned join is present."""
+    return F.coalesce(F.col(f"a.{col}"), F.col(f"b.{col}"))
+
+
+def _is_data_fn(fill):
+    """Element predicate: non-null, non-NaN, and != the band fill
+    (every element is data when the fill itself is NaN)."""
+    def _is_data(x):
+        return x.isNotNull() & ~F.isnan(x) & (
+            F.when(F.isnan(fill), F.lit(True)).otherwise(x != fill)
+        )
+    return _is_data
+
+
+def _combined_chunks(joined, vals, schema_fields):
+    """Recombine chunk metadata across an aligned join: geometry from
+    whichever side is present, lineage counters summed, seq range
+    unioned."""
+    def _sum(col):
+        return (
+            F.coalesce(F.col(f"a.{col}"), F.lit(0))
+            + F.coalesce(F.col(f"b.{col}"), F.lit(0))
+        ).cast("long")
+
+    return joined.select(
+        _either_side("measurement").alias("measurement"),
+        _either_side("group_key").alias("group_key"),
+        _either_side("zoom").alias("zoom"),
+        _either_side("tile_id").alias("tile_id"),
+        _either_side("row0").alias("row0"),
+        _either_side("col0").alias("col0"),
+        _either_side("h").alias("h"),
+        _either_side("w").alias("w"),
+        vals.alias("values"),
+        _sum("n_geoms").alias("n_geoms"),
+        _sum("n_cells_burned").alias("n_cells_burned"),
+        F.least(
+            F.coalesce(F.col("a.min_seq"), F.col("b.min_seq")),
+            F.coalesce(F.col("b.min_seq"), F.col("a.min_seq")),
+        ).alias("min_seq"),
+        F.greatest(
+            F.coalesce(F.col("a.max_seq"), F.col("b.max_seq")),
+            F.coalesce(F.col("b.max_seq"), F.col("a.max_seq")),
+        ).alias("max_seq"),
+    ).select(*[f.name for f in schema_fields])
+
+
+def _union_group_keys(a: GeoCube, b: GeoCube):
+    keys = a.group_keys
+    if a.group_by and (a.group_keys or b.group_keys):
+        keys = sorted(set(a.group_keys or []) | set(b.group_keys or []))
+    return keys
+
+
 def merge_cubes(a: GeoCube, b: GeoCube, merge_alg: str = "replace",
                 ) -> GeoCube:
     """Combine two cubes over the SAME grid into one — the incremental
@@ -741,43 +828,13 @@ def merge_cubes(a: GeoCube, b: GeoCube, merge_alg: str = "replace",
     tables themselves."""
     if merge_alg not in ("add", "replace"):
         raise ValueError(f"unsupported merge_alg {merge_alg!r}")
-    if a.geobox.to_dict() != b.geobox.to_dict():
-        raise ValueError("cubes must share the same grid (geobox)")
-    if a.tile_size != b.tile_size:
-        raise ValueError("cubes must share the same tile_size")
-    if set(a.bands) != set(b.bands):
-        raise ValueError(
-            f"band mismatch: {sorted(a.bands)} vs {sorted(b.bands)}"
-        )
-    fills = {m: float(meta.fill) for m, meta in a.bands.items()}
-    for m, meta in b.bands.items():
-        fb = float(meta.fill)
-        if not (fb == fills[m] or (np.isnan(fb) and np.isnan(fills[m]))):
-            raise ValueError(f"band {m!r} fill differs between cubes")
-
+    fills = _validate_aligned(a, b)
     fill_map = F.create_map(
         *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
     )
-
-    keys = ["measurement", "group_key", "tile_id"]
-    left = a.chunks.alias("a")
-    right = b.chunks.alias("b")
-    cond = (
-        (F.col("a.measurement") == F.col("b.measurement"))
-        & F.col("a.group_key").eqNullSafe(F.col("b.group_key"))
-        & (F.col("a.tile_id") == F.col("b.tile_id"))
-    )
-    joined = left.join(right, cond, "full_outer")
-
-    def side(col):
-        return F.coalesce(F.col(f"a.{col}"), F.col(f"b.{col}"))
-
-    fill = fill_map[side("measurement")]
-
-    def _is_data(x):
-        return x.isNotNull() & ~F.isnan(x) & (
-            F.when(F.isnan(fill), F.lit(True)).otherwise(x != fill)
-        )
+    joined = _aligned_join(a, b, "full_outer")
+    fill = fill_map[_either_side("measurement")]
+    _is_data = _is_data_fn(fill)
 
     if merge_alg == "add":
         def elem(x, y):
@@ -800,49 +857,13 @@ def merge_cubes(a: GeoCube, b: GeoCube, merge_alg: str = "replace",
         F.col("b.values").isNull(), F.col("a.values")
     ).otherwise(both)
 
-    def _sum(col):
-        return (
-            F.coalesce(F.col(f"a.{col}"), F.lit(0))
-            + F.coalesce(F.col(f"b.{col}"), F.lit(0))
-        ).cast("long")
-
-    chunks = joined.select(
-        side("measurement").alias("measurement"),
-        side("group_key").alias("group_key"),
-        side("zoom").alias("zoom"),
-        side("tile_id").alias("tile_id"),
-        side("row0").alias("row0"),
-        side("col0").alias("col0"),
-        side("h").alias("h"),
-        side("w").alias("w"),
-        vals.alias("values"),
-        _sum("n_geoms").alias("n_geoms"),
-        _sum("n_cells_burned").alias("n_cells_burned"),
-        F.least(
-            F.coalesce(F.col("a.min_seq"), F.col("b.min_seq")),
-            F.coalesce(F.col("b.min_seq"), F.col("a.min_seq")),
-        ).alias("min_seq"),
-        F.greatest(
-            F.coalesce(F.col("a.max_seq"), F.col("b.max_seq")),
-            F.coalesce(F.col("b.max_seq"), F.col("a.max_seq")),
-        ).alias("max_seq"),
-    ).select(*[f.name for f in a.chunks.schema.fields])
-
-    group_keys = a.group_keys
-    if a.group_by and (a.group_keys or b.group_keys):
-        group_keys = sorted(
-            set(a.group_keys or []) | set(b.group_keys or [])
-        )
+    chunks = _combined_chunks(joined, vals, a.chunks.schema.fields)
     return GeoCube(
         chunks=chunks, geobox=a.geobox, bands=dict(a.bands),
-        group_by=a.group_by, group_keys=group_keys,
+        group_by=a.group_by, group_keys=_union_group_keys(a, b),
         tile_size=a.tile_size, fill=a.fill,
     )
 
-
-# ---------------------------------------------------------------------------
-# contour lines (marching squares over the halo stencil)
-# ---------------------------------------------------------------------------
 
 def contour_segments_table(cube: GeoCube, levels: Sequence[float],
                            measurements: Optional[Sequence[str]] = None,
@@ -1022,45 +1043,15 @@ def diff_cubes(a: GeoCube, b: GeoCube, mode: str = "delta") -> GeoCube:
     NaN nodata (delta/mask are derived quantities, like terrain)."""
     if mode not in ("delta", "mask"):
         raise ValueError(f"unsupported mode {mode!r}")
-    if a.geobox.to_dict() != b.geobox.to_dict():
-        raise ValueError("cubes must share the same grid (geobox)")
-    if a.tile_size != b.tile_size:
-        raise ValueError("cubes must share the same tile_size")
-    if set(a.bands) != set(b.bands):
-        raise ValueError(
-            f"band mismatch: {sorted(a.bands)} vs {sorted(b.bands)}"
-        )
-    fills = {m: float(meta.fill) for m, meta in a.bands.items()}
-    for m, meta in b.bands.items():
-        fb = float(meta.fill)
-        if not (fb == fills[m] or (np.isnan(fb) and np.isnan(fills[m]))):
-            raise ValueError(f"band {m!r} fill differs between cubes")
-
+    fills = _validate_aligned(a, b)
     fill_map = F.create_map(
         *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
     )
-
-    left = a.chunks.alias("a")
-    right = b.chunks.alias("b")
-    cond = (
-        (F.col("a.measurement") == F.col("b.measurement"))
-        & F.col("a.group_key").eqNullSafe(F.col("b.group_key"))
-        & (F.col("a.tile_id") == F.col("b.tile_id"))
-    )
-    joined = left.join(
-        right, cond, "inner" if mode == "delta" else "full_outer"
-    )
-
-    def side(col):
-        return F.coalesce(F.col(f"a.{col}"), F.col(f"b.{col}"))
-
-    fill = fill_map[side("measurement")]
+    joined = _aligned_join(a, b, "inner" if mode == "delta"
+                           else "full_outer")
+    fill = fill_map[_either_side("measurement")]
+    _is_data = _is_data_fn(fill)
     nan = F.lit(float("nan"))
-
-    def _is_data(x):
-        return x.isNotNull() & ~F.isnan(x) & (
-            F.when(F.isnan(fill), F.lit(True)).otherwise(x != fill)
-        )
 
     if mode == "delta":
         def elem(x, y):
@@ -1092,45 +1083,13 @@ def diff_cubes(a: GeoCube, b: GeoCube, mode: str = "delta") -> GeoCube:
             F.zip_with(F.col("a.values"), F.col("b.values"), elem)
         )
 
-    def _sum(col):
-        return (
-            F.coalesce(F.col(f"a.{col}"), F.lit(0))
-            + F.coalesce(F.col(f"b.{col}"), F.lit(0))
-        ).cast("long")
-
-    chunks = joined.select(
-        side("measurement").alias("measurement"),
-        side("group_key").alias("group_key"),
-        side("zoom").alias("zoom"),
-        side("tile_id").alias("tile_id"),
-        side("row0").alias("row0"),
-        side("col0").alias("col0"),
-        side("h").alias("h"),
-        side("w").alias("w"),
-        vals.alias("values"),
-        _sum("n_geoms").alias("n_geoms"),
-        _sum("n_cells_burned").alias("n_cells_burned"),
-        F.least(
-            F.coalesce(F.col("a.min_seq"), F.col("b.min_seq")),
-            F.coalesce(F.col("b.min_seq"), F.col("a.min_seq")),
-        ).alias("min_seq"),
-        F.greatest(
-            F.coalesce(F.col("a.max_seq"), F.col("b.max_seq")),
-            F.coalesce(F.col("b.max_seq"), F.col("a.max_seq")),
-        ).alias("max_seq"),
-    ).select(*[f.name for f in a.chunks.schema.fields])
-
+    chunks = _combined_chunks(joined, vals, a.chunks.schema.fields)
     bands = {
         m: BandMeta(name=m, dtype="float64", fill=float("nan"))
         for m in a.bands
     }
-    group_keys = a.group_keys
-    if a.group_by and (a.group_keys or b.group_keys):
-        group_keys = sorted(
-            set(a.group_keys or []) | set(b.group_keys or [])
-        )
     return GeoCube(
         chunks=chunks, geobox=a.geobox, bands=bands,
-        group_by=a.group_by, group_keys=group_keys,
+        group_by=a.group_by, group_keys=_union_group_keys(a, b),
         tile_size=a.tile_size, fill=float("nan"),
     )

@@ -296,9 +296,12 @@ class GeoCube:
             )
         from .plans.checkpoint import write_cube
 
+        _, ntx, nty = self.geobox.n_tiles(self.tile_size)
         return write_cube(
             self.chunks, path, n_buckets=n_buckets,
             commit_batches=commit_batches, fail_after=fail_after,
+            grid_spec={"ntx": ntx, "nty": nty,
+                       "tile_size": self.tile_size},
         )
 
 

@@ -61,9 +61,14 @@ def _as_micros(col, dtype_name: str):
         return F.unix_micros(col.cast("timestamp"))
     if dtype_name == "date":
         return F.unix_micros(col.cast("timestamp"))
-    if (dtype_name in ("double", "float")
-            or dtype_name.startswith("decimal")):
+    if dtype_name in ("double", "float"):
         return col.cast("double")
+    if dtype_name.startswith("decimal"):
+        # scale-0 decimals are integral: keep them exact as longs
+        # (doubles collapse distinct values past 2^53); fractional
+        # scales need the double
+        scale = int(dtype_name.rstrip(")").rsplit(",", 1)[-1])
+        return col.cast("long" if scale == 0 else "double")
     return col.cast("long")
 
 
@@ -135,22 +140,6 @@ def asof_join(
     dtype = _dtype_of(left, on)
     tol = _tol_micros(tolerance, dtype)
 
-    if direction == "nearest":
-        # A unique, never-null row id makes the backward/forward
-        # recombination join exact: joining on the left's own columns
-        # would drop rows holding NULLs (null-unsafe equi-join) and
-        # fan out duplicate left rows quadratically.
-        lid = "__asof_lid"
-        left_id = left.withColumn(lid, F.monotonically_increasing_id())
-        b = asof_join(left_id, right, on=on, right_on=right_on, by=by,
-                      direction="backward", tolerance=tolerance,
-                      suffix=suffix, how="left", buckets=buckets)
-        f = asof_join(left_id, right, on=on, right_on=right_on, by=by,
-                      direction="forward", tolerance=tolerance,
-                      suffix=suffix, how="left", buckets=buckets)
-        return _pick_nearest(left_id, b, f, on, right_on, keys, suffix,
-                             how, dtype, lid)
-
     # Right payload: every right column except the by-keys (their
     # values equal the left's). The time column rides inside so the
     # tolerance filter and the caller both see it.
@@ -181,6 +170,41 @@ def asof_join(
     ).select(*lcols, "__t", "__tag", "__rrow")
 
     u = l_pre.unionByName(r_pre)
+
+    if direction == "nearest":
+        # BOTH brackets as columns of the ONE union plan — never two
+        # re-evaluated subtrees recombined by a join (a
+        # monotonically_increasing_id rejoin is not stable across
+        # re-evaluations when the left plan has an upstream shuffle).
+        obs = F.when(
+            F.col("__tag") == 0, F.struct(F.col("__t"), F.col("__rrow"))
+        )
+        u2 = _bracket_fills(u, obs, keys, buckets)
+        res = u2.filter(F.col("__tag") == 1)
+        t = F.col("__t")
+        bt, brow = F.col("__mb")["__t"], F.col("__mb")["__rrow"]
+        ft, frow = F.col("__mf")["__t"], F.col("__mf")["__rrow"]
+        b_ok = F.col("__mb").isNotNull()
+        f_ok = F.col("__mf").isNotNull()
+        if tol is not None:
+            b_ok = b_ok & (t - bt <= F.lit(tol))
+            f_ok = f_ok & (ft - t <= F.lit(tol))
+        use_b = (
+            F.when(~b_ok, F.lit(False))
+            .when(~f_ok, F.lit(True))
+            .otherwise((t - bt) <= (ft - t))  # backward wins ties
+        )
+        match = (
+            F.when(use_b & b_ok, brow).when(~use_b & f_ok, frow)
+        )
+        res = res.withColumn("__match", match)
+        if how == "inner":
+            res = res.filter(F.col("__match").isNotNull())
+        return res.select(
+            *[F.col(c) for c in lcols],
+            *[F.col("__match").getField(c).alias(out_names[c])
+              for c in payload_cols],
+        )
 
     # Sort so the qualifying right row is the last non-null __rrow
     # strictly before-or-at each left row. Inclusive matching needs
@@ -288,36 +312,105 @@ def _keyless_fill(u: DataFrame, order, direction: str,
     )
 
 
-def _pick_nearest(left, b, f, on, right_on, keys, suffix, how, dtype,
-                  lid):
-    """Combine the backward and forward passes of a 'nearest' as-of:
-    per left row take the side with the smaller |dt| (backward on
-    ties). The passes rejoin on ``lid``, a unique non-null row id the
-    caller stamped on the left — never on data columns, which may hold
-    NULLs or duplicates."""
-    lcols = [c for c in left.columns if c != lid]
-    rn = right_on + suffix if right_on in lcols else right_on
-    bt = _as_micros(F.col("__bm").getField(rn), dtype)
-    ft = _as_micros(F.col("__fm").getField(rn), dtype)
-    t = _as_micros(F.col(on), dtype)
-    payload = [c for c in b.columns if c not in lcols and c != lid]
+def _bracket_fills(u: DataFrame, obs, keys, buckets: int,
+                   ) -> DataFrame:
+    """Add to every row of ``u`` the latest observation at-or-before
+    its ``__t`` (``__mb``) and the earliest at-or-after (``__mf``) —
+    observations are the non-null values of the ``obs`` struct, whose
+    FIRST field must be ``__t`` so struct max/min order by time first
+    (ties resolved by the payload, deterministically).
 
-    bb = b.select(lid, *lcols, F.struct(*payload).alias("__bm"))
-    ff = f.select(lid, F.struct(*payload).alias("__fm"))
-    j = bb.join(ff, lid)
-    use_b = F.when(
-        F.col("__bm").getField(rn).isNull(), F.lit(False)
-    ).when(
-        F.col("__fm").getField(rn).isNull(), F.lit(True)
-    ).otherwise((t - bt) <= (ft - t))
-    best = F.when(use_b, F.col("__bm")).otherwise(F.col("__fm"))
-    res = j.select(
-        *lcols, *[best.getField(c).alias(c) for c in payload]
+    Keyed: two RANGE-frame window aggregates after ONE hash exchange
+    (RANGE frames make equal-``__t`` rows peers, so matching is
+    inclusive in both directions). Keyless: the same per-bucket fills
+    plus an O(buckets) carry table (running max of bucket maxima /
+    min of bucket minima) broadcast back — the two-level parallel
+    prefix scan, no single-task window over the data.
+    """
+    u = u.withColumn("__obs", obs)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__t")
+        return (
+            u.withColumn(
+                "__mb",
+                F.max("__obs").over(
+                    w.rangeBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn(
+                "__mf",
+                F.min("__obs").over(
+                    w.rangeBetween(0, Window.unboundedFollowing)
+                ),
+            )
+            .drop("__obs")
+        )
+
+    lo, hi = u.select(F.min("__t"), F.max("__t")).first()
+    if lo is None or hi is None or buckets == 1 or hi <= lo:
+        w = Window.orderBy("__t")
+        return (
+            u.withColumn(
+                "__mb",
+                F.max("__obs").over(
+                    w.rangeBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn(
+                "__mf",
+                F.min("__obs").over(
+                    w.rangeBetween(0, Window.unboundedFollowing)
+                ),
+            )
+            .drop("__obs")
+        )
+    width = (int(hi) - int(lo) + buckets) // buckets \
+        if isinstance(lo, int) else (hi - lo) / buckets
+    b = F.least(
+        F.greatest(
+            ((F.col("__t") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(buckets - 1),
     )
-    if how == "inner":
-        res = res.filter(F.col(rn if rn in payload else payload[0])
-                         .isNotNull())
-    return res
+    u = u.withColumn("__b", b)
+    wb = Window.partitionBy("__b").orderBy("__t")
+    u = (
+        u.withColumn(
+            "__lb",
+            F.max("__obs").over(
+                wb.rangeBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "__lf",
+            F.min("__obs").over(
+                wb.rangeBetween(0, Window.unboundedFollowing)
+            ),
+        )
+    )
+    per = u.groupBy("__b").agg(
+        F.max("__obs").alias("__bb"), F.min("__obs").alias("__bf")
+    )
+    carry = per.select(
+        "__b",
+        F.max("__bb").over(
+            Window.orderBy("__b").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ).alias("__cb"),
+        F.min("__bf").over(
+            Window.orderBy("__b").rowsBetween(
+                1, Window.unboundedFollowing
+            )
+        ).alias("__cf"),
+    )
+    return (
+        u.join(F.broadcast(carry), "__b")
+        .withColumn("__mb", F.greatest("__lb", "__cb"))
+        .withColumn("__mf", F.least("__lf", "__cf"))
+        .drop("__obs", "__b", "__lb", "__lf", "__cb", "__cf")
+    )
 
 
 def interval_join(
@@ -407,13 +500,21 @@ def interval_join(
     # id — an anti-join on the data columns would mis-handle NULLs
     # (null-unsafe, so a matched row with a NULL attribute would also
     # land in the missing branch) and conflate duplicate point rows.
-    pid = "__ivl_pid"
-    pts = pts.withColumn(pid, F.monotonically_increasing_id())
+    # how='left': the missing branch anti-joins on the point CONTENT
+    # with null-safe equality — content-identical rows share a match
+    # status by definition, so this is exact for duplicates too, and
+    # (unlike a monotonically_increasing_id stamp) it is stable across
+    # the two re-evaluations of the pts plan that the two branches
+    # imply.
     matched = pts.join(ivl, on, "inner").filter(cond)
-    missing = pts.join(
-        matched.select(pid).distinct(), pid, "left_anti"
-    ).select(
-        *[F.col(c) for c in pcols],
+    mk = matched.select(*pcols).distinct().alias("__mk")
+    p = pts.alias("__p")
+    anti_cond = None
+    for c in pcols:
+        term = F.col(f"__p.{c}").eqNullSafe(F.col(f"__mk.{c}"))
+        anti_cond = term if anti_cond is None else (anti_cond & term)
+    missing = p.join(mk, anti_cond, "left_anti").select(
+        *[F.col(f"__p.{c}") for c in pcols],
         *[F.lit(None).cast(_dtype_of(intervals, c)).alias(out_names[c])
           for c in icols],
     )
@@ -589,12 +690,11 @@ def rolling_agg(
     fractional_axis = (dtype in ("double", "float")
                        or dtype.startswith("decimal"))
     if not fractional_axis and not isinstance(w, int):
-        # integer axis: |dt| <= 2.5 is the same predicate as |dt| <= 2
-        w = int(w)
-        if w <= 0:
-            raise ValueError(
-                f"window {window!r} is narrower than the integer axis"
-            )
+        # integer axis: |dt| <= 2.5 is the same predicate as |dt| <= 2,
+        # and |dt| <= 0.5 is |dt| <= 0 (same-timestamp peers only)
+        import math
+
+        w = int(math.floor(w))
     lo_hi = {
         "trailing": (-w, 0),
         "leading": (0, w),
@@ -693,6 +793,7 @@ def time_fill(
     t: str = "ts",
     by: Union[str, Sequence[str], None] = None,
     method: str = "ffill",
+    buckets: int = 64,
 ) -> DataFrame:
     """Fill NULL gaps in ``cols`` along the time axis, per ``by`` key —
     the pandas ``ffill`` / ``bfill`` / time-weighted ``interpolate``
@@ -707,12 +808,13 @@ def time_fill(
       one-sided value (pandas limit_direction='both'); linear output
       columns are double
 
-    Pure window program: ``last(..., ignorenulls)`` over
-    [unbounded, 0] and ``first(..., ignorenulls)`` over [0, unbounded]
-    with RANGE frames — ONE shuffle on the keys, both directions read
-    from the same sorted partition. Ties in ``t`` are frame peers, so
-    a null row sharing its timestamp with an observation picks that
-    observation's value in either direction.
+    Both brackets come from :func:`_bracket_fills` — keyed: two
+    RANGE-frame window aggregates after ONE hash exchange; keyless:
+    the bucketed two-level prefix scan (per-bucket fills + O(buckets)
+    broadcast carry), never a single-task global window. Ties in
+    ``t`` are frame peers, so a null row sharing its timestamp with
+    an observation picks that observation's value (the greatest at
+    that timestamp — deterministic).
     """
     if method not in ("ffill", "bfill", "linear"):
         raise ValueError(f"unsupported method {method!r}")
@@ -723,25 +825,29 @@ def time_fill(
             raise ValueError(f"column {c!r} not in {df.columns}")
     dtype = _dtype_of(df, t)
 
-    u = df.withColumn("__t", _as_micros(F.col(t), dtype))
-    wb = (Window.partitionBy(*keys).orderBy("__t")
-          if keys else Window.orderBy("__t"))
-    back = wb.rangeBetween(Window.unboundedPreceding, 0)
-    fwd = wb.rangeBetween(0, Window.unboundedFollowing)
-
-    out = u
+    out = df.withColumn("__t", _as_micros(F.col(t), dtype))
+    fills = {}
     for c in cols:
-        val = F.col(c)
         # (time, value) struct so the linear path knows WHEN the
         # bracketing observation happened, not just its value
-        obs = F.when(val.isNotNull(), F.struct(F.col("__t"), val))
+        obs = F.when(
+            F.col(c).isNotNull(), F.struct(F.col("__t"), F.col(c))
+        )
+        out = (
+            _bracket_fills(out, obs, keys, buckets)
+            .withColumnRenamed("__mb", f"__mb_{c}")
+            .withColumnRenamed("__mf", f"__mf_{c}")
+        )
+        fills[c] = (F.col(f"__mb_{c}"), F.col(f"__mf_{c}"))
+
+    for c in cols:
+        val = F.col(c)
+        b, f2 = fills[c]
         if method == "ffill":
-            fill = F.last(obs, ignorenulls=True).over(back)[c]
+            fill = b[c]
         elif method == "bfill":
-            fill = F.first(obs, ignorenulls=True).over(fwd)[c]
+            fill = f2[c]
         else:
-            b = F.last(obs, ignorenulls=True).over(back)
-            f2 = F.first(obs, ignorenulls=True).over(fwd)
             bt, bv = b["__t"], b[c].cast("double")
             ft, fv = f2["__t"], f2[c].cast("double")
             span = (ft - bt).cast("double")

@@ -200,6 +200,7 @@ def write_cube(
     fail_after: int | None = None,
     verify_input: bool = False,
     cluster: dict | None = None,
+    grid_spec: dict | None = None,
 ) -> WriteReport:
     """Write a chunk DataFrame as a sequence of committed snapshots.
 
@@ -238,6 +239,32 @@ def write_cube(
             "n_files": int(cluster.get("n_files", 8)),
         }
         cluster["order"] = cluster_order(cluster["ntx"], cluster["nty"])
+    if grid_spec is not None:
+        # write-once sidecar recording the tile grid every windowed
+        # read's tile_id / rectangle predicate depends on; a resume
+        # with a different grid is the same silent-row-drop hazard as
+        # a cluster mismatch, so it is rejected the same way
+        grid_spec = {
+            "ntx": int(grid_spec["ntx"]),
+            "nty": int(grid_spec["nty"]),
+            "tile_size": int(grid_spec["tile_size"]),
+        }
+        gpath = os.path.join(path, "_grid.json")
+        if os.path.exists(gpath):
+            with open(gpath) as fh:
+                prev = json.load(fh)
+            if prev != grid_spec:
+                raise ValueError(
+                    f"resume parameter mismatch at {path}: table grid "
+                    f"{prev} vs this call's {grid_spec}; use the "
+                    "original geobox/tile_size or a fresh path"
+                )
+        else:
+            os.makedirs(path, exist_ok=True)
+            tmp = gpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(grid_spec, fh)
+            os.replace(tmp, gpath)
     prior = _list_manifests(path)
     # resume safety: skipping a committed batch is only valid when the
     # deterministic row->batch split is THE SAME split the prior
@@ -542,6 +569,26 @@ def read_cube_window(spark: SparkSession, path: str, geobox,
     tx1 = min(ntx - 1, int(max(px) // tile_size))
     ty0 = max(0, int(min(py) // tile_size))
     ty1 = min(nty - 1, int(max(py) // tile_size))
+    # every pruning level below depends on the caller's geobox /
+    # tile_size deriving the SAME tile grid the table was written
+    # with; when the write recorded its grid (cube.write does), a
+    # mismatch is an error rather than silently dropped rows — for
+    # plain tables too, not just clustered ones
+    gpath = os.path.join(path, "_grid.json")
+    if os.path.exists(gpath):
+        with open(gpath) as fh:
+            rec = json.load(fh)
+        if (rec["ntx"], rec["nty"], rec["tile_size"]) != (
+            ntx, nty, int(tile_size),
+        ):
+            raise ValueError(
+                f"geobox/tile_size derive a {ntx}x{nty} tile grid "
+                f"(tile_size {tile_size}) but the table was written "
+                f"with {rec['ntx']}x{rec['nty']} (tile_size "
+                f"{rec['tile_size']}, see _grid.json); pass the "
+                "geobox and tile_size the cube was written with"
+            )
+
     df = read_cube(spark, path, as_of=as_of)
     if tx1 < tx0 or ty1 < ty0:
         return df.limit(0)

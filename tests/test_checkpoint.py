@@ -328,3 +328,33 @@ def test_compact_then_window_read(spark, cube, tmp_path):
         ).select("tile_id").distinct().collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_window_read_rejects_mismatched_grid_plain_table(spark, tmp_path):
+    """cube.write records the tile grid in _grid.json; a windowed read
+    with a different geobox/tile_size raises for PLAIN tables too, not
+    just hilbert-clustered ones (review regression)."""
+    import json as _json
+    import os as _os
+
+    from geocube_spark import datagen as DG
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.plans import checkpoint as CP
+
+    docs = DG.to_spark(spark, DG.flat_polygon_docs(n=9))
+    cube = make_geocube(
+        docs, measurements=["om_r"], output_crs="epsg:32615",
+        resolution=(-10.0, 10.0), fill=-9999.0, tile_size=64,
+    )
+    path = str(tmp_path / "plain_grid")
+    cube.write(path, n_buckets=8, commit_batches=1)
+    spec = _json.load(open(_os.path.join(path, "_grid.json")))
+    assert spec["tile_size"] == 64 and spec["ntx"] >= 1
+
+    gb = cube.geobox
+    minx, miny, _maxx, _maxy = gb.bounds()
+    bbox = (minx, miny, minx + 200, miny + 200)
+    ok = CP.read_cube_window(spark, path, gb, 64, bbox)
+    assert ok.count() >= 0  # matching grid reads fine
+    with pytest.raises(ValueError, match="_grid.json"):
+        CP.read_cube_window(spark, path, gb, 128, bbox)

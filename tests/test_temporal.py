@@ -638,3 +638,91 @@ def test_time_fill_all_null_column_stays_null(spark):
     got = time_fill(spark.createDataFrame(pdf), "v", t="t",
                     method="linear").toPandas()
     assert got["v"].isna().all()
+
+
+# ------------------------------------------- determinism regressions (r4b)
+
+def test_asof_nearest_single_plan_no_id_join(spark):
+    """'nearest' computes both brackets as columns of ONE union plan:
+    no monotonically_increasing_id, no rejoin of two re-evaluated
+    subtrees (whose ids are not stable across evaluations when the
+    left has an upstream shuffle)."""
+    left, right, L, R = _mk(spark, seed=77)
+    # force an upstream shuffle on the left plan
+    Ls = L.repartition(7, "k").groupBy("lid", "k", "t").agg(
+        F.max("lv").alias("lv")
+    )
+    res = asof_join(Ls, R, on="t", by="k", direction="nearest")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    got = _got(res)
+    exp = _pd_asof(left, right, "nearest", by="k")
+    pd.testing.assert_series_equal(
+        got["rv"], exp["rv"], check_names=False
+    )
+
+
+def test_interval_left_no_id_stamp_and_shuffled_input(spark):
+    pts, ivl, P, I = _mk_intervals(spark, seed=21)
+    Ps = P.repartition(5, "k").groupBy("pid", "k", "t").agg(
+        F.count(F.lit(1)).alias("n")
+    ).drop("n")
+    res = interval_join(Ps, I, t="t", by="k", how="left")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    got = res.toPandas()
+    matched = _brute_pairs(pts, ivl, "k")
+    n_matched_pts = len({p for p, _ in matched})
+    assert len(got) == len(matched) + (len(pts) - n_matched_pts)
+
+
+@pytest.mark.parametrize("buckets", [1, 5, 64])
+def test_time_fill_keyless_bucketed_matches_pandas(spark, buckets):
+    rng = np.random.default_rng(67)
+    t = np.unique(rng.integers(0, 50_000, 500).astype(np.int64))
+    pdf = pd.DataFrame({"rid": np.arange(len(t)), "t": t,
+                        "v": rng.normal(size=len(t)).round(6)})
+    pdf.loc[rng.random(len(pdf)) < 0.5, "v"] = np.nan
+    got = (
+        time_fill(spark.createDataFrame(pdf), "v", t="t",
+                  method="linear", buckets=buckets)
+        .toPandas().sort_values("rid").reset_index(drop=True)
+    )
+    s = pd.Series(pdf["v"].values, index=pd.to_datetime(pdf["t"], unit="s"))
+    exp = s.interpolate(method="time", limit_direction="both").values
+    np.testing.assert_allclose(got["v"].values, exp,
+                               rtol=1e-9, atol=1e-12)
+    if buckets > 1:
+        plan = time_fill(spark.createDataFrame(pdf), "v", t="t",
+                         method="linear", buckets=buckets) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "__b" in plan  # data windows partitioned by bucket
+
+
+def test_rolling_agg_subunit_window_integer_axis(spark):
+    """window=0.5 on an integer axis = same-timestamp peers only."""
+    pdf = pd.DataFrame({"rid": [0, 1, 2],
+                        "t": np.array([10, 10, 11], dtype=np.int64),
+                        "v": [1.0, 2.0, 4.0]})
+    got = (
+        rolling_agg(spark.createDataFrame(pdf), {"s": ("v", "sum")},
+                    t="t", window=0.5)
+        .toPandas().sort_values(["rid"])
+    )
+    assert list(got["s"]) == [3.0, 3.0, 4.0]
+
+
+def test_asof_decimal_scale0_exact_above_2pow53(spark):
+    from decimal import Decimal
+
+    base = (1 << 53) + 100  # adjacent longs collapse as doubles
+    left = spark.createDataFrame(
+        [(1, Decimal(base + 1))], "lid INT, t DECIMAL(20,0)"
+    )
+    right = spark.createDataFrame(
+        [(Decimal(base), 1.0), (Decimal(base + 1), 2.0)],
+        "t DECIMAL(20,0), rv DOUBLE",
+    )
+    got = asof_join(left, right, on="t",
+                    direction="backward").collect()
+    assert got[0]["rv"] == 2.0  # exact long arithmetic finds base+1
