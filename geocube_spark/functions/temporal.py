@@ -32,6 +32,12 @@ no ``crossJoin`` — with explicitly bounded shuffles:
   w PRECEDING AND CURRENT ROW``) via Spark's native range frame; one
   shuffle on the keys, the frame scan is streaming within each
   partition.
+* ``session_stats`` — per-session aggregates through Spark's NATIVE
+  ``session_window`` (runs unchanged under Structured Streaming).
+* ``time_fill``     — ffill / bfill / time-weighted linear gap fill
+  (pandas ``interpolate(method='time')``); brackets from the shared
+  :func:`_bracket_fills` (keyed RANGE frames, keyless bucketed
+  prefix scan).
 
 Scale notes (100 TB): the keyed as-of shuffles each side once by the
 join keys — the same cost as any equi-join, skew handled by AQE. The
