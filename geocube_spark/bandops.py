@@ -1093,3 +1093,251 @@ def diff_cubes(a: GeoCube, b: GeoCube, mode: str = "delta") -> GeoCube:
         group_by=a.group_by, group_keys=_union_group_keys(a, b),
         tile_size=a.tile_size, fill=float("nan"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-epoch temporal composites
+# ---------------------------------------------------------------------------
+
+def _validate_aligned_many(cubes: Sequence[GeoCube]) -> dict:
+    """N-way form of the two-cube combinator precondition: every epoch
+    shares the grid, tile size, band set, and per-band fills. Returns
+    the band->fill map."""
+    cubes = list(cubes)
+    if len(cubes) < 2:
+        raise ValueError("need at least 2 cubes to composite")
+    fills = _validate_aligned(cubes[0], cubes[1])
+    for c in cubes[2:]:
+        _validate_aligned(cubes[0], c)
+    return fills
+
+
+def _stack_epochs(cubes: Sequence[GeoCube], times):
+    """Union the epoch chunk tables (tagged with the epoch's time
+    coordinate) and group them onto the tile key — the ONE shuffle
+    every N-epoch composite pays. Shuffle bytes = k x chunk tables;
+    epochs of the same tile land in one task regardless of k."""
+    parts = []
+    for c, t in zip(cubes, times):
+        parts.append(
+            c.chunks.select(
+                "measurement", "group_key", "zoom", "tile_id",
+                "row0", "col0", "h", "w",
+                F.struct(
+                    F.lit(float(t)).alias("t"),
+                    F.col("values").alias("v"),
+                ).alias("ep"),
+                "n_geoms", "n_cells_burned", "min_seq", "max_seq",
+            )
+        )
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    return stacked.groupBy("measurement", "group_key", "zoom",
+                           "tile_id").agg(
+        F.first("row0").alias("row0"),
+        F.first("col0").alias("col0"),
+        F.first("h").alias("h"),
+        F.first("w").alias("w"),
+        F.collect_list("ep").alias("eps"),
+        F.sum("n_geoms").alias("n_geoms"),
+        F.sum("n_cells_burned").alias("n_cells_burned"),
+        F.min("min_seq").alias("min_seq"),
+        F.max("max_seq").alias("max_seq"),
+    )
+
+
+def _derived_cube(cubes, grouped, vals) -> GeoCube:
+    a = cubes[0]
+    schema_names = [f.name for f in a.chunks.schema.fields]
+    chunks = grouped.select(
+        *[c for c in ("measurement", "group_key", "zoom", "tile_id",
+                      "row0", "col0", "h", "w")],
+        vals.alias("values"),
+        "n_geoms", "n_cells_burned", "min_seq", "max_seq",
+    ).select(*schema_names)
+    bands = {
+        m: BandMeta(name=m, dtype="float64", fill=float("nan"))
+        for m in a.bands
+    }
+    keys = a.group_keys
+    if a.group_by:
+        ks = set()
+        for c in cubes:
+            ks |= set(c.group_keys or [])
+        keys = sorted(ks) if ks else keys
+    return GeoCube(
+        chunks=chunks, geobox=a.geobox, bands=bands,
+        group_by=a.group_by, group_keys=keys,
+        tile_size=a.tile_size, fill=float("nan"),
+    )
+
+
+COMPOSITE_STATS = ("median", "mean", "min", "max", "count")
+
+
+def composite_cubes(cubes: Sequence[GeoCube],
+                    stat: str = "median") -> GeoCube:
+    """Per-pixel temporal composite across N epoch cubes on the SAME
+    grid — the classic satellite mosaic (xarray users write
+    ``xr.concat(epochs, 'time').median('time')``; geocube's docs end
+    most examples in exactly that Dataset math).
+
+    Nodata-aware like xarray ``skipna=True``: a cell's statistic is
+    taken over the epochs that hold DATA there; a cell with no data in
+    any epoch is nodata in the output. ``median`` averages the two
+    middle values on even counts (numpy/DuckDB semantics).
+
+    Plan: one union + ONE groupBy shuffle onto the tile key (epochs of
+    a tile co-locate regardless of k), then a pure Catalyst element
+    program — ``min``/``max``/``mean``/``count`` are ``aggregate`` +
+    ``zip_with`` folds over the epoch list (one sequential pass, no
+    per-cell indexing); ``median`` gathers each cell's k-vector with
+    ``transform``+``element_at`` and sorts it (k is the epoch count,
+    tiny). No Python anywhere, shuffle bounded by the chunk tables."""
+    if stat not in COMPOSITE_STATS:
+        raise ValueError(
+            f"unsupported stat {stat!r}; one of {COMPOSITE_STATS}"
+        )
+    cubes = list(cubes)
+    fills = _validate_aligned_many(cubes)
+    grouped = _stack_epochs(cubes, range(len(cubes)))
+    fill_map = F.create_map(
+        *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
+    )
+    fill = fill_map[F.col("measurement")]
+    _is_data = _is_data_fn(fill)
+    nan = F.lit(float("nan"))
+    eps = F.col("eps")
+    first_v = F.element_at(eps, 1)["v"]
+
+    if stat == "median":
+        def _cell_median(i):
+            g = F.array_sort(F.filter(
+                F.transform(eps, lambda e: F.element_at(e["v"], i + 1)),
+                _is_data,
+            ))
+            n = F.size(g)
+            # element_at is 1-based and wants ints; (n+1)/2 is a double
+            # division in SQL, so take explicit floors
+            lo = F.element_at(g, F.floor((n + 1) / 2).cast("int"))
+            hi = F.element_at(g, (F.floor(n / 2) + 1).cast("int"))
+            return F.when(n > 0, (lo + hi) / 2.0).otherwise(nan)
+
+        vals = F.transform(
+            F.sequence(F.lit(0), F.size(first_v) - 1), _cell_median
+        )
+    elif stat in ("min", "max"):
+        cmp = (lambda x, a: x < a) if stat == "min" else (
+            lambda x, a: x > a)
+
+        def _merge(acc, e):
+            return F.zip_with(
+                acc, e["v"],
+                lambda a, x: F.when(
+                    _is_data(x) & (F.isnan(a) | cmp(x, a)), x
+                ).otherwise(a),
+            )
+
+        init = F.transform(first_v, lambda _: nan)
+        vals = F.aggregate(eps, init, _merge)
+    else:  # mean / count share the (sum, count) fold
+        def _merge(acc, e):
+            return F.zip_with(
+                acc, e["v"],
+                lambda a, x: F.struct(
+                    (a["s"] + F.when(_is_data(x), x)
+                     .otherwise(F.lit(0.0))).alias("s"),
+                    (a["c"] + _is_data(x).cast("long")).alias("c"),
+                ),
+            )
+
+        init = F.transform(
+            first_v,
+            lambda _: F.struct(F.lit(0.0).alias("s"),
+                               F.lit(0).cast("long").alias("c")),
+        )
+        acc = F.aggregate(eps, init, _merge)
+        if stat == "mean":
+            vals = F.transform(
+                acc,
+                lambda a: F.when(a["c"] > 0, a["s"] / a["c"])
+                .otherwise(nan),
+            )
+        else:
+            # zero-data cells are nodata, not 0: a tile nobody burned
+            # does not exist at all, so a representable 0 would mean
+            # "count depends on tile layout" — NaN everywhere instead
+            vals = F.transform(
+                acc,
+                lambda a: F.when(a["c"] > 0, a["c"].cast("double"))
+                .otherwise(nan),
+            )
+    return _derived_cube(cubes, grouped, vals)
+
+
+def trend_cubes(cubes: Sequence[GeoCube],
+                times: Optional[Sequence[float]] = None) -> GeoCube:
+    """Per-pixel least-squares trend (slope of value vs time) across N
+    epoch cubes — the NDVI-trend / change-rate analysis every raster
+    time-series pipeline runs. ``times`` are the epoch time
+    coordinates (default 0..k-1).
+
+    A cell's slope is fit over the epochs holding data there;
+    fewer than 2 data epochs (or zero time variance among them) is
+    nodata. Closed form ``(n*Stv - St*Sv) / (n*Stt - St^2)``
+    accumulated per cell by an ``aggregate`` + ``zip_with`` fold over
+    the epoch list — one pass, pure Catalyst, same ONE-shuffle plan as
+    :func:`composite_cubes`."""
+    cubes = list(cubes)
+    if times is None:
+        times = list(range(len(cubes)))
+    times = [float(t) for t in times]
+    if len(times) != len(cubes):
+        raise ValueError("times must have one entry per cube")
+    if len(set(times)) != len(times):
+        raise ValueError("times must be distinct")
+    fills = _validate_aligned_many(cubes)
+    grouped = _stack_epochs(cubes, times)
+    fill_map = F.create_map(
+        *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
+    )
+    _is_data = _is_data_fn(fill_map[F.col("measurement")])
+    nan = F.lit(float("nan"))
+    eps = F.col("eps")
+    first_v = F.element_at(eps, 1)["v"]
+
+    def _merge(acc, e):
+        return F.zip_with(
+            acc, e["v"],
+            lambda a, x: F.when(
+                _is_data(x),
+                F.struct(
+                    (a["n"] + F.lit(1).cast("long")).alias("n"),
+                    (a["st"] + e["t"]).alias("st"),
+                    (a["sv"] + x).alias("sv"),
+                    (a["stv"] + e["t"] * x).alias("stv"),
+                    (a["stt"] + e["t"] * e["t"]).alias("stt"),
+                ),
+            ).otherwise(a),
+        )
+
+    init = F.transform(
+        first_v,
+        lambda _: F.struct(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("st"), F.lit(0.0).alias("sv"),
+            F.lit(0.0).alias("stv"), F.lit(0.0).alias("stt"),
+        ),
+    )
+    acc = F.aggregate(eps, init, _merge)
+
+    def _slope(a):
+        denom = a["n"] * a["stt"] - a["st"] * a["st"]
+        return F.when(
+            (a["n"] >= 2) & (denom > 0),
+            (a["n"] * a["stv"] - a["st"] * a["sv"]) / denom,
+        ).otherwise(nan)
+
+    vals = F.transform(acc, _slope)
+    return _derived_cube(cubes, grouped, vals)

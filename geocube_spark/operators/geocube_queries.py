@@ -2497,6 +2497,133 @@ ORDER BY row, col
 """
 
 
+_THIRDS_CACHE: dict = {}
+
+
+def _third_burn_cubes(spark, sf_dir):
+    """Three epoch cubes from seq-mod-3 slices of the corpus,
+    materialized once per (session, sf_dir) — the composite queries
+    measure composite_cubes/trend_cubes, not three re-burns per run
+    (same shared-input pattern as ``_half_burn_cubes``)."""
+    import os
+    import tempfile
+
+    from ..cube import GeoCube, make_geocube
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _THIRDS_CACHE.get(key)
+    if cached is None:
+        vec = _event_vector_df(spark, sf_dir)
+        kw = dict(
+            measurements=["value"], geom=WORLD_GEOM,
+            resolution=(-1.0, 1.0), fill=0.0, merge_alg="add",
+            tile_size=64,
+        )
+        paths, gb, bands, ts = [], None, None, None
+        for i in range(3):
+            cube = make_geocube(vec.filter(F.col("seq") % 3 == i), **kw)
+            p = os.path.join(
+                tempfile.gettempdir(),
+                f"geocube_third{i}_{os.getpid()}_"
+                f"{abs(hash(key)) % (1 << 32):x}",
+            )
+            cube.chunks.write.mode("overwrite").parquet(p)
+            paths.append(p)
+            gb, bands, ts = cube.geobox, cube.bands, cube.tile_size
+        cached = (paths, gb, bands, ts)
+        _THIRDS_CACHE[key] = cached
+    paths, gb, bands, ts = cached
+    return [
+        GeoCube(chunks=spark.read.parquet(p), geobox=gb, bands=bands,
+                group_by=None, group_keys=None, tile_size=ts, fill=0.0)
+        for p in paths
+    ]
+
+
+def q_composite_median(spark, sf_dir):
+    """Temporal composite (bandops.composite_cubes): the corpus split
+    into three seq-mod-3 epochs, per-pixel MEDIAN over the epochs
+    holding data — one union + ONE tile-key groupBy shuffle, then a
+    pure Catalyst sort-and-middle element program (no Python). The
+    oracle replays the three grouped sums and takes DuckDB's
+    interpolated median (identical two-middle averaging)."""
+    from ..bandops import composite_cubes
+
+    cubes = _third_burn_cubes(spark, sf_dir)
+    c = composite_cubes(cubes, "median")
+    df = _explode_cells(c.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col",
+                F.round(F.col("val") + 1e-9, 6).alias("med"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_COMPOSITE_MEDIAN = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value, event_id % 3 AS par
+  FROM events
+), s AS (
+  SELECT row, col, par, sum(value) AS sv
+  FROM pts GROUP BY 1, 2, 3
+), d AS (
+  SELECT row, col, par, sv FROM s WHERE sv <> 0.0
+)
+SELECT row, col, round(median(sv) + 1e-9, 6) AS med
+FROM d GROUP BY row, col
+ORDER BY row, col
+"""
+
+
+def q_composite_trend(spark, sf_dir):
+    """Per-pixel least-squares trend (bandops.trend_cubes): slope of
+    the cell value across the three epochs that hold data there,
+    closed-form OLS accumulated by an aggregate+zip_with fold — same
+    ONE-shuffle plan as the composite. Cells with under two data
+    epochs are nodata. The oracle computes the identical closed form
+    from the grouped epoch sums."""
+    from ..bandops import trend_cubes
+
+    cubes = _third_burn_cubes(spark, sf_dir)
+    c = trend_cubes(cubes, [0.0, 1.0, 2.0])
+    df = _explode_cells(c.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col",
+                F.round(F.col("val") + 1e-9, 6).alias("slope"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_COMPOSITE_TREND = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value, event_id % 3 AS par
+  FROM events
+), s AS (
+  SELECT row, col, par, sum(value) AS sv
+  FROM pts GROUP BY 1, 2, 3
+), d AS (
+  SELECT row, col, CAST(par AS DOUBLE) AS t, sv
+  FROM s WHERE sv <> 0.0
+), a AS (
+  SELECT row, col, count(*) AS n, sum(t) AS st, sum(sv) AS sv2,
+         sum(t * sv) AS stv, sum(t * t) AS stt
+  FROM d GROUP BY 1, 2
+)
+SELECT row, col,
+       round((n * stv - st * sv2) / (n * stt - st * st) + 1e-9, 6)
+         AS slope
+FROM a
+WHERE n >= 2 AND (n * stt - st * st) > 0
+ORDER BY row, col
+"""
+
+
 def q_asof_join_price(spark, sf_dir):
     """As-of join (functions/temporal.py): each click/view event picks
     up the latest preceding purchase of the same user — pandas
@@ -2833,6 +2960,10 @@ EXTRA_QUERIES = {
     # two-epoch raster change detection (bandops.diff_cubes); numpy
     # parity incl. the 'mask' mode in tests/test_bandops.py
     "cube_diff_delta": (q_cube_diff_delta, SQL_CUBE_DIFF_DELTA),
+    # N-epoch temporal composites (round 4, bandops): per-pixel median
+    # mosaic + per-pixel OLS trend across three seq-mod-3 epoch burns
+    "composite_median": (q_composite_median, SQL_COMPOSITE_MEDIAN),
+    "composite_trend": (q_composite_trend, SQL_COMPOSITE_TREND),
     # proximity raster (distance-to-nearest-feature, GDAL
     # gdal_proximity semantics) through the nearest-interp plan
     "interp_proximity": (q_interp_proximity, SQL_INTERP_PROXIMITY),
