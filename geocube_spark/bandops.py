@@ -20,6 +20,7 @@ rows — no Python in the hot path, no driver collection:
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -1174,6 +1175,7 @@ def _derived_cube(cubes, grouped, vals) -> GeoCube:
 
 
 COMPOSITE_STATS = ("median", "mean", "min", "max", "count")
+_QUANTILE_RE = re.compile(r"p(\d{1,2}(?:\.\d+)?|100)")
 
 
 def composite_cubes(cubes: Sequence[GeoCube],
@@ -1195,10 +1197,15 @@ def composite_cubes(cubes: Sequence[GeoCube],
     per-cell indexing); ``median`` gathers each cell's k-vector with
     ``transform``+``element_at`` and sorts it (k is the epoch count,
     tiny). No Python anywhere, shuffle bounded by the chunk tables."""
+    qv = None
     if stat not in COMPOSITE_STATS:
-        raise ValueError(
-            f"unsupported stat {stat!r}; one of {COMPOSITE_STATS}"
-        )
+        m = _QUANTILE_RE.fullmatch(stat)
+        if not m:
+            raise ValueError(
+                f"unsupported stat {stat!r}; one of {COMPOSITE_STATS} "
+                "or a percentile like 'p25'"
+            )
+        qv = float(m.group(1)) / 100.0
     cubes = list(cubes)
     fills = _validate_aligned_many(cubes)
     grouped = _stack_epochs(cubes, range(len(cubes)))
@@ -1226,6 +1233,26 @@ def composite_cubes(cubes: Sequence[GeoCube],
 
         vals = F.transform(
             F.sequence(F.lit(0), F.size(first_v) - 1), _cell_median
+        )
+    elif qv is not None:
+        def _cell_quantile(i):
+            g = F.array_sort(F.filter(
+                F.transform(eps, lambda e: F.element_at(e["v"], i + 1)),
+                _is_data,
+            ))
+            n = F.size(g)
+            # numpy/DuckDB 'linear' interpolation: h = (n-1)*q,
+            # value = g[floor(h)] + (h - floor(h)) * (g[floor(h)+1] -
+            # g[floor(h)]) on 0-based indices (element_at is 1-based)
+            h = (n - 1).cast("double") * F.lit(qv)
+            lo = F.floor(h).cast("int")
+            frac = h - lo
+            gl = F.element_at(g, lo + 1)
+            gh = F.element_at(g, F.least(lo + 2, n))
+            return F.when(n > 0, gl + frac * (gh - gl)).otherwise(nan)
+
+        vals = F.transform(
+            F.sequence(F.lit(0), F.size(first_v) - 1), _cell_quantile
         )
     elif stat in ("min", "max"):
         cmp = (lambda x, a: x < a) if stat == "min" else (

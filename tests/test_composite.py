@@ -137,7 +137,9 @@ def test_trend_default_times_and_validation(spark, epochs):
     with pytest.raises(ValueError, match="at least 2"):
         composite_cubes(epochs[:1], "mean")
     with pytest.raises(ValueError, match="unsupported stat"):
-        composite_cubes(epochs, "p95")
+        composite_cubes(epochs, "geomean")
+    with pytest.raises(ValueError, match="unsupported stat"):
+        composite_cubes(epochs, "p200")
 
 
 def test_composite_grouped(spark):
@@ -171,3 +173,38 @@ def test_composite_grouped(spark):
             warnings.simplefilter("ignore")
             want = np.nanmean(np.stack(planes), axis=0)
         np.testing.assert_allclose(arrs[gi], want, rtol=0, atol=1e-12)
+
+
+def test_composite_quantile_matches_numpy(spark, epochs):
+    import warnings
+    stack = _stack(epochs)
+    for stat, q in (("p25", 0.25), ("p75", 0.75), ("p90", 0.90)):
+        got = composite_cubes(epochs, stat).assemble()["m0"]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = np.nanquantile(stack, q, axis=0)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    # p50 == median
+    np.testing.assert_allclose(
+        np.nan_to_num(composite_cubes(epochs, "p50").assemble()["m0"],
+                      nan=-9e9),
+        np.nan_to_num(composite_cubes(epochs, "median").assemble()["m0"],
+                      nan=-9e9),
+        rtol=0, atol=1e-12,
+    )
+
+
+def test_composite_single_shuffle_plan(spark, epochs):
+    """The composite adds exactly ONE exchange of its own (the
+    tile-key groupBy) on top of the input chunk plans — epochs
+    co-locate per tile in one shuffle regardless of k."""
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    union = epochs[0].chunks
+    for c in epochs[1:]:
+        union = union.unionByName(c.chunks)
+    base = n_exchanges(union)
+    got = n_exchanges(composite_cubes(epochs, "mean").chunks)
+    assert got == base + 1
