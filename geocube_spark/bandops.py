@@ -1188,7 +1188,10 @@ def composite_cubes(cubes: Sequence[GeoCube],
     Nodata-aware like xarray ``skipna=True``: a cell's statistic is
     taken over the epochs that hold DATA there; a cell with no data in
     any epoch is nodata in the output. ``median`` averages the two
-    middle values on even counts (numpy/DuckDB semantics).
+    middle values on even counts (numpy/DuckDB semantics); any
+    interpolated percentile is available as an ``'p25'``/``'p97.5'``-
+    style stat (numpy ``nanquantile`` / DuckDB ``quantile_cont``
+    linear interpolation).
 
     Plan: one union + ONE groupBy shuffle onto the tile key (epochs of
     a tile co-locate regardless of k), then a pure Catalyst element
