@@ -723,13 +723,21 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
 
 
 def _validate_aligned(a: GeoCube, b: GeoCube) -> dict:
-    """Shared precondition of every two-cube combinator (merge, diff):
-    same grid, same tile_size, same band set, same per-band fills.
-    Returns the band->fill map."""
+    """Shared precondition of every two-cube combinator (merge, diff,
+    composite): same grid, same tile_size, same grouping, same band
+    set, same per-band fills. Returns the band->fill map."""
     if a.geobox.to_dict() != b.geobox.to_dict():
         raise ValueError("cubes must share the same grid (geobox)")
     if a.tile_size != b.tile_size:
         raise ValueError("cubes must share the same tile_size")
+    if a.group_by != b.group_by:
+        # mixing a grouped and an ungrouped cube (or two groupings)
+        # would equi-join/groupBy NULL group_key against real keys —
+        # rows silently never meet
+        raise ValueError(
+            f"cubes must share the same group_by "
+            f"({a.group_by!r} vs {b.group_by!r})"
+        )
     if set(a.bands) != set(b.bands):
         raise ValueError(
             f"band mismatch: {sorted(a.bands)} vs {sorted(b.bands)}"
@@ -757,6 +765,14 @@ def _aligned_join(a: GeoCube, b: GeoCube, how: str):
 def _either_side(col: str):
     """Column value from whichever side of an aligned join is present."""
     return F.coalesce(F.col(f"a.{col}"), F.col(f"b.{col}"))
+
+
+def _fill_map(fills: dict):
+    """measurement -> fill literal map Column (shared by every cube
+    combinator's element program)."""
+    return F.create_map(
+        *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
+    )
 
 
 def _is_data_fn(fill):
@@ -830,9 +846,7 @@ def merge_cubes(a: GeoCube, b: GeoCube, merge_alg: str = "replace",
     if merge_alg not in ("add", "replace"):
         raise ValueError(f"unsupported merge_alg {merge_alg!r}")
     fills = _validate_aligned(a, b)
-    fill_map = F.create_map(
-        *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
-    )
+    fill_map = _fill_map(fills)
     joined = _aligned_join(a, b, "full_outer")
     fill = fill_map[_either_side("measurement")]
     _is_data = _is_data_fn(fill)
@@ -1045,9 +1059,7 @@ def diff_cubes(a: GeoCube, b: GeoCube, mode: str = "delta") -> GeoCube:
     if mode not in ("delta", "mask"):
         raise ValueError(f"unsupported mode {mode!r}")
     fills = _validate_aligned(a, b)
-    fill_map = F.create_map(
-        *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
-    )
+    fill_map = _fill_map(fills)
     joined = _aligned_join(a, b, "inner" if mode == "delta"
                            else "full_outer")
     fill = fill_map[_either_side("measurement")]
@@ -1212,50 +1224,47 @@ def composite_cubes(cubes: Sequence[GeoCube],
     cubes = list(cubes)
     fills = _validate_aligned_many(cubes)
     grouped = _stack_epochs(cubes, range(len(cubes)))
-    fill_map = F.create_map(
-        *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
-    )
+    fill_map = _fill_map(fills)
     fill = fill_map[F.col("measurement")]
     _is_data = _is_data_fn(fill)
     nan = F.lit(float("nan"))
     eps = F.col("eps")
     first_v = F.element_at(eps, 1)["v"]
 
-    if stat == "median":
-        def _cell_median(i):
+    if stat == "median" or qv is not None:
+        # shared per-cell gather: each cell's k-vector of epoch values,
+        # data only, sorted; only the pick formula differs
+        if stat == "median":
+            def _pick(g, n):
+                # exact two-middle averaging ((lo+hi)/2, numpy
+                # nanmedian / DuckDB median arithmetic); element_at is
+                # 1-based and wants ints, (n+1)/2 is a double division
+                # in SQL, so take explicit floors
+                lo = F.element_at(g, F.floor((n + 1) / 2).cast("int"))
+                hi = F.element_at(g, (F.floor(n / 2) + 1).cast("int"))
+                return (lo + hi) / 2.0
+        else:
+            def _pick(g, n):
+                # numpy/DuckDB 'linear' interpolation: h = (n-1)*q,
+                # value = g[floor(h)] + (h - floor(h)) *
+                # (g[floor(h)+1] - g[floor(h)]) on 0-based indices
+                h = (n - 1).cast("double") * F.lit(qv)
+                lo = F.floor(h).cast("int")
+                frac = h - lo
+                gl = F.element_at(g, lo + 1)
+                gh = F.element_at(g, F.least(lo + 2, n))
+                return gl + frac * (gh - gl)
+
+        def _cell(i):
             g = F.array_sort(F.filter(
                 F.transform(eps, lambda e: F.element_at(e["v"], i + 1)),
                 _is_data,
             ))
             n = F.size(g)
-            # element_at is 1-based and wants ints; (n+1)/2 is a double
-            # division in SQL, so take explicit floors
-            lo = F.element_at(g, F.floor((n + 1) / 2).cast("int"))
-            hi = F.element_at(g, (F.floor(n / 2) + 1).cast("int"))
-            return F.when(n > 0, (lo + hi) / 2.0).otherwise(nan)
+            return F.when(n > 0, _pick(g, n)).otherwise(nan)
 
         vals = F.transform(
-            F.sequence(F.lit(0), F.size(first_v) - 1), _cell_median
-        )
-    elif qv is not None:
-        def _cell_quantile(i):
-            g = F.array_sort(F.filter(
-                F.transform(eps, lambda e: F.element_at(e["v"], i + 1)),
-                _is_data,
-            ))
-            n = F.size(g)
-            # numpy/DuckDB 'linear' interpolation: h = (n-1)*q,
-            # value = g[floor(h)] + (h - floor(h)) * (g[floor(h)+1] -
-            # g[floor(h)]) on 0-based indices (element_at is 1-based)
-            h = (n - 1).cast("double") * F.lit(qv)
-            lo = F.floor(h).cast("int")
-            frac = h - lo
-            gl = F.element_at(g, lo + 1)
-            gh = F.element_at(g, F.least(lo + 2, n))
-            return F.when(n > 0, gl + frac * (gh - gl)).otherwise(nan)
-
-        vals = F.transform(
-            F.sequence(F.lit(0), F.size(first_v) - 1), _cell_quantile
+            F.sequence(F.lit(0), F.size(first_v) - 1), _cell
         )
     elif stat in ("min", "max"):
         cmp = (lambda x, a: x < a) if stat == "min" else (
@@ -1318,7 +1327,10 @@ def trend_cubes(cubes: Sequence[GeoCube],
     nodata. Closed form ``(n*Stv - St*Sv) / (n*Stt - St^2)``
     accumulated per cell by an ``aggregate`` + ``zip_with`` fold over
     the epoch list — one pass, pure Catalyst, same ONE-shuffle plan as
-    :func:`composite_cubes`."""
+    :func:`composite_cubes`. Times are shifted by ``times[0]`` before
+    accumulating (slope is translation-invariant): raw unix-epoch
+    timestamps with small spacing would otherwise lose ~11 of the 16
+    double digits to cancellation in ``n*Stt - St^2``."""
     cubes = list(cubes)
     if times is None:
         times = list(range(len(cubes)))
@@ -1328,10 +1340,8 @@ def trend_cubes(cubes: Sequence[GeoCube],
     if len(set(times)) != len(times):
         raise ValueError("times must be distinct")
     fills = _validate_aligned_many(cubes)
-    grouped = _stack_epochs(cubes, times)
-    fill_map = F.create_map(
-        *[x for m, f in fills.items() for x in (F.lit(m), F.lit(f))]
-    )
+    grouped = _stack_epochs(cubes, [t - times[0] for t in times])
+    fill_map = _fill_map(fills)
     _is_data = _is_data_fn(fill_map[F.col("measurement")])
     nan = F.lit(float("nan"))
     eps = F.col("eps")

@@ -208,3 +208,28 @@ def test_composite_single_shuffle_plan(spark, epochs):
     base = n_exchanges(union)
     got = n_exchanges(composite_cubes(epochs, "mean").chunks)
     assert got == base + 1
+
+
+def test_composite_rejects_mixed_grouping(spark, epochs):
+    """Same grid, but one epoch grouped and one not: the combinator
+    must refuse instead of groupBy-ing NULL keys against real ones."""
+    pdf = datagen.scale_docs(60, seed=3)
+    grouped = make_geocube(
+        datagen.to_spark(spark, pdf), group_by="m1", **KW)
+    with pytest.raises(ValueError, match="group_by"):
+        composite_cubes([epochs[0], grouped], "mean")
+
+
+def test_trend_timestamp_scale_times(spark, epochs):
+    """Unix-epoch-magnitude times with small spacing: the centered
+    accumulation keeps full precision (the raw closed form would lose
+    ~11 digits to n*Stt - St^2 cancellation)."""
+    base = 1.7e12  # unix ms circa 2023
+    hrs = 3.6e6
+    big = trend_cubes(epochs, [base, base + hrs, base + 2 * hrs])
+    small = trend_cubes(epochs, [0.0, hrs, 2 * hrs])
+    np.testing.assert_allclose(
+        np.nan_to_num(big.assemble()["m0"], nan=-9e9),
+        np.nan_to_num(small.assemble()["m0"], nan=-9e9),
+        rtol=1e-12, atol=0,
+    )
