@@ -344,6 +344,107 @@ def band_stats(cube: GeoCube,
     )
 
 
+def band_histogram(cube: GeoCube, bins: int = 32,
+                   lo: Optional[float] = None,
+                   hi: Optional[float] = None,
+                   measurements: Optional[Sequence[str]] = None,
+                   ) -> DataFrame:
+    """Fixed-width histogram per (measurement, group): the raster
+    value distribution (xarray users run ``np.histogram`` on the
+    collected band; here the counts are computed distributed and only
+    the bins come back).
+
+    numpy ``histogram`` semantics: ``bins`` equal-width bins over
+    ``[lo, hi]``, the last bin closed; DATA cells outside the range
+    are dropped; nodata excluded. ``lo``/``hi`` default to the band's
+    own min/max (one extra tiny ``band_stats`` job, per band). Bins
+    with zero count are omitted (the result is sparse).
+
+    Returns (measurement, group_key, bin, lo_edge, hi_edge, n) ordered
+    by keys.
+
+    Plan: each cell maps to its bin index inside codegen, the
+    (measurement, group_key, bin) counts hash-aggregate MAP-SIDE
+    before the one exchange — the shuffle carries at most
+    bins x tasks partial rows, never cells. Pure JVM end-to-end."""
+    bins = int(bins)
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    c = cube.chunks
+    if measurements:
+        c = c.filter(F.col("measurement").isin(list(measurements)))
+
+    if lo is None:
+        stats = band_stats(cube, measurements).collect()
+        rng: dict = {}
+        for r in stats:
+            if r.vmin is None:
+                continue  # band with zero data cells: no rows
+            cur = rng.get(r.measurement)
+            rng[r.measurement] = (
+                r.vmin if cur is None else min(cur[0], r.vmin),
+                r.vmax if cur is None else max(cur[1], r.vmax),
+            )
+        if not rng:
+            lo_c = hi_c = F.lit(float("nan"))
+        else:
+            lo_c = F.create_map(*[
+                x for m, (a, _) in rng.items()
+                for x in (F.lit(m), F.lit(float(a)))
+            ])[F.col("measurement")]
+            hi_c = F.create_map(*[
+                x for m, (_, b) in rng.items()
+                for x in (F.lit(m), F.lit(float(b)))
+            ])[F.col("measurement")]
+    else:
+        lo, hi = float(lo), float(hi)
+        if not hi >= lo:
+            raise ValueError(f"hi must be >= lo, got [{lo}, {hi}]")
+        lo_c, hi_c = F.lit(lo), F.lit(hi)
+
+    fills = {m: float(b.fill) for m, b in cube.bands.items()}
+    _is_data = _is_data_fn(_fill_map(fills)[F.col("measurement")])
+    width = (hi_c - lo_c) / bins
+
+    def _bin(x):
+        # degenerate lo == hi range: every in-range value is bin 0
+        idx = F.when(
+            width > 0,
+            F.least(F.floor((x - lo_c) / width), F.lit(bins - 1)),
+        ).otherwise(F.lit(0))
+        return F.when(
+            _is_data(x) & (x >= lo_c) & (x <= hi_c), idx.cast("int")
+        )
+
+    exploded = c.select(
+        "measurement", "group_key",
+        F.explode(
+            F.filter(F.transform("values", _bin),
+                     lambda b: b.isNotNull())
+        ).alias("bin"),
+        lo_c.alias("__lo"), width.alias("__width"),
+    )
+    return (
+        exploded.groupBy("measurement", "group_key", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__lo").alias("__lo"),
+            F.first("__width").alias("__width"),
+        )
+        .select(
+            "measurement", "group_key", "bin",
+            (F.col("__lo") + F.col("bin") * F.col("__width"))
+            .alias("lo_edge"),
+            (F.col("__lo") + (F.col("bin") + 1) * F.col("__width"))
+            .alias("hi_edge"),
+            "n",
+        )
+        .orderBy("measurement", "group_key", "bin")
+    )
+
+
 def _halo_strips(c: DataFrame, ntx: int, nty: int, r: int) -> DataFrame:
     """Tile halo exchange, stage 1 of a distributed stencil: every
     chunk row emits itself (role 0) plus r-deep border strips (role 1)

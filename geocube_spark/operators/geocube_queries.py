@@ -2624,6 +2624,42 @@ ORDER BY row, col
 """
 
 
+def q_band_histogram(spark, sf_dir):
+    """Distributed raster histogram (bandops.band_histogram): value
+    distribution of the burned band in 16 fixed bins over [0, 200] —
+    each cell maps to its bin inside codegen and the counts
+    hash-aggregate MAP-SIDE before the one exchange (shuffle carries
+    bin partials, never cells). lo is nudged off 0 so no grouped sum
+    sits exactly on a bin edge on either engine."""
+    from ..bandops import band_histogram
+
+    cube = _two_band_cube(spark, sf_dir)
+    df = band_histogram(cube, bins=16, lo=-1e-9, hi=200.0,
+                        measurements=["value"])
+    return df.select("bin", "n").orderBy("bin")
+
+
+SQL_BAND_HISTOGRAM = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), s AS (
+  SELECT row, col, sum(value) AS sv
+  FROM pts GROUP BY 1, 2
+), d AS (
+  SELECT sv FROM s WHERE sv <> 0.0
+)
+SELECT CAST(least(floor((sv - (-1.0e-9)) / ((200.0 - (-1.0e-9)) / 16)),
+                  15) AS INT) AS bin,
+       count(*) AS n
+FROM d
+WHERE sv >= -1.0e-9 AND sv <= 200.0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_asof_join_price(spark, sf_dir):
     """As-of join (functions/temporal.py): each click/view event picks
     up the latest preceding purchase of the same user — pandas
@@ -2964,6 +3000,9 @@ EXTRA_QUERIES = {
     # mosaic + per-pixel OLS trend across three seq-mod-3 epoch burns
     "composite_median": (q_composite_median, SQL_COMPOSITE_MEDIAN),
     "composite_trend": (q_composite_trend, SQL_COMPOSITE_TREND),
+    # distributed raster histogram (round 4, bandops.band_histogram):
+    # map-side-combined bin counts, pure JVM
+    "band_histogram": (q_band_histogram, SQL_BAND_HISTOGRAM),
     # proximity raster (distance-to-nearest-feature, GDAL
     # gdal_proximity semantics) through the nearest-interp plan
     "interp_proximity": (q_interp_proximity, SQL_INTERP_PROXIMITY),
