@@ -907,8 +907,51 @@ QUERIES = {
 # dedup_simhash is subsumed by simhash_near_pairs (same signature
 # computation; the pairs query is the stronger check) — retired from
 # the driver window, kept for tests/ad-hoc runs.
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (textops.tfidf_top_terms):
+    explode -> map-side-combined (doc, term) counts -> tiny term-df
+    join -> per-doc window; deterministic (score desc, term asc)
+    tie-break on both engines."""
+    from ..textops.analysis import tfidf_top_terms
+
+    res = tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return res.select(
+        "doc_id", "term", "tf",
+        F.round(F.col("score") + 1e-9, 6).alias("score_r"),
+        "rank",
+    ).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF_TOP = r"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(text), '\s+')) AS u(t)
+  WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+), sc AS (
+  SELECT doc_id, term, tf, tf * ln(nd / dfreq) AS score
+  FROM tf JOIN dfq USING (term), n
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rank FROM sc
+)
+SELECT doc_id, term, tf, round(score + 1e-9, 6) AS score_r, rank
+FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 EXTRA_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    # top-k TF-IDF terms per document (round 4, textops)
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)

@@ -137,3 +137,53 @@ def lang_id(col: Column) -> Column:
                 F.when(s > best[0], F.lit(lang)).otherwise(best[1]),
             )
     return F.when(best[0] > 0, best[1]).otherwise(F.lit("und"))
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 5):
+    """Top-k TF-IDF terms per document — the classic corpus keyword /
+    ranking primitive a training-data pipeline runs for topic
+    filtering and near-dup triage.
+
+    tf = term count within the document (whitespace tokens, the same
+    tokenizer as :func:`token_counts`); idf = ln(N / df) with N the
+    corpus size and df the number of documents containing the term;
+    rank = row_number by (score desc, term asc) per document —
+    deterministic under score ties.
+
+    Plan: explode tokens -> ONE (doc, term) hash aggregate (combines
+    map-side) -> the term document-frequency table (tiny: one row per
+    distinct term) joins back on the term key -> per-doc window. The
+    only driver action is the corpus-count scalar; everything else is
+    JVM codegen — no Python, no crossJoin (N ships as a literal).
+
+    Returns (id_col, term, tf, score, rank), rank <= k."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_docs = df.count()
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    term_rows = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                  .alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = term_rows.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    scored = tf.join(dfreq, "term").select(
+        id_col, "term", "tf",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")))
+        .alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(id_col, "rank")
+    )
