@@ -1482,3 +1482,196 @@ def trend_cubes(cubes: Sequence[GeoCube],
 
     vals = F.transform(acc, _slope)
     return _derived_cube(cubes, grouped, vals)
+
+# ---------------------------------------------------------------------------
+# point query: sample raster values at vector points
+# ---------------------------------------------------------------------------
+
+
+def point_query(cube: GeoCube, points: DataFrame,
+                x_col: str = "x", y_col: str = "y", *,
+                method: str = "nearest",
+                measurements: Optional[Sequence[str]] = None,
+                id_cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """Sample cube band values at point locations (rasterio
+    ``DatasetReader.sample`` / rioxarray ``.sel(method='nearest')``
+    semantics, distributed).
+
+    The reference's users close the loop raster->vector by sampling
+    the Dataset at station coordinates (xarray ``.sel``); at scale the
+    cube is a chunk table, so this re-expresses the lookup as a pure
+    Catalyst program: each point maps to its covering cell by the
+    inverse affine (``col = (x - c) / a``, ``row = (y - f) / e`` --
+    floor convention, identical to the burn's cell assignment), the
+    cell to its ``(tile_id, local index)``, and ONE equi-join on
+    ``(measurement, group_key, tile_id)`` gathers the stored chunk;
+    ``element_at`` picks the cell. Tiles absent from the sparse chunk
+    table read as the band's fill value. Points outside the grid
+    return NULL (never fill -- out-of-domain is distinguishable from
+    untouched).
+
+    ``method='bilinear'`` samples between the four surrounding CELL
+    CENTERS (GDAL ``GRIORA_Bilinear`` convention: base index clamped
+    to the grid so border points degrade to the edge cells; fill
+    participates like any value). The plan gains one groupBy on the
+    point identity to combine the four corner contributions -- corner
+    rows carry only (ids, weight, tile key), never geometry.
+
+    Output: ``id_cols`` (default: every input column) + ``measurement``
+    + ``group_key`` (grouped cubes) + ``value``. One output row per
+    (point, measurement[, group]); with the default identity, exact
+    duplicate input rows collapse into one under bilinear.
+
+    Scale shape: narrow math -> one equi-join (Catalyst broadcasts a
+    small side) [-> one combine agg for bilinear]. No Python anywhere.
+    """
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown method {method!r}")
+    gb = cube.geobox
+    aff = gb.affine
+    if aff.b != 0.0 or aff.d != 0.0:
+        raise ValueError("point_query requires an axis-aligned grid")
+    names = list(measurements) if measurements else list(cube.bands)
+    for m in names:
+        if m not in cube.bands:
+            raise ValueError(f"unknown measurement {m!r}")
+    for col in (x_col, y_col):
+        if col not in points.columns:
+            raise ValueError(f"points missing column {col!r}")
+    ids = list(id_cols) if id_cols else [
+        c for c in points.columns
+    ]
+    for col in ids:
+        if col not in points.columns:
+            raise ValueError(f"points missing id column {col!r}")
+    reserved = {"measurement", "group_key", "value"}
+    clash = reserved.intersection(ids)
+    if clash:
+        raise ValueError(f"id columns clash with outputs: {sorted(clash)}")
+
+    ts = cube.tile_size
+    ntx = -(-gb.width // ts)
+    W, H = gb.width, gb.height
+
+    # fractional grid coordinates (cell units; floor = covering cell)
+    fcol = (F.col(x_col).cast("double") - F.lit(aff.c)) / F.lit(aff.a)
+    frow = (F.col(y_col).cast("double") - F.lit(aff.f)) / F.lit(aff.e)
+    in_grid = (
+        (fcol >= 0) & (fcol < F.lit(float(W)))
+        & (frow >= 0) & (frow < F.lit(float(H)))
+        & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+
+    def _corner(r, c, wgt):
+        return F.struct(
+            r.cast("int").alias("r"), c.cast("int").alias("c"),
+            wgt.cast("double").alias("wt"),
+        )
+
+    if method == "nearest":
+        corners = F.array(
+            _corner(F.floor(frow), F.floor(fcol), F.lit(1.0))
+        )
+    else:
+        gx = fcol - F.lit(0.5)
+        gy = frow - F.lit(0.5)
+        bx = F.greatest(
+            F.lit(0), F.least(F.lit(max(W - 2, 0)), F.floor(gx))
+        ).cast("int")
+        by = F.greatest(
+            F.lit(0), F.least(F.lit(max(H - 2, 0)), F.floor(gy))
+        ).cast("int")
+        wx = F.greatest(F.lit(0.0), F.least(F.lit(1.0), gx - bx))
+        wy = F.greatest(F.lit(0.0), F.least(F.lit(1.0), gy - by))
+        if W < 2:
+            wx = F.lit(0.0)
+        if H < 2:
+            wy = F.lit(0.0)
+        one = F.lit(1.0)
+        corners = F.array(
+            _corner(by, bx, (one - wy) * (one - wx)),
+            _corner(by, bx + 1, (one - wy) * wx),
+            _corner(by + 1, bx, wy * (one - wx)),
+            _corner(by + 1, bx + 1, wy * wx),
+        )
+        # clamped weights zero out the off-grid neighbor of a 1-wide
+        # axis; drop zero-weight corners so they neither join nor
+        # perturb the sum
+        corners = F.filter(corners, lambda s: s["wt"] > 0.0)
+
+    # measurement x group expansion: a literal array exploded -- a
+    # narrow op, never a join (combos are O(bands x groups), tiny)
+    groups = (
+        [str(k) for k in (cube.group_keys or [])]
+        if cube.group_by else [None]
+    )
+    combos = F.array(*[
+        F.struct(
+            F.lit(m).alias("m"),
+            (F.lit(g) if g is not None
+             else F.lit(None).cast("string")).alias("g"),
+        )
+        for m in names for g in groups
+    ])
+
+    p = (
+        points
+        .withColumn("__corners",
+                    F.when(in_grid, corners).otherwise(F.array()))
+        .withColumn("__mg", F.explode(combos))
+        .select(
+            *ids,
+            F.col("__mg.m").alias("measurement"),
+            F.col("__mg.g").alias("group_key"),
+            F.explode_outer("__corners").alias("__k"),
+        )
+        .withColumn(
+            "__tile_id",
+            (F.col("__k.r") / ts).cast("long") * F.lit(ntx)
+            + (F.col("__k.c") / ts).cast("long"),
+        )
+    )
+
+    chunks = cube.chunks.select(
+        F.col("measurement").alias("__cm"),
+        F.col("group_key").alias("__cg"),
+        "tile_id", "row0", "col0", "w", "values",
+    )
+    joined = p.join(
+        chunks,
+        (F.col("measurement") == F.col("__cm"))
+        & F.col("group_key").eqNullSafe(F.col("__cg"))
+        & (F.col("__tile_id") == F.col("tile_id")),
+        "left",
+    )
+
+    fills = {m: float(cube.bands[m].fill) for m in names}
+    fill_col = F.lit(fills[names[0]])
+    for m in names[1:]:
+        fill_col = F.when(
+            F.col("measurement") == m, F.lit(fills[m])
+        ).otherwise(fill_col)
+
+    stored = F.element_at(
+        F.col("values"),
+        ((F.col("__k.r") - F.col("row0")) * F.col("w")
+         + (F.col("__k.c") - F.col("col0")) + 1).cast("int"),
+    )
+    corner_val = F.when(
+        F.col("__k").isNotNull(), F.coalesce(stored, fill_col)
+    )
+
+    if method == "nearest":
+        return joined.select(
+            *ids, "measurement", "group_key",
+            corner_val.alias("value"),
+        )
+    contrib = joined.select(
+        *ids, "measurement", "group_key",
+        (corner_val * F.col("__k.wt")).alias("__part"),
+    )
+    return (
+        contrib
+        .groupBy(*ids, "measurement", "group_key")
+        .agg(F.sum("__part").alias("value"))
+    )

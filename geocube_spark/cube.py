@@ -257,6 +257,16 @@ class GeoCube:
 
         return zonal_stats_raster(self, zone_band, value_band)
 
+    def point_query(self, points, x_col: str = "x", y_col: str = "y",
+                    *, method: str = "nearest", measurements=None,
+                    id_cols=None):
+        """Sample band values at point locations (rasterio
+        ``sample`` / xarray ``.sel(method='nearest')`` parity)."""
+        from .bandops import point_query
+
+        return point_query(self, points, x_col, y_col, method=method,
+                           measurements=measurements, id_cols=id_cols)
+
     def diff(self, other: "GeoCube", mode: str = "delta"):
         """Change detection vs another cube on the same grid
         (bandops.diff_cubes): 'delta' = other - self where both hold

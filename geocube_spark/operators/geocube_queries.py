@@ -2161,6 +2161,117 @@ FROM data GROUP BY 1 ORDER BY zone
 """
 
 
+def q_point_query_nearest(spark, sf_dir):
+    """Raster sampling at point locations (bandops.point_query,
+    rasterio ``sample`` parity): inverse-affine cell assignment +
+    ONE equi-join on the tile key, fill for absent sparse tiles —
+    pure Catalyst. Oracle = direct (row, col) lookup against the
+    straight SQL burn with COALESCE(fill)."""
+    from ..bandops import point_query
+
+    cube = _two_band_cube(spark, sf_dir)
+    pts = _events(spark, sf_dir).filter("event_id % 17 = 5").selectExpr(
+        "event_id",
+        f"({_LON_SQL}) * 0.717 AS px",
+        f"({_LAT_SQL}) * 0.717 AS py",
+    )
+    out = point_query(
+        cube, pts, x_col="px", y_col="py", method="nearest",
+        measurements=["value"], id_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
+    ).orderBy("event_id")
+
+
+SQL_POINT_QUERY_NEAREST = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), q AS (
+  SELECT event_id,
+         ({_LON_SQL}) * 0.717 AS px,
+         ({_LAT_SQL}) * 0.717 AS py
+  FROM events WHERE event_id % 17 = 5
+)
+SELECT q.event_id,
+       round(COALESCE(c.sv, 0.0) + 1e-9, 6) AS value
+FROM q
+LEFT JOIN cell c
+  ON c.row = CAST(floor(90.0 - q.py) AS INT)
+ AND c.col = CAST(floor(q.px + 180.0) AS INT)
+ORDER BY event_id
+"""
+
+
+def q_point_query_bilinear(spark, sf_dir):
+    """Bilinear raster sampling (bandops.point_query
+    method='bilinear', GDAL GRIORA_Bilinear convention): four
+    cell-center corners with clamped base index, corner rows carry
+    only (id, weight, tile key) through the one equi-join, one
+    combine agg. Oracle = the identical closed form as four COALESCEd
+    lookups against the straight SQL burn."""
+    from ..bandops import point_query
+
+    cube = _two_band_cube(spark, sf_dir)
+    pts = _events(spark, sf_dir).filter("event_id % 17 = 3").selectExpr(
+        "event_id",
+        f"({_LON_SQL}) * 0.717 AS px",
+        f"({_LAT_SQL}) * 0.717 AS py",
+    )
+    out = point_query(
+        cube, pts, x_col="px", y_col="py", method="bilinear",
+        measurements=["value"], id_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
+    ).orderBy("event_id")
+
+
+SQL_POINT_QUERY_BILINEAR = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), q AS (
+  SELECT event_id,
+         ({_LON_SQL}) * 0.717 + 180.0 - 0.5 AS gx,
+         90.0 - ({_LAT_SQL}) * 0.717 - 0.5 AS gy
+  FROM events WHERE event_id % 17 = 3
+), b AS (
+  SELECT event_id, gx, gy,
+         GREATEST(0, LEAST(358, CAST(floor(gx) AS INT))) AS bx,
+         GREATEST(0, LEAST(178, CAST(floor(gy) AS INT))) AS by
+  FROM q
+), w AS (
+  SELECT event_id, bx, by,
+         LEAST(1.0, GREATEST(0.0, gx - bx)) AS wx,
+         LEAST(1.0, GREATEST(0.0, gy - by)) AS wy
+  FROM b
+)
+SELECT w.event_id,
+       round((1.0 - wy) * (1.0 - wx) * COALESCE(c00.sv, 0.0)
+           + (1.0 - wy) * wx * COALESCE(c01.sv, 0.0)
+           + wy * (1.0 - wx) * COALESCE(c10.sv, 0.0)
+           + wy * wx * COALESCE(c11.sv, 0.0) + 1e-9, 6) AS value
+FROM w
+LEFT JOIN cell c00 ON c00.row = by     AND c00.col = bx
+LEFT JOIN cell c01 ON c01.row = by     AND c01.col = bx + 1
+LEFT JOIN cell c10 ON c10.row = by + 1 AND c10.col = bx
+LEFT JOIN cell c11 ON c11.row = by + 1 AND c11.col = bx + 1
+ORDER BY event_id
+"""
+
+
 def q_warp_upscale(spark, sf_dir):
     """Distributed raster->raster warp (warp.py, reproject_match
     parity): the events value burn regrids onto a 2x finer aligned
@@ -3006,4 +3117,12 @@ EXTRA_QUERIES = {
     # proximity raster (distance-to-nearest-feature, GDAL
     # gdal_proximity semantics) through the nearest-interp plan
     "interp_proximity": (q_interp_proximity, SQL_INTERP_PROXIMITY),
+    # raster sampling at points (bandops.point_query): nearest =
+    # rasterio sample / xarray .sel parity, bilinear = GDAL
+    # GRIORA_Bilinear cell-center convention; both pure Catalyst
+    # (one tile-key equi-join; numpy parity in tests/test_point_query.py)
+    "point_query_nearest": (q_point_query_nearest,
+                            SQL_POINT_QUERY_NEAREST),
+    "point_query_bilinear": (q_point_query_bilinear,
+                             SQL_POINT_QUERY_BILINEAR),
 }
