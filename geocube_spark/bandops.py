@@ -1675,3 +1675,103 @@ def point_query(cube: GeoCube, points: DataFrame,
         .groupBy(*ids, "measurement", "group_key")
         .agg(F.sum("__part").alias("value"))
     )
+
+# ---------------------------------------------------------------------------
+# reclassify + zonal crosstab (categorical raster analysis)
+# ---------------------------------------------------------------------------
+
+
+def reclassify(cube: GeoCube, band: str, breaks: Sequence[float],
+               classes: Sequence[float], *, name: Optional[str] = None,
+               right: bool = False) -> GeoCube:
+    """Range -> class recode of a band (GDAL/QGIS reclassify-by-table,
+    numpy ``digitize`` semantics).
+
+    ``breaks`` = k strictly increasing edges; ``classes`` = k + 1
+    class values for the intervals ``(-inf, b0), [b0, b1), ...,
+    [b_{k-1}, inf)`` (``right=True`` closes on the right instead, like
+    ``np.digitize(right=True)``). Nodata cells stay the band fill.
+
+    Pure element program (a when-chain inside ``transform``), composed
+    through :func:`with_band` -- narrow map over chunks, no shuffle.
+    The class band is appended as ``name`` (default
+    ``{band}_class``)."""
+    breaks = [float(b) for b in breaks]
+    classes = [float(c) for c in classes]
+    if not breaks:
+        raise ValueError("breaks must be non-empty")
+    if any(b2 <= b1 for b1, b2 in zip(breaks, breaks[1:])):
+        raise ValueError("breaks must be strictly increasing")
+    if len(classes) != len(breaks) + 1:
+        raise ValueError(
+            f"need len(breaks)+1 classes, got {len(classes)} for "
+            f"{len(breaks)} breaks"
+        )
+    if band not in cube.bands:
+        raise ValueError(f"unknown band {band!r}")
+    src_fill = float(cube.bands[band].fill)
+    is_data = _is_data_fn(F.lit(src_fill))
+
+    def _recode(v):
+        cond = (
+            (lambda b: v <= F.lit(b)) if right
+            else (lambda b: v < F.lit(b))
+        )
+        expr = F.when(cond(breaks[0]), F.lit(classes[0]))
+        for b, cl in zip(breaks[1:], classes[1:-1]):
+            expr = expr.when(cond(b), F.lit(cl))
+        expr = expr.otherwise(F.lit(classes[-1]))
+        return F.when(is_data(v), expr).otherwise(F.lit(src_fill))
+
+    return with_band(
+        cube, name or f"{band}_class", (band,), _recode, fill=src_fill
+    )
+
+
+def zonal_crosstab(cube: GeoCube, zone_band: str,
+                   class_band: str) -> DataFrame:
+    """Cell-count cross-tabulation of two categorical bands (the
+    raster analogue of ``pd.crosstab`` / GRASS ``r.cross``): one row
+    per (group, zone value, class value) with the number of cells
+    holding that combination. Cells where either band is nodata are
+    excluded.
+
+    Plan: ONE tile-aligned equi-join of the two bands' chunks, then a
+    pure-JVM element program -- ``zip_with`` pairs the arrays,
+    ``filter`` drops nodata, ``explode`` feeds a hash aggregate that
+    combines MAP-SIDE before the single exchange. The shuffle carries
+    at most (distinct pairs x tasks) partial rows, never cells."""
+    for b in (zone_band, class_band):
+        if b not in cube.bands:
+            raise ValueError(f"unknown band {b!r}")
+    c = cube.chunks
+    z = c.filter(F.col("measurement") == zone_band).alias("z")
+    v = c.filter(F.col("measurement") == class_band).alias("v")
+    joined = z.join(
+        v,
+        F.col("z.group_key").eqNullSafe(F.col("v.group_key"))
+        & (F.col("z.tile_id") == F.col("v.tile_id")),
+    ).select(
+        F.col("z.group_key").alias("group_key"),
+        F.col("z.values").alias("zvals"),
+        F.col("v.values").alias("cvals"),
+    )
+    z_ok = _is_data_fn(F.lit(float(cube.bands[zone_band].fill)))
+    c_ok = _is_data_fn(F.lit(float(cube.bands[class_band].fill)))
+    pairs = F.filter(
+        F.zip_with(
+            "zvals", "cvals",
+            lambda a, b: F.struct(a.alias("zone"), b.alias("cls")),
+        ),
+        lambda s: z_ok(s["zone"]) & c_ok(s["cls"]),
+    )
+    return (
+        joined.select("group_key", F.explode(pairs).alias("p"))
+        .groupBy(
+            "group_key",
+            F.col("p.zone").alias("zone"),
+            F.col("p.cls").alias("cls"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy("group_key", "zone", "cls")
+    )

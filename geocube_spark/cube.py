@@ -257,6 +257,21 @@ class GeoCube:
 
         return zonal_stats_raster(self, zone_band, value_band)
 
+    def reclassify(self, band: str, breaks, classes, *,
+                   name: str = None, right: bool = False):
+        """Range -> class recode of a band (numpy ``digitize``
+        semantics); the class band is appended."""
+        from .bandops import reclassify
+
+        return reclassify(self, band, breaks, classes, name=name,
+                          right=right)
+
+    def zonal_crosstab(self, zone_band: str, class_band: str):
+        """Cell-count cross-tabulation of two categorical bands."""
+        from .bandops import zonal_crosstab
+
+        return zonal_crosstab(self, zone_band, class_band)
+
     def point_query(self, points, x_col: str = "x", y_col: str = "y",
                     *, method: str = "nearest", measurements=None,
                     id_cols=None):

@@ -2161,6 +2161,81 @@ FROM data GROUP BY 1 ORDER BY zone
 """
 
 
+def q_reclassify(spark, sf_dir):
+    """Range -> class recode (bandops.reclassify, numpy digitize
+    semantics): per-cell class of the value band under breaks
+    [100, 400, 900]. Narrow element program through with_band — zero
+    added shuffle. Oracle = CASE over the straight SQL burn."""
+    cube = _two_band_cube(spark, sf_dir)
+    out = cube.reclassify(
+        "value", [100.0, 400.0, 900.0], [1.0, 2.0, 3.0, 4.0]
+    )
+    df = _explode_cells(
+        out.chunks.filter(F.col("measurement") == "value_class")
+    )
+    return (
+        df.filter(F.col("val") != 0.0)
+        .select("row", "col", F.col("val").cast("int").alias("cls"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_RECLASSIFY = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+)
+SELECT row, col,
+       CASE WHEN sv < 100.0 THEN 1 WHEN sv < 400.0 THEN 2
+            WHEN sv < 900.0 THEN 3 ELSE 4 END AS cls
+FROM cell WHERE sv <> 0.0
+ORDER BY row, col
+"""
+
+
+def q_zonal_crosstab(spark, sf_dir):
+    """Cell-count cross-tabulation of two recoded bands
+    (bandops.zonal_crosstab): value classes x user-sum classes. One
+    tile-aligned equi-join + map-side-combined hash count — the
+    shuffle carries pair partials, never cells. Oracle = double CASE
+    + GROUP BY over the straight SQL burn."""
+    cube = _two_band_cube(spark, sf_dir)
+    both = cube.reclassify(
+        "value", [100.0, 400.0, 900.0], [1.0, 2.0, 3.0, 4.0]
+    ).reclassify("uval", [50.0, 500.0], [10.0, 20.0, 30.0])
+    out = both.zonal_crosstab("value_class", "uval_class")
+    return out.select(
+        F.col("zone").cast("int").alias("zone"),
+        F.col("cls").cast("int").alias("cls"),
+        "n_cells",
+    ).orderBy("zone", "cls")
+
+
+SQL_ZONAL_CROSSTAB = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value, CAST(user_id AS DOUBLE) AS uval
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv, sum(uval) AS su
+  FROM pts GROUP BY 1, 2
+), data AS (
+  SELECT * FROM cell WHERE sv <> 0.0 AND su <> 0.0
+)
+SELECT CASE WHEN sv < 100.0 THEN 1 WHEN sv < 400.0 THEN 2
+            WHEN sv < 900.0 THEN 3 ELSE 4 END AS zone,
+       CASE WHEN su < 50.0 THEN 10 WHEN su < 500.0 THEN 20
+            ELSE 30 END AS cls,
+       count(*) AS n_cells
+FROM data GROUP BY 1, 2 ORDER BY zone, cls
+"""
+
+
 def q_point_query_nearest(spark, sf_dir):
     """Raster sampling at point locations (bandops.point_query,
     rasterio ``sample`` parity): inverse-affine cell assignment +
@@ -3125,4 +3200,10 @@ EXTRA_QUERIES = {
                             SQL_POINT_QUERY_NEAREST),
     "point_query_bilinear": (q_point_query_bilinear,
                              SQL_POINT_QUERY_BILINEAR),
+    # categorical raster analysis (bandops.reclassify /
+    # zonal_crosstab): digitize-parity recode (narrow map) + pair
+    # cross-tabulation (map-side-combined count); numpy/Counter
+    # parity in tests/test_reclassify_crosstab.py
+    "reclassify": (q_reclassify, SQL_RECLASSIFY),
+    "zonal_crosstab": (q_zonal_crosstab, SQL_ZONAL_CROSSTAB),
 }
