@@ -757,8 +757,17 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
     * hillshade = 255 * max(0, cos(zen)*cos(s) +
       sin(zen)*sin(s)*cos(az - aspect)), zen = 90 - altitude, with
       the sun at (``azimuth``, ``altitude``) degrees
+
+    Plus the three ``gdaldem`` neighborhood indices (same 3x3
+    all-valid window, independent of cell size / z_factor):
+
+    * tpi       = center - mean(8 neighbors) (Weiss 2001 / gdaldem)
+    * tri       = mean(|center - neighbor|) over the 8 neighbors
+      (Wilson et al. 2007 -- gdaldem's ``-alg Wilson``)
+    * roughness = max - min of the 3x3 window (gdaldem roughness)
     """
-    if mode not in ("slope", "aspect", "hillshade"):
+    if mode not in ("slope", "aspect", "hillshade",
+                    "tpi", "tri", "roughness"):
         raise ValueError(f"unsupported mode {mode!r}")
     if band not in cube.bands:
         raise ValueError(f"unknown band {band!r}")
@@ -791,6 +800,18 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
         l_, r_ = z[1:th + 1, 0:tw], z[1:th + 1, 2:tw + 2]
         bl, b, br = (z[2:th + 2, 0:tw], z[2:th + 2, 1:tw + 1],
                      z[2:th + 2, 2:tw + 2])
+        if mode in ("tpi", "tri", "roughness"):
+            c0 = z[1:th + 1, 1:tw + 1]
+            nbrs = (tl, t, tr, l_, r_, bl, b, br)
+            if mode == "tpi":
+                out = c0 - sum(nbrs) / 8.0
+            elif mode == "tri":
+                out = sum(np.abs(c0 - n) for n in nbrs) / 8.0
+            else:
+                hi = np.maximum.reduce(nbrs + (c0,))
+                lo = np.minimum.reduce(nbrs + (c0,))
+                out = hi - lo
+            return np.where(k9, out, np.nan)
         gx = ((tr + 2 * r_ + br) - (tl + 2 * l_ + bl)) / (8.0 * dx)
         gy = ysign * ((tl + 2 * t + tr) - (bl + 2 * b + br)) / (8.0 * dy)
         slope_r = np.arctan(zf * np.hypot(gx, gy))

@@ -2546,6 +2546,80 @@ FROM g ORDER BY row, col
 """
 
 
+# Neighborhood-index CTE chain (tpi / tri / roughness): center value
+# from a self-join of the data cells, 3x3 neighbor aggregate with the
+# all-9-valid rule — identical closed forms to the numpy kernel.
+_SQL_TERRAIN_N = (
+    SQL_TERRAIN_SLOPE[: SQL_TERRAIN_SLOPE.index("), g AS")]
+    + """), cen AS (
+  SELECT c.row AS row, c.col AS col, v.sv AS cv
+  FROM cells c JOIN v ON v.row = c.row AND v.col = c.col
+), g AS (
+  SELECT ce.row AS row, ce.col AS col,
+         any_value(ce.cv) AS cv,
+         sum(CASE WHEN n.row = ce.row AND n.col = ce.col
+                  THEN 0.0 ELSE n.sv END) / 8.0 AS nmean,
+         sum(CASE WHEN n.row = ce.row AND n.col = ce.col
+                  THEN 0.0 ELSE abs(n.sv - ce.cv) END) / 8.0 AS adiff,
+         max(n.sv) - min(n.sv) AS rough
+  FROM cen ce
+  JOIN v n ON n.row BETWEEN ce.row - 1 AND ce.row + 1
+          AND n.col BETWEEN ce.col - 1 AND ce.col + 1
+  GROUP BY 1, 2
+  HAVING count(*) = 9
+)
+"""
+)
+
+SQL_TERRAIN_TPI = _SQL_TERRAIN_N + """SELECT row, col,
+       round(cv - nmean + 1e-9, 6) AS val
+FROM g ORDER BY row, col
+"""
+
+SQL_TERRAIN_TRI = _SQL_TERRAIN_N + """SELECT row, col,
+       round(adiff + 1e-9, 6) AS val
+FROM g ORDER BY row, col
+"""
+
+SQL_TERRAIN_ROUGHNESS = _SQL_TERRAIN_N + """SELECT row, col,
+       round(rough + 1e-9, 6) AS val
+FROM g ORDER BY row, col
+"""
+
+
+def _q_terrain_index(spark, sf_dir, mode):
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    out = cube.terrain("value", mode)
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select(
+            "row", "col",
+            F.round(F.col("val") + F.lit(1e-9), 6).alias("val"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+def q_terrain_tpi(spark, sf_dir):
+    """Topographic position index (bandops.terrain mode='tpi',
+    gdaldem TPI): center minus 8-neighbor mean on the coarsened burn;
+    same one-halo-exchange stencil plan as slope."""
+    return _q_terrain_index(spark, sf_dir, "tpi")
+
+
+def q_terrain_tri(spark, sf_dir):
+    """Terrain ruggedness index (bandops.terrain mode='tri', gdaldem
+    -alg Wilson): mean absolute center-neighbor difference."""
+    return _q_terrain_index(spark, sf_dir, "tri")
+
+
+def q_terrain_roughness(spark, sf_dir):
+    """Roughness (bandops.terrain mode='roughness', gdaldem): 3x3
+    window max - min."""
+    return _q_terrain_index(spark, sf_dir, "roughness")
+
+
 def q_terrain_aspect(spark, sf_dir):
     """Horn aspect (bandops.terrain mode='aspect'): compass bearing of
     the downslope direction on the same coarsened burn as
@@ -3206,4 +3280,10 @@ EXTRA_QUERIES = {
     # parity in tests/test_reclassify_crosstab.py
     "reclassify": (q_reclassify, SQL_RECLASSIFY),
     "zonal_crosstab": (q_zonal_crosstab, SQL_ZONAL_CROSSTAB),
+    # gdaldem neighborhood indices (bandops.terrain tpi/tri/roughness):
+    # same halo-exchange stencil as slope, closed-form SQL oracles
+    # over the shared coarsened burn
+    "terrain_tpi": (q_terrain_tpi, SQL_TERRAIN_TPI),
+    "terrain_tri": (q_terrain_tri, SQL_TERRAIN_TRI),
+    "terrain_roughness": (q_terrain_roughness, SQL_TERRAIN_ROUGHNESS),
 }

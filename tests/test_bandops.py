@@ -289,6 +289,18 @@ def _terrain_reference(arr, fill, mode, dx, dy, ysign=1.0,
     all9 = vwin.all(axis=(2, 3))
     zz = np.where(valid, pad, 0.0)
     sh = lambda dr, dc: zz[1 + dr:H + 1 + dr, 1 + dc:W + 1 + dc]  # noqa
+    if mode in ("tpi", "tri", "roughness"):
+        c0 = sh(0, 0)
+        nbrs = [sh(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                if (dr, dc) != (0, 0)]
+        if mode == "tpi":
+            out = c0 - sum(nbrs) / 8.0
+        elif mode == "tri":
+            out = sum(np.abs(c0 - n) for n in nbrs) / 8.0
+        else:
+            out = (np.maximum.reduce(nbrs + [c0])
+                   - np.minimum.reduce(nbrs + [c0]))
+        return np.where(all9, out, np.nan)
     gx = ((sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
           - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1))) / (8 * dx)
     gy = ysign * ((sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1))
@@ -311,7 +323,9 @@ def _terrain_reference(arr, fill, mode, dx, dy, ysign=1.0,
     return np.where(all9, out, np.nan)
 
 
-@pytest.mark.parametrize("mode", ["slope", "aspect", "hillshade"])
+@pytest.mark.parametrize(
+    "mode", ["slope", "aspect", "hillshade", "tpi", "tri", "roughness"]
+)
 def test_terrain_matches_numpy(spark, two_band_cube, mode):
     cube = two_band_cube
     out = cube.terrain("m0", mode)
