@@ -744,3 +744,89 @@ def _cluster_output(df: DataFrame, labels: DataFrame, text_col: str,
         F.count("*").over(wc).alias("cluster_size"),
         (F.row_number().over(wo) == 1).alias("keep"),
     )
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *, width: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated token-window detection — the
+    distributed approximation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): instead of a global suffix array, every
+    ``width``-token window is hashed (portable h60 over the
+    space-joined slice, same tokenizer as every other text op) and a
+    window whose hash occurs in >= ``min_docs`` DISTINCT documents is
+    flagged as duplicated content. Exact for windows (no collisions at
+    corpus scales where 60-bit birthday holds); a repeated substring of
+    L >= width tokens flags all L - width + 1 of its windows, so flagged
+    runs reconstruct the shared span.
+
+    Returns one row per flagged occurrence: (id, pos, win_hash,
+    n_docs) with ``pos`` the 1-based token offset.
+
+    Scale shape: narrow window/hash map -> explode -> ONE hash
+    aggregate on the 8-byte window key (map-side combined) -> the
+    small flagged-hash table joins back on the same key (broadcast
+    when it fits). The shuffle carries (hash, id) pairs, never text;
+    no all-pairs comparison anywhere."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = tokens(F.col(text_col))
+    wins = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                h60(F.concat_ws(" ", F.slice(toks, i, width)))
+                .alias("win_hash"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<pos:int,win_hash:long>>"
+    ))
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(wins).alias("w")
+    ).select("id", F.col("w.pos").alias("pos"),
+             F.col("w.win_hash").alias("win_hash"))
+    flagged = (
+        occ.groupBy("win_hash")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return occ.join(flagged, "win_hash").select(
+        "id", "pos", "win_hash", "n_docs"
+    )
+
+
+def duplicate_span_stats(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", *, width: int = 8,
+                         min_docs: int = 2) -> DataFrame:
+    """Per-document duplicated-content ratio over
+    :func:`duplicate_spans`: (id, n_windows, n_dup, dup_ratio) — the
+    filter signal corpus pipelines threshold on ("drop documents
+    whose duplicated-window fraction exceeds x"). Documents shorter
+    than ``width`` tokens have zero windows and report ratio 0."""
+    toks = tokens(F.col(text_col))
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.greatest(
+            F.lit(0), F.size(toks) - (width - 1)
+        ).alias("n_windows"),
+    )
+    dup = (
+        duplicate_spans(df, id_col, text_col, width=width,
+                        min_docs=min_docs)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return totals.join(dup, "id", "left").select(
+        "id", "n_windows",
+        F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+        F.when(F.col("n_windows") > 0,
+               F.round(F.coalesce(F.col("n_dup"), F.lit(0))
+                       / F.col("n_windows"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )

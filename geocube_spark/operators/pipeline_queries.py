@@ -948,8 +948,98 @@ ORDER BY doc_id, rank
 """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated token-window detection
+    (functions.dedup.duplicate_spans — the distributed stand-in for
+    Lee et al. suffix-array substring dedup): flags every 8-token
+    window occurring in >= 2 distinct documents of the near-dup
+    corpus. Flagging runs over the FULL corpus; the returned rows are
+    a deterministic id slice so the artifact stays small."""
+    from ..functions.dedup import duplicate_spans
+
+    out = duplicate_spans(corpus_neardup(spark, sf_dir))
+    return (
+        out.where(F.col("id") % 97 == 3)
+        .orderBy("id", "pos")
+    )
+
+
+SQL_DUP_SPANS = (
+    f"WITH {CORPUS_NEARDUP_SQL}, "
+    + """tok AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM corpus
+), win AS (
+  SELECT id, CAST(i AS INT) AS pos,
+         """
+    + H60_SQL.format(x="array_to_string(toks[i:i+7], ' ')")
+    + """ AS win_hash
+  FROM tok, unnest(range(1, greatest(1, len(toks) - 6))) AS t(i)
+), flagged AS (
+  SELECT win_hash, count(DISTINCT id) AS n_docs
+  FROM win GROUP BY 1 HAVING count(DISTINCT id) >= 2
+)
+SELECT w.id, w.pos, w.win_hash, f.n_docs
+FROM win w JOIN flagged f USING (win_hash)
+WHERE w.id % 97 = 3
+ORDER BY w.id, w.pos
+"""
+)
+
+
+def q_duplicate_span_stats(spark, sf_dir):
+    """Per-document duplicated-content ratio
+    (functions.dedup.duplicate_span_stats) — the threshold signal a
+    corpus pipeline filters on. One row per document of the near-dup
+    corpus."""
+    from ..functions.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        corpus_neardup(spark, sf_dir)
+    ).orderBy("id")
+
+
+SQL_DUP_SPAN_STATS = (
+    f"WITH {CORPUS_NEARDUP_SQL}, "
+    + """tok AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM corpus
+), win AS (
+  SELECT id, CAST(i AS INT) AS pos,
+         """
+    + H60_SQL.format(x="array_to_string(toks[i:i+7], ' ')")
+    + """ AS win_hash
+  FROM tok, unnest(range(1, greatest(1, len(toks) - 6))) AS t(i)
+), flagged AS (
+  SELECT win_hash FROM win GROUP BY 1 HAVING count(DISTINCT id) >= 2
+), dup AS (
+  SELECT w.id, count(*) AS n_dup
+  FROM win w JOIN flagged f USING (win_hash) GROUP BY 1
+), totals AS (
+  SELECT doc_id AS id,
+         greatest(0, len(regexp_split_to_array(trim(text), '\\s+')) - 7)
+           AS n_windows
+  FROM corpus
+)
+SELECT t.id, CAST(t.n_windows AS INT) AS n_windows,
+       COALESCE(d.n_dup, 0) AS n_dup,
+       CASE WHEN t.n_windows > 0
+            THEN round(COALESCE(d.n_dup, 0) / t.n_windows, 6)
+            ELSE 0.0 END AS dup_ratio
+FROM totals t LEFT JOIN dup d USING (id)
+ORDER BY t.id
+"""
+)
+
+
 EXTRA_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    # duplicated token-window detection (round 4,
+    # functions.dedup.duplicate_spans): the Lee-et-al substring-dedup
+    # approximation + its per-doc filter ratio
+    "duplicate_spans": (q_duplicate_spans, SQL_DUP_SPANS),
+    "duplicate_span_stats": (q_duplicate_span_stats,
+                             SQL_DUP_SPAN_STATS),
     # top-k TF-IDF terms per document (round 4, textops)
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
