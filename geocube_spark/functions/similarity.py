@@ -590,3 +590,52 @@ def ann_ivf_topk(corpus: DataFrame, *, k: int = 1, n_lists: int = 16,
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "cos")
     )
+
+
+def random_projection(corpus: DataFrame, *, dim: int, out_dim: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress ``dim``-wide
+    embeddings to ``out_dim`` dimensions with the deterministic Weyl
+    hyperplane matrix (the same engine-portable pseudo-random family
+    the LSH signatures use), scaled ``sqrt(3/out_dim)`` (the weights
+    are uniform[-1, 1), variance 1/3, so this makes expected pairwise
+    inner products unbiased -- the JL lemma). The pipeline
+    use: cheap embedding compression before ANN indexing, clustering,
+    or storage at corpus scale — project once, index the narrow
+    vectors.
+
+    Scale shape: one numpy matmul per Arrow batch (``mapInPandas``) —
+    a narrow map, ZERO shuffle, linear in rows; the (out_dim x dim)
+    matrix is rebuilt from the closed-form Weyl sequence inside each
+    task (a few KB of floats, no broadcast needed). Dense float math
+    stays out of interpreted HOF lambdas per the module note above.
+
+    Returns (id, proj: array<double> length out_dim)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    Ht = hyperplane_matrix(dim, out_dim).T * np.sqrt(3.0 / out_dim)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("proj", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _to_matrix(pdf, vec_col)
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"embedding width {m.shape[1]} != dim {dim}"
+                )
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(dtype=np.int64),
+                "proj": list(m @ Ht),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _project, schema=schema
+    )

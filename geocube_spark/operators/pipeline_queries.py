@@ -601,6 +601,50 @@ SELECT qid, rank, nid, cos FROM r WHERE rank <= {k} ORDER BY qid
 SQL_ANN_LSH = _ann_lsh_sql()
 
 
+def q_random_projection(spark, sf_dir):
+    """JL random projection (functions.similarity.random_projection):
+    64-dim embeddings compressed to 16 with the deterministic Weyl
+    matrix — one numpy matmul per Arrow batch, zero shuffle. Output
+    exploded per dimension for the value check."""
+    from ..functions.similarity import random_projection
+
+    out = random_projection(_emb(spark, sf_dir), dim=64, out_dim=16)
+    return out.select(
+        "id", F.posexplode("proj").alias("o", "val")
+    ).select(
+        "id", "o", F.round(F.col("val") + F.lit(1e-9), 6).alias("val")
+    ).orderBy("id", "o")
+
+
+def _random_projection_sql(dim: int = 64, out_dim: int = 16) -> str:
+    """SQL replay: the identical Weyl matrix inlined as VALUES, the
+    matmul as a per-(id, o) weighted sum."""
+    import numpy as np
+
+    from ..functions.similarity import hyperplane_matrix
+
+    H = hyperplane_matrix(dim, out_dim) * np.sqrt(3.0 / out_dim)
+    hp_rows = ",\n    ".join(
+        f"({o}, {d}, {H[o, d]!r})"
+        for o in range(out_dim) for d in range(dim)
+    )
+    return f"""
+WITH hp(o, d, w) AS (VALUES
+    {hp_rows}
+),
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT e.id, hp.o, sum(hp.w * e.v[hp.d + 1]) AS val
+  FROM e, hp GROUP BY e.id, hp.o
+)
+SELECT id, CAST(o AS INT) AS o, round(val + 1e-9, 6) AS val
+FROM p ORDER BY id, o
+"""
+
+
+SQL_RANDOM_PROJECTION = _random_projection_sql()
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1040,6 +1084,10 @@ EXTRA_QUERIES = {
     "duplicate_spans": (q_duplicate_spans, SQL_DUP_SPANS),
     "duplicate_span_stats": (q_duplicate_span_stats,
                              SQL_DUP_SPAN_STATS),
+    # JL embedding compression (round 4,
+    # functions.similarity.random_projection): zero-shuffle Arrow
+    # matmul against the inlined Weyl matrix
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     # top-k TF-IDF terms per document (round 4, textops)
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
