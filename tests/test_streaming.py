@@ -372,3 +372,57 @@ def test_streaming_output_compacts_through_table_maintenance(
     got = read_cube.assemble()
     for m in MEAS:
         np.testing.assert_array_equal(want[m], got[m])
+
+
+def test_streaming_dedup_first_wins_across_increments(spark, tmp_path):
+    """Streaming exact dedup: duplicates WITHIN a micro-batch and
+    across two checkpointed AvailableNow increments are both dropped;
+    the surviving rows equal the batch operator's first-occurrence
+    set on the union corpus."""
+    import datetime as dt
+
+    from geocube_spark.streaming.dedup import (
+        dedup_stream,
+        run_dedup_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(ids_texts, minute):
+        return [
+            (i, t, t0 + dt.timedelta(minutes=minute + k))
+            for k, (i, t) in enumerate(ids_texts)
+        ]
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    schema = "doc_id bigint, text string, ts timestamp"
+
+    b1 = rows([(1, "alpha"), (2, "beta"), (3, "alpha")], 0)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        f"{in_dir}/b1"
+    )
+    run_dedup_stream(spark, f"{in_dir}/*", out_dir, ckpt)
+
+    # increment: one repeat of batch 1 (inside the watermark horizon,
+    # state persisted via the checkpoint) + one new doc
+    b2 = rows([(4, "alpha"), (5, "gamma")], 10)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        f"{in_dir}/b2"
+    )
+    run_dedup_stream(spark, f"{in_dir}/*", out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["alpha", "beta", "gamma"]
+    # first occurrence won
+    assert {r["text"]: r["doc_id"] for r in got.collect()}["alpha"] == 1
+
+    # stream == batch parity on the union corpus
+    union = spark.createDataFrame(b1 + b2, schema)
+    batch = dedup_stream(union.orderBy("ts"))
+    assert sorted(
+        r["text"] for r in batch.collect()
+    ) == ["alpha", "beta", "gamma"]
