@@ -331,6 +331,75 @@ FROM cover c JOIN events e USING (event_id)
 GROUP BY 1 ORDER BY hex_parent"""
 
 
+def q_geohash_cover(spark, sf_dir):
+    """Geohash cell keys (grid/geohash.py, public Niemeyer base32
+    spec): precision-6 code per event plus its precision-3 ancestor —
+    which is PREFIX truncation, the property that makes geohash the
+    cheapest lake-side spatial bucketing (plain substr/LIKE, no UDF).
+    Pure Catalyst flat bit sum; oracle = the identical CTE chain."""
+    from ..grid.geohash import geohash_col
+
+    ev = _event_points(spark, sf_dir)
+    gh = geohash_col(F.col("lon"), F.col("lat"), 6)
+    return ev.select(
+        "event_id",
+        gh.alias("gh6"),
+        F.substring(gh, 1, 3).alias("gh3"),
+    ).orderBy("event_id")
+
+
+def _sql_geohash_cover():
+    from ..grid.geohash import geohash_sql
+
+    inner = geohash_sql(_LON_SQL, _LAT_SQL, 6, "events",
+                        keep="event_id", out_col="gh6")
+    return (
+        f"WITH base AS ({inner})\n"
+        "SELECT event_id, gh6, substr(gh6, 1, 3) AS gh3 "
+        "FROM base ORDER BY event_id"
+    )
+
+
+SQL_GEOHASH_COVER = _sql_geohash_cover()
+
+
+def q_geohash_rollup(spark, sf_dir):
+    """Hierarchical rollup through the geohash prefix: event counts +
+    value sums per precision-2 ancestor cell. The group key is a
+    substring of the child code — zero re-indexing, map-side combine
+    before the one exchange."""
+    from ..grid.geohash import geohash_col
+
+    ev = _event_points(spark, sf_dir)
+    gh2 = F.substring(
+        geohash_col(F.col("lon"), F.col("lat"), 6), 1, 2
+    )
+    return (
+        ev.groupBy(gh2.alias("gh2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 6).alias("sum_value"),
+        )
+        .orderBy("gh2")
+    )
+
+
+def _sql_geohash_rollup():
+    from ..grid.geohash import geohash_sql
+
+    inner = geohash_sql(_LON_SQL, _LAT_SQL, 6, "events",
+                        keep="event_id, value", out_col="gh6")
+    return (
+        f"WITH base AS ({inner})\n"
+        "SELECT substr(gh6, 1, 2) AS gh2, count(*) AS n_events,\n"
+        "       round(sum(value) + 1e-9, 6) AS sum_value\n"
+        "FROM base GROUP BY 1 ORDER BY gh2"
+    )
+
+
+SQL_GEOHASH_ROLLUP = _sql_geohash_rollup()
+
+
 def q_spatial_join_pip(spark, sf_dir):
     """Vector x vector spatial join (north rule: point-in-polygon as a
     first-class join). Event points join 30 synthesized diamond
@@ -3286,4 +3355,8 @@ EXTRA_QUERIES = {
     "terrain_tpi": (q_terrain_tpi, SQL_TERRAIN_TPI),
     "terrain_tri": (q_terrain_tri, SQL_TERRAIN_TRI),
     "terrain_roughness": (q_terrain_roughness, SQL_TERRAIN_ROUGHNESS),
+    # geohash (grid/geohash.py): the fifth index scheme — prefix
+    # hierarchy verified via the substr ancestor + rollup
+    "geohash_cover": (q_geohash_cover, SQL_GEOHASH_COVER),
+    "geohash_rollup": (q_geohash_rollup, SQL_GEOHASH_ROLLUP),
 }
