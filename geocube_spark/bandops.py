@@ -1653,16 +1653,22 @@ def point_query(cube: GeoCube, points: DataFrame,
         )
     )
 
+    # every chunk column is __-aliased so point columns named like
+    # chunk lineage (tile_id, w, values, ...) never collide
     chunks = cube.chunks.select(
         F.col("measurement").alias("__cm"),
         F.col("group_key").alias("__cg"),
-        "tile_id", "row0", "col0", "w", "values",
+        F.col("tile_id").alias("__ct"),
+        F.col("row0").alias("__cr0"),
+        F.col("col0").alias("__cc0"),
+        F.col("w").alias("__cw"),
+        F.col("values").alias("__cv"),
     )
     joined = p.join(
         chunks,
         (F.col("measurement") == F.col("__cm"))
         & F.col("group_key").eqNullSafe(F.col("__cg"))
-        & (F.col("__tile_id") == F.col("tile_id")),
+        & (F.col("__tile_id") == F.col("__ct")),
         "left",
     )
 
@@ -1674,9 +1680,9 @@ def point_query(cube: GeoCube, points: DataFrame,
         ).otherwise(fill_col)
 
     stored = F.element_at(
-        F.col("values"),
-        ((F.col("__k.r") - F.col("row0")) * F.col("w")
-         + (F.col("__k.c") - F.col("col0")) + 1).cast("int"),
+        F.col("__cv"),
+        ((F.col("__k.r") - F.col("__cr0")) * F.col("__cw")
+         + (F.col("__k.c") - F.col("__cc0")) + 1).cast("int"),
     )
     corner_val = F.when(
         F.col("__k").isNotNull(), F.coalesce(stored, fill_col)

@@ -231,6 +231,19 @@ def test_validation_errors(spark, cube):
         )
 
 
+def test_point_columns_named_like_chunk_lineage(spark, cube):
+    # point columns named like chunk-table lineage must not collide
+    # with the join's chunk side
+    pts = spark.createDataFrame(
+        [(7, 3, 99.0, -90.5, 41.5)],
+        "tile_id long, w long, values double, x double, y double",
+    )
+    rows = point_query(cube, pts, measurements=["m0"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["tile_id"] == 7 and rows[0]["w"] == 3
+    assert rows[0]["value"] is not None
+
+
 def test_id_cols_projection(spark, cube):
     pts = spark.createDataFrame(
         [(0, "a", -90.5, 41.5)], "pid long, tag string, x double, y double"
