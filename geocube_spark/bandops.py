@@ -344,6 +344,74 @@ def band_stats(cube: GeoCube,
     )
 
 
+def band_quantiles(cube: GeoCube, qs: Sequence[float] = (0.25, 0.5, 0.75),
+                   measurements: Optional[Sequence[str]] = None, *,
+                   exact: bool = False,
+                   accuracy: int = 10000) -> DataFrame:
+    """Per-(measurement, group) value quantiles over the DATA cells
+    (the xarray ``band.quantile(q)`` post-op, distributed).
+
+    Default is the SCALE path: ``percentile_approx`` (Spark's
+    t-digest-style sketch, bounded memory per group, error <=
+    1/``accuracy`` in rank) — the right tool at 10^12 cells where an
+    exact quantile would buffer whole groups. ``exact=True`` switches
+    to Spark's exact interpolated ``percentile`` (numpy
+    'linear'/DuckDB ``quantile_cont`` semantics) — its aggregation
+    buffer grows with distinct values per group, so reserve it for
+    verification scales; that is exactly how the oracle query checks
+    this operator.
+
+    Both aggregates combine partials map-side; the shuffle carries
+    sketches (or count maps), never cells.
+
+    Returns (measurement, group_key, q, value) ordered."""
+    qs = [float(q) for q in qs]
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    c = cube.chunks
+    names = list(measurements) if measurements else list(cube.bands)
+    for m in names:
+        if m not in cube.bands:
+            raise ValueError(f"unknown measurement {m!r}")
+    c = c.filter(F.col("measurement").isin(names))
+    fill_map = F.create_map(
+        *[x for m, b in cube.bands.items()
+          for x in (F.lit(m), F.lit(float(b.fill)))]
+    )
+    fill = fill_map[F.col("measurement")]
+    is_data = lambda x: F.when(  # noqa: E731
+        F.isnan(fill), x.isNotNull() & ~F.isnan(x)
+    ).otherwise(x.isNotNull() & (x != fill))
+    cells = c.select(
+        "measurement", "group_key",
+        F.explode(F.filter("values", is_data)).alias("v"),
+    )
+    arr = ", ".join(repr(q) for q in qs)
+    if exact:
+        agg = F.expr(f"percentile(v, array({arr}))")
+    else:
+        agg = F.expr(f"percentile_approx(v, array({arr}), {accuracy})")
+    qlit = F.array(*[F.lit(q) for q in qs])
+    return (
+        cells.groupBy("measurement", "group_key")
+        .agg(agg.alias("vals"))
+        .select(
+            "measurement", "group_key",
+            F.posexplode("vals").alias("qi", "value"),
+        )
+        .select(
+            "measurement", "group_key",
+            F.element_at(qlit, F.col("qi") + 1).alias("q"),
+            "value",
+        )
+        .orderBy("measurement", "group_key", "q")
+    )
+
+
 def band_histogram(cube: GeoCube, bins: int = 32,
                    lo: Optional[float] = None,
                    hi: Optional[float] = None,

@@ -2305,6 +2305,45 @@ FROM data GROUP BY 1, 2 ORDER BY zone, cls
 """
 
 
+def q_band_quantiles(spark, sf_dir):
+    """Distributed band quantiles (bandops.band_quantiles): the exact
+    interpolated path (numpy 'linear' / DuckDB quantile_cont
+    semantics) over the value band's data cells — the approx t-digest
+    default is the 100 TB path, rank-error-tested in pytest. Oracle =
+    quantile_cont over the straight SQL burn."""
+    from ..bandops import band_quantiles
+
+    cube = _two_band_cube(spark, sf_dir)
+    out = band_quantiles(
+        cube, (0.1, 0.5, 0.9), measurements=["value"], exact=True
+    )
+    return out.select(
+        "measurement", "q",
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
+    ).orderBy("q")
+
+
+SQL_BAND_QUANTILES = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), d AS (
+  SELECT sv FROM cell WHERE sv <> 0.0
+)
+SELECT 'value' AS measurement, 0.1 AS q,
+       round(quantile_cont(sv, 0.1) + 1e-9, 6) AS value FROM d
+UNION ALL
+SELECT 'value', 0.5, round(quantile_cont(sv, 0.5) + 1e-9, 6) FROM d
+UNION ALL
+SELECT 'value', 0.9, round(quantile_cont(sv, 0.9) + 1e-9, 6) FROM d
+ORDER BY q
+"""
+
+
 def q_point_query_nearest(spark, sf_dir):
     """Raster sampling at point locations (bandops.point_query,
     rasterio ``sample`` parity): inverse-affine cell assignment +
@@ -3359,4 +3398,8 @@ EXTRA_QUERIES = {
     # hierarchy verified via the substr ancestor + rollup
     "geohash_cover": (q_geohash_cover, SQL_GEOHASH_COVER),
     "geohash_rollup": (q_geohash_rollup, SQL_GEOHASH_ROLLUP),
+    # distributed band quantiles (bandops.band_quantiles): exact
+    # interpolated path oracled via quantile_cont; approx t-digest
+    # default rank-error-tested in pytest
+    "band_quantiles": (q_band_quantiles, SQL_BAND_QUANTILES),
 }

@@ -116,3 +116,66 @@ def test_histogram_map_side_combine_plan(spark, cube):
     hist_part = plan.split("MapInPandas")[0]
     assert "InPandas" not in hist_part
     assert "Generate explode" in hist_part
+
+
+def test_band_quantiles_exact_matches_numpy(spark, cube):
+    from geocube_spark.bandops import band_quantiles
+
+    qs = (0.0, 0.1, 0.5, 0.9, 1.0)
+    got = band_quantiles(
+        cube, qs, measurements=["m0"], exact=True
+    ).collect()
+    data = _data(cube, "m0")
+    want = np.quantile(data, qs, method="linear")
+    assert [r["q"] for r in got] == list(qs)
+    for r, w in zip(got, want):
+        assert r["value"] == pytest.approx(w, rel=1e-12), r["q"]
+
+
+def test_band_quantiles_approx_within_rank_error(spark, cube):
+    from geocube_spark.bandops import band_quantiles
+
+    got = {
+        r["q"]: r["value"]
+        for r in band_quantiles(
+            cube, (0.25, 0.75), measurements=["m0"], accuracy=10000
+        ).collect()
+    }
+    data = np.sort(_data(cube, "m0"))
+    n = len(data)
+    for q, v in got.items():
+        # rank error <= n/accuracy + 1 positions
+        lo = data[max(0, int(q * n) - 1 - n // 10000)]
+        hi = data[min(n - 1, int(q * n) + 1 + n // 10000)]
+        assert lo <= v <= hi, (q, v, lo, hi)
+
+
+def test_band_quantiles_grouped_and_validation(spark):
+    from geocube_spark import datagen
+    from geocube_spark.bandops import band_quantiles
+    from geocube_spark.cube import make_geocube
+
+    docs = datagen.to_spark(spark, datagen.grouped_polygon_docs(3, 5))
+    gcube = make_geocube(
+        docs, measurements=["claytotal_r"], group_by="hzdept_r",
+        output_crs="epsg:32615", resolution=(-60, 60), fill=0.0,
+        tile_size=32,
+    )
+    rows = band_quantiles(
+        gcube, (0.5,), exact=True
+    ).collect()
+    arrs = gcube.assemble()["claytotal_r"]
+    gidx = {str(k): i for i, k in enumerate(gcube.group_keys)}
+    assert len(rows) == len(gcube.group_keys)
+    for r in rows:
+        a = arrs[gidx[r["group_key"]]].ravel()
+        a = a[a != 0.0]
+        assert r["value"] == pytest.approx(
+            np.quantile(a, 0.5, method="linear"), rel=1e-12
+        )
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        band_quantiles(gcube, (1.5,))
+    with pytest.raises(ValueError, match="non-empty"):
+        band_quantiles(gcube, ())
+    with pytest.raises(ValueError, match="unknown measurement"):
+        band_quantiles(gcube, (0.5,), measurements=["nope"])
