@@ -344,6 +344,89 @@ def band_stats(cube: GeoCube,
     )
 
 
+def clip_cube(cube: GeoCube, geom, *, invert: bool = False) -> GeoCube:
+    """Mask the cube to a cutline polygon (``gdalwarp -cutline`` /
+    rioxarray ``.rio.clip`` parity): cells whose CENTER falls outside
+    ``geom`` become the band fill; ``invert=True`` keeps the outside
+    instead (``.rio.clip(invert=True)``).
+
+    ``geom`` is a GeoJSON mapping or string (the same contract as
+    ``make_geocube(geom=...)``), interpreted in the cube's CRS.
+
+    Plan: the cutline is burned ONCE into a 0/1 mask cube on the SAME
+    grid through the existing one-shuffle scanline burn (center rule,
+    identical to the cube's own cell assignment), then ONE tile-key
+    equi-join + ``zip_with`` applies it inside codegen. A normal clip
+    inner-joins — tiles the cutline never touches are dropped from the
+    sparse chunk table outright, so the masked-out bulk of a
+    continent-scale cube never shuffles; an inverted clip left-joins
+    and passes mask-free tiles through untouched."""
+    import json as _json
+
+    from .cube import make_geocube
+    from .geometry import wkb as W
+
+    if isinstance(geom, str):
+        geom = _json.loads(geom)
+    g = W.from_geojson(geom)
+    spark = cube.chunks.sparkSession
+    from pyspark.sql import types as T
+
+    vec = spark.createDataFrame(
+        [("__cutline", 0, bytearray(g.to_wkb()), 1.0)],
+        T.StructType([
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("geometry_wkb", T.BinaryType()),
+            T.StructField("__mask", T.DoubleType()),
+        ]),
+    )
+    mask = make_geocube(
+        vec, measurements=["__mask"], like=cube.geobox,
+        input_crs=cube.geobox.crs, fill=0.0, merge_alg="replace",
+        tile_size=cube.tile_size,
+    )
+    # the burn materializes a chunk for every ENVELOPE-covered tile;
+    # all-zero mask tiles are no-ops for both modes, so drop them here
+    # — this is what makes the inner join actually skip untouched
+    # tiles rather than rewriting them to all-fill
+    mvals = mask.chunks.where(
+        F.exists("values", lambda m: m == 1.0)
+    ).select(
+        F.col("tile_id").alias("__mt"),
+        F.col("values").alias("__mv"),
+    )
+    fills = _fill_map({m: float(b.fill) for m, b in cube.bands.items()})
+    fill = fills[F.col("measurement")]
+    how = "left" if invert else "inner"
+    joined = cube.chunks.join(
+        mvals, F.col("tile_id") == F.col("__mt"), how
+    )
+    if invert:
+        vals = F.when(
+            F.col("__mv").isNull(), F.col("values")
+        ).otherwise(
+            F.zip_with(
+                "values", "__mv",
+                lambda v, m: F.when(m == 1.0, fill).otherwise(v),
+            )
+        )
+    else:
+        vals = F.zip_with(
+            "values", "__mv",
+            lambda v, m: F.when(m == 1.0, v).otherwise(fill),
+        )
+    out = joined.select(
+        *[c for c in cube.chunks.columns if c != "values"],
+        vals.alias("values"),
+    ).select(*cube.chunks.columns)
+    return GeoCube(
+        chunks=out, geobox=cube.geobox, bands=dict(cube.bands),
+        group_by=cube.group_by, group_keys=cube.group_keys,
+        tile_size=cube.tile_size, fill=cube.fill,
+    )
+
+
 def band_quantiles(cube: GeoCube, qs: Sequence[float] = (0.25, 0.5, 0.75),
                    measurements: Optional[Sequence[str]] = None, *,
                    exact: bool = False,

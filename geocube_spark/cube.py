@@ -257,6 +257,13 @@ class GeoCube:
 
         return zonal_stats_raster(self, zone_band, value_band)
 
+    def clip(self, geom, *, invert: bool = False):
+        """Mask to a cutline polygon (gdalwarp -cutline / rioxarray
+        ``.rio.clip`` parity); cells outside become fill."""
+        from .bandops import clip_cube
+
+        return clip_cube(self, geom, invert=invert)
+
     def reclassify(self, band: str, breaks, classes, *,
                    name: str = None, right: bool = False):
         """Range -> class recode of a band (numpy ``digitize``

@@ -2305,6 +2305,56 @@ FROM data GROUP BY 1, 2 ORDER BY zone, cls
 """
 
 
+def q_clip_cutline(spark, sf_dir):
+    """Cutline clip (bandops.clip_cube, gdalwarp -cutline parity):
+    the two-band burn masked to a diamond — the cutline burns ONCE
+    into a 0/1 mask on the same grid, one tile-key equi-join +
+    zip_with applies it, untouched tiles drop from the sparse chunk
+    table. Oracle = the L1-ball center rule in closed form (the
+    diamond's radius is chosen so no cell center lands on the
+    boundary — both engines' inside tests agree exactly)."""
+    from ..bandops import clip_cube
+
+    cut = {
+        "type": "Polygon",
+        "coordinates": [[
+            [-4.8, 0.5], [20.5, 25.8], [45.8, 0.5], [20.5, -24.8],
+            [-4.8, 0.5],
+        ]],
+    }
+    cube = _two_band_cube(spark, sf_dir)
+    out = clip_cube(cube, cut)
+    df = _explode_cells(
+        out.chunks.filter(F.col("measurement") == "value")
+    )
+    return (
+        df.filter(F.col("val") != 0.0)
+        .select(
+            "row", "col",
+            F.round(F.col("val") + F.lit(1e-9), 6).alias("val"),
+        )
+        .orderBy("row", "col")
+    )
+
+
+SQL_CLIP_CUTLINE = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+)
+SELECT row, col, round(sv + 1e-9, 6) AS val
+FROM cell
+WHERE sv <> 0.0
+  AND abs((col - 180 + 0.5) - 20.5) + abs((90 - row - 0.5) - 0.5)
+      <= 25.3
+ORDER BY row, col
+"""
+
+
 def q_band_quantiles(spark, sf_dir):
     """Distributed band quantiles (bandops.band_quantiles): the exact
     interpolated path (numpy 'linear' / DuckDB quantile_cont
@@ -3402,4 +3452,9 @@ EXTRA_QUERIES = {
     # interpolated path oracled via quantile_cont; approx t-digest
     # default rank-error-tested in pytest
     "band_quantiles": (q_band_quantiles, SQL_BAND_QUANTILES),
+    # cutline clip (bandops.clip_cube, gdalwarp -cutline / rioxarray
+    # .rio.clip): mask burned once on the same grid, one tile-key
+    # equi-join, untouched tiles dropped; numpy center-rule parity in
+    # tests/test_clip.py
+    "clip_cutline": (q_clip_cutline, SQL_CLIP_CUTLINE),
 }
