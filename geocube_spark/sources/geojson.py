@@ -168,3 +168,112 @@ def read_geojson(spark, path, id_prefix: str = "gj"):
                 yield out
 
     return files_df.mapInPandas(_load, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# sink
+# ---------------------------------------------------------------------------
+
+
+def _json_safe(v):
+    """Property value -> JSON-serializable (numpy/pandas scalars,
+    timestamps, NaN -> null)."""
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return None if np.isnan(f) else f
+    if isinstance(v, (np.integer, int)):
+        return int(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _feature(wkb_val, props: dict) -> dict:
+    geom = None if wkb_val is None else W.to_geojson(W.loads(bytes(wkb_val)))
+    return {
+        "type": "Feature",
+        "geometry": geom,
+        "properties": {k: _json_safe(v) for k, v in props.items()},
+    }
+
+
+def _write_collection(fh, rows_iter, geometry_column: str,
+                      prop_cols: list, epsg) -> int:
+    """Stream a FeatureCollection to a file handle; returns feature
+    count. Never materializes the whole document."""
+    fh.write('{"type": "FeatureCollection", ')
+    if epsg is not None:
+        fh.write(
+            '"crs": {"type": "name", "properties": '
+            f'{{"name": "urn:ogc:def:crs:EPSG::{int(epsg)}"}}}}, '
+        )
+    fh.write('"features": [')
+    n = 0
+    for row in rows_iter:
+        props = {c: row[c] for c in prop_cols}
+        feat = _feature(row[geometry_column], props)
+        fh.write(("\n" if n == 0 else ",\n") + json.dumps(feat))
+        n += 1
+    fh.write("\n]}\n")
+    return n
+
+
+def write_geojson(df, path: str, geometry_column: str = "geometry_wkb",
+                  *, epsg: int = None, mode: str = "single") -> list:
+    """Vector-table DataFrame -> GeoJSON FeatureCollection(s); the
+    inverse of :func:`read_geojson` (round-trip tested). Returns
+    written paths.
+
+    ``mode='single'`` streams ONE FeatureCollection through the
+    driver with ``toLocalIterator`` — constant driver memory, the
+    right interchange hatch for small-to-medium outputs (GeoJSON is a
+    single JSON document; there is no parallel append).
+    ``mode='parts'`` writes one complete, independently valid
+    FeatureCollection per Spark partition under
+    ``path``/part-N.geojson, fully distributed — the same escape
+    hatch as the shapefile/GeoPackage/GeoTIFF sinks; ``read_geojson``
+    on the directory glob reassembles the table.
+
+    Geometry null -> ``"geometry": null`` (RFC 7946); a non-4326 CRS
+    is recorded as the legacy ``crs`` member the reader sniffs
+    (RFC 7946 dropped it, but it remains the only in-band convention
+    and matches the reference's OGR behavior)."""
+    prop_cols = [c for c in df.columns if c != geometry_column]
+
+    if mode == "single":
+        with open(path, "w") as fh:
+            _write_collection(
+                fh, df.toLocalIterator(), geometry_column, prop_cols,
+                epsg,
+            )
+        return [path]
+    if mode != "parts":
+        raise ValueError(f"unknown mode {mode!r}")
+    os.makedirs(path, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    tagged = df.withColumn("__pid", F.spark_partition_id())
+
+    def _per_part(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        out = os.path.join(path, f"part-{pid:05d}.geojson")
+        pdf = pdf.drop(columns="__pid")
+        with open(out, "w") as fh:
+            n = _write_collection(
+                fh, (row for _, row in pdf.iterrows()),
+                geometry_column, prop_cols, epsg,
+            )
+        return pd.DataFrame({"path": [out], "n": [n]})
+
+    written = (
+        tagged.groupBy("__pid")
+        .applyInPandas(_per_part, schema="path string, n long")
+        .collect()
+    )
+    return [r["path"] for r in written]
