@@ -781,8 +781,12 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
     rasterio's windowed filters that reference users run on the
     assembled Dataset after ``make_geocube``.
 
-    stat: 'mean' | 'sum' | 'min' | 'max' | 'count' | 'median' over the
-    ``size`` x ``size`` window centered on each cell. Nodata cells
+    stat: 'mean' | 'sum' | 'min' | 'max' | 'count' | 'median' |
+    'majority' over the ``size`` x ``size`` window centered on each
+    cell. 'majority' is the most frequent valid value in the window
+    (ESRI FocalStatistics MAJORITY / Whitebox majority_filter — the
+    categorical-raster smoothing pass), with frequency ties broken to
+    the SMALLEST value so the result is deterministic. Nodata cells
     (the band fill, or NULL/NaN for NaN-fill cubes) and cells outside
     the raster are excluded from the window; a window with zero valid
     cells yields nodata for EVERY stat, count included (the output
@@ -809,7 +813,8 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
     the sparse chunk table. Tiles nothing reaches stay absent, which
     reads back as nodata.
     """
-    if stat not in ("mean", "sum", "min", "max", "count", "median"):
+    if stat not in ("mean", "sum", "min", "max", "count", "median",
+                    "majority"):
         raise ValueError(f"unsupported stat {stat!r}")
     size = int(size)
     if size < 3 or size % 2 == 0:
@@ -861,6 +866,37 @@ def focal(cube: GeoCube, stat: str = "mean", size: int = 3,
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")  # all-NaN windows
                 return np.nanmedian(win, axis=(2, 3))
+        if stat == "majority":
+            # vectorized per-window mode: sort each window (NaN
+            # sorts last), derive run lengths from run-start flags
+            # with a forward/backward accumulate, then argmax — which
+            # is first-wins over the ASCENDING sort, i.e. frequency
+            # ties resolve to the smallest value (the documented,
+            # oracle-matched tie-break)
+            a = np.where(valid, pad, np.nan)
+            win = np.lib.stride_tricks.sliding_window_view(a, (s, s))
+            th_, tw_ = win.shape[0], win.shape[1]
+            k = s * s
+            sw = np.sort(win.reshape(th_, tw_, k), axis=2)
+            isn = np.isnan(sw)
+            starts = np.ones(sw.shape, dtype=bool)
+            starts[..., 1:] = sw[..., 1:] != sw[..., :-1]
+            idx = np.arange(k)
+            run_start = np.maximum.accumulate(
+                np.where(starts, idx, 0), axis=2
+            )
+            # first run start strictly after i = the run's end
+            rev = np.flip(np.where(starts, idx, k), axis=2)
+            ge = np.flip(np.minimum.accumulate(rev, axis=2), axis=2)
+            nxt = np.concatenate(
+                [ge[..., 1:], np.full((th_, tw_, 1), k)], axis=2
+            )
+            runlen = np.where(isn, -1, nxt - run_start)
+            best = runlen.argmax(axis=2)
+            out = np.take_along_axis(sw, best[..., None], axis=2)[
+                ..., 0
+            ]
+            return np.where(isn.all(axis=2), np.nan, out)
         sentinel = np.inf if stat == "min" else -np.inf
         a = np.where(valid, pad, sentinel)
         win = np.lib.stride_tricks.sliding_window_view(a, (s, s))
@@ -916,9 +952,22 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
     * tri       = mean(|center - neighbor|) over the 8 neighbors
       (Wilson et al. 2007 -- gdaldem's ``-alg Wilson``)
     * roughness = max - min of the 3x3 window (gdaldem roughness)
+
+    And the hydrology primitive:
+
+    * flowdir   = D8 flow direction (Jenson & Domingue 1988; ESRI /
+      Whitebox ``d8_pointer`` encoding): the compass neighbor with
+      the steepest distance-weighted drop ``(center - neighbor) /
+      dist`` (dist = dx east/west, dy north/south, hypot(dx, dy)
+      diagonal), coded E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64,
+      NE=128. Ties break to the SMALLEST code (E before SE before S
+      ...) so the result is deterministic; cells whose steepest drop
+      is <= 0 (flats and pits) code 0. Same all-9-valid rule as the
+      other modes — borders and nodata-adjacent cells are nodata,
+      exactly the cells where D8 is undefined.
     """
     if mode not in ("slope", "aspect", "hillshade",
-                    "tpi", "tri", "roughness"):
+                    "tpi", "tri", "roughness", "flowdir"):
         raise ValueError(f"unsupported mode {mode!r}")
     if band not in cube.bands:
         raise ValueError(f"unknown band {band!r}")
@@ -951,6 +1000,26 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
         l_, r_ = z[1:th + 1, 0:tw], z[1:th + 1, 2:tw + 2]
         bl, b, br = (z[2:th + 2, 0:tw], z[2:th + 2, 1:tw + 1],
                      z[2:th + 2, 2:tw + 2])
+        if mode == "flowdir":
+            c0 = z[1:th + 1, 1:tw + 1]
+            # sqrt(dx*dx+dy*dy), NOT np.hypot: bit-parity with the
+            # SQL oracle's sqrt closed form matters for tie-breaks
+            dg = np.sqrt(dx * dx + dy * dy)
+            if ysign > 0:  # north-up grid: row+1 is south
+                order = ((r_, dx), (br, dg), (b, dy), (bl, dg),
+                         (l_, dx), (tl, dg), (t, dy), (tr, dg))
+            else:          # row+1 is north: vertical neighbors swap
+                order = ((r_, dx), (tr, dg), (t, dy), (tl, dg),
+                         (l_, dx), (bl, dg), (b, dy), (br, dg))
+            drops = np.stack([(c0 - n) / d for n, d in order])
+            # argmax is first-wins: index order IS ascending code
+            # order (2^i = 1,2,4,...,128), so ties pick the smallest
+            out = np.where(
+                drops.max(axis=0) > 0.0,
+                np.exp2(drops.argmax(axis=0).astype(np.float64)),
+                0.0,
+            )
+            return np.where(k9, out, np.nan)
         if mode in ("tpi", "tri", "roughness"):
             c0 = z[1:th + 1, 1:tw + 1]
             nbrs = (tl, t, tr, l_, r_, bl, b, br)

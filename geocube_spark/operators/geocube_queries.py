@@ -2778,6 +2778,119 @@ def q_terrain_roughness(spark, sf_dir):
     return _q_terrain_index(spark, sf_dir, "roughness")
 
 
+def q_terrain_flowdir(spark, sf_dir):
+    """D8 flow direction (bandops.terrain mode='flowdir', Jenson &
+    Domingue 1988 / ESRI d8 encoding) on the coarsened burn: steepest
+    distance-weighted drop among the 8 neighbors, codes 1..128
+    clockwise from east, ties to the smallest code, flats/pits 0.
+    Same one-halo-exchange stencil plan as slope; the oracle replays
+    the drop argmax with a row_number window over per-neighbor rows."""
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    out = cube.terrain("value", "flowdir")
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.col("val").cast("int").alias("code"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_TERRAIN_FLOWDIR = (
+    SQL_TERRAIN_SLOPE[: SQL_TERRAIN_SLOPE.index("), g AS")]
+    + """), cen AS (
+  SELECT c.row AS row, c.col AS col, v.sv AS cv
+  FROM cells c JOIN v ON v.row = c.row AND v.col = c.col
+), nb AS (
+  SELECT ce.row AS row, ce.col AS col, ce.cv AS cv,
+         n.row - ce.row AS dr, n.col - ce.col AS dc, n.sv AS nv
+  FROM cen ce
+  JOIN v n ON n.row BETWEEN ce.row - 1 AND ce.row + 1
+          AND n.col BETWEEN ce.col - 1 AND ce.col + 1
+), ok AS (
+  SELECT row, col FROM nb GROUP BY 1, 2 HAVING count(*) = 9
+), d AS (
+  SELECT nb.row, nb.col,
+         CASE WHEN dr = 0  AND dc = 1  THEN 1.0
+              WHEN dr = 1  AND dc = 1  THEN 2.0
+              WHEN dr = 1  AND dc = 0  THEN 4.0
+              WHEN dr = 1  AND dc = -1 THEN 8.0
+              WHEN dr = 0  AND dc = -1 THEN 16.0
+              WHEN dr = -1 AND dc = -1 THEN 32.0
+              WHEN dr = -1 AND dc = 0  THEN 64.0
+              ELSE 128.0 END AS code,
+         (cv - nv) / (CASE WHEN dr <> 0 AND dc <> 0
+                           THEN sqrt(4.0 * 4.0 + 4.0 * 4.0)
+                           ELSE 4.0 END) AS dp
+  FROM nb JOIN ok USING (row, col)
+  WHERE NOT (dr = 0 AND dc = 0)
+), r AS (
+  SELECT row, col, code, dp,
+         row_number() OVER (PARTITION BY row, col
+                            ORDER BY dp DESC, code ASC) AS rk,
+         max(dp) OVER (PARTITION BY row, col) AS md
+  FROM d
+)
+SELECT row, col,
+       CAST(CASE WHEN md > 0.0 THEN code ELSE 0.0 END AS INT) AS code
+FROM r WHERE rk = 1 ORDER BY row, col
+"""
+)
+
+
+def q_focal_majority(spark, sf_dir):
+    """3x3 focal MAJORITY over a reclassified (categorical) band —
+    the ESRI FocalStatistics MAJORITY / Whitebox majority_filter
+    smoothing pass, exercising the vectorized run-length mode kernel
+    (ties break to the smallest class in both engines). Classes are
+    small exact integers so cross-engine frequency counts are exact
+    and real ties occur."""
+    cube = _two_band_cube(spark, sf_dir)
+    cls = cube.reclassify(
+        "value", [100.0, 400.0, 900.0], [1.0, 2.0, 3.0, 4.0]
+    )
+    out = cls.focal(
+        stat="majority", size=3, measurements=["value_class"]
+    )
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.col("val").cast("int").alias("cls"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_FOCAL_MAJORITY = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), v AS (
+  SELECT row, col,
+         CASE WHEN sv < 100.0 THEN 1 WHEN sv < 400.0 THEN 2
+              WHEN sv < 900.0 THEN 3 ELSE 4 END AS cls
+  FROM cell WHERE sv <> 0.0
+), cells AS (
+  SELECT CAST(r.range AS INT) AS row, CAST(c.range AS INT) AS col
+  FROM range(0, 180) r, range(0, 360) c
+), d AS (
+  SELECT c.row AS row, c.col AS col, n.cls AS cls, count(*) AS cnt
+  FROM cells c
+  JOIN v n ON n.row BETWEEN c.row - 1 AND c.row + 1
+          AND n.col BETWEEN c.col - 1 AND c.col + 1
+  GROUP BY 1, 2, 3
+), p AS (
+  SELECT row, col, cls,
+         row_number() OVER (PARTITION BY row, col
+                            ORDER BY cnt DESC, cls ASC) AS rk
+  FROM d
+)
+SELECT row, col, cls FROM p WHERE rk = 1 ORDER BY row, col
+"""
+
+
 def q_terrain_aspect(spark, sf_dir):
     """Horn aspect (bandops.terrain mode='aspect'): compass bearing of
     the downslope direction on the same coarsened burn as
@@ -3408,6 +3521,11 @@ EXTRA_QUERIES = {
     # in-window); same stencil plan, closed-form SQL oracles
     "terrain_aspect": (q_terrain_aspect, SQL_TERRAIN_ASPECT),
     "terrain_hillshade": (q_terrain_hillshade, SQL_TERRAIN_HILLSHADE),
+    # D8 flow direction (hydrology primitive) + categorical focal
+    # majority — both on the shared halo-exchange stencil; closed-form
+    # SQL oracles (drop-argmax row_number window / exact class counts)
+    "terrain_flowdir": (q_terrain_flowdir, SQL_TERRAIN_FLOWDIR),
+    "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
     # time-weighted gap fill (pandas interpolate(method='time')
     # parity in tests/test_temporal.py)
     "time_fill_linear": (q_time_fill_linear, SQL_TIME_FILL),

@@ -219,6 +219,18 @@ def _focal_reference(arr, fill, stat, size):
             return np.nanmedian(a, axis=(2, 3))
     if stat == "sum":
         return np.where(cnt > 0, filled.sum(axis=(2, 3)), np.nan)
+    if stat == "majority":
+        # scalar unique-count reference (independent of the engine's
+        # sorted-run-length mechanism); frequency ties -> smallest
+        out = np.full((H, W), np.nan)
+        a = np.where(vwin, win, np.nan)
+        for i in range(H):
+            for j in range(W):
+                vals = a[i, j][~np.isnan(a[i, j])]
+                if vals.size:
+                    uv, c = np.unique(vals, return_counts=True)
+                    out[i, j] = uv[np.lexsort((uv, -c))][0]
+        return out
     if stat == "mean":
         with np.errstate(invalid="ignore"):
             return np.where(cnt > 0, filled.sum(axis=(2, 3)) / cnt, np.nan)
@@ -229,7 +241,8 @@ def _focal_reference(arr, fill, stat, size):
 
 
 @pytest.mark.parametrize(
-    "stat", ["mean", "sum", "min", "max", "count", "median"])
+    "stat", ["mean", "sum", "min", "max", "count", "median",
+             "majority"])
 def test_focal_matches_numpy(spark, two_band_cube, stat):
     cube = two_band_cube
     out = cube.focal(stat=stat, size=3)
@@ -238,6 +251,41 @@ def test_focal_matches_numpy(spark, two_band_cube, stat):
     for m in ("m0", "m1"):
         ref = _focal_reference(base[m], 0.0, stat, 3)
         np.testing.assert_allclose(arrs[m], ref, rtol=0, atol=1e-9)
+
+
+def test_focal_majority_categorical_ties(spark, two_band_cube):
+    """Majority over a reclassified band: small integer classes make
+    real frequency ties, pinning the documented smallest-value
+    tie-break against the scalar unique-count referee."""
+    # breaks near the 33rd/66th percentile of the summed band give
+    # three balanced classes, so 3x3 windows tie often
+    cls = two_band_cube.reclassify(
+        "m0", [4400.0, 6200.0], [1.0, 2.0, 3.0]
+    )
+    out = cls.focal(
+        stat="majority", size=3, measurements=["m0_class"]
+    )
+    got = out.assemble()["m0_class"]
+    ref = _focal_reference(
+        cls.assemble()["m0_class"], 0.0, "majority", 3
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+    vals = got[~np.isnan(got)]
+    assert set(np.unique(vals)) <= {1.0, 2.0, 3.0} and vals.size > 0
+    # the input must actually produce tied windows (>=2 classes at
+    # the same top frequency) for the tie-break to be exercised
+    base = cls.assemble()["m0_class"]
+    pad = np.full((base.shape[0] + 2, base.shape[1] + 2), np.nan)
+    pad[1:-1, 1:-1] = np.where(base == 0.0, np.nan, base)
+    win = np.lib.stride_tricks.sliding_window_view(pad, (3, 3))
+    ties = 0
+    for i in range(base.shape[0]):
+        for j in range(base.shape[1]):
+            v = win[i, j][~np.isnan(win[i, j])]
+            if v.size:
+                _, c = np.unique(v, return_counts=True)
+                ties += int((c == c.max()).sum() > 1)
+    assert ties > 0
 
 
 def test_focal_size5_and_grouped(spark):
@@ -289,6 +337,25 @@ def _terrain_reference(arr, fill, mode, dx, dy, ysign=1.0,
     all9 = vwin.all(axis=(2, 3))
     zz = np.where(valid, pad, 0.0)
     sh = lambda dr, dc: zz[1 + dr:H + 1 + dr, 1 + dc:W + 1 + dc]  # noqa
+    if mode == "flowdir":
+        c0 = sh(0, 0)
+        dg = np.sqrt(dx * dx + dy * dy)
+        if ysign > 0:  # row+1 is south
+            order = [((0, 1), dx), ((1, 1), dg), ((1, 0), dy),
+                     ((1, -1), dg), ((0, -1), dx), ((-1, -1), dg),
+                     ((-1, 0), dy), ((-1, 1), dg)]
+        else:
+            order = [((0, 1), dx), ((-1, 1), dg), ((-1, 0), dy),
+                     ((-1, -1), dg), ((0, -1), dx), ((1, -1), dg),
+                     ((1, 0), dy), ((1, 1), dg)]
+        drops = np.stack(
+            [(c0 - sh(dr, dc)) / d for (dr, dc), d in order]
+        )
+        out = np.where(
+            drops.max(axis=0) > 0.0,
+            2.0 ** drops.argmax(axis=0), 0.0,
+        )
+        return np.where(all9, out, np.nan)
     if mode in ("tpi", "tri", "roughness"):
         c0 = sh(0, 0)
         nbrs = [sh(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
@@ -324,7 +391,8 @@ def _terrain_reference(arr, fill, mode, dx, dy, ysign=1.0,
 
 
 @pytest.mark.parametrize(
-    "mode", ["slope", "aspect", "hillshade", "tpi", "tri", "roughness"]
+    "mode", ["slope", "aspect", "hillshade", "tpi", "tri",
+             "roughness", "flowdir"]
 )
 def test_terrain_matches_numpy(spark, two_band_cube, mode):
     cube = two_band_cube
@@ -379,6 +447,29 @@ def test_terrain_analytic_plane(spark):
     )
     # border cells lack a full window -> nodata
     assert np.isnan(slope[0]).all() and np.isnan(slope[:, -1]).all()
+    # D8 on the plane: grad (2,3) in (x east, y north); steepest
+    # descent neighbor is SW (x-10, y-10: drop 50/sqrt(200) beats
+    # W=2 and S=3) -> code 8 on every interior cell
+    flow = cube.terrain("dem", "flowdir").assemble()["flowdir"]
+    np.testing.assert_allclose(flow[1:-1, 1:-1], 8.0, rtol=0, atol=0)
+    # a bowl: the global minimum cell is a pit -> code 0
+    rows2 = []
+    for tid, row0, col0, h, w in gb.tile_grid(ts):
+        yy, xx = np.mgrid[row0:row0 + h, col0:col0 + w]
+        vals = (xx - 15.0) ** 2 + (yy - 15.0) ** 2
+        rows2.append((
+            "dem", None, 0, int(tid), int(row0), int(col0), int(h),
+            int(w), [float(v) for v in vals.ravel()], 1, h * w, 0, 0,
+        ))
+    bowl = GeoCube(
+        chunks=spark.createDataFrame(rows2, CHUNK_SCHEMA), geobox=gb,
+        bands={"dem": BandMeta("dem", "float64", float("nan"))},
+        tile_size=ts, fill=float("nan"),
+    )
+    bf = bowl.terrain("dem", "flowdir").assemble()["flowdir"]
+    assert bf[15, 15] == 0.0
+    # everything on the +x axis east of the pit flows west (code 16)
+    np.testing.assert_allclose(bf[15, 17:-1], 16.0, rtol=0, atol=0)
 
 
 def test_terrain_errors(two_band_cube):
