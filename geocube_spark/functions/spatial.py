@@ -393,6 +393,45 @@ def with_geometry_measures(
     return df.mapInPandas(_measure, schema)
 
 
+def with_geodesic_measures(
+    df: DataFrame, wkb_col: str = "geometry_wkb",
+    radius: float = None,
+) -> DataFrame:
+    """Append spherical ``area_m2`` / ``perim_m`` / ``n_points``
+    columns for lon/lat WKB polygons — the "measure on the sphere
+    without reprojecting" path (Chamberlain-Duquette excess area +
+    haversine perimeter, geometry/measures.py:geodesic_measures).
+    Same one-pass Arrow-batched plan as
+    :func:`with_geometry_measures`: narrow map, no shuffle, no
+    geometry ever leaves its partition."""
+    from ..geometry.measures import EARTH_RADIUS_M, geodesic_measures
+
+    r = float(radius) if radius is not None else EARTH_RADIUS_M
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("area_m2", T.DoubleType()),
+            T.StructField("perim_m", T.DoubleType()),
+            T.StructField("n_points", T.LongType()),
+        ]
+    )
+
+    def _measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            area, perim, npts = geodesic_measures(
+                pdf[wkb_col].values, radius=r
+            )
+            out = pdf.copy()
+            out["area_m2"] = area
+            out["perim_m"] = perim
+            out["n_points"] = npts
+            yield out
+
+    return df.mapInPandas(_measure, schema)
+
+
 def polygons_intersect_join(
     left: DataFrame,
     right: DataFrame,

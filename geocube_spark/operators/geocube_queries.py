@@ -808,6 +808,101 @@ FROM pts ORDER BY event_id
 """
 
 
+def q_geodesic_measures(spark, sf_dir):
+    """Spherical measures (functions.spatial.with_geodesic_measures):
+    the same per-event diamond polygons as geom_measures, but measured
+    on the sphere — Chamberlain-Duquette excess area + haversine
+    perimeter. The oracle replays the identical per-edge arithmetic
+    (4 explicit edge terms, same association order), so hash equality
+    proves the kernel, not a lookalike closed form."""
+    from ..functions.spatial import with_geodesic_measures
+
+    pts = _event_points(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("geometry_wkb", T.BinaryType()),
+        ]
+    )
+
+    def _mk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            r = 0.5 + (pdf["event_id"].values.astype(np.int64) % 7) * 0.25
+            cx = pdf["lon"].astype(np.float64).values
+            cy = pdf["lat"].astype(np.float64).values
+            rings = np.empty((len(pdf), 5, 2), dtype=np.float64)
+            rings[:, 0, 0] = cx - r
+            rings[:, 0, 1] = cy
+            rings[:, 1, 0] = cx
+            rings[:, 1, 1] = cy - r
+            rings[:, 2, 0] = cx + r
+            rings[:, 2, 1] = cy
+            rings[:, 3, 0] = cx
+            rings[:, 3, 1] = cy + r
+            rings[:, 4] = rings[:, 0]
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].values,
+                    "geometry_wkb": W.encode_simple_polygons(rings),
+                }
+            )
+
+    diamonds = pts.mapInPandas(_mk, schema)
+    out = with_geodesic_measures(diamonds)
+    return out.select(
+        "event_id",
+        F.round(F.col("area_m2") / 1e6 + 1e-9, 3).alias("area_km2"),
+        F.round(F.col("perim_m") / 1e3 + 1e-9, 6).alias("perim_km"),
+        "n_points",
+    ).orderBy("event_id")
+
+
+_GEOD_R = "6371008.8"
+
+SQL_GEODESIC_MEASURES = f"""
+WITH pts AS (
+  SELECT event_id, {{_LON_SQL}} AS lon, {{_LAT_SQL}} AS lat,
+         0.5 + (event_id % 7) * 0.25 AS r
+  FROM events
+), v AS (
+  SELECT event_id,
+    radians(lon - r) AS lw, radians(lon) AS lc, radians(lon + r) AS le,
+    radians(lat - r) AS ps, radians(lat) AS pc, radians(lat + r) AS pn
+  FROM pts
+), t AS (
+  SELECT event_id,
+    (((lc - lw) * (sin(pc) + sin(ps))
+     + (le - lc) * (sin(ps) + sin(pc)))
+     + (lc - le) * (sin(pc) + sin(pn)))
+     + (lw - lc) * (sin(pn) + sin(pc)) AS tsum,
+    2.0 * {_GEOD_R} * asin(sqrt(
+        sin((ps - pc) / 2) * sin((ps - pc) / 2)
+        + cos(pc) * cos(ps) * sin((lc - lw) / 2) * sin((lc - lw) / 2)))
+    + 2.0 * {_GEOD_R} * asin(sqrt(
+        sin((pc - ps) / 2) * sin((pc - ps) / 2)
+        + cos(ps) * cos(pc) * sin((le - lc) / 2) * sin((le - lc) / 2)))
+    + 2.0 * {_GEOD_R} * asin(sqrt(
+        sin((pn - pc) / 2) * sin((pn - pc) / 2)
+        + cos(pc) * cos(pn) * sin((lc - le) / 2) * sin((lc - le) / 2)))
+    + 2.0 * {_GEOD_R} * asin(sqrt(
+        sin((pc - pn) / 2) * sin((pc - pn) / 2)
+        + cos(pn) * cos(pc) * sin((lw - lc) / 2) * sin((lw - lc) / 2)))
+      AS perim_m
+  FROM v
+)
+SELECT event_id,
+       round(abs(0.5 * {_GEOD_R} * {_GEOD_R} * tsum) / 1000000.0
+             + 1e-9, 3) AS area_km2,
+       round(perim_m / 1000.0 + 1e-9, 6) AS perim_km,
+       CAST(5 AS BIGINT) AS n_points
+FROM t ORDER BY event_id
+"""
+SQL_GEODESIC_MEASURES = SQL_GEODESIC_MEASURES.replace(
+    "{_LON_SQL}", _LON_SQL).replace("{_LAT_SQL}", _LAT_SQL)
+
+
 SQL_SPATIAL_JOIN = f"""
 WITH pts AS (
   SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
@@ -3495,6 +3590,11 @@ EXTRA_QUERIES = {
     "spatial_join_haversine": (q_spatial_join_haversine,
                                SQL_SPATIAL_HAVERSINE),
     "geom_measures": (q_geom_measures, SQL_GEOM_MEASURES),
+    # spherical measures (round 4): Chamberlain-Duquette excess
+    # area + haversine perimeter on lon/lat WKB, oracle replays
+    # the identical per-edge arithmetic
+    "geodesic_measures": (q_geodesic_measures,
+                          SQL_GEODESIC_MEASURES),
     "contour_lines": (q_contour_lines, SQL_CONTOUR_LINES),
     "interp_rbf": (q_interp_rbf, None),
     "interp_cubic": (q_interp_cubic, None),

@@ -1076,8 +1076,177 @@ ORDER BY t.id
 )
 
 
+def pii_corpus(spark, sf_dir) -> DataFrame:
+    """Documents with deterministic PII injections (same construction
+    on the SQL side): emails on doc_id%3, SSNs on %4, phones on %5,
+    IPv4s on %7 — so the detector sees every category plus clean rows,
+    with zero external data."""
+    did = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" call 555-123-4567"))
+            .otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" from 10.0.0."),
+                         (did % 256).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (textops.pii): per-category counts on
+    the raw text and the scrubbed text itself, over the deterministic
+    injection corpus. Narrow map — no shuffle, no Python workers."""
+    from ..textops.pii import pii_counts, scrub_pii
+
+    col = F.col("text")
+    counts = pii_counts(col)
+    return pii_corpus(spark, sf_dir).select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        scrub_pii(col).alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+SQL_PII_SCRUB = f"""
+WITH pii AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+            ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+  len(regexp_extract_all(text, '{_PII_SSN}')) AS n_ssn,
+  len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+  len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_SSN}', '<SSN>', 'g'),
+          '{_PII_PHONE}', '<PHONE>', 'g'),
+          '{_PII_IPV4}', '<IPV4>', 'g') AS clean_text
+FROM pii ORDER BY doc_id
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (textops.analysis
+    .repetition_metrics) over a corpus with deterministic repetition
+    injected (tripled lines on doc_id%4, a spammed 2-gram on %6) so
+    both kept and filtered rows appear. Narrow map, no shuffle."""
+    from ..textops.analysis import repetition_metrics
+
+    did = F.col("doc_id")
+    rep = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                did % 4 == 0,
+                F.concat_ws("\n", F.col("text"), F.col("text"),
+                            F.col("text")),
+            ).otherwise(F.col("text")),
+            F.when(
+                did % 6 == 0,
+                F.lit(" lorem ipsum lorem ipsum lorem ipsum"
+                      " lorem ipsum"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    m = repetition_metrics(F.col("text"))
+    return rep.select(
+        "doc_id", *[v.alias(k) for k, v in m.items()]
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_REPETITION = r"""
+WITH rep AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 4 = 0
+          THEN text || chr(10) || text || chr(10) || text
+          ELSE text END)
+    || (CASE WHEN doc_id % 6 = 0
+             THEN ' lorem ipsum lorem ipsum lorem ipsum lorem ipsum'
+             ELSE '' END) AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\n'),
+                x -> length(trim(x)) > 0) AS lines,
+    regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM rep
+), g AS (
+  SELECT doc_id, text, lines,
+    list_transform(range(1, greatest(2, len(toks))),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS grams
+  FROM l
+), lc AS (  -- per-(doc, line) occurrence counts: linear, not O(n^2)
+  SELECT doc_id, v AS line, count(*) AS c
+  FROM l, unnest(lines) AS t(v) GROUP BY 1, 2
+), lstats AS (
+  SELECT doc_id,
+    count(*) AS n_distinct, sum(c) AS n_lines,
+    sum(c * length(line)) AS total_chars,
+    sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY 1
+), gc AS (
+  SELECT doc_id, v AS gram, count(*) AS c
+  FROM g, unnest(grams) AS t(v) GROUP BY 1, 2
+), gtop AS (
+  SELECT doc_id, max(c * length(gram)) AS top_chars FROM gc GROUP BY 1
+), m AS (
+  SELECT g.doc_id,
+    round(CASE WHEN coalesce(ls.n_lines, 0) > 0
+               THEN 1.0 - ls.n_distinct::DOUBLE / ls.n_lines
+               ELSE 0.0 END, 6) AS dup_line_frac,
+    round(coalesce(ls.dup_chars, 0)::DOUBLE
+          / greatest(coalesce(ls.total_chars, 0), 1), 6)
+      AS dup_line_char_frac,
+    round(coalesce(gt.top_chars, 0)::DOUBLE
+          / greatest(length(g.text), 1), 6) AS top_2gram_char_frac
+  FROM g
+  LEFT JOIN lstats ls USING (doc_id)
+  LEFT JOIN gtop gt USING (doc_id)
+)
+SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+  CASE WHEN dup_line_frac <= 0.30 AND top_2gram_char_frac <= 0.20
+       THEN 1 ELSE 0 END AS rep_keep
+FROM m ORDER BY doc_id
+"""
+
+
 EXTRA_QUERIES = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    # PII detection + redaction (round 4, textops.pii): regex-family
+    # counts + fixed-order scrub chain, RE2/Java-portable patterns,
+    # deterministic injection corpus
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    # Gopher repetition-removal filters (round 4,
+    # textops.analysis.repetition_metrics): dup-line fraction,
+    # dup-line char fraction, top-2-gram char coverage + keep flag
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     # duplicated token-window detection (round 4,
     # functions.dedup.duplicate_spans): the Lee-et-al substring-dedup
     # approximation + its per-doc filter ratio

@@ -187,3 +187,82 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id",
         .where(F.col("rank") <= k)
         .orderBy(id_col, "rank")
     )
+
+
+def repetition_metrics(col: Column) -> dict:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, table A1 — the public "repetition removal" filter family):
+
+    - ``dup_line_frac``      fraction of non-blank lines that are
+                             repeats of an earlier line
+                             (1 - distinct/total)
+    - ``dup_line_char_frac`` fraction of line characters contained in
+                             lines that occur more than once
+    - ``top_2gram_char_frac`` fraction of document characters covered
+                             by the most frequent word 2-gram
+                             (count x gram length / doc length)
+    - ``rep_keep``           1 when the document passes the published
+                             thresholds (dup_line_frac <= 0.30,
+                             top_2gram_char_frac <= 0.20)
+
+    All pure JVM array expressions — a narrow map, no shuffle, no
+    Python workers. The per-distinct-value occurrence counts are
+    O(distinct x total) array scans per document; lines and 2-grams
+    number in the hundreds for web documents, so the constant is
+    small, and the work is per-row (embarrassingly parallel) at any
+    corpus scale. Ratios round to 6 dp so results hash identically
+    across engines (same convention as :func:`quality_metrics`).
+    """
+    lines = F.filter(
+        F.split(col, r"\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    dup_line_frac = F.round(
+        F.when(
+            n_lines > 0, 1.0 - F.size(dlines) / n_lines
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    line_chars = F.aggregate(
+        F.transform(lines, lambda l: F.length(l).cast("double")),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    dup_chars = F.aggregate(
+        F.transform(
+            dlines,
+            lambda l: F.when(
+                F.size(F.filter(lines, lambda x: x == l)) > 1,
+                (F.size(F.filter(lines, lambda x: x == l))
+                 * F.length(l)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    dup_line_char_frac = F.round(
+        dup_chars / F.greatest(line_chars, F.lit(1.0)), 6
+    )
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    top_chars = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: (F.size(F.filter(grams, lambda x: x == g))
+                       * F.length(g)).cast("double"),
+        )
+    )
+    top_2gram_char_frac = F.round(
+        top_chars / F.greatest(F.length(col), F.lit(1)), 6
+    )
+    keep = (
+        (dup_line_frac <= 0.30) & (top_2gram_char_frac <= 0.20)
+    ).cast("int")
+    return {
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "top_2gram_char_frac": top_2gram_char_frac,
+        "rep_keep": keep,
+    }
