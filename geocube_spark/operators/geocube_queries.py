@@ -2932,6 +2932,90 @@ FROM r WHERE rk = 1 ORDER BY row, col
 )
 
 
+# flow-graph oracles reuse the flowdir CTE chain, re-wrapped as a CTE
+# and extended with the D8 edge table and a recursive path walk
+_FLOWDIR_AS_CTE = (
+    SQL_TERRAIN_FLOWDIR[: SQL_TERRAIN_FLOWDIR.rindex("SELECT row, col,")]
+    .replace("WITH pts", "WITH RECURSIVE pts", 1)
+    + """, fd AS (
+  SELECT row, col,
+         CAST(CASE WHEN md > 0.0 THEN code ELSE 0.0 END AS INT) AS code
+  FROM r WHERE rk = 1
+), mv AS (
+  SELECT row, col,
+         row + CASE WHEN code IN (2, 4, 8) THEN 1
+                    WHEN code IN (32, 64, 128) THEN -1 ELSE 0 END
+           AS nrow,
+         col + CASE WHEN code IN (1, 2, 128) THEN 1
+                    WHEN code IN (8, 16, 32) THEN -1 ELSE 0 END
+           AS ncol
+  FROM fd WHERE code > 0
+), edges AS (
+  SELECT m.row, m.col, m.nrow, m.ncol
+  FROM mv m JOIN fd t ON t.row = m.nrow AND t.col = m.ncol
+), walk AS (
+  SELECT row AS ur, col AS uc, nrow AS ar, ncol AS ac FROM edges
+  UNION ALL
+  SELECT w.ur, w.uc, e.nrow, e.ncol
+  FROM walk w JOIN edges e ON e.row = w.ar AND e.col = w.ac
+)"""
+)
+
+
+def q_flow_basins(spark, sf_dir):
+    """Drainage-basin labels (bandops.flow_basins): pointer jumping
+    over the D8 forest — log-round doubling joins, localCheckpoint
+    per round — vs the oracle's recursive-CTE walk to each cell's
+    terminal sink."""
+    from ..bandops import flow_basins
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    fd = cube.terrain("value", "flowdir")
+    out = flow_basins(fd)
+    return out.select(
+        "row", "col",
+        (F.col("basin_row").cast("long") * 10000
+         + F.col("basin_col")).alias("basin_id"),
+    ).orderBy("row", "col")
+
+
+SQL_FLOW_BASINS = _FLOWDIR_AS_CTE + """, term AS (
+  SELECT w.ur, w.uc, w.ar AS br, w.ac AS bc
+  FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.row = w.ar AND e.col = w.ac)
+)
+SELECT f.row AS row, f.col AS col,
+       CAST(coalesce(t.br, f.row) AS BIGINT) * 10000
+         + coalesce(t.bc, f.col) AS basin_id
+FROM fd f LEFT JOIN term t ON t.ur = f.row AND t.uc = f.col
+ORDER BY row, col
+"""
+
+
+def q_flow_accum(spark, sf_dir):
+    """D8 flow accumulation (bandops.flow_accumulation): upstream
+    cell counts via ancestor-pair doubling (exact transitive closure
+    in log rounds) vs the oracle's recursive-CTE path enumeration —
+    both produce the identical (cell, downstream) pair set, counted
+    per downstream node."""
+    from ..bandops import flow_accumulation
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    fd = cube.terrain("value", "flowdir")
+    return flow_accumulation(fd).orderBy("row", "col")
+
+
+SQL_FLOW_ACCUM = _FLOWDIR_AS_CTE + """, acc AS (
+  SELECT ar, ac, count(*) AS n FROM walk GROUP BY 1, 2
+)
+SELECT f.row AS row, f.col AS col,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_upstream
+FROM fd f LEFT JOIN acc a ON a.ar = f.row AND a.ac = f.col
+ORDER BY row, col
+"""
+
+
 def q_focal_majority(spark, sf_dir):
     """3x3 focal MAJORITY over a reclassified (categorical) band —
     the ESRI FocalStatistics MAJORITY / Whitebox majority_filter
@@ -3625,6 +3709,11 @@ EXTRA_QUERIES = {
     # majority — both on the shared halo-exchange stencil; closed-form
     # SQL oracles (drop-argmax row_number window / exact class counts)
     "terrain_flowdir": (q_terrain_flowdir, SQL_TERRAIN_FLOWDIR),
+    # hydrology flow-graph analytics on top of the D8 pointer
+    # (round 4 cont.): basin labels via pointer jumping, upstream
+    # counts via ancestor-pair doubling; recursive-CTE oracles
+    "flow_basins": (q_flow_basins, SQL_FLOW_BASINS),
+    "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
     # time-weighted gap fill (pandas interpolate(method='time')
     # parity in tests/test_temporal.py)

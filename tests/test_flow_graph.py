@@ -1,0 +1,170 @@
+"""D8 flow-graph analytics (flow_basins / flow_accumulation): parity
+against an independent SEQUENTIAL path walker over the assembled
+flowdir raster — the engine resolves paths in log-round pointer
+doubling, the reference walks them one hop at a time, so agreement
+validates the doubling algebra, not a replay.
+"""
+
+import numpy as np
+import pytest
+
+from geocube_spark.bandops import (
+    flow_accumulation,
+    flow_basins,
+    flow_cells,
+    flow_edges,
+)
+from geocube_spark.cube import CHUNK_SCHEMA, BandMeta, GeoCube
+from geocube_spark.geometry.affine import Affine
+from geocube_spark.geometry.crs import CRS
+from geocube_spark.grid.geobox import GeoBox
+
+# ESRI d8_pointer codes -> (dr, dc) on a north-up grid (row+1 = south)
+CODE_OFF = {
+    1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1),
+    16: (0, -1), 32: (-1, -1), 64: (-1, 0), 128: (-1, 1),
+}
+
+
+def _dem_cube(spark, vals, ts=16):
+    h, w = vals.shape
+    gb = GeoBox(w, h, Affine(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+                CRS(32615))
+    rows = []
+    for tid, row0, col0, th, tw in gb.tile_grid(ts):
+        sub = vals[row0:row0 + th, col0:col0 + tw]
+        rows.append((
+            "dem", None, 0, int(tid), int(row0), int(col0), int(th),
+            int(tw), [float(v) for v in sub.ravel()], 1, th * tw, 0, 0,
+        ))
+    chunks = spark.createDataFrame(rows, CHUNK_SCHEMA)
+    return GeoCube(
+        chunks=chunks, geobox=gb,
+        bands={"dem": BandMeta("dem", "float64", float("nan"))},
+        tile_size=ts, fill=float("nan"),
+    )
+
+
+def _walk_reference(flow):
+    """Sequential walker: per-cell sink label + upstream counts."""
+    h, w = flow.shape
+    valid = ~np.isnan(flow)
+
+    def parent(r, c):
+        code = int(flow[r, c])
+        if code == 0:
+            return None
+        dr, dc = CODE_OFF[code]
+        rr, cc = r + dr, c + dc
+        if 0 <= rr < h and 0 <= cc < w and valid[rr, cc]:
+            return rr, cc
+        return None
+
+    basins = {}
+    acc = {}
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c]:
+                continue
+            acc.setdefault((r, c), 0)
+            cur = (r, c)
+            seen = 0
+            while True:
+                nxt = parent(*cur)
+                if nxt is None:
+                    break
+                acc[nxt] = acc.get(nxt, 0) + 1
+                cur = nxt
+                seen += 1
+                assert seen <= h * w, "cycle?!"
+            basins[(r, c)] = cur
+    return basins, acc
+
+
+@pytest.fixture(scope="module")
+def rough_dem(spark):
+    rng = np.random.RandomState(77)
+    yy, xx = np.mgrid[0:40, 0:48]
+    vals = (
+        0.03 * (xx - 24.0) ** 2 + 0.02 * (yy - 20.0) ** 2
+        + 3.0 * np.sin(xx / 3.0) * np.cos(yy / 4.0)
+        + rng.uniform(0, 0.5, (40, 48))
+    )
+    cube = _dem_cube(spark, vals)
+    fd_cube = cube.terrain("dem", "flowdir")
+    flow = fd_cube.assemble()["flowdir"]
+    return fd_cube, flow
+
+
+def test_edges_match_code_table(spark, rough_dem):
+    fd_cube, flow = rough_dem
+    edges = {
+        (r["row"], r["col"]): (r["nrow"], r["ncol"])
+        for r in flow_edges(fd_cube).collect()
+    }
+    h, w = flow.shape
+    valid = ~np.isnan(flow)
+    for (r, c), (nr, nc) in edges.items():
+        code = int(flow[r, c])
+        dr, dc = CODE_OFF[code]
+        assert (nr, nc) == (r + dr, c + dc)
+        assert valid[nr, nc]
+    # every flowing cell with an in-grid valid target has an edge
+    n_expected = 0
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c] or int(flow[r, c]) == 0:
+                continue
+            dr, dc = CODE_OFF[int(flow[r, c])]
+            rr, cc = r + dr, c + dc
+            if 0 <= rr < h and 0 <= cc < w and valid[rr, cc]:
+                n_expected += 1
+    assert len(edges) == n_expected
+
+
+def test_basins_match_sequential_walker(spark, rough_dem):
+    fd_cube, flow = rough_dem
+    want_basins, _ = _walk_reference(flow)
+    got = {
+        (r["row"], r["col"]): (r["basin_row"], r["basin_col"])
+        for r in flow_basins(fd_cube).collect()
+    }
+    assert got == want_basins
+    # every basin label is itself a sink: its own label is itself
+    for label in set(got.values()):
+        assert got[label] == label
+
+
+def test_accumulation_matches_sequential_walker(spark, rough_dem):
+    fd_cube, flow = rough_dem
+    _, want_acc = _walk_reference(flow)
+    got = {
+        (r["row"], r["col"]): r["n_upstream"]
+        for r in flow_accumulation(fd_cube).collect()
+    }
+    assert got == want_acc
+    assert sum(got.values()) > 0  # the DEM actually drains
+
+
+def test_bowl_drains_to_single_pit(spark):
+    yy, xx = np.mgrid[0:24, 0:24]
+    vals = (xx - 11.0) ** 2 + (yy - 11.0) ** 2
+    cube = _dem_cube(spark, vals, ts=8)
+    fd_cube = cube.terrain("dem", "flowdir")
+    flow = fd_cube.assemble()["flowdir"]
+    n_valid = int((~np.isnan(flow)).sum())
+    basins = flow_basins(fd_cube).collect()
+    labels = {(r["basin_row"], r["basin_col"]) for r in basins}
+    assert labels == {(11, 11)}
+    acc = {
+        (r["row"], r["col"]): r["n_upstream"]
+        for r in flow_accumulation(fd_cube).collect()
+    }
+    # the pit receives every other valid cell
+    assert acc[(11, 11)] == n_valid - 1
+
+
+def test_flow_cells_filters_nodata(spark, rough_dem):
+    fd_cube, flow = rough_dem
+    n_valid = int((~np.isnan(flow)).sum())
+    assert flow_cells(fd_cube).count() == n_valid
