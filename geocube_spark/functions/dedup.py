@@ -391,6 +391,40 @@ def minhash_signatures(df: DataFrame, *, num_hashes: int = 64,
     return sets.select("id", "sh_hashes").mapInPandas(_sigs, schema=schema)
 
 
+def minhash_band_buckets(df: DataFrame = None, *, num_hashes: int = 64,
+                         bands: int = 16, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 3,
+                         sets: DataFrame | None = None) -> DataFrame:
+    """LSH band buckets ``(id, band, bh)`` for every document: the
+    md5 of each band's row-slice of the MinHash signature. Shared by
+    the batch pair join (:func:`minhash_lsh_pairs`) and the streaming
+    first-occurrence dedup (``streaming.neardup``) so both sides hash
+    with IDENTICAL arithmetic — a streaming survivor set is directly
+    comparable to a batch run over the same corpus."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, num_hashes=num_hashes, text_col=text_col, id_col=id_col,
+        k=k, sets=sets,
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"mh_{bi * rows + r}") for r in range(rows)],
+                    )
+                ).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_cols).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame = None, *, threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16,
                       text_col: str = "text", id_col: str = "doc_id",
@@ -406,28 +440,11 @@ def minhash_lsh_pairs(df: DataFrame = None, *, threshold: float = 0.5,
 
     ``sets``: a precomputed ``shingle_hash_sets`` frame — pass a
     materialized one when several operators share the shingling pass."""
-    rows = num_hashes // bands
     if sets is None:
         sets = shingle_hash_sets(df, text_col, id_col, k).persist()
-    sig = minhash_signatures(
-        df, num_hashes=num_hashes, text_col=text_col, id_col=id_col, k=k,
-        sets=sets,
-    )
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
-                    )
-                ).alias("bh"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    buckets = sig.select("id", F.explode(band_cols).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    buckets = minhash_band_buckets(
+        df, num_hashes=num_hashes, bands=bands, text_col=text_col,
+        id_col=id_col, k=k, sets=sets,
     )
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
