@@ -2194,3 +2194,61 @@ def flow_accumulation(cube: GeoCube, band: str = "flowdir",
         F.coalesce("n_upstream", F.lit(0)).cast("long")
         .alias("n_upstream"),
     )
+
+
+def cube_to_cells(cube: GeoCube, band: str, res: int,
+                  scheme: str = "hex") -> DataFrame:
+    """Aggregate a geographic cube's raster cells into spherical index
+    cells — the "publish a raster into the lake's cell space" rollup
+    (hex / s2 / geohash, the same keys the document tables bucket by):
+    ``(cell, n_cells, sum_val, min_val, max_val)``.
+
+    Plan: cell explode -> cell-center lon/lat from the affine (pure
+    Column arithmetic) -> the scheme's pure-Catalyst cell id -> ONE
+    hash aggregate that combines map-side before the single exchange.
+    Shuffle rows are bounded by distinct output cells x tasks, never
+    raster cells. The cube's CRS must be geographic (reproject with
+    ``warp`` first otherwise — index cells live on the sphere)."""
+    if band not in cube.bands:
+        raise ValueError(f"unknown band {band!r}")
+    if not cube.geobox.crs.is_geographic:
+        raise ValueError(
+            "cube_to_cells needs a geographic cube; warp() it to "
+            "epsg:4326 first"
+        )
+    a = cube.geobox.affine
+    c = cube.chunks.filter(F.col("measurement") == band)
+    cells = c.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    ).select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int"))
+        .alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int")
+        .alias("col"),
+        "val",
+    ).filter(F.col("val").isNotNull() & ~F.isnan("val"))
+    fill = float(cube.bands[band].fill)
+    if not np.isnan(fill):  # nodata excluded, like band_histogram
+        cells = cells.filter(F.col("val") != fill)
+    lon = F.lit(float(a.c)) + (F.col("col") + 0.5) * F.lit(float(a.a))
+    lat = F.lit(float(a.f)) + (F.col("row") + 0.5) * F.lit(float(a.e))
+    if scheme == "hex":
+        from .grid.hex import hex_cell_id_col
+
+        key = hex_cell_id_col(lon, lat, res)
+    elif scheme == "s2":
+        from .grid.s2 import s2_cell_id_col
+
+        key = s2_cell_id_col(lon, lat, res)
+    elif scheme == "geohash":
+        from .grid.geohash import geohash_col
+
+        key = geohash_col(lon, lat, res)
+    else:
+        raise ValueError(f"unsupported scheme {scheme!r}")
+    return cells.groupBy(key.alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("val").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

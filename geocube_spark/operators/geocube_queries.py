@@ -3016,6 +3016,57 @@ ORDER BY row, col
 """
 
 
+def q_cube_to_cells_hex(spark, sf_dir):
+    """Raster -> index-cell rollup (bandops.cube_to_cells): aggregate
+    the burned value band into res-6 hex cells — publishing a raster
+    into the same spherical cell space the document tables bucket by.
+    One map-side-combined hash aggregate; nodata (fill) excluded on
+    both sides."""
+    from ..bandops import cube_to_cells
+
+    cube = _two_band_cube(spark, sf_dir)
+    out = cube_to_cells(cube, "value", 6, scheme="hex")
+    return out.select(
+        "cell", "n_cells",
+        F.round(F.col("sum_val") + 1e-9, 6).alias("sum_r"),
+        F.round(F.col("min_val") + 1e-9, 6).alias("min_r"),
+        F.round(F.col("max_val") + 1e-9, 6).alias("max_r"),
+    ).orderBy("cell")
+
+
+def _sql_cube_to_cells_hex():
+    from ..grid.hex import hex_cover_sql
+
+    cover = hex_cover_sql("lon", "lat", 6, 6, "cells", id_col="cid")
+    return f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), cells AS (
+  SELECT row * 1000000 + col AS cid,
+         -180.0 + (col + 0.5) * 1.0 AS lon,
+         90.0 + (row + 0.5) * -1.0 AS lat,
+         sv
+  FROM cell WHERE sv <> 0.0
+), cov AS (
+  SELECT cid, hex_cell FROM ({cover})
+)
+SELECT v.hex_cell AS cell, count(*) AS n_cells,
+       round(sum(c.sv) + 1e-9, 6) AS sum_r,
+       round(min(c.sv) + 1e-9, 6) AS min_r,
+       round(max(c.sv) + 1e-9, 6) AS max_r
+FROM cov v JOIN cells c USING (cid)
+GROUP BY 1 ORDER BY cell
+"""
+
+
+SQL_CUBE_TO_CELLS_HEX = _sql_cube_to_cells_hex()
+
+
 def q_focal_majority(spark, sf_dir):
     """3x3 focal MAJORITY over a reclassified (categorical) band —
     the ESRI FocalStatistics MAJORITY / Whitebox majority_filter
@@ -3714,6 +3765,10 @@ EXTRA_QUERIES = {
     # counts via ancestor-pair doubling; recursive-CTE oracles
     "flow_basins": (q_flow_basins, SQL_FLOW_BASINS),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
+    # raster -> spherical-index rollup (round 4 cont.): burned band
+    # aggregated into hex cells, map-side combined, fill excluded
+    "cube_to_cells_hex": (q_cube_to_cells_hex,
+                          SQL_CUBE_TO_CELLS_HEX),
     "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
     # time-weighted gap fill (pandas interpolate(method='time')
     # parity in tests/test_temporal.py)

@@ -716,3 +716,72 @@ def test_diff_cubes_one_sided_tiles(spark):
     assert (mask[onesided] == 1.0).all()
     with pytest.raises(ValueError, match="mode"):
         a.diff(b, "xor")
+
+
+@pytest.mark.parametrize("scheme", ["hex", "s2", "geohash"])
+def test_cube_to_cells_matches_numpy(spark, two_band_cube, scheme):
+    """Raster -> spherical-index rollup: the distributed aggregate
+    must equal a pandas groupby over the assembled raster keyed by
+    the scheme's NUMPY cell id (the Column program's cross-checked
+    twin)."""
+    import pandas as pd
+    from geocube_spark.bandops import cube_to_cells
+
+    cube = two_band_cube
+    res = {"hex": 6, "s2": 8, "geohash": 4}[scheme]
+    out = cube_to_cells(cube, "m0", res, scheme=scheme).toPandas()
+
+    arr = cube.assemble()["m0"]
+    a = cube.geobox.affine
+    rr, cc = np.nonzero(~np.isnan(arr) & (arr != 0.0))  # fill=0.0
+    lon = a.c + (cc + 0.5) * a.a
+    lat = a.f + (rr + 0.5) * a.e
+    if scheme == "hex":
+        from geocube_spark.grid.hex import hex_cell_id
+
+        key = hex_cell_id(lon, lat, res)
+    elif scheme == "s2":
+        from geocube_spark.grid.s2 import compact_cell_id
+
+        key = compact_cell_id(lon, lat, res)
+    else:
+        from geocube_spark.grid.geohash import geohash_encode
+
+        key = geohash_encode(lon, lat, res)
+    ref = (
+        pd.DataFrame({"cell": key, "val": arr[rr, cc]})
+        .groupby("cell")["val"]
+        .agg(n_cells="count", sum_val="sum", min_val="min",
+             max_val="max")
+        .reset_index()
+    )
+    got = out.sort_values("cell", ignore_index=True)
+    ref = ref.sort_values("cell", ignore_index=True)
+    assert len(got) == len(ref)
+    assert (got["cell"].values == ref["cell"].values).all()
+    np.testing.assert_array_equal(
+        got["n_cells"].values, ref["n_cells"].values
+    )
+    for c in ("sum_val", "min_val", "max_val"):
+        np.testing.assert_allclose(
+            got[c].values, ref[c].values.astype(float),
+            rtol=0, atol=1e-9,
+        )
+
+
+def test_cube_to_cells_errors(spark, two_band_cube):
+    from geocube_spark.bandops import cube_to_cells
+    from geocube_spark.cube import make_geocube
+
+    with pytest.raises(ValueError, match="unknown band"):
+        cube_to_cells(two_band_cube, "nope", 6)
+    with pytest.raises(ValueError, match="scheme"):
+        cube_to_cells(two_band_cube, "m0", 6, scheme="quadkey")
+    docs = datagen.to_spark(spark, datagen.scale_docs(50, seed=3))
+    proj = make_geocube(
+        docs, measurements=["m0"], geom=GEOM,
+        resolution=(-500.0, 500.0), fill=0.0, tile_size=16,
+        output_crs="EPSG:32615",
+    )
+    with pytest.raises(ValueError, match="geographic"):
+        cube_to_cells(proj, "m0", 6)
