@@ -3067,6 +3067,122 @@ GROUP BY 1 ORDER BY cell
 SQL_CUBE_TO_CELLS_HEX = _sql_cube_to_cells_hex()
 
 
+# shared CTE chain for the region oracles: the reclassified burn as a
+# (row, col, cls) raster, its 4-adjacency same-class edge set, and the
+# transitive closure labeling every cell with its component's minimum
+# global cell id (row * 360 + col on the 1-degree world grid) — the
+# same canonical label regions.region_group emits
+_REGION_CTE = f"""
+WITH RECURSIVE pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), cls AS (
+  SELECT row, col,
+         CASE WHEN sv < 100.0 THEN 1 WHEN sv < 400.0 THEN 2
+              WHEN sv < 900.0 THEN 3 ELSE 4 END AS cls
+  FROM cell WHERE sv <> 0.0
+), adj AS (
+  SELECT a.row AS ar, a.col AS ac, b.row AS br, b.col AS bc
+  FROM cls a JOIN cls b
+    ON a.cls = b.cls
+   AND ((a.row = b.row AND abs(a.col - b.col) = 1)
+        OR (a.col = b.col AND abs(a.row - b.row) = 1))
+), reach AS (
+  SELECT row AS sr, col AS sc, row AS r, col AS c FROM cls
+  UNION
+  SELECT w.sr, w.sc, e.br, e.bc
+  FROM reach w JOIN adj e ON e.ar = w.r AND e.ac = w.c
+), comp AS (
+  SELECT sr AS row, sc AS col,
+         min(CAST(r AS BIGINT) * 360 + c) AS region
+  FROM reach GROUP BY 1, 2
+)"""
+
+
+def q_region_group(spark, sf_dir):
+    """Global connected-component labels (regions.region_group, ESRI
+    RegionGroup semantics): equal-class 4-connected runs of the
+    reclassified burn get one canonical label across tile borders.
+    Engine: per-tile run labeling (narrow) + border-probe union-find +
+    one broadcast relabel pass; oracle: recursive-CTE transitive
+    closure to the component's min cell id."""
+    cube = _two_band_cube(spark, sf_dir)
+    rc = cube.reclassify(
+        "value", [100.0, 400.0, 900.0], [1.0, 2.0, 3.0, 4.0]
+    )
+    rg = rc.region_group("value_class")
+    df = _explode_cells(
+        rg.chunks.filter(F.col("measurement") == "region")
+    )
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.col("val").cast("long").alias("region"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_REGION_GROUP = _REGION_CTE + """
+SELECT row, col, region FROM comp ORDER BY row, col
+"""
+
+
+def q_sieve(spark, sf_dir):
+    """Small-region removal (regions.sieve, GDAL SieveFilter
+    semantics): components under 3 cells take their largest
+    4-connected neighbor's class, ties by (border desc, value asc,
+    canonical id asc). Oracle replays the identical rule from the
+    recursive-CTE components."""
+    cube = _two_band_cube(spark, sf_dir)
+    rc = cube.reclassify(
+        "value", [100.0, 400.0, 900.0], [1.0, 2.0, 3.0, 4.0]
+    )
+    sv = rc.sieve("value_class", 3)
+    df = _explode_cells(
+        sv.chunks.filter(F.col("measurement") == "value_class")
+    )
+    return (
+        df.filter(F.col("val") != 0.0)
+        .select("row", "col", F.col("val").cast("int").alias("cls"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_SIEVE = _REGION_CTE + """, cellc AS (
+  SELECT c.row, c.col, c.cls, p.region AS comp
+  FROM cls c JOIN comp p ON p.row = c.row AND p.col = c.col
+), stats AS (
+  SELECT comp, count(*) AS sz, min(cls) AS cval FROM cellc GROUP BY 1
+), nbr AS (
+  SELECT a.comp AS ca, b.comp AS cb, count(*) AS border
+  FROM cellc a JOIN cellc b
+    ON a.comp <> b.comp
+   AND ((a.row = b.row AND abs(a.col - b.col) = 1)
+        OR (a.col = b.col AND abs(a.row - b.row) = 1))
+  GROUP BY 1, 2
+), tgt AS (
+  SELECT ca, cval AS newval FROM (
+    SELECT n.ca, s.cval,
+           row_number() OVER (
+             PARTITION BY n.ca
+             ORDER BY s.sz DESC, n.border DESC, s.cval ASC, n.cb ASC
+           ) AS rk
+    FROM nbr n JOIN stats s ON s.comp = n.cb
+  ) WHERE rk = 1
+)
+SELECT c.row, c.col,
+       CAST(CASE WHEN st.sz < 3 AND t.newval IS NOT NULL
+                 THEN t.newval ELSE c.cls END AS INT) AS cls
+FROM cellc c
+JOIN stats st ON st.comp = c.comp
+LEFT JOIN tgt t ON t.ca = c.comp
+ORDER BY row, col
+"""
+
+
 def q_focal_majority(spark, sf_dir):
     """3x3 focal MAJORITY over a reclassified (categorical) band —
     the ESRI FocalStatistics MAJORITY / Whitebox majority_filter
@@ -3769,6 +3885,10 @@ EXTRA_QUERIES = {
     # aggregated into hex cells, map-side combined, fill excluded
     "cube_to_cells_hex": (q_cube_to_cells_hex,
                           SQL_CUBE_TO_CELLS_HEX),
+    # raster region analysis (round 4 cont., regions.py): global CC
+    # labels + GDAL-rule sieve, both vs recursive-CTE closures
+    "region_group": (q_region_group, SQL_REGION_GROUP),
+    "sieve": (q_sieve, SQL_SIEVE),
     "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
     # time-weighted gap fill (pandas interpolate(method='time')
     # parity in tests/test_temporal.py)
