@@ -2196,6 +2196,97 @@ def flow_accumulation(cube: GeoCube, band: str = "flowdir",
     )
 
 
+def cells_to_cube(cells: DataFrame, like, *, scheme: str, res: int,
+                  cell_col: str = "cell",
+                  measurements: Sequence[str] = ("value",),
+                  merge_alg: str = "replace", fill: float = 0.0,
+                  tile_size: int = 64) -> GeoCube:
+    """Inverse of :func:`cube_to_cells`: burn a spherical-index cell
+    table ``(cell, value...)`` back onto a raster grid — "render the
+    lake's cell-space aggregate as a map layer".
+
+    Each cell id decodes to its boundary polygon (geohash bbox, s2
+    ST-edge quad, aperture-7 hexagon) in an Arrow-batched narrow map
+    (O(cells) rows, tiny vs the raster), and the standard burn
+    machinery does the rest — so this inherits the ONE-wide-shuffle
+    plan, tile-domain pruning, and merge semantics of
+    ``make_geocube``. ``like`` is a GeoBox (or anything
+    ``make_geocube(like=...)`` accepts) in geographic coordinates.
+    Cells crossing the antimeridian or touching a pole render as
+    their raw lon/lat ring (split them upstream if that matters).
+
+    ``seq`` (the replace-order key) is the cell id itself, so output
+    is deterministic for any input order."""
+    from .cube import make_geocube
+
+    if cell_col not in cells.columns:
+        raise ValueError(f"missing cell column {cell_col!r}")
+    for m in measurements:
+        if m not in cells.columns:
+            raise ValueError(f"missing measurement column {m!r}")
+    if scheme not in ("hex", "s2", "geohash"):
+        raise ValueError(f"unsupported scheme {scheme!r}")
+    meas = list(measurements)
+    out_cols = ["doc_id", "seq", "geometry_wkb"] + meas
+    schema = ("doc_id string, seq long, geometry_wkb binary, "
+              + ", ".join(f"{m} double" for m in meas))
+
+    def _rings(vals):
+        if scheme == "hex":
+            from .grid.hex import hex_boundary
+
+            return hex_boundary(vals.astype(np.int64)), vals.astype(
+                np.int64)
+        if scheme == "s2":
+            from .grid.s2 import compact_cell_corners
+
+            return compact_cell_corners(
+                vals.astype(np.int64), res), vals.astype(np.int64)
+        from .grid.geohash import geohash_decode
+
+        rects = np.empty((len(vals), 4, 2), dtype=np.float64)
+        seqs = np.empty(len(vals), dtype=np.int64)
+        for i, gh in enumerate(vals):
+            lon0, lat0, lon1, lat1 = geohash_decode(str(gh))
+            rects[i] = [(lon0, lat0), (lon1, lat0),
+                        (lon1, lat1), (lon0, lat1)]
+            # integer geohash = deterministic seq
+            z = 0
+            from .grid.geohash import ALPHABET
+
+            for ch in str(gh):
+                z = (z << 5) | ALPHABET.find(ch)
+            seqs[i] = z
+        return rects, seqs
+
+    def _encode(batches):
+        import pandas as pd
+
+        from .geometry.wkb import Geometry, POLYGON
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rings, seqs = _rings(pdf[cell_col].values)
+            closed = np.concatenate([rings, rings[:, :1, :]], axis=1)
+            out = {
+                "doc_id": pdf[cell_col].astype(str).values,
+                "seq": seqs,
+                "geometry_wkb": [
+                    Geometry(POLYGON, [r]).to_wkb() for r in closed
+                ],
+            }
+            for m in meas:
+                out[m] = pdf[m].astype("float64").values
+            yield pd.DataFrame(out, columns=out_cols)
+
+    vec = cells.mapInPandas(_encode, schema=schema)
+    return make_geocube(
+        vec, measurements=meas, like=like, fill=fill,
+        merge_alg=merge_alg, tile_size=tile_size,
+    )
+
+
 def cube_to_cells(cube: GeoCube, band: str, res: int,
                   scheme: str = "hex") -> DataFrame:
     """Aggregate a geographic cube's raster cells into spherical index

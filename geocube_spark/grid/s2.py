@@ -215,6 +215,26 @@ def compact_parent(cid, level: int, parent_level: int):
     return face * (1 << (2 * parent_level)) + (pos >> shift)
 
 
+def compact_cell_corners(cid, level: int):
+    """(n, 4, 2) lon/lat corner quads of compact cell ids, CCW in ST
+    space. Corners are the exact ST-edge points mapped through the
+    quadratic uv projection; neighboring cells share edge corners
+    bit-for-bit (same arithmetic), so the tiling has no cracks."""
+    cid = np.asarray(cid, dtype=np.int64).reshape(-1)
+    face = cid >> (2 * level)
+    pos = cid - (face << (2 * level))
+    i, j = hilbert_ij(face, pos, level)
+    n = float(1 << level)
+    out = np.empty((len(cid), 4, 2), dtype=np.float64)
+    for k, (di, dj) in enumerate(((0, 0), (1, 0), (1, 1), (0, 1))):
+        u = st_to_uv((i.astype(np.float64) + di) / n)
+        v = st_to_uv((j.astype(np.float64) + dj) / n)
+        x, y, z = _face_uv_to_xyz(face, u, v)
+        out[:, k, 0] = np.degrees(np.arctan2(y, x))
+        out[:, k, 1] = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return out
+
+
 def compact_cell_center(cid, level: int):
     """Center (lon, lat) in degrees of a compact cell id."""
     cid = np.asarray(cid, dtype=np.int64)

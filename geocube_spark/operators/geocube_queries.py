@@ -3016,6 +3016,75 @@ ORDER BY row, col
 """
 
 
+def q_cells_to_cube_geohash(spark, sf_dir):
+    """Index-cell table -> raster (bandops.cells_to_cube, the inverse
+    rollup): events aggregated per precision-2 geohash, then each
+    cell's bbox polygon burned onto a 1-degree world grid whose origin
+    is offset 1/16-degree (so no bbox edge can pass through a raster
+    cell center — containment is closed-form). Oracle replays the
+    bucket arithmetic + strict-interior row/col ranges with
+    generate_series."""
+    from ..bandops import cells_to_cube
+    from ..geometry.affine import Affine
+    from ..geometry.crs import CRS
+    from ..grid.geobox import GeoBox
+    from ..grid.geohash import geohash_col
+
+    ev = _events(spark, sf_dir).selectExpr(
+        f"{_LON_SQL} AS lon", f"{_LAT_SQL} AS lat", "value"
+    )
+    cells = (
+        ev.select(geohash_col(F.col("lon"), F.col("lat"), 2)
+                  .alias("cell"), "value")
+        .groupBy("cell").agg(F.sum("value").alias("value"))
+    )
+    gb = GeoBox(
+        360, 180,
+        Affine(1.0, 0.0, -180.0625, 0.0, -1.0, 90.0625), CRS(4326),
+    )
+    cube = cells_to_cube(cells, gb, scheme="geohash", res=2)
+    df = _explode_cells(cube.chunks)
+    return (
+        df.filter(F.col("val") != 0.0)
+        .select("row", "col",
+                F.round(F.col("val") + 1e-9, 6).alias("val_r"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_CELLS_TO_CUBE_GEOHASH = f"""
+WITH pts AS (
+  SELECT ({_LON_SQL}) AS lon, ({_LAT_SQL}) AS lat, value FROM events
+), b AS (
+  SELECT CAST(floor((lon + 180.0) / 11.25) AS INT) AS bx,
+         CAST(floor((lat + 90.0) / 5.625) AS INT) AS by,
+         sum(value) AS sv
+  FROM pts GROUP BY 1, 2
+), rect AS (
+  SELECT bx * 11.25 - 180.0 AS lon0, (bx + 1) * 11.25 - 180.0 AS lon1,
+         by * 5.625 - 90.0 AS lat0, (by + 1) * 5.625 - 90.0 AS lat1,
+         sv
+  FROM b
+), rrows AS (
+  SELECT sv, lon0, lon1,
+         unnest(generate_series(
+           CAST(floor(89.5625 - lat1) AS INT) + 1,
+           CAST(ceil(89.5625 - lat0) AS INT) - 1)) AS row
+  FROM rect
+), rc AS (
+  SELECT sv, row,
+         unnest(generate_series(
+           CAST(floor(lon0 + 179.5625) AS INT) + 1,
+           CAST(ceil(lon1 + 179.5625) AS INT) - 1)) AS col
+  FROM rrows
+  WHERE row BETWEEN 0 AND 179
+)
+SELECT row, col, round(sv + 1e-9, 6) AS val_r
+FROM rc WHERE sv <> 0.0 AND col BETWEEN 0 AND 359
+ORDER BY row, col
+"""
+
+
 def q_cube_to_cells_hex(spark, sf_dir):
     """Raster -> index-cell rollup (bandops.cube_to_cells): aggregate
     the burned value band into res-6 hex cells — publishing a raster
@@ -3889,6 +3958,10 @@ EXTRA_QUERIES = {
     # labels + GDAL-rule sieve, both vs recursive-CTE closures
     "region_group": (q_region_group, SQL_REGION_GROUP),
     "sieve": (q_sieve, SQL_SIEVE),
+    # the inverse rollup: cell table -> raster through the standard
+    # burn; strict-interior bbox closed form as the oracle
+    "cells_to_cube_geohash": (q_cells_to_cube_geohash,
+                              SQL_CELLS_TO_CUBE_GEOHASH),
     "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
     # time-weighted gap fill (pandas interpolate(method='time')
     # parity in tests/test_temporal.py)
