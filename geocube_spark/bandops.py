@@ -103,11 +103,15 @@ def coarsen(cube: GeoCube, factor: int, agg: str = "mean") -> GeoCube:
     """Downsample every band by ``factor`` x ``factor`` blocks
     (xarray ``.coarsen(x=f, y=f).mean()`` and friends).
 
-    agg: 'mean' | 'sum' | 'min' | 'max'. Chunk-local by construction
-    (tile_size and the grid dims must divide by ``factor``), so the
-    physical plan is a NARROW map over chunk rows — no shuffle at any
-    scale; a 1000-executor coarsen is embarrassingly parallel."""
-    if agg not in ("mean", "sum", "min", "max"):
+    agg: 'mean' | 'sum' | 'min' | 'max' | 'median' | 'mode'.
+    'median' interpolates like numpy (mean of the two middle values
+    for even counts); 'mode' is the GDAL GRA_Mode categorical
+    downsample (most frequent value, frequency ties to the SMALLEST
+    value, deterministic). Chunk-local by construction (tile_size and
+    the grid dims must divide by ``factor``), so the physical plan is
+    a NARROW map over chunk rows — no shuffle at any scale; a
+    1000-executor coarsen is embarrassingly parallel."""
+    if agg not in ("mean", "sum", "min", "max", "median", "mode"):
         raise ValueError(f"unsupported agg {agg!r}")
     f = int(factor)
     gb = cube.geobox
@@ -142,7 +146,10 @@ def coarsen(cube: GeoCube, factor: int, agg: str = "mean") -> GeoCube:
                      + c2 * f + (j % f) + 1).cast("int"),
                 ),
             ),
-            lambda x: x.isNotNull(),
+            # NaN nodata survives as a literal NaN double when chunks
+            # are built directly (only the Arrow boundary maps it to
+            # null) — skip both forms
+            lambda x: x.isNotNull() & ~F.isnan(x),
         )
 
     def _agg(i):
@@ -162,6 +169,32 @@ def coarsen(cube: GeoCube, factor: int, agg: str = "mean") -> GeoCube:
             )
         if agg == "min":
             return F.array_min(block)
+        if agg == "median":
+            s = F.array_sort(block)
+            n = F.size(block)
+            mid = (n / 2).cast("int")
+            return F.when(
+                n > 0,
+                F.when(n % 2 == 1, F.element_at(s, mid + 1)).otherwise(
+                    (F.element_at(s, mid) + F.element_at(s, mid + 1))
+                    / 2.0
+                ),
+            )
+        if agg == "mode":
+            # lexicographic struct max: highest count, then largest
+            # negated value = SMALLEST value on ties
+            best = F.array_max(
+                F.transform(
+                    block,
+                    lambda x: F.struct(
+                        F.size(
+                            F.filter(block, lambda y: y == x)
+                        ).alias("cnt"),
+                        (-x).alias("neg"),
+                    ),
+                )
+            )
+            return F.when(F.size(block) > 0, -best.getField("neg"))
         return F.array_max(block)
 
     new_vals = F.transform(F.sequence(F.lit(0), h2 * w2 - 1), _agg)

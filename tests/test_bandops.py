@@ -81,8 +81,20 @@ def test_with_band_grouped(spark):
     )
 
 
+def _np_mode(a, axis):
+    """Most frequent value per block, ties to the smallest value."""
+    h2, f1, w2, f2 = a.shape
+    out = np.empty((h2, w2))
+    for r in range(h2):
+        for c in range(w2):
+            vals, cnt = np.unique(a[r, :, c, :], return_counts=True)
+            out[r, c] = vals[np.argmax(cnt)]  # unique sorts ascending
+    return out
+
+
 @pytest.mark.parametrize("agg,np_fn", [
     ("mean", np.mean), ("sum", np.sum), ("min", np.min), ("max", np.max),
+    ("median", np.median), ("mode", _np_mode),
 ])
 def test_coarsen_matches_numpy(spark, two_band_cube, agg, np_fn):
     cube = two_band_cube

@@ -148,3 +148,31 @@ def test_sieve_errors(class_cube):
         sieve(class_cube, "m0_class", 4, passes=0)
     with pytest.raises(ValueError, match="unknown band"):
         class_cube.region_group("nope")
+
+
+def test_coarsen_mode_majority_and_ties(spark):
+    """Constructed blocks pin the majority rule and the smallest-value
+    tie-break exactly (categorical downsample, GDAL GRA_Mode)."""
+    from geocube_spark.cube import CHUNK_SCHEMA, GeoCube, BandMeta
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.geometry.crs import CRS
+    from geocube_spark.grid.geobox import GeoBox
+
+    gb = GeoBox(4, 4, Affine(1.0, 0.0, 0.0, 0.0, -1.0, 0.0), CRS(4326))
+    # block (0,0): 3x value 5, 1x value 9 -> 5 (majority)
+    # block (0,1): 2x 7, 2x 3 -> 3 (tie -> smallest)
+    # block (1,0): all 4 -> 4; block (1,1): 2x NaN, 2x 8 -> 8 (skipna)
+    vals = [5.0, 5.0, 7.0, 3.0,
+            5.0, 9.0, 3.0, 7.0,
+            4.0, 4.0, float("nan"), 8.0,
+            4.0, 4.0, 8.0, float("nan")]
+    rows = [("b", None, 0, 0, 0, 0, 4, 4, vals, 1, 16, 0, 0)]
+    cube = GeoCube(
+        chunks=spark.createDataFrame(rows, CHUNK_SCHEMA), geobox=gb,
+        bands={"b": BandMeta("b", "float64", float("nan"))},
+        tile_size=4, fill=float("nan"),
+    )
+    got = cube.coarsen(2, "mode").assemble()["b"]
+    np.testing.assert_array_equal(got, [[5.0, 3.0], [4.0, 8.0]])
+    med = cube.coarsen(2, "median").assemble()["b"]
+    np.testing.assert_array_equal(med, [[5.0, 5.0], [4.0, 8.0]])
