@@ -2164,26 +2164,15 @@ def flow_basins(cube: GeoCube, band: str = "flowdir",
     )
 
 
-def flow_accumulation(cube: GeoCube, band: str = "flowdir",
+def _ancestor_closure(cells: DataFrame, edges: DataFrame, shape,
                       max_rounds: int = None) -> DataFrame:
-    """D8 flow accumulation: for every valid cell, the number of
-    upstream cells draining through it (ESRI convention — self
-    excluded; sinks with no inflow get 0), ``(row, col, n_upstream)``.
-
-    Plan: ancestor-pair doubling. Round k holds the distinct
-    (cell, downstream-node) pairs within distance 2^k plus the 2^k-hop
-    pointer; composing pairs through the pointer doubles the horizon,
-    so the full transitive closure materializes in ceil(log2 L)
-    rounds. ``n_upstream(c)`` is then a count over pairs grouped by
-    the downstream node. Exact (no approximation); shuffle volume is
-    the true answer size Sum_u pathlen(u) — the same rows any exact
-    engine must produce (the DuckDB oracle's recursive CTE emits the
-    identical set) — reached in log rounds instead of L sequential
-    waves. Each round persists via ``localCheckpoint`` so the plan
-    stays O(1) deep."""
-    cells = flow_cells(cube, band)
-    edges = flow_edges(cube, band)
-    h, w = cube.geobox.shape
+    """Exact transitive closure of the one-out-edge D8 forest as
+    (ur, uc, ar, ac) path pairs, via ancestor-pair doubling: round k
+    holds the pairs within distance 2^k plus the 2^k-hop pointer;
+    composing pairs through the pointer doubles the horizon, so the
+    closure materializes in ceil(log2 L) rounds, each
+    ``localCheckpoint``-ed so the plan stays O(1) deep."""
+    h, w = shape
     if max_rounds is None:
         max_rounds = max(2, int(np.ceil(np.log2(max(2, h * w)))) + 1)
     pairs = edges.select(
@@ -2219,6 +2208,30 @@ def flow_accumulation(cube: GeoCube, band: str = "flowdir",
             F.col("gprow").alias("prow"),
             F.col("gpcol").alias("pcol"),
         ).localCheckpoint()
+    return pairs
+
+
+def flow_accumulation(cube: GeoCube, band: str = "flowdir",
+                      max_rounds: int = None) -> DataFrame:
+    """D8 flow accumulation: for every valid cell, the number of
+    upstream cells draining through it (ESRI convention — self
+    excluded; sinks with no inflow get 0), ``(row, col, n_upstream)``.
+
+    Plan: ancestor-pair doubling. Round k holds the distinct
+    (cell, downstream-node) pairs within distance 2^k plus the 2^k-hop
+    pointer; composing pairs through the pointer doubles the horizon,
+    so the full transitive closure materializes in ceil(log2 L)
+    rounds. ``n_upstream(c)`` is then a count over pairs grouped by
+    the downstream node. Exact (no approximation); shuffle volume is
+    the true answer size Sum_u pathlen(u) — the same rows any exact
+    engine must produce (the DuckDB oracle's recursive CTE emits the
+    identical set) — reached in log rounds instead of L sequential
+    waves. Each round persists via ``localCheckpoint`` so the plan
+    stays O(1) deep."""
+    cells = flow_cells(cube, band)
+    edges = flow_edges(cube, band)
+    pairs = _ancestor_closure(cells, edges, cube.geobox.shape,
+                              max_rounds)
     counts = pairs.groupBy(
         F.col("ar").alias("row"), F.col("ac").alias("col")
     ).agg(F.count(F.lit(1)).alias("n_upstream"))
@@ -2226,6 +2239,49 @@ def flow_accumulation(cube: GeoCube, band: str = "flowdir",
         "row", "col",
         F.coalesce("n_upstream", F.lit(0)).cast("long")
         .alias("n_upstream"),
+    )
+
+
+def stream_magnitude(cube: GeoCube, band: str = "flowdir",
+                     max_rounds: int = None) -> DataFrame:
+    """Shreve stream magnitude (Shreve 1966): for every valid cell,
+    the number of SOURCE cells (cells with no inflow) draining through
+    it, sources themselves counting 1 — ``(row, col, magnitude)``.
+    Magnitude is additive at junctions, which is why hydrologists use
+    it as the link-load proxy where Strahler order is too coarse.
+
+    Same ancestor-pair doubling closure as :func:`flow_accumulation`
+    (log-round exact transitive closure, ``localCheckpoint`` per
+    round); the count just restricts to source ancestors, so shuffle
+    volume is Sum_src pathlen(src) — never more than accumulation's."""
+    cells = flow_cells(cube, band)
+    edges = flow_edges(cube, band)
+    pairs = _ancestor_closure(cells, edges, cube.geobox.shape,
+                              max_rounds)
+    # sources: valid cells nothing flows INTO
+    inflow = edges.select(
+        F.col("nrow").alias("row"), F.col("ncol").alias("col")
+    ).distinct()
+    sources = cells.join(inflow, ["row", "col"], "left_anti")
+    counts = (
+        pairs.join(
+            sources.select(F.col("row").alias("ur"),
+                           F.col("col").alias("uc")),
+            ["ur", "uc"], "inner",
+        )
+        .groupBy(F.col("ar").alias("row"), F.col("ac").alias("col"))
+        .agg(F.count(F.lit(1)).alias("n_src"))
+    )
+    is_src = sources.select("row", "col", F.lit(1).alias("self_src"))
+    return (
+        cells.join(counts, ["row", "col"], "left")
+        .join(is_src, ["row", "col"], "left")
+        .select(
+            "row", "col",
+            (F.coalesce("n_src", F.lit(0))
+             + F.coalesce("self_src", F.lit(0))).cast("long")
+            .alias("magnitude"),
+        )
     )
 
 

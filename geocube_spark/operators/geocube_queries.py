@@ -3016,6 +3016,39 @@ ORDER BY row, col
 """
 
 
+def q_stream_magnitude(spark, sf_dir):
+    """Shreve stream magnitude (bandops.stream_magnitude): upstream
+    SOURCE counts through the D8 forest via the same ancestor-pair
+    doubling closure as flow_accum, counting only no-inflow ancestors
+    (+1 for sources themselves); oracle = the recursive walk filtered
+    to source origins."""
+    from ..bandops import stream_magnitude
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    fd = cube.terrain("value", "flowdir")
+    return stream_magnitude(fd).orderBy("row", "col")
+
+
+SQL_STREAM_MAGNITUDE = _FLOWDIR_AS_CTE + """, srcs AS (
+  SELECT row, col FROM fd f
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.nrow = f.row AND e.ncol = f.col)
+), smag AS (
+  SELECT w.ar, w.ac, count(*) AS n
+  FROM walk w JOIN srcs s ON s.row = w.ur AND s.col = w.uc
+  GROUP BY 1, 2
+)
+SELECT f.row AS row, f.col AS col,
+       CAST(coalesce(m.n, 0)
+            + CASE WHEN s.row IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS magnitude
+FROM fd f
+LEFT JOIN smag m ON m.ar = f.row AND m.ac = f.col
+LEFT JOIN srcs s ON s.row = f.row AND s.col = f.col
+ORDER BY row, col
+"""
+
+
 def q_cells_to_cube_geohash(spark, sf_dir):
     """Index-cell table -> raster (bandops.cells_to_cube, the inverse
     rollup): events aggregated per precision-2 geohash, then each
@@ -3950,6 +3983,7 @@ EXTRA_QUERIES = {
     # counts via ancestor-pair doubling; recursive-CTE oracles
     "flow_basins": (q_flow_basins, SQL_FLOW_BASINS),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
+    "stream_magnitude": (q_stream_magnitude, SQL_STREAM_MAGNITUDE),
     # raster -> spherical-index rollup (round 4 cont.): burned band
     # aggregated into hex cells, map-side combined, fill excluded
     "cube_to_cells_hex": (q_cube_to_cells_hex,

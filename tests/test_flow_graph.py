@@ -168,3 +168,86 @@ def test_flow_cells_filters_nodata(spark, rough_dem):
     fd_cube, flow = rough_dem
     n_valid = int((~np.isnan(flow)).sum())
     assert flow_cells(fd_cube).count() == n_valid
+
+
+def _magnitude_reference(flow):
+    """Shreve magnitude by sequential walking: count source cells
+    through every downstream node; sources (no inflow) count 1."""
+    h, w = flow.shape
+    valid = ~np.isnan(flow)
+
+    def parent(r, c):
+        code = int(flow[r, c])
+        if code == 0:
+            return None
+        dr, dc = CODE_OFF[code]
+        rr, cc = r + dr, c + dc
+        if 0 <= rr < h and 0 <= cc < w and valid[rr, cc]:
+            return rr, cc
+        return None
+
+    has_inflow = set()
+    for r in range(h):
+        for c in range(w):
+            if valid[r, c]:
+                p = parent(r, c)
+                if p is not None:
+                    has_inflow.add(p)
+    mag = {}
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c]:
+                continue
+            mag.setdefault((r, c), 0)
+            if (r, c) in has_inflow:
+                continue
+            # source: counts itself, then every node on its path
+            mag[(r, c)] += 1
+            cur = (r, c)
+            while True:
+                nxt = parent(*cur)
+                if nxt is None:
+                    break
+                mag[nxt] = mag.get(nxt, 0) + 1
+                cur = nxt
+    return mag
+
+
+def test_stream_magnitude_matches_walker(spark, rough_dem):
+    from geocube_spark.bandops import stream_magnitude
+
+    fd_cube, flow = rough_dem
+    want = _magnitude_reference(flow)
+    got = {
+        (r["row"], r["col"]): r["magnitude"]
+        for r in stream_magnitude(fd_cube).collect()
+    }
+    assert got == want
+    # additivity at the bowl pit: magnitude(pit) = total sources
+    yy, xx = np.mgrid[0:24, 0:24]
+    cube = _dem_cube(spark, (xx - 11.0) ** 2 + (yy - 11.0) ** 2, ts=8)
+    fd2 = cube.terrain("dem", "flowdir")
+    flow2 = fd2.assemble()["flowdir"]
+    want2 = _magnitude_reference(flow2)
+    got2 = {
+        (r["row"], r["col"]): r["magnitude"]
+        for r in stream_magnitude(fd2).collect()
+    }
+    assert got2 == want2
+    # pit magnitude = TRUE source count (cells with no inflow): every
+    # source drains to the single pit, magnitudes are additive
+    h2, w2 = flow2.shape
+    valid2 = ~np.isnan(flow2)
+    inflow = set()
+    for r in range(h2):
+        for c in range(w2):
+            if valid2[r, c] and int(flow2[r, c]) != 0:
+                dr, dc = CODE_OFF[int(flow2[r, c])]
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < h2 and 0 <= cc < w2 and valid2[rr, cc]:
+                    inflow.add((rr, cc))
+    n_sources = sum(
+        1 for r in range(h2) for c in range(w2)
+        if valid2[r, c] and (r, c) not in inflow
+    )
+    assert got2[(11, 11)] == n_sources
