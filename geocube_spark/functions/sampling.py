@@ -123,6 +123,57 @@ def quota_sample(df: DataFrame, n: int, stratum_col: str, *,
     )
 
 
+def weighted_sample(df: DataFrame, n: int, weight_col: str, *,
+                    key_col: str = "doc_id", salt: str = "",
+                    buckets: int = 64) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): the ``n`` rows with the largest
+    ``ln(u) / w`` where ``u = (h60(key||salt) + 0.5) / 2^60`` — each
+    row's inclusion probability is proportional to its weight, yet the
+    draw is a pure function of content, so reruns, retries, and
+    engines agree (per-quality-score corpus subsetting that survives
+    job restarts). Rows with NULL keys or non-positive/NULL weights
+    are dropped.
+
+    Same two-phase scale shape as :func:`quota_sample`: per-hash-bucket
+    top-n first (no single task ever sorts the full corpus), then the
+    global top-n over ``buckets * n`` candidates — provably identical
+    to the naive global window."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if weight_col not in df.columns:
+        raise ValueError(f"unknown weight column {weight_col!r}")
+    hc, kc, r1, r2 = ("__gcs_ws_h", "__gcs_ws_k", "__gcs_ws_r1",
+                      "__gcs_ws_r2")
+    for col in (hc, kc, r1, r2):
+        if col in df.columns:
+            raise ValueError(f"input already has a column named {col!r}")
+    hcol = F.pmod(_key_hash(key_col, salt), F.lit(1 << 60))
+    u = (F.col(hc).cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    with_k = (
+        df.filter(F.col(key_col).isNotNull()
+                  & (F.col(weight_col).cast("double") > 0.0))
+        .withColumn(hc, hcol)
+        .withColumn(kc, key)
+    )
+    bucket = F.pmod(F.col(hc), F.lit(buckets))
+    w1 = Window.partitionBy(bucket).orderBy(
+        F.col(kc).desc(), F.col(key_col).asc()
+    )
+    cand = with_k.withColumn(r1, F.row_number().over(w1)).filter(
+        F.col(r1) <= n
+    )
+    w2 = Window.orderBy(F.col(kc).desc(), F.col(key_col).asc())
+    return (
+        cand.withColumn(r2, F.row_number().over(w2))
+        .filter(F.col(r2) <= n)
+        .drop(hc, kc, r1, r2)
+    )
+
+
 def budget_sample(df: DataFrame, budget: float, stratum_col: str, *,
                   weight_col: str, key_col: str = "doc_id",
                   salt: str = "", plan: str = "window",

@@ -925,6 +925,77 @@ SELECT doc_id, lang, n_chars FROM c WHERE cum <= 20000 ORDER BY doc_id
 """
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (weighted_sample,
+    Efraimidis-Spirakis): 60 documents drawn with probability ~
+    n_chars via the deterministic exponential-key trick
+    (ln(u) / w top-n, u from the content hash) — per-quality-score
+    subsetting that reruns identically. Oracle replays the key and
+    window exactly."""
+    from ..functions.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir), 60, "n_chars"
+    ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         ({H60_SQL.format(x="CAST(doc_id AS VARCHAR)")} % {1 << 60}
+          + 0.5) / {float(1 << 60)} AS u
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (ORDER BY ln(u) / n_chars DESC,
+                            doc_id ASC) AS rn
+  FROM h
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 60 ORDER BY doc_id
+"""
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window packing (textops.chunk_documents): 40-token
+    chunks with 8-token overlap over every document — split ->
+    sequence -> explode -> slice/array_join, all whole-stage codegen,
+    zero shuffle. Oracle replays the token windows with list slicing
+    + generate_series."""
+    from ..textops.analysis import chunk_documents
+
+    out = chunk_documents(_docs(spark, sf_dir), 40, 8)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "n_tokens",
+        F.md5("chunk").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), ck AS (
+  SELECT doc_id, ts, len(ts) AS nt,
+         greatest(1, CAST(ceil((len(ts) - 8) / 32.0) AS INT)) AS nc
+  FROM tk
+), ex AS (
+  SELECT doc_id, ts, nt,
+         unnest(generate_series(0, nc - 1)) AS chunk_id
+  FROM ck
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(greatest(0, least(40, nt - chunk_id * 32)) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(
+             ts[chunk_id * 32 + 1 : chunk_id * 32 + 40], ' '))
+         AS chunk_md5
+FROM ex
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1259,6 +1330,11 @@ EXTRA_QUERIES = {
     "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     # top-k TF-IDF terms per document (round 4, textops)
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP),
+    # weighted sampling without replacement (round 4 cont.,
+    # Efraimidis-Spirakis exponential keys from the content hash)
+    "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    # context-window packing (round 4 cont., textops.chunk_documents)
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)

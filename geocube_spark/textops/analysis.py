@@ -266,3 +266,57 @@ def repetition_metrics(col: Column) -> dict:
         "top_2gram_char_frac": top_2gram_char_frac,
         "rep_keep": keep,
     }
+
+
+def chunk_documents(df, max_tokens: int, overlap: int = 0, *,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into fixed-size token windows with overlap —
+    the context-window packing step every training pipeline runs
+    before tokenizer-level batching.
+
+    Whitespace tokens (the shared ``TOKEN_SPLIT_RE`` every text op
+    uses), chunk ``i`` covering tokens ``[i*step, i*step+max_tokens)``
+    with ``step = max_tokens - overlap``; the final partial window is
+    kept; an empty document yields ONE empty chunk (so no doc silently
+    disappears). Output: ``(id, chunk_id, n_tokens, chunk)`` with the
+    chunk re-joined by single spaces (whitespace-normalized, like the
+    token stream itself).
+
+    Pure Catalyst: split -> sequence -> explode -> slice/array_join,
+    all inside whole-stage codegen — a narrow per-row map at any
+    corpus scale (each row fans out to its own chunk count; no
+    shuffle, no Python)."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    ts = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    nt = F.size(ts)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((nt - F.lit(overlap)) / F.lit(float(step))).cast("int"),
+    )
+    out = (
+        df.select(
+            F.col(id_col).alias("id"), ts.alias("__ts"),
+            nt.alias("__nt"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+            .alias("chunk_id", "__ci"),
+        )
+        .select(
+            "id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(max_tokens),
+                        F.col("__nt") - F.col("chunk_id") * step),
+            ).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("__ts"),
+                        F.col("chunk_id") * step + 1, max_tokens),
+                " ",
+            ).alias("chunk"),
+        )
+    )
+    return out
