@@ -1799,7 +1799,7 @@ def point_query(cube: GeoCube, points: DataFrame,
     Scale shape: narrow math -> one equi-join (Catalyst broadcasts a
     small side) [-> one combine agg for bilinear]. No Python anywhere.
     """
-    if method not in ("nearest", "bilinear"):
+    if method not in ("nearest", "bilinear", "cubic"):
         raise ValueError(f"unknown method {method!r}")
     gb = cube.geobox
     aff = gb.affine
@@ -1846,6 +1846,37 @@ def point_query(cube: GeoCube, points: DataFrame,
         corners = F.array(
             _corner(F.floor(frow), F.floor(fcol), F.lit(1.0))
         )
+    elif method == "cubic":
+        # cubic convolution (Catmull-Rom, a = -0.5) between cell
+        # centers, 4x4 taps, edge-replicated (clamped tap indices keep
+        # their weight — scipy ndimage mode='nearest' convention);
+        # weights are a partition of unity for any fraction, so
+        # replication stays exact at borders
+        gx = fcol - F.lit(0.5)
+        gy = frow - F.lit(0.5)
+        bx = F.floor(gx)
+        by = F.floor(gy)
+        tx = gx - bx
+        ty = gy - by
+
+        def _cw(off, t):
+            d = F.abs(F.lit(float(off)) - t)
+            near = (F.lit(1.5) * d - F.lit(2.5)) * d * d + F.lit(1.0)
+            far = ((F.lit(-0.5) * d + F.lit(2.5)) * d
+                   - F.lit(4.0)) * d + F.lit(2.0)
+            return F.when(d <= 1.0, near).otherwise(
+                F.when(d < 2.0, far).otherwise(F.lit(0.0))
+            )
+
+        def _cl(v, hi):
+            return F.greatest(F.lit(0), F.least(F.lit(hi), v))
+
+        corners = F.array(*[
+            _corner(_cl(by + i, H - 1), _cl(bx + j, W - 1),
+                    _cw(i, ty) * _cw(j, tx))
+            for i in (-1, 0, 1, 2) for j in (-1, 0, 1, 2)
+        ])
+        corners = F.filter(corners, lambda s: s["wt"] != 0.0)
     else:
         gx = fcol - F.lit(0.5)
         gy = frow - F.lit(0.5)

@@ -2600,6 +2600,73 @@ ORDER BY event_id
 """
 
 
+def q_point_query_cubic(spark, sf_dir):
+    """Raster sampling at points, cubic convolution (bandops
+    .point_query method='cubic', Catmull-Rom a=-0.5, 4x4 taps,
+    edge-replicated): same one-equi-join + combine plan as bilinear,
+    16 weight rows per point; oracle replays the polynomial kernel
+    with generate_series taps over the straight SQL burn."""
+    cube = _two_band_cube(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    pts = ev.filter(F.col("event_id") % 17 == 3).selectExpr(
+        "event_id",
+        f"({_LON_SQL}) * 0.717 AS x",
+        f"({_LAT_SQL}) * 0.717 AS y",
+    )
+    from ..bandops import point_query
+
+    out = point_query(cube, pts, "x", "y", method="cubic",
+                      measurements=["value"], id_cols=["event_id"])
+    return out.select(
+        "event_id", F.round(F.col("value") + 1e-9, 6).alias("value")
+    ).orderBy("event_id")
+
+
+_CUBIC_W = """CASE
+  WHEN abs({o} - {t}) <= 1.0 THEN
+    (1.5 * abs({o} - {t}) - 2.5) * abs({o} - {t}) * abs({o} - {t}) + 1.0
+  WHEN abs({o} - {t}) < 2.0 THEN
+    ((-0.5 * abs({o} - {t}) + 2.5) * abs({o} - {t}) - 4.0)
+      * abs({o} - {t}) + 2.0
+  ELSE 0.0 END"""
+
+SQL_POINT_QUERY_CUBIC = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), q AS (
+  SELECT event_id,
+         ({_LON_SQL}) * 0.717 + 180.0 - 0.5 AS gx,
+         90.0 - ({_LAT_SQL}) * 0.717 - 0.5 AS gy
+  FROM events WHERE event_id % 17 = 3
+), b AS (
+  SELECT event_id,
+         CAST(floor(gx) AS INT) AS bx, CAST(floor(gy) AS INT) AS by,
+         gx - floor(gx) AS tx, gy - floor(gy) AS ty
+  FROM q
+), ii AS (SELECT unnest(generate_series(-1, 2)) AS i),
+jj AS (SELECT unnest(generate_series(-1, 2)) AS j),
+taps AS (
+  SELECT b.event_id,
+         GREATEST(0, LEAST(179, b.by + ii.i)) AS r,
+         GREATEST(0, LEAST(359, b.bx + jj.j)) AS c,
+         ({_CUBIC_W.format(o="ii.i", t="b.ty")})
+           * ({_CUBIC_W.format(o="jj.j", t="b.tx")}) AS wt
+  FROM b, ii, jj
+)
+SELECT t.event_id,
+       round(sum(t.wt * COALESCE(cell.sv, 0.0)) + 1e-9, 6) AS value
+FROM taps t
+LEFT JOIN cell ON cell.row = t.r AND cell.col = t.c
+GROUP BY t.event_id
+ORDER BY event_id
+"""
+
+
 def q_warp_upscale(spark, sf_dir):
     """Distributed raster->raster warp (warp.py, reproject_match
     parity): the events value burn regrids onto a 2x finer aligned
@@ -3996,6 +4063,10 @@ EXTRA_QUERIES = {
     # burn; strict-interior bbox closed form as the oracle
     "cells_to_cube_geohash": (q_cells_to_cube_geohash,
                               SQL_CELLS_TO_CUBE_GEOHASH),
+    # cubic-convolution raster sampling (round 4 cont.): nearest and
+    # bilinear are in-window; the 4x4 Catmull-Rom kernel rides the
+    # same one-equi-join plan
+    "point_query_cubic": (q_point_query_cubic, SQL_POINT_QUERY_CUBIC),
     "focal_majority": (q_focal_majority, SQL_FOCAL_MAJORITY),
     # time-weighted gap fill (pandas interpolate(method='time')
     # parity in tests/test_temporal.py)

@@ -220,7 +220,7 @@ def test_validation_errors(spark, cube):
         [(0, -90.5, 41.5)], "pid long, x double, y double"
     )
     with pytest.raises(ValueError, match="unknown method"):
-        point_query(cube, pts, method="cubic")
+        point_query(cube, pts, method="lanczos")
     with pytest.raises(ValueError, match="unknown measurement"):
         point_query(cube, pts, measurements=["nope"])
     with pytest.raises(ValueError, match="missing column"):
@@ -254,3 +254,61 @@ def test_id_cols_projection(spark, cube):
     )
     assert set(out.columns) == {"pid", "measurement", "group_key", "value"}
     assert out.count() == 1
+
+
+def _cw(off, t):
+    d = abs(off - t)
+    if d <= 1.0:
+        return (1.5 * d - 2.5) * d * d + 1.0
+    if d < 2.0:
+        return ((-0.5 * d + 2.5) * d - 4.0) * d + 2.0
+    return 0.0
+
+
+def _ref_cubic(arr, fc, fr):
+    """Catmull-Rom cubic convolution, edge-replicated taps."""
+    H, W = arr.shape
+    gx, gy = fc - 0.5, fr - 0.5
+    bx, by = int(np.floor(gx)), int(np.floor(gy))
+    tx, ty = gx - bx, gy - by
+    out = 0.0
+    for i in (-1, 0, 1, 2):
+        for j in (-1, 0, 1, 2):
+            r = min(max(by + i, 0), H - 1)
+            c = min(max(bx + j, 0), W - 1)
+            out += _cw(i, ty) * _cw(j, tx) * arr[r, c]
+    return out
+
+
+def test_cubic_matches_numpy(spark, cube):
+    arrs = cube.assemble()
+    pts, rows = _probe_points(spark, cube.geobox, FRACS)
+    got = {
+        (r["pid"], r["measurement"]): r["value"]
+        for r in point_query(cube, pts, method="cubic").collect()
+    }
+    for pid, _x, _y, fc, fr in rows:
+        for m in ("m0", "m1"):
+            want = _ref_cubic(arrs[m].astype(np.float64), fc, fr)
+            assert got[(pid, m)] == pytest.approx(
+                want, rel=1e-9, abs=1e-9
+            ), (pid, m, fc, fr)
+    # partition of unity: a constant raster samples exactly constant
+    # everywhere, including clamped borders
+    from geocube_spark.cube import CHUNK_SCHEMA, GeoCube, BandMeta
+
+    gb = cube.geobox
+    rows2 = []
+    for tid, r0, c0, h, w in gb.tile_grid(cube.tile_size):
+        rows2.append(("k", None, 0, int(tid), int(r0), int(c0),
+                      int(h), int(w), [3.25] * (h * w), 1, h * w, 0, 0))
+    const = GeoCube(
+        chunks=spark.createDataFrame(rows2, CHUNK_SCHEMA), geobox=gb,
+        bands={"k": BandMeta("k", "float64", 0.0)},
+        tile_size=cube.tile_size, fill=0.0,
+    )
+    got2 = [
+        r["value"]
+        for r in point_query(const, pts, method="cubic").collect()
+    ]
+    assert all(v == pytest.approx(3.25, rel=1e-12) for v in got2)
