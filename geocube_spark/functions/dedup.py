@@ -847,3 +847,134 @@ def duplicate_span_stats(df: DataFrame, id_col: str = "doc_id",
                        / F.col("n_windows"), 6))
         .otherwise(F.lit(0.0)).alias("dup_ratio"),
     )
+
+
+def edit_distance_pairs(df: DataFrame, *, max_dist: int = 2, q: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        prefix_filter: bool = True) -> DataFrame:
+    """Fuzzy (edit-distance) duplicate pairs: every unordered pair of
+    documents whose Levenshtein distance is <= ``max_dist`` — the
+    typo/near-variant dedup signal (record linkage, title dedup,
+    boilerplate-variant detection). Exact: the result equals the
+    brute-force all-pairs answer; blocking only prunes candidates.
+
+    Candidate generation is ED-Join-style q-gram blocking
+    (Xiao, Wang & Lin, VLDB 2008 — public method):
+
+    * Length filter: ``ed(s, t) <= k`` forces ``|len(s)-len(t)| <= k``
+      (always applied).
+    * q-gram count bound: one edit destroys at most ``q`` q-gram
+      occurrences, so a true pair shares at least
+      ``max(len)-q+1 - k*q`` occurrences. Whenever
+      ``max(len) >= (k+1)*q`` that bound is >= 1, so every true pair
+      shares at least one q-gram VALUE and an inverted q-gram
+      equi-join (explode distinct grams -> self-join on gram) is a
+      guaranteed superset — never an all-pairs cross join.
+    * Prefix filter (``prefix_filter=True``, the scale path): each
+      edit also destroys at most ``q`` distinct gram values, so under
+      ANY global total order of grams, two strings within distance k
+      must share a gram among their first ``k*q + 1`` distinct grams
+      (if the prefixes were disjoint, every common gram would lie
+      past one prefix, capping distinct overlap at
+      ``|grams| - (k*q+1) < |grams| - k*q``). Indexing only that
+      prefix (ordered by the portable h60 hash — a near-uniform
+      proxy for rare-first frequency ordering) bounds index fan-out
+      per document at ``k*q + 1`` rows regardless of length.
+    * Short strings (``len < (k+1)*q``, where the count bound is
+      vacuous): length-banded buckets of width ``k+1``; each left row
+      is replicated to its own and both neighbor buckets, so every
+      pair within length ``k`` meets. Bucket count is a small
+      constant (< q), so this degrades to grouped all-pairs — fine
+      when short strings are rare (documents), quadratic if the whole
+      corpus is shorter than ``(k+1)*q`` chars (use MinHash instead).
+
+    Verification is Spark's built-in ``levenshtein`` (JVM,
+    whole-stage codegen) on the texts joined back AFTER the candidate
+    ids are distinct — the gram shuffle carries (id, len, gram) only,
+    never document text (same shuffle-hygiene rule as the spatial
+    joins). NOTE: Spark's levenshtein counts Unicode characters while
+    DuckDB's counts bytes; parity oracles should normalize to ASCII.
+
+    Returns (id_a, id_b, dist) with ``id_a < id_b``, dist <= max_dist.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    k = int(max_dist)
+    long_cut = (k + 1) * q  # max(len) >= long_cut => >=1 shared gram
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(text_col).alias("t"),
+        F.length(text_col).alias("len"),
+    )
+
+    # --- long path: inverted (prefix of) distinct q-grams ----------
+    grams_all = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("len") - (q - 1)),
+            lambda i: F.substring(F.col("t"), i, F.lit(q)),
+        )
+    )
+    if prefix_filter:
+        # h60-ordered distinct grams, first k*q + 1 of them.
+        ordered = F.array_sort(
+            F.transform(grams_all,
+                        lambda g: F.struct(h60(g).alias("h"),
+                                           g.alias("g")))
+        )
+        grams_ix = F.transform(
+            F.slice(ordered, 1, k * q + 1), lambda s: s["g"]
+        )
+    else:
+        grams_ix = grams_all
+    g = (
+        base.filter(F.col("len") >= q)
+        .select("id", "len", F.explode(grams_ix).alias("gram"))
+    )
+    ga = g.select(F.col("id").alias("id_a"), F.col("len").alias("la"),
+                  "gram")
+    gb = g.select(F.col("id").alias("id_b"), F.col("len").alias("lb"),
+                  "gram")
+    long_cand = (
+        ga.join(gb, "gram")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= k)
+            & (F.greatest("la", "lb") >= long_cut)
+        )
+        .select("id_a", "id_b")
+    )
+
+    # --- short path: length-banded buckets -------------------------
+    short = base.filter(F.col("len") < long_cut).withColumn(
+        "b", F.floor(F.col("len") / (k + 1))
+    )
+    # id_a < id_b is independent of length order, so the left side
+    # replicates to both neighbor buckets (distinct() dedups pairs
+    # that meet twice).
+    sa = short.select(
+        F.col("id").alias("id_a"), F.col("len").alias("la"),
+        F.explode(F.array(F.col("b") - 1, F.col("b"),
+                          F.col("b") + 1)).alias("b"),
+    )
+    sb = short.select(F.col("id").alias("id_b"),
+                      F.col("len").alias("lb"), "b")
+    short_cand = (
+        sa.join(sb, "b")
+        .where((F.col("id_a") < F.col("id_b"))
+               & (F.abs(F.col("la") - F.col("lb")) <= k))
+        .select("id_a", "id_b")
+    )
+
+    cand = long_cand.unionByName(short_cand).distinct()
+
+    ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
+    return (
+        cand.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .where(F.col("dist") <= k)
+        .select("id_a", "id_b", "dist")
+    )

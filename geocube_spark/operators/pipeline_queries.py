@@ -996,6 +996,47 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def q_dedup_levenshtein(spark, sf_dir):
+    """Fuzzy edit-distance dedup (functions.dedup.edit_distance_pairs,
+    ED-Join q-gram prefix blocking + JVM ``levenshtein``
+    verification): the even-id documents plus deterministic
+    3-char-truncated variants of every 10th doc; all unordered pairs
+    within distance 4. Blocking is exact (a guaranteed candidate
+    superset), so the result equals the brute-force all-pairs answer
+    — which is exactly how the oracle computes it."""
+    from ..functions.dedup import edit_distance_pairs
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).where(F.col("doc_id") % 2 == 0)
+    var = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 4)").alias("text"),
+    )
+    u = _spread(spark, d.unionByName(var))
+    return edit_distance_pairs(u, max_dist=4, q=3).orderBy(
+        "id_a", "id_b")
+
+
+SQL_DEDUP_LEVENSHTEIN = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text AS t
+  FROM documents WHERE doc_id % 2 = 0
+),
+v AS (
+  SELECT id + 1000000 AS id, substring(t, 4) AS t
+  FROM d WHERE id % 10 = 0
+),
+u AS (SELECT * FROM d UNION ALL SELECT * FROM v)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS INT) AS dist
+FROM u a JOIN u b
+  ON a.id < b.id AND abs(length(a.t) - length(b.t)) <= 4
+WHERE levenshtein(a.t, b.t) <= 4
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1335,6 +1376,11 @@ EXTRA_QUERIES = {
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     # context-window packing (round 4 cont., textops.chunk_documents)
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    # fuzzy edit-distance dedup (round 4 cont.,
+    # functions.dedup.edit_distance_pairs): ED-Join q-gram prefix
+    # blocking (provably complete candidate superset) + JVM
+    # levenshtein verification; oracle is the brute-force ground truth
+    "dedup_levenshtein": (q_dedup_levenshtein, SQL_DEDUP_LEVENSHTEIN),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)
