@@ -27,7 +27,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -638,4 +638,131 @@ def random_projection(corpus: DataFrame, *, dim: int, out_dim: int = 16,
 
     return corpus.select(id_col, vec_col).mapInPandas(
         _project, schema=schema
+    )
+
+
+def exemplar_centroids(corpus: DataFrame, *, k: int = 16,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Deterministic exemplar centroids: the ``k`` corpus rows with the
+    smallest ``(h60(id), id)`` key — i.e. a content-hash uniform sample
+    used as cluster seeds (exactly one k-means|| init round, and —
+    unlike an iterative trainer — a closed-form, SQL-replayable
+    function of the corpus). Returns (cid 0..k-1 in key order, cv:
+    array<double>). One tiny top-k; no shuffle of the wide vectors
+    beyond it."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from ..textops.analysis import h60
+
+    return (
+        corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("h", h60(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(k)
+        .select(
+            (F.row_number().over(
+                Window.orderBy("h", "id")) - 1).alias("cid"),
+            "cv",
+        )
+    )
+
+
+def semantic_dedup(corpus: DataFrame, *, threshold: float = 0.9,
+                   k_clusters: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: DataFrame = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every item whose cosine to an EARLIER-id item of the same
+    cluster reaches ``threshold`` (greedy first-id-wins, the
+    deterministic variant of the paper's keep-one-per-duplicate-group
+    rule).
+
+    * ``centroids=None`` uses :func:`exemplar_centroids` — fully
+      deterministic and SQL-replayable end to end (the driver oracle
+      runs the whole pipeline in DuckDB). Pass
+      ``ivf_centroids_distributed(...)`` output (renamed to (cid, cv))
+      for trained k-means centroids at quality-sensitive scale.
+    * Assignment is one Arrow-batched matmul per batch against the
+      collected (k x dim) centroid matrix — k*dim*8 bytes per
+      executor, the same budget math as the IVF index; NO shuffle.
+    * Pairwise cosines happen only WITHIN a cluster
+      (``applyInPandas`` per cid after one hash shuffle on cid) —
+      the published SemDeDup cost model: sum of squared cluster
+      sizes, never corpus-squared. Scale ``k_clusters`` with the
+      corpus to bound cluster width.
+
+    Returns one row per input: (id, cid, centroid_cos, keep,
+    dup_of) — ``dup_of`` is the smallest earlier same-cluster id
+    within ``threshold``, NULL for kept rows. Cosines are rounded to
+    6 dp before ranking/thresholding (cross-engine parity rule)."""
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    if centroids is None:
+        centroids = exemplar_centroids(
+            corpus, k=k_clusters, id_col=id_col, vec_col=vec_col)
+    crows = centroids.select("cid", "cv").orderBy("cid").collect()
+    if not crows:
+        raise ValueError("no centroids (empty corpus?)")
+    cm = _normalize(np.array([r["cv"] for r in crows], dtype=np.float64))
+    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+
+    assign_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("cid", T.LongType()),
+        T.StructField("centroid_cos", T.DoubleType()),
+    ])
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize(_to_matrix(pdf, vec_col))
+            cos = np.round(m @ cm.T, 6)
+            # argmax, ties -> smallest cid (cids ascend, so argmax
+            # over the first maximal column works)
+            best = cos.argmax(axis=1)
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(dtype=np.int64),
+                "cid": cids[best],
+                "centroid_cos": cos[np.arange(len(best)), best],
+            })
+
+    assign = corpus.select(id_col, vec_col).mapInPandas(
+        _assign, schema=assign_schema)
+
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    sided = assign.select("id", "cid").join(vecs, "id")
+
+    pair_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ])
+
+    def _pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(pdf["v"].values).astype(np.float64))
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        m, ids = m[order], ids[order]
+        cos = np.round(m @ m.T, 6)
+        ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    pairs = sided.groupBy("cid").applyInPandas(_pairs, schema=pair_schema)
+    dup_of = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+
+    return (
+        assign.join(dup_of, assign["id"] == dup_of["id_b"], "left")
+        .select(
+            "id", "cid", "centroid_cos",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
     )

@@ -1037,6 +1037,81 @@ ORDER BY id_a, id_b
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (functions.similarity.semantic_dedup): embeddings plus
+    perturbed near-copies, clustered on 8 deterministic exemplar
+    centroids; within each cluster every row whose cosine to an
+    earlier-id row reaches 0.9 is marked dropped. The whole pipeline
+    (exemplar selection -> assignment argmax -> within-cluster pairs
+    -> first-id-wins keep flags) is a closed-form function of the
+    corpus, so the oracle replays it end to end."""
+    from ..functions.similarity import semantic_dedup
+
+    e = _emb(spark, sf_dir)
+    pert = e.select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.25).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(pert)
+    out = semantic_dedup(corpus, threshold=0.9, k_clusters=8)
+    return out.select(
+        "id", "cid", "centroid_cos",
+        F.col("keep").cast("int").alias("keep"),
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+    ).orderBy("id")
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+corpus AS (
+  SELECT id, v FROM base
+  UNION ALL
+  SELECT id + {DUP_OFFSET},
+         list_concat([v[1] + CAST(CAST(0.25 AS FLOAT) AS DOUBLE)], v[2:64])
+  FROM base
+),
+seed AS (
+  SELECT id, v, {H60_SQL.format(x="CAST(id AS VARCHAR)")} AS h
+  FROM corpus
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS cv
+  FROM seed ORDER BY h, id LIMIT 8
+),
+scored AS (
+  SELECT c.id, cent.cid,
+         round(list_cosine_similarity(c.v, cent.cv), 6) AS cos
+  FROM corpus c CROSS JOIN cent
+),
+asg AS (
+  SELECT id, cid, cos AS centroid_cos,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cos DESC, cid) AS rn
+  FROM scored
+),
+asg1 AS (SELECT id, cid, centroid_cos FROM asg WHERE rn = 1),
+p AS (
+  SELECT x.id AS id_a, y.id AS id_b
+  FROM asg1 x JOIN asg1 y ON x.cid = y.cid AND x.id < y.id
+  JOIN corpus cx ON cx.id = x.id
+  JOIN corpus cy ON cy.id = y.id
+  WHERE round(list_cosine_similarity(cx.v, cy.v), 6) >= 0.9
+),
+d AS (SELECT id_b, min(id_a) AS dup_of FROM p GROUP BY id_b)
+SELECT a.id, a.cid, a.centroid_cos,
+       CAST(d.dup_of IS NULL AS INT) AS keep,
+       COALESCE(d.dup_of, -1) AS dup_of
+FROM asg1 a LEFT JOIN d ON a.id = d.id_b
+ORDER BY id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1381,6 +1456,11 @@ EXTRA_QUERIES = {
     # blocking (provably complete candidate superset) + JVM
     # levenshtein verification; oracle is the brute-force ground truth
     "dedup_levenshtein": (q_dedup_levenshtein, SQL_DEDUP_LEVENSHTEIN),
+    # SemDeDup semantic dedup (round 4 cont.,
+    # functions.similarity.semantic_dedup): exemplar-centroid
+    # clustering + within-cluster cosine drop rule, whole pipeline
+    # replayed in SQL
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)
