@@ -1112,6 +1112,57 @@ ORDER BY id
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Char-trigram LM perplexity quality scoring
+    (textops.analysis.lm_perplexity, CCNet-style): the corpus scores
+    itself under an add-0.1-smoothed trigram model; count tables are
+    broadcast (bounded by |charset|^3), so the scan is shuffle-free
+    past the two count aggregates."""
+    from ..textops.analysis import lm_perplexity
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return lm_perplexity(_spread(spark, d)).orderBy("id")
+
+
+SQL_LM_PERPLEXITY = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, lower(text) AS t FROM documents
+),
+occ AS (
+  SELECT id,
+         unnest(list_transform(range(1, length(t) - 1),
+                               i -> substring(t, CAST(i AS INT), 3)))
+         AS g
+  FROM d
+),
+ng AS (SELECT g, count(*) AS cg FROM occ GROUP BY g),
+ctx AS (
+  SELECT substring(g, 1, 2) AS ctx, sum(cg) AS cctx
+  FROM ng GROUP BY 1
+),
+voc AS (SELECT count(DISTINCT substring(g, 3, 1)) AS v FROM ng),
+sc AS (
+  SELECT occ.id,
+         log10((ng.cg + 0.1)
+               / (ctx.cctx + 0.1 * voc.v)) AS logp
+  FROM occ
+  JOIN ng USING (g)
+  JOIN ctx ON substring(occ.g, 1, 2) = ctx.ctx
+  CROSS JOIN voc
+),
+agg AS (
+  SELECT id, count(*) AS n_windows, round(avg(logp), 6) AS avg_logp
+  FROM sc GROUP BY id
+)
+SELECT d.id, COALESCE(agg.n_windows, 0) AS n_windows,
+       COALESCE(agg.avg_logp, 0.0) AS avg_logp,
+       round(pow(10, -COALESCE(agg.avg_logp, 0.0)), 4) AS perplexity
+FROM d LEFT JOIN agg ON d.id = agg.id
+ORDER BY d.id
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1461,6 +1512,10 @@ EXTRA_QUERIES = {
     # clustering + within-cluster cosine drop rule, whole pipeline
     # replayed in SQL
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    # char-trigram LM perplexity quality score (round 4 cont.,
+    # textops.analysis.lm_perplexity, CCNet-style): broadcast count
+    # tables, closed-form smoothing, full SQL replay
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)

@@ -320,3 +320,95 @@ def chunk_documents(df, max_tokens: int, overlap: int = 0, *,
         )
     )
     return out
+
+
+def lm_perplexity(df, *, n: int = 3, alpha: float = 0.1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ref=None):
+    """Character n-gram language-model scoring — the CCNet-style
+    quality signal ("CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data", Wenzek et al. 2020, which
+    thresholds corpus perplexity under a reference LM; here the LM is
+    an add-alpha-smoothed char n-gram model so the whole thing is a
+    closed-form function of the corpus and replays in SQL).
+
+    Model, over ``lower(text)``:
+
+        P(c | ctx) = (count(ctx·c) + alpha) / (count(ctx) + alpha*V)
+
+    with counts from the reference corpus (``ref``, default: the
+    scored corpus itself), ``ctx`` the (n-1)-char context,
+    ``count(ctx) = sum_c count(ctx·c)`` (derived from the n-gram
+    table, so the model is properly normalized), and ``V`` the number
+    of distinct continuation characters seen in the reference.
+
+    Returns (id, n_windows, avg_logp, perplexity): ``avg_logp`` is
+    the mean log10 probability over the doc's n-char windows (rounded
+    6 dp), ``perplexity = 10^(-avg_logp)`` rounded 4 dp. Documents
+    shorter than ``n`` chars have 0 windows, avg_logp 0, perplexity 1.
+
+    Scale shape: the n-gram and context count tables are bounded by
+    |charset|^n (a few hundred thousand rows for ASCII trigrams, ~KB
+    to MB) — Spark broadcasts them, so scoring a 100 TB corpus is one
+    map-side-combined count aggregate over the reference plus one
+    broadcast-join scan over the corpus: no wide shuffle carries
+    document text. Per-position Python never runs; everything is
+    Catalyst (transform/sequence/substring + joins)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if ref is None:
+        ref = df
+    norm = F.lower(F.col(text_col))
+    # sequence(1, stop) DESCENDS when stop < 1, so docs shorter than
+    # n chars must short-circuit to an empty window array.
+    grams = F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: F.substring(norm, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    ref_grams = ref.select(F.explode(grams).alias("g"))
+    ngram_counts = ref_grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cg"))
+    ctx_counts = ngram_counts.groupBy(
+        F.substring("g", 1, n - 1).alias("ctx")
+    ).agg(F.sum("cg").alias("cctx"))
+    vocab = ngram_counts.select(
+        F.countDistinct(F.substring("g", n, 1)).alias("v"))
+
+    occ = df.select(F.col(id_col).alias("id"),
+                    F.explode(grams).alias("g"))
+    scored = (
+        occ.join(F.broadcast(ngram_counts), "g", "left")
+        .withColumn("ctx", F.substring("g", 1, n - 1))
+        .join(F.broadcast(ctx_counts), "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log10(
+                (F.coalesce(F.col("cg"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("cctx"), F.lit(0))
+                   + F.lit(alpha) * F.col("v"))
+            ),
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_windows"),
+             F.round(F.avg("logp"), 6).alias("avg_logp"))
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp"),
+            F.round(
+                F.pow(F.lit(10.0),
+                      -F.coalesce("avg_logp", F.lit(0.0))), 4
+            ).alias("perplexity"),
+        )
+    )
