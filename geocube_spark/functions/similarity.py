@@ -766,3 +766,97 @@ def semantic_dedup(corpus: DataFrame, *, threshold: float = 0.9,
             "dup_of",
         )
     )
+
+
+def pca_power_scores(corpus: DataFrame, *, dim: int, iters: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """First-principal-component scores by a FIXED number of power
+    iterations — the embedding-compression / outlier-score primitive
+    (score = projection of the mean-centered vector onto the dominant
+    covariance eigenvector). Everything is deterministic: the start
+    vector is the Weyl hyperplane row (data-independent), the
+    iteration count is fixed, and each step is a plain sum over the
+    corpus — so unlike an eigensolver the WHOLE computation is
+    replayable in SQL (each iteration = two aggregates), which is how
+    the driver oracle checks it. No sign ambiguity exists because the
+    iterate is a continuous function of the data from a fixed start.
+
+    Scale shape: the corpus is projected once to (id, centered vec)
+    and cached; each iteration is one Arrow-batched pass producing
+    per-batch partial (dim)-vectors that reduce on the driver
+    (O(batches * dim) tiny rows — the treeAggregate pattern), so
+    ``iters`` passes touch the cache, never reshuffle it. Scores are
+    one final narrow map. Rounded to 6 dp (cross-engine parity rule).
+
+    Returns (id, score)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).persist()
+    try:
+        sum_schema = T.StructType([
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ])
+
+        def _sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].values).astype(np.float64)
+                if m.shape[1] != dim:
+                    raise ValueError(
+                        f"embedding width {m.shape[1]} != dim {dim}")
+                yield pd.DataFrame({"n": [len(m)],
+                                    "s": [m.sum(axis=0)]})
+
+        parts = vecs.mapInPandas(_sums, schema=sum_schema).collect()
+        if not parts:
+            raise ValueError("empty corpus")
+        n_rows = sum(p["n"] for p in parts)
+        mu = np.sum([np.asarray(p["s"]) for p in parts], axis=0) / n_rows
+
+        v = hyperplane_matrix(dim, 1)[0]
+        v = v / np.linalg.norm(v)
+        for _ in range(iters):
+            def _step(batches: Iterator[pd.DataFrame],
+                      v=v) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.stack(pdf["v"].values).astype(np.float64) - mu
+                    yield pd.DataFrame({"n": [len(m)],
+                                        "s": [(m.T @ (m @ v))]})
+
+            parts = vecs.mapInPandas(_step, schema=sum_schema).collect()
+            w = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+            v = w / np.linalg.norm(w)
+
+        score_schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ])
+
+        def _scores(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].values).astype(np.float64) - mu
+                yield pd.DataFrame({
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "score": np.round(m @ v, 6),
+                })
+
+        out = vecs.mapInPandas(_scores, schema=score_schema)
+        # materialization happens lazily after unpersist would drop
+        # the cache, so force the result before releasing it
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        vecs.unpersist()

@@ -1163,6 +1163,67 @@ ORDER BY d.id
 """
 
 
+def q_pca_power_scores(spark, sf_dir):
+    """First-principal-component scores by 5 fixed power iterations
+    (functions.similarity.pca_power_scores): deterministic Weyl start
+    vector, per-iteration treeAggregate-style partial sums, cached
+    narrow projection — an ITERATIVE linear-algebra op that is still
+    fully SQL-replayable because the iteration count is fixed."""
+    from ..functions.similarity import pca_power_scores
+
+    return pca_power_scores(_emb(spark, sf_dir), dim=64,
+                            iters=5).orderBy("id")
+
+
+def _pca_power_sql(dim: int = 64, iters: int = 5) -> str:
+    """SQL replay: mean-center as a long (id, d, xc) table, then each
+    power iteration is two aggregates (row projections, then the new
+    direction) plus a normalization scalar."""
+    import numpy as np
+
+    from ..functions.similarity import hyperplane_matrix
+
+    v = hyperplane_matrix(dim, 1)[0]
+    v = v / np.linalg.norm(v)
+    v0_rows = ", ".join(f"({d + 1}, {v[d]!r})" for d in range(dim))
+    parts = [f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+x AS (
+  SELECT id, t.d, v[t.d] AS val
+  FROM e CROSS JOIN generate_series(1, {dim}) AS t(d)
+),
+mu AS (SELECT d, avg(val) AS m FROM x GROUP BY d),
+c AS (SELECT x.id, x.d, x.val - mu.m AS xc FROM x JOIN mu USING (d)),
+v0(d, vv) AS (VALUES {v0_rows})"""]
+    prev = "v0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT c.id, sum(c.xc * {prev}.vv) AS p
+  FROM c JOIN {prev} USING (d) GROUP BY c.id
+),
+w{i} AS (
+  SELECT c.d, sum(c.xc * p{i}.p) AS w
+  FROM c JOIN p{i} USING (id) GROUP BY c.d
+),
+v{i} AS (
+  SELECT d, w / (SELECT sqrt(sum(w * w)) FROM w{i}) AS vv FROM w{i}
+)""")
+        prev = f"v{i}"
+    parts.append(f"""
+SELECT c.id, round(sum(c.xc * {prev}.vv), 6) AS score
+FROM c JOIN {prev} USING (d)
+GROUP BY c.id ORDER BY c.id
+""")
+    return "".join(parts)
+
+
+SQL_PCA_POWER = _pca_power_sql()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1516,6 +1577,10 @@ EXTRA_QUERIES = {
     # textops.analysis.lm_perplexity, CCNet-style): broadcast count
     # tables, closed-form smoothing, full SQL replay
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    # PCA top-component scores by fixed power iterations (round 4
+    # cont., functions.similarity.pca_power_scores): iterative linear
+    # algebra with a deterministic start => still SQL-replayable
+    "pca_power_scores": (q_pca_power_scores, SQL_PCA_POWER),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)
