@@ -2463,3 +2463,156 @@ def cube_to_cells(cube: GeoCube, band: str, res: int,
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+def viewshed(cube: GeoCube, observers: DataFrame, *, band: str,
+             radius: int, obs_height: float = 1.0,
+             nodata_z: float = 0.0, obs_id: str = "obs_id",
+             row_col: str = "row", col_col: str = "col") -> DataFrame:
+    """Line-of-sight viewshed (GDAL ``gdal_viewshed`` / ESRI Viewshed
+    semantics, R3 algorithm — Franklin & Ray 1994): for every valid
+    DEM cell within a square ``radius``-cell window of each observer,
+    decide whether the straight sight line from the observer's eye
+    (DEM value at the observer cell + ``obs_height``) to the target
+    cell center clears the terrain.
+
+    Exact sampling rule (engine-portable, no trig): the segment to a
+    target ``n = max(|dr|, |dc|)`` steps away is sampled at fractions
+    ``f = t/n (t = 1..n-1)``; terrain elevation at each sample is
+    BILINEAR between the four surrounding cell centers (nodata and
+    off-raster cells backstop to ``nodata_z``); the target is visible
+    iff every sample satisfies ``zs - zo < f * (zt - zo)`` — the
+    tangent comparison with the common horizontal distance cancelled,
+    so no sqrt enters the math. Per-sample margins are rounded to
+    6 dp before the min (cross-engine tie rule); adjacent cells and
+    the observer cell itself are always visible.
+
+    Scale shape: observers broadcast; chunk tiles are PRUNED to those
+    intersecting an observer window before any cell explodes; one
+    hash shuffle groups the (2R+1)^2 gathered cells per
+    (group_key, observer); the sight-line math is one vectorized
+    numpy kernel per observer (O(R^3) samples). DEM tiles never
+    shuffle beyond the windows actually observed — at 100 TB the cost
+    scales with #observers * R^2, not raster size.
+
+    Returns (group_key, obs_id, row, col, n_steps, min_margin,
+    visible): ``min_margin`` NULL when n <= 1, ``visible`` int 0/1.
+
+    Reference parity: corteva/geocube has no viewshed (it delegates
+    raster post-ops to the xarray ecosystem); this is part of the
+    large-scale raster-analytics extension alongside terrain/focal.
+    """
+    if band not in cube.bands:
+        raise ValueError(f"unknown band {band!r}")
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    for col in (obs_id, row_col, col_col):
+        if col not in observers.columns:
+            raise ValueError(f"observers missing column {col!r}")
+    from pyspark.sql import types as T
+
+    R = int(radius)
+    fill = float(cube.bands[band].fill)
+    h_obs = float(obs_height)
+    z_fill = float(nodata_z)
+
+    obs = observers.select(
+        F.col(obs_id).cast("long").alias("__oid"),
+        F.col(row_col).cast("int").alias("__or"),
+        F.col(col_col).cast("int").alias("__oc"),
+    )
+
+    c = cube.chunks.where(F.col("measurement") == band)
+    pruned = c.join(
+        F.broadcast(obs),
+        (F.col("row0") <= F.col("__or") + R)
+        & (F.col("row0") + F.col("h") > F.col("__or") - R)
+        & (F.col("col0") <= F.col("__oc") + R)
+        & (F.col("col0") + F.col("w") > F.col("__oc") - R),
+    )
+    cells = pruned.select(
+        "group_key", "__oid", "__or", "__oc",
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val"),
+    ).select(
+        "group_key", "__oid", "__or", "__oc",
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int"))
+        .alias("r"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int")
+        .alias("c"),
+        F.col("val").cast("double").alias("z"),
+    ).where(
+        (F.abs(F.col("r") - F.col("__or")) <= R)
+        & (F.abs(F.col("c") - F.col("__oc")) <= R)
+        & F.col("z").isNotNull() & ~F.isnan("z")
+        & (F.col("z") != F.lit(fill) if not np.isnan(fill)
+           else F.lit(True))
+    )
+
+    schema = T.StructType([
+        T.StructField("group_key", T.StringType()),
+        T.StructField("obs_id", T.LongType()),
+        T.StructField("row", T.IntegerType()),
+        T.StructField("col", T.IntegerType()),
+        T.StructField("n_steps", T.IntegerType()),
+        T.StructField("min_margin", T.DoubleType()),
+        T.StructField("visible", T.IntegerType()),
+    ])
+
+    def _ker(key, pdf):
+        import pandas as pd
+
+        gk, oid = key
+        r0 = int(pdf["__or"].iloc[0])
+        c0 = int(pdf["__oc"].iloc[0])
+        tr = pdf["r"].to_numpy(dtype=np.int64)
+        tc = pdf["c"].to_numpy(dtype=np.int64)
+        zt = pdf["z"].to_numpy(dtype=np.float64)
+        # dense local window padded by 1 so rf+1/cf+1 never escape
+        side = 2 * R + 3
+        zp = np.full((side, side), z_fill)
+        zp[tr - (r0 - R) + 1, tc - (c0 - R) + 1] = zt
+        zo = zp[R + 1, R + 1] + h_obs
+
+        dr = tr - r0
+        dc = tc - c0
+        n = np.maximum(np.abs(dr), np.abs(dc)).astype(np.int64)
+        mm = np.full(len(n), np.inf)
+        far = n >= 2
+        if far.any():
+            fi = np.nonzero(far)[0]
+            reps = n[fi] - 1
+            idx = np.repeat(fi, reps)
+            starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            t = (np.arange(reps.sum())
+                 - np.repeat(starts, reps) + 1).astype(np.float64)
+            f = t / n[idx]
+            rr = r0 + f * dr[idx]
+            cc = c0 + f * dc[idx]
+            rf = np.floor(rr)
+            cf = np.floor(cc)
+            fr = rr - rf
+            fc = cc - cf
+            ri = rf.astype(np.int64) - (r0 - R) + 1
+            ci = cf.astype(np.int64) - (c0 - R) + 1
+            z00 = zp[ri, ci]
+            z01 = zp[ri, ci + 1]
+            z10 = zp[ri + 1, ci]
+            z11 = zp[ri + 1, ci + 1]
+            zs = ((1 - fr) * ((1 - fc) * z00 + fc * z01)
+                  + fr * ((1 - fc) * z10 + fc * z11))
+            marg = np.round(f * (zt[idx] - zo) - (zs - zo), 6)
+            np.minimum.at(mm, idx, marg)
+        visible = ((n <= 1) | (mm > 0)).astype(np.int32)
+        return pd.DataFrame({
+            "group_key": gk,
+            "obs_id": np.int64(oid),
+            "row": tr.astype(np.int32),
+            "col": tc.astype(np.int32),
+            "n_steps": n.astype(np.int32),
+            "min_margin": np.where(far, mm, np.nan),
+            "visible": visible,
+        })
+
+    out = cells.groupBy("group_key", "__oid").applyInPandas(
+        _ker, schema=schema)
+    return out

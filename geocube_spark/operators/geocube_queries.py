@@ -3987,7 +3987,100 @@ QUERIES = {
 #                              cell-exact tests are the stronger
 #                              check, and its slot went to
 #                              spatial_join_pip's FULL SQL oracle
+def q_viewshed(spark, sf_dir):
+    """Line-of-sight viewshed (bandops.viewshed, R3 algorithm) on the
+    4x-coarsened event-sum DEM: two observers with a 50-unit mast and
+    a 10-cell square radius. Per-target min sample margin (rounded
+    6 dp, 999999 for trivially-visible adjacent cells) plus the 0/1
+    visibility — the oracle replays the sight-line sampling with
+    generate_series + 4-way bilinear joins."""
+    from ..bandops import viewshed
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    obs = spark.createDataFrame([(1, 22, 45), (2, 10, 70)],
+                                "obs_id long, row int, col int")
+    out = viewshed(cube, obs, band="value", radius=10,
+                   obs_height=50.0)
+    return out.select(
+        "obs_id", "row", "col", "n_steps",
+        F.round(
+            F.when(F.isnan("min_margin") | F.col("min_margin").isNull(),
+                   F.lit(999999.0)).otherwise(F.col("min_margin")), 6
+        ).alias("min_margin"),
+        "visible",
+    ).orderBy("obs_id", "row", "col")
+
+
+SQL_VIEWSHED = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) // 4 AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) // 4 AS col,
+         value
+  FROM events
+), s AS (SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2),
+v AS (SELECT row, col, sv FROM s WHERE sv <> 0.0),
+obs(oid, r0, c0) AS (VALUES (1, 22, 45), (2, 10, 70)),
+zo AS (
+  SELECT oid, r0, c0,
+         COALESCE((SELECT sv FROM v
+                   WHERE v.row = o.r0 AND v.col = o.c0), 0.0)
+         + 50.0 AS zo
+  FROM obs o
+),
+tg AS (
+  SELECT o.oid, o.r0, o.c0, o.zo, t.row, t.col, t.sv AS zt,
+         greatest(abs(t.row - o.r0), abs(t.col - o.c0)) AS n
+  FROM v t CROSS JOIN zo o
+  WHERE abs(t.row - o.r0) <= 10 AND abs(t.col - o.c0) <= 10
+),
+sm AS (
+  SELECT oid, r0, c0, zo, row, col, zt, n,
+         CAST(unnest(range(1, CAST(n AS BIGINT))) AS DOUBLE) / n AS f
+  FROM tg WHERE n >= 2
+),
+pos AS (
+  SELECT oid, row, col, zt, zo, f,
+         r0 + f * (row - r0) AS rr,
+         c0 + f * (col - c0) AS cc
+  FROM sm
+),
+bil AS (
+  SELECT oid, row, col, zt, zo, f,
+         CAST(floor(rr) AS INT) AS rf, CAST(floor(cc) AS INT) AS cf,
+         rr - floor(rr) AS fr, cc - floor(cc) AS fc
+  FROM pos
+),
+zs AS (
+  SELECT b.oid, b.row, b.col,
+         round(b.f * (b.zt - b.zo)
+               - (((1 - b.fr) * ((1 - b.fc) * COALESCE(z00.sv, 0.0)
+                                 + b.fc * COALESCE(z01.sv, 0.0))
+                   + b.fr * ((1 - b.fc) * COALESCE(z10.sv, 0.0)
+                             + b.fc * COALESCE(z11.sv, 0.0)))
+                  - b.zo), 6) AS marg
+  FROM bil b
+  LEFT JOIN v z00 ON z00.row = b.rf     AND z00.col = b.cf
+  LEFT JOIN v z01 ON z01.row = b.rf     AND z01.col = b.cf + 1
+  LEFT JOIN v z10 ON z10.row = b.rf + 1 AND z10.col = b.cf
+  LEFT JOIN v z11 ON z11.row = b.rf + 1 AND z11.col = b.cf + 1
+),
+mg AS (SELECT oid, row, col, min(marg) AS mm FROM zs GROUP BY 1, 2, 3)
+SELECT CAST(tg.oid AS BIGINT) AS obs_id, tg.row, tg.col,
+       CAST(tg.n AS INT) AS n_steps,
+       round(COALESCE(mg.mm, 999999.0), 6) AS min_margin,
+       CAST(CASE WHEN tg.n <= 1 OR mg.mm > 0
+                 THEN 1 ELSE 0 END AS INT) AS visible
+FROM tg
+LEFT JOIN mg ON tg.oid = mg.oid AND tg.row = mg.row
+            AND tg.col = mg.col
+ORDER BY obs_id, tg.row, tg.col
+"""
+
+
 EXTRA_QUERIES = {
+    # viewshed (round 4 cont., bandops.viewshed): R3 line-of-sight
+    # with exact rational sampling; oracle replays every sight line
+    "viewshed": (q_viewshed, SQL_VIEWSHED),
     # tile_cover / tile_rollup: quadkey/XYZ index queries demoted in
     # round 4 to make window room for hex_cover/hex_rollup — the same
     # survey ops (index cover + hierarchical rollup) now verified
