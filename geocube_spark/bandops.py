@@ -2616,3 +2616,183 @@ def viewshed(cube: GeoCube, observers: DataFrame, *, band: str,
     out = cells.groupBy("group_key", "__oid").applyInPandas(
         _ker, schema=schema)
     return out
+
+
+_D8_MOVES = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+             (1, -1), (1, 0), (1, 1)]
+
+
+def cost_distance(cube: GeoCube, sources, *, cost_band: str,
+                  max_rounds: int = 256) -> GeoCube:
+    """Accumulated least-cost distance from source cells over a cost
+    raster (ESRI CostDistance / GRASS ``r.cost`` / WhiteboxTools
+    ``cost_distance`` semantics): 8-connected moves, the cost of a
+    move between adjacent cells a->b is ``(cost_a + cost_b)/2``
+    (x ``sqrt(2)`` diagonally); each cell's output is the minimum
+    total cost over all paths from any source. Nodata cells (NaN or
+    the band fill) are impassable; unreachable and impassable cells
+    come back as nodata.
+
+    Distributed shape — blocked Bellman-Ford: each global round is
+    ONE halo exchange of 1-deep distance/cost border strips (the
+    ``focal``/``terrain`` stencil shuffle) followed by a per-tile
+    numpy relaxation run to WITHIN-TILE convergence, so a round
+    propagates wavefronts a whole tile across, and the number of
+    rounds is O(path length in tiles), not in cells. Rounds stop at
+    the first fixpoint (a 1-row improvement aggregate per round;
+    every round's result is ``localCheckpoint``-ed so the plan depth
+    stays O(1) — the hex-compact / region-group lesson).
+
+    ``sources`` is a DataFrame with (row, col) grid cells (or an
+    iterable of pairs); it is collected to the driver — sources are
+    assumed small (they seed the wavefront), the raster is not.
+
+    Converged costs are engine-portable: every path's cost
+    accumulates edge by edge from the source in IEEE order, and both
+    a Jacobi replay (the SQL oracle) and this blocked Gauss-Seidel
+    schedule minimize over the same set of path sums, so the
+    converged doubles agree bit for bit.
+    """
+    import pandas as pd
+
+    from .cube import CHUNK_SCHEMA, GeoCube, _grouped_map
+
+    if cost_band not in cube.bands:
+        raise ValueError(f"unknown band {cost_band!r}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if isinstance(sources, DataFrame):
+        src_rows = [(int(r["row"]), int(r["col"]))
+                    for r in sources.select("row", "col").collect()]
+    else:
+        src_rows = [(int(r), int(c)) for r, c in sources]
+    if not src_rows:
+        raise ValueError("no source cells")
+    src_set = set(src_rows)
+    fill = float(cube.bands[cost_band].fill)
+
+    c = cube.chunks.where(F.col("measurement") == cost_band)
+    n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
+
+    def _valid(m):
+        v = ~np.isnan(m)
+        if not np.isnan(fill):
+            v &= m != fill
+        return v
+
+    out_cols = [f.name for f in CHUNK_SCHEMA.fields]
+
+    def _init(key, sub: pd.DataFrame):
+        frames = []
+        for row in sub.itertuples(index=False):
+            m = np.asarray(row.values, dtype=np.float64).reshape(
+                row.h, row.w)
+            d = np.where(_valid(m), np.inf, np.nan)
+            for (sr, sc) in src_set:
+                if (row.row0 <= sr < row.row0 + row.h
+                        and row.col0 <= sc < row.col0 + row.w):
+                    if not np.isnan(d[sr - row.row0, sc - row.col0]):
+                        d[sr - row.row0, sc - row.col0] = 0.0
+            rec = {k: getattr(row, k) for k in out_cols
+                   if k != "values"}
+            rec["measurement"] = "__dist"
+            rec["values"] = d.ravel()
+            frames.append(rec)
+        return pd.DataFrame(frames, columns=out_cols)
+
+    sc_ctx = c.sparkSession.sparkContext
+    n_parts = max(1, min(int(n_tiles), 4 * sc_ctx.defaultParallelism))
+    dist = _grouped_map(c, ["group_key", "tile_id"], n_parts, _init,
+                        CHUNK_SCHEMA).localCheckpoint(eager=True)
+    cost_tagged = c.withColumn("measurement", F.lit("__cost")) \
+        .localCheckpoint(eager=True)
+
+    sq2 = float(np.sqrt(2.0))
+
+    def _relax(key, sub: pd.DataFrame) -> pd.DataFrame:
+        gk, tid = key
+        csub = sub[sub["measurement"].values == "__cost"]
+        dsub = sub[sub["measurement"].values == "__dist"]
+        dctr = dsub[dsub["role"].values == 0]
+        cctr = csub[csub["role"].values == 0]
+        if not len(dctr) or not len(cctr):
+            return pd.DataFrame([], columns=out_cols)
+        cpad, th, tw, row0, col0 = _paste_padded(csub, cctr.iloc[0], 1)
+        dpad, _, _, _, _ = _paste_padded(dsub, dctr.iloc[0], 1)
+        cost_ok = _valid(cpad)
+        cn = np.where(cost_ok, cpad, np.inf)
+        dn = np.where(np.isnan(dpad), np.inf, dpad)
+        old_center = dn[1:th + 1, 1:tw + 1].copy()
+        cc = cn[1:th + 1, 1:tw + 1]
+        while True:
+            new = dn[1:th + 1, 1:tw + 1].copy()
+            for (dy, dx) in _D8_MOVES:
+                w8 = sq2 if (dy and dx) else 1.0
+                dsh = dn[1 + dy:th + 1 + dy, 1 + dx:tw + 1 + dx]
+                csh = cn[1 + dy:th + 1 + dy, 1 + dx:tw + 1 + dx]
+                cand = dsh + (cc + csh) / 2.0 * w8
+                np.minimum(new, cand, out=new)
+            if not (new < dn[1:th + 1, 1:tw + 1]).any():
+                break
+            dn[1:th + 1, 1:tw + 1] = new
+        center = dn[1:th + 1, 1:tw + 1]
+        center = np.where(cost_ok[1:th + 1, 1:tw + 1], center, np.nan)
+        # nan_to_num would ALSO squash +inf to 1.79e308 and make every
+        # unreached cell count as "improved" forever — replace NaN only
+        improved = int(np.sum(
+            np.where(np.isnan(center), np.inf, center) < old_center))
+        base = dctr.iloc[0]
+        recs = [{
+            "measurement": "__dist", "group_key": gk,
+            "zoom": int(base["zoom"]), "tile_id": int(tid),
+            "row0": row0, "col0": col0, "h": th, "w": tw,
+            "values": center.ravel(),
+            "n_geoms": int(base["n_geoms"]),
+            "n_cells_burned": th * tw,
+            "min_seq": int(base["min_seq"]),
+            "max_seq": int(base["max_seq"]),
+        }, {
+            "measurement": "__improved", "group_key": gk,
+            "zoom": int(base["zoom"]), "tile_id": int(tid),
+            "row0": row0, "col0": col0, "h": 1, "w": 1,
+            "values": [float(improved)],
+            "n_geoms": 0, "n_cells_burned": 1,
+            "min_seq": -1, "max_seq": -1,
+        }]
+        return pd.DataFrame(recs, columns=out_cols)
+
+    import logging
+
+    log = logging.getLogger("geocube_spark.cost_distance")
+    for rnd in range(int(max_rounds)):
+        both = cost_tagged.unionByName(dist)
+        strips = _halo_strips(both, ntx, nty, 1)
+        out = _grouped_map(
+            strips, ["group_key", "tile_id"], n_parts, _relax,
+            CHUNK_SCHEMA,
+        ).localCheckpoint(eager=True)
+        improved = (
+            out.where(F.col("measurement") == "__improved")
+            .agg(F.sum(F.element_at("values", 1))).collect()[0][0]
+        )
+        dist = out.where(F.col("measurement") == "__dist")
+        log.debug("cost_distance round %d improved=%s", rnd, improved)
+        if not improved:
+            break
+
+    final = dist.withColumn(
+        "measurement", F.lit("cost_dist")
+    ).withColumn(
+        "values",
+        F.transform(
+            "values",
+            lambda x: F.when(
+                x == F.lit(float("inf")),
+                F.lit(float("nan")).cast("double")).otherwise(x),
+        ),
+    )
+    bands = {"cost_dist": BandMeta("cost_dist", "float64",
+                                   float("nan"))}
+    return GeoCube(chunks=final, geobox=cube.geobox, bands=bands,
+                   tile_size=cube.tile_size, fill=float("nan"),
+                   group_by=cube.group_by, group_keys=cube.group_keys)

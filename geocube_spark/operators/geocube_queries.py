@@ -4077,7 +4077,68 @@ ORDER BY obs_id, tg.row, tg.col
 """
 
 
+def q_cost_distance(spark, sf_dir):
+    """Accumulated least-cost distance (bandops.cost_distance,
+    blocked Bellman-Ford over halo rounds) on the 4x-coarsened
+    event-sum raster as the cost surface, two seeds. Converged path
+    sums are engine-portable (edge-by-edge IEEE accumulation), so the
+    oracle replays the fixpoint with a fixed-K Jacobi recursion."""
+    from ..bandops import cost_distance
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    srcs = spark.createDataFrame([(22, 45), (40, 10)],
+                                 "row int, col int")
+    out = cost_distance(cube, srcs, cost_band="value")
+    df = _explode_cells(out.chunks)
+    return (
+        df.where(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.round("val", 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
+
+_COST_K = 160
+
+SQL_COST_DISTANCE = f"""
+WITH RECURSIVE pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) // 4 AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) // 4 AS col,
+         value
+  FROM events
+), s AS (SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2),
+v AS (SELECT row, col, sv FROM s WHERE sv <> 0.0),
+e AS (
+  SELECT a.row AS r1, a.col AS c1, b.row AS r2, b.col AS c2,
+         (a.sv + b.sv) / 2.0
+         * CASE WHEN a.row <> b.row AND a.col <> b.col
+                THEN sqrt(2.0) ELSE 1.0 END AS w
+  FROM v a JOIN v b
+    ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
+   AND NOT (a.row = b.row AND a.col = b.col)
+),
+it(k, row, col, d) AS (
+  SELECT 0, row, col,
+         CASE WHEN (row = 22 AND col = 45) OR (row = 40 AND col = 10)
+              THEN 0.0 ELSE CAST('infinity' AS DOUBLE) END
+  FROM v
+  UNION ALL
+  SELECT k + 1, row, col, min(d) FROM (
+    SELECT it.k, it.row, it.col, it.d FROM it
+    UNION ALL
+    SELECT it.k, e.r2 AS row, e.c2 AS col, it.d + e.w AS d
+    FROM it JOIN e ON it.row = e.r1 AND it.col = e.c1
+  ) rel GROUP BY k, row, col HAVING k < {_COST_K}
+)
+SELECT row, col, round(d, 6) AS val
+FROM it WHERE k = {_COST_K} AND d < 1e17
+ORDER BY row, col
+"""
+
+
 EXTRA_QUERIES = {
+    # cost distance (round 4 cont., bandops.cost_distance): blocked
+    # Bellman-Ford halo rounds; oracle = fixed-K Jacobi recursion
+    "cost_distance": (q_cost_distance, SQL_COST_DISTANCE),
     # viewshed (round 4 cont., bandops.viewshed): R3 line-of-sight
     # with exact rational sampling; oracle replays every sight line
     "viewshed": (q_viewshed, SQL_VIEWSHED),

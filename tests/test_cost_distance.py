@@ -1,0 +1,110 @@
+"""cost_distance: blocked Bellman-Ford least-cost distance vs a
+Dijkstra referee."""
+
+import heapq
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.bandops import cost_distance
+from geocube_spark.cube import CHUNK_SCHEMA, BandMeta, GeoCube
+from geocube_spark.geometry.affine import Affine
+from geocube_spark.geometry.crs import CRS
+from geocube_spark.grid.geobox import GeoBox
+
+
+def _cube(spark, arr, ts=8):
+    H, W = arr.shape
+    gb = GeoBox(W, H, Affine(1.0, 0.0, 0.0, 0.0, -1.0, 0.0), CRS(4326))
+    rows = [("cost", None, 0, int(tid), int(r0), int(c0), int(h),
+             int(w), [float(x) for x in arr[r0:r0 + h, c0:c0 + w].ravel()],
+             1, h * w, 0, 0)
+            for tid, r0, c0, h, w in gb.tile_grid(ts)]
+    return GeoCube(
+        chunks=spark.createDataFrame(rows, CHUNK_SCHEMA), geobox=gb,
+        bands={"cost": BandMeta("cost", "float64", float("nan"))},
+        tile_size=ts, fill=float("nan"),
+    )
+
+
+def _dijkstra(arr, srcs):
+    H, W = arr.shape
+    valid = ~np.isnan(arr)
+    dist, pq = {}, []
+    for s in srcs:
+        if 0 <= s[0] < H and 0 <= s[1] < W and valid[s]:
+            dist[s] = 0.0
+            heapq.heappush(pq, (0.0, s))
+    while pq:
+        d, (r, c) = heapq.heappop(pq)
+        if d > dist.get((r, c), math.inf):
+            continue
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if not (dy or dx):
+                    continue
+                nr, nc = r + dy, c + dx
+                if 0 <= nr < H and 0 <= nc < W and valid[nr, nc]:
+                    w = math.sqrt(2.0) if dy and dx else 1.0
+                    nd = d + (arr[r, c] + arr[nr, nc]) / 2.0 * w
+                    if nd < dist.get((nr, nc), math.inf):
+                        dist[(nr, nc)] = nd
+                        heapq.heappush(pq, (nd, (nr, nc)))
+    return dist
+
+
+def _collect(spark, out):
+    from geocube_spark.operators.geocube_queries import _explode_cells
+
+    rows = _explode_cells(out.chunks).where(
+        F.col("val").isNotNull() & ~F.isnan("val")).collect()
+    return {(r["row"], r["col"]): r["val"] for r in rows}
+
+
+def test_matches_dijkstra_multi_tile(spark):
+    rng = np.random.default_rng(3)
+    arr = rng.uniform(0.5, 5.0, (20, 30))
+    arr[rng.uniform(size=arr.shape) < 0.12] = np.nan
+    srcs = [(3, 4), (17, 25)]
+    got = _collect(spark, cost_distance(_cube(spark, arr), srcs,
+                                        cost_band="cost"))
+    want = _dijkstra(arr, srcs)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_wall_forces_detour_and_disconnect(spark):
+    arr = np.ones((9, 9))
+    arr[:, 4] = np.nan          # full vertical wall
+    got = _collect(spark, cost_distance(_cube(spark, arr, ts=4),
+                                        [(4, 0)], cost_band="cost"))
+    # right half unreachable, wall cells nodata
+    assert all(c < 4 for (_, c) in got)
+    assert len(got) == 9 * 4
+    # straight-line cost along the row
+    assert got[(4, 3)] == pytest.approx(3.0)
+
+
+def test_source_dataframe_and_invalid_source(spark):
+    arr = np.ones((6, 6))
+    arr[2, 2] = np.nan
+    srcs = spark.createDataFrame([(0, 0), (2, 2)], "row int, col int")
+    got = _collect(spark, cost_distance(_cube(spark, arr, ts=4), srcs,
+                                        cost_band="cost"))
+    want = _dijkstra(arr, [(0, 0), (2, 2)])  # (2,2) ignored (nodata)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_validation(spark):
+    cube = _cube(spark, np.ones((4, 4)))
+    with pytest.raises(ValueError, match="unknown band"):
+        cost_distance(cube, [(0, 0)], cost_band="nope")
+    with pytest.raises(ValueError, match="no source"):
+        cost_distance(cube, [], cost_band="cost")
+    with pytest.raises(ValueError, match="max_rounds"):
+        cost_distance(cube, [(0, 0)], cost_band="cost", max_rounds=0)
