@@ -1,0 +1,154 @@
+"""Probabilistic sketches with ENGINE-PORTABLE determinism.
+
+Classic sketches are usually seeded per-run; here every hash is the
+portable ``h60`` (md5-based) used across the package, so a sketch is
+a pure function of its input multiset — the same Bloom bits, the same
+HLL registers, the same false positives on every engine. That is what
+makes them driver-oracle-checkable: DuckDB replays the identical
+arithmetic and must produce the identical (approximate!) answer.
+
+* :func:`bloom_positions` / :func:`bloom_semijoin` — Bloom-filter
+  join pruning, the canonical 100 TB shuffle-avoidance pattern: build
+  the filter from the small key side, drop non-matching probe rows
+  BEFORE the expensive join/shuffle. Double hashing
+  (Kirsch & Mitzenmacher 2006): ``pos_j = (h1 + j * h2) mod m`` with
+  ``h2`` forced odd.
+* :func:`hll_count_distinct` — Flajolet et al. 2007 HyperLogLog over
+  the 60-bit hash: ``p``-bit register index, max leading-zero rank
+  per register, harmonic-mean estimate with the small-range
+  linear-counting correction. One map-side-combined aggregate; the
+  sketch state is ``m`` tiny rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..textops.analysis import h60
+
+
+def _h2(col: Column) -> Column:
+    """Second hash for double hashing, forced odd so all k probe
+    positions are distinct mod any power-of-two m."""
+    return h60(F.concat(col, F.lit("#"))).bitwiseOR(F.lit(1))
+
+
+def bloom_positions(key: Column, *, bits: int, hashes: int):
+    """The ``hashes`` Bloom bit positions of a key (list of Columns).
+    Both hashes are reduced mod ``bits`` BEFORE the double-hash
+    combination — algebraically identical to ``(h1 + j*h2) mod m``
+    but immune to int64 overflow for any j."""
+    h1 = h60(key) % F.lit(bits)
+    h2 = _h2(key) % F.lit(bits)
+    return [((h1 + F.lit(j) * h2) % F.lit(bits)).alias(f"pos{j}")
+            for j in range(hashes)]
+
+
+def bloom_semijoin(probe: DataFrame, keys: DataFrame, *,
+                   probe_col: str, key_col: str = None,
+                   bits: int = 1 << 20, hashes: int = 3) -> DataFrame:
+    """Filter ``probe`` to rows whose ``probe_col`` passes a Bloom
+    filter built from ``keys[key_col]`` — a guaranteed SUPERSET of the
+    exact semijoin (no false negatives; deterministic false positives
+    at rate ~ ``(1 - e^(-kn/m))^k``).
+
+    The filter is represented as its set-bit table (distinct
+    positions, at most ``min(bits, n_keys * hashes)`` longs) and
+    applied as ``hashes`` consecutive BROADCAST semijoins — the probe
+    side never shuffles, and the whole filter chain is whole-stage
+    JVM code (h60 is md5+conv, built-in). This is the join-pruning
+    pattern: at 100 TB, run ``bloom_semijoin`` before the real join so
+    only surviving rows enter the wide shuffle.
+    """
+    if bits < 2:
+        raise ValueError(f"bits must be >= 2, got {bits}")
+    if hashes < 1:
+        raise ValueError(f"hashes must be >= 1, got {hashes}")
+    key_col = key_col or probe_col
+    kc = F.col(key_col).cast("string")
+    pos = keys.select(
+        F.explode(F.array(*bloom_positions(kc, bits=bits,
+                                           hashes=hashes))).alias("pos")
+    ).distinct()
+
+    pc = F.col(probe_col).cast("string")
+    out = probe
+    for j, p in enumerate(bloom_positions(pc, bits=bits,
+                                          hashes=hashes)):
+        out = out.withColumn(f"__bpos{j}", p)
+        out = out.join(
+            F.broadcast(pos.withColumnRenamed("pos", f"__bpos{j}")),
+            f"__bpos{j}", "left_semi",
+        )
+    return out.drop(*[f"__bpos{j}" for j in range(hashes)])
+
+
+HLL_HASH_BITS = 60
+
+
+def hll_count_distinct(df: DataFrame, col: str, *,
+                       registers: int = 256) -> DataFrame:
+    """HyperLogLog distinct-count estimate over ``h60(col)`` — the
+    bounded-memory cardinality sketch (Flajolet, Fusy, Gandouet &
+    Meunier 2007). ``registers`` (m) must be a power of two >= 16.
+
+    * register = ``h mod m``; the remaining ``60 - p`` bits form w;
+      rank = leading zeros of w in that width + 1
+      (= ``60 - p + 1 - floor(log2(w)) - ... `` via bit position; w=0
+      ranks ``60 - p + 1``).
+    * raw estimate ``alpha_m * m^2 / sum(2^-M_j)`` (empty registers
+      contribute ``2^0``); small-range correction: if raw <= 2.5m and
+      some register is empty, ``m * ln(m / V)`` (linear counting).
+
+    One narrow map + ONE map-side-combined ``groupBy(register).max``
+    — the shuffle carries at most m rows per partition; the merged
+    sketch is m rows regardless of input size (that is the point).
+    Deterministic: same input multiset => same registers => same
+    estimate, on any engine (the driver oracle replays it in SQL).
+
+    Returns one row: (registers, zero_registers, raw_estimate,
+    estimate) with the estimates rounded to 4 dp."""
+    m = int(registers)
+    if m < 16 or (m & (m - 1)) != 0:
+        raise ValueError(f"registers must be a power of two >= 16, "
+                         f"got {registers}")
+    p = int(math.log2(m))
+    wbits = HLL_HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    h = h60(F.col(col).cast("string"))
+    reg = (h % m).alias("reg")
+    w = F.floor(h / m)
+    rank = F.when(w > 0,
+                  F.lit(wbits) - F.floor(F.log2(w))) \
+        .otherwise(F.lit(wbits + 1)).cast("int").alias("rank")
+
+    regs = (
+        df.select(reg, rank)
+        .groupBy("reg").agg(F.max("rank").alias("mr"))
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_used"),
+    )
+    return agg.select(
+        F.lit(m).alias("registers"),
+        (F.lit(m) - F.col("n_used")).alias("zero_registers"),
+        F.round(
+            F.lit(alpha * m * m)
+            / (F.col("s_used") + (F.lit(m) - F.col("n_used"))), 4
+        ).alias("raw_estimate"),
+    ).select(
+        "registers", "zero_registers", "raw_estimate",
+        F.round(
+            F.when(
+                (F.col("raw_estimate") <= 2.5 * m)
+                & (F.col("zero_registers") > 0),
+                F.lit(float(m))
+                * F.log(F.lit(float(m)) / F.col("zero_registers")),
+            ).otherwise(F.col("raw_estimate")), 4
+        ).alias("estimate"),
+    )

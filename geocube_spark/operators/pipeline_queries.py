@@ -1224,6 +1224,123 @@ GROUP BY c.id ORDER BY c.id
 SQL_PCA_POWER = _pca_power_sql()
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter join pruning (functions.sketch.bloom_semijoin):
+    orders filtered by a 256-bit / 3-hash Bloom of nation-1
+    customers. Deliberately tiny ``bits`` so deterministic FALSE
+    POSITIVES exist — ``is_member`` labels them via the exact
+    semijoin, proving the filter is a proper superset. Portable h60
+    double hashing => the oracle replays the identical bits."""
+    from ..functions.sketch import bloom_semijoin
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    keys = cust.where(F.col("c_nationkey") == 1).select("c_custkey")
+    passed = bloom_semijoin(orders, keys, probe_col="o_custkey",
+                            key_col="c_custkey", bits=256, hashes=3)
+    member = keys.withColumnRenamed("c_custkey", "o_custkey") \
+        .withColumn("is_member", F.lit(1))
+    return (
+        passed.join(member, "o_custkey", "left")
+        .select("o_orderkey", "o_custkey",
+                F.coalesce("is_member", F.lit(0)).alias("is_member"))
+        .orderBy("o_orderkey")
+    )
+
+
+def _bloom_sql(bits: int = 256, hashes: int = 3) -> str:
+    h1 = H60_SQL.format(x="CAST({k} AS VARCHAR)")
+    h2 = ("(" + H60_SQL.format(x="CAST({k} AS VARCHAR) || '#'")
+          + " | 1)")
+    mk_pos = ", ".join(
+        f"(h1 + {j} * h2) % {bits} AS pos{j}" for j in range(hashes))
+    conds = " AND ".join(
+        f"pos{j} IN (SELECT pos FROM pos)" for j in range(hashes))
+    return f"""
+WITH ks AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey = 1
+),
+kh AS (
+  SELECT {h1.format(k='c_custkey')} % {bits} AS h1,
+         {h2.format(k='c_custkey')} % {bits} AS h2
+  FROM ks
+),
+pos AS (
+  SELECT DISTINCT (h1 + j.j * h2) % {bits} AS pos
+  FROM kh CROSS JOIN (VALUES {', '.join(f'({j})' for j in range(hashes))}) j(j)
+),
+ph AS (
+  SELECT o_orderkey, o_custkey,
+         {h1.format(k='o_custkey')} % {bits} AS h1,
+         {h2.format(k='o_custkey')} % {bits} AS h2
+  FROM orders
+),
+pp AS (SELECT o_orderkey, o_custkey, {mk_pos} FROM ph)
+SELECT pp.o_orderkey, pp.o_custkey,
+       CAST(CASE WHEN ks.c_custkey IS NOT NULL THEN 1 ELSE 0 END
+            AS INT) AS is_member
+FROM pp LEFT JOIN ks ON pp.o_custkey = ks.c_custkey
+WHERE {conds}
+ORDER BY pp.o_orderkey
+"""
+
+
+SQL_BLOOM_SEMIJOIN = _bloom_sql()
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch
+    (functions.sketch.hll_count_distinct, 256 registers) over the
+    orders' customer keys — deterministic registers from the portable
+    hash, so even the APPROXIMATE estimate is oracle-exact."""
+    from ..functions.sketch import hll_count_distinct
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return hll_count_distinct(orders, "o_custkey", registers=256)
+
+
+def _hll_sql(m: int = 256) -> str:
+    import math as _math
+
+    p = int(_math.log2(m))
+    wbits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = H60_SQL.format(x="CAST(o_custkey AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT {h} AS h FROM orders),
+rr AS (
+  SELECT h % {m} AS reg,
+         CAST(CASE WHEN h // {m} > 0
+              THEN {wbits} - floor(log2(h // {m}))
+              ELSE {wbits + 1} END AS INT) AS rank
+  FROM h
+),
+regs AS (SELECT reg, max(rank) AS mr FROM rr GROUP BY reg),
+agg AS (
+  SELECT count(*) AS n_used, sum(pow(2.0, -mr)) AS s_used FROM regs
+),
+raw AS (
+  SELECT CAST({m} AS BIGINT) AS registers,
+         CAST({m} - n_used AS BIGINT) AS zero_registers,
+         round(CAST({alpha!r} AS DOUBLE) * {m} * {m}
+               / (s_used + ({m} - n_used)), 4)
+         AS raw_estimate
+  FROM agg
+)
+SELECT registers, zero_registers, raw_estimate,
+       round(CASE WHEN raw_estimate <= {2.5 * m}
+                   AND zero_registers > 0
+             THEN CAST({float(m)!r} AS DOUBLE)
+                  * ln(CAST({float(m)!r} AS DOUBLE) / zero_registers)
+             ELSE raw_estimate END, 4) AS estimate
+FROM raw
+"""
+
+
+SQL_HLL_DISTINCT = _hll_sql()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1581,6 +1698,11 @@ EXTRA_QUERIES = {
     # cont., functions.similarity.pca_power_scores): iterative linear
     # algebra with a deterministic start => still SQL-replayable
     "pca_power_scores": (q_pca_power_scores, SQL_PCA_POWER),
+    # engine-portable sketches (round 4 cont., functions.sketch):
+    # Bloom join pruning with deterministic false positives, HLL
+    # cardinality with oracle-exact registers
+    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)
