@@ -2796,3 +2796,104 @@ def cost_distance(cube: GeoCube, sources, *, cost_band: str,
     return GeoCube(chunks=final, geobox=cube.geobox, bands=bands,
                    tile_size=cube.tile_size, fill=float("nan"),
                    group_by=cube.group_by, group_keys=cube.group_keys)
+
+
+def cost_backlink(cube: GeoCube, sources, *, cost_band: str,
+                  dist: GeoCube = None,
+                  max_rounds: int = 256) -> GeoCube:
+    """Cost-path backlink raster (ESRI CostBackLink): for every
+    reachable cell, the D8 code (E=1, SE=2, S=4, SW=8, W=16, NW=32,
+    N=64, NE=128 — same encoding as ``terrain(mode='flowdir')``) of
+    the PREDECESSOR cell on its least-cost path, i.e. the neighbor n
+    minimizing ``dist(n) + (cost(n)+cost(cell))/2 * step``; sources
+    code 0. Following backlinks from any cell walks the optimal path
+    back to its source — the raster IS the path structure, so path
+    extraction never needs a distributed walk.
+
+    At the :func:`cost_distance` fixpoint the minimizing neighbor's
+    candidate EQUALS dist(cell) bit-for-bit (dist was assigned from
+    that very expression), so the argmin is exact; ties break to the
+    smallest D8 code like flowdir. One extra halo-exchange stencil
+    pass over the converged distance surface (``dist`` defaults to
+    running :func:`cost_distance` here).
+
+    Returns a GeoCube with band ``backlink`` (float64 codes, nodata
+    for impassable/unreached cells)."""
+    import pandas as pd
+
+    from .cube import CHUNK_SCHEMA, GeoCube, _grouped_map
+
+    if cost_band not in cube.bands:
+        raise ValueError(f"unknown band {cost_band!r}")
+    if dist is None:
+        dist = cost_distance(cube, sources, cost_band=cost_band,
+                             max_rounds=max_rounds)
+    fill = float(cube.bands[cost_band].fill)
+    c = cube.chunks.where(F.col("measurement") == cost_band) \
+        .withColumn("measurement", F.lit("__cost"))
+    d = dist.chunks.withColumn("measurement", F.lit("__dist"))
+    n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
+    out_cols = [f.name for f in CHUNK_SCHEMA.fields]
+
+    def _valid(m):
+        v = ~np.isnan(m)
+        if not np.isnan(fill):
+            v &= m != fill
+        return v
+
+    sq2 = float(np.sqrt(2.0))
+    # neighbor (dy, dx) -> code of the DIRECTION FROM cell TO that
+    # neighbor (the backlink points the walk toward the predecessor)
+    code_of = {(0, 1): 1.0, (1, 1): 2.0, (1, 0): 4.0, (1, -1): 8.0,
+               (0, -1): 16.0, (-1, -1): 32.0, (-1, 0): 64.0,
+               (-1, 1): 128.0}
+
+    def _link(key, sub: pd.DataFrame) -> pd.DataFrame:
+        gk, tid = key
+        csub = sub[sub["measurement"].values == "__cost"]
+        dsub = sub[sub["measurement"].values == "__dist"]
+        cctr = csub[csub["role"].values == 0]
+        dctr = dsub[dsub["role"].values == 0]
+        if not len(cctr) or not len(dctr):
+            return pd.DataFrame([], columns=out_cols)
+        cpad, th, tw, row0, col0 = _paste_padded(csub, cctr.iloc[0], 1)
+        dpad, _, _, _, _ = _paste_padded(dsub, dctr.iloc[0], 1)
+        cn = np.where(_valid(cpad), cpad, np.inf)
+        dn = np.where(np.isnan(dpad), np.inf, dpad)
+        cc = cn[1:th + 1, 1:tw + 1]
+        dcen = dn[1:th + 1, 1:tw + 1]
+        best = np.full((th, tw), np.inf)
+        code = np.zeros((th, tw))
+        # ascending code order => on ties the SMALLEST code sticks
+        for (dy, dx), cd in sorted(code_of.items(),
+                                   key=lambda kv: kv[1]):
+            w8 = sq2 if (dy and dx) else 1.0
+            dsh = dn[1 + dy:th + 1 + dy, 1 + dx:tw + 1 + dx]
+            csh = cn[1 + dy:th + 1 + dy, 1 + dx:tw + 1 + dx]
+            cand = dsh + (cc + csh) / 2.0 * w8
+            better = cand < best
+            best[better] = cand[better]
+            code[better] = cd
+        reached = np.isfinite(dcen)
+        out = np.where(reached, code, np.nan)
+        out[reached & (dcen == 0.0)] = 0.0          # sources
+        base = dctr.iloc[0]
+        return pd.DataFrame([{
+            "measurement": "backlink", "group_key": gk,
+            "zoom": int(base["zoom"]), "tile_id": int(tid),
+            "row0": row0, "col0": col0, "h": th, "w": tw,
+            "values": out.ravel(),
+            "n_geoms": int(base["n_geoms"]), "n_cells_burned": th * tw,
+            "min_seq": int(base["min_seq"]),
+            "max_seq": int(base["max_seq"]),
+        }], columns=out_cols)
+
+    sc_ctx = c.sparkSession.sparkContext
+    n_parts = max(1, min(int(n_tiles), 4 * sc_ctx.defaultParallelism))
+    strips = _halo_strips(c.unionByName(d), ntx, nty, 1)
+    out = _grouped_map(strips, ["group_key", "tile_id"], n_parts,
+                       _link, CHUNK_SCHEMA)
+    bands = {"backlink": BandMeta("backlink", "float64", float("nan"))}
+    return GeoCube(chunks=out, geobox=cube.geobox, bands=bands,
+                   tile_size=cube.tile_size, fill=float("nan"),
+                   group_by=cube.group_by, group_keys=cube.group_keys)

@@ -4135,7 +4135,66 @@ ORDER BY row, col
 """
 
 
+def q_cost_backlink(spark, sf_dir):
+    """Cost-path backlink raster (bandops.cost_backlink): D8 code of
+    the least-cost predecessor at the cost_distance fixpoint, same
+    surface and seeds as the cost_distance query; exact argmin (the
+    fixpoint makes the winning candidate equal dist bit-for-bit)."""
+    from ..bandops import cost_backlink
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    srcs = spark.createDataFrame([(22, 45), (40, 10)],
+                                 "row int, col int")
+    out = cost_backlink(cube, srcs, cost_band="value")
+    df = _explode_cells(out.chunks)
+    return (
+        df.where(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.col("val").cast("int").alias("code"))
+        .orderBy("row", "col")
+    )
+
+
+_SQL_COST_PREFIX = SQL_COST_DISTANCE[: SQL_COST_DISTANCE.rindex(
+    "SELECT row, col")]
+
+SQL_COST_BACKLINK = _SQL_COST_PREFIX + f"""
+, fd AS (
+  SELECT row, col, d FROM it WHERE k = {_COST_K} AND d < 1e17
+),
+cand AS (
+  SELECT e.r2 AS row, e.c2 AS col, fn.d + e.w AS cand,
+         CASE
+           WHEN e.r1 = e.r2     AND e.c1 = e.c2 + 1 THEN 1
+           WHEN e.r1 = e.r2 + 1 AND e.c1 = e.c2 + 1 THEN 2
+           WHEN e.r1 = e.r2 + 1 AND e.c1 = e.c2     THEN 4
+           WHEN e.r1 = e.r2 + 1 AND e.c1 = e.c2 - 1 THEN 8
+           WHEN e.r1 = e.r2     AND e.c1 = e.c2 - 1 THEN 16
+           WHEN e.r1 = e.r2 - 1 AND e.c1 = e.c2 - 1 THEN 32
+           WHEN e.r1 = e.r2 - 1 AND e.c1 = e.c2     THEN 64
+           ELSE 128
+         END AS code
+  FROM e JOIN fd fn ON fn.row = e.r1 AND fn.col = e.c1
+),
+pick AS (
+  SELECT row, col, code,
+         row_number() OVER (PARTITION BY row, col
+                            ORDER BY cand, code) AS rn
+  FROM cand
+)
+SELECT fd.row, fd.col,
+       CAST(CASE WHEN fd.d = 0.0 THEN 0 ELSE pick.code END AS INT)
+       AS code
+FROM fd
+LEFT JOIN pick ON pick.row = fd.row AND pick.col = fd.col
+              AND pick.rn = 1
+ORDER BY fd.row, fd.col
+"""
+
+
 EXTRA_QUERIES = {
+    # cost backlink (round 4 cont., bandops.cost_backlink): D8
+    # predecessor codes over the converged cost surface
+    "cost_backlink": (q_cost_backlink, SQL_COST_BACKLINK),
     # cost distance (round 4 cont., bandops.cost_distance): blocked
     # Bellman-Ford halo rounds; oracle = fixed-K Jacobi recursion
     "cost_distance": (q_cost_distance, SQL_COST_DISTANCE),

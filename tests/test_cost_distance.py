@@ -108,3 +108,45 @@ def test_validation(spark):
         cost_distance(cube, [], cost_band="cost")
     with pytest.raises(ValueError, match="max_rounds"):
         cost_distance(cube, [(0, 0)], cost_band="cost", max_rounds=0)
+
+
+def test_backlink_walk_reconstructs_distance(spark):
+    from geocube_spark.bandops import cost_backlink, cost_distance
+
+    rng = np.random.default_rng(9)
+    arr = rng.uniform(0.5, 5.0, (16, 16))
+    arr[rng.uniform(size=arr.shape) < 0.1] = np.nan
+    srcs = [(2, 3)]
+    cube = _cube(spark, arr, ts=8)
+    dist = cost_distance(cube, srcs, cost_band="cost")
+    dvals = _collect(spark, dist)
+    bl = cost_backlink(cube, srcs, cost_band="cost", dist=dist)
+    codes = _collect(spark, bl)
+    assert set(codes) == set(dvals)
+    step = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1), 16: (0, -1),
+            32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+    for cell, d in dvals.items():
+        # follow backlinks to a source, accumulating edge costs
+        cur, acc, hops = cell, 0.0, 0
+        while codes[cur] != 0:
+            dy, dx = step[int(codes[cur])]
+            nxt = (cur[0] + dy, cur[1] + dx)
+            w = math.sqrt(2.0) if dy and dx else 1.0
+            acc += (arr[cur] + arr[nxt]) / 2.0 * w
+            cur = nxt
+            hops += 1
+            assert hops < 1000
+        assert cur in [tuple(s) for s in srcs]
+        assert acc == pytest.approx(d, abs=1e-9)
+
+
+def test_backlink_sources_zero_and_codes_valid(spark):
+    from geocube_spark.bandops import cost_backlink
+
+    arr = np.ones((8, 8))
+    cube = _cube(spark, arr, ts=4)
+    codes = _collect(spark, cost_backlink(cube, [(4, 4)],
+                                          cost_band="cost"))
+    assert codes[(4, 4)] == 0
+    valid = {0, 1, 2, 4, 8, 16, 32, 64, 128}
+    assert {int(v) for v in codes.values()} <= valid
