@@ -2897,3 +2897,40 @@ def cost_backlink(cube: GeoCube, sources, *, cost_band: str,
     return GeoCube(chunks=out, geobox=cube.geobox, bands=bands,
                    tile_size=cube.tile_size, fill=float("nan"),
                    group_by=cube.group_by, group_keys=cube.group_keys)
+
+
+def extract_cost_path(backlink: GeoCube, dest, *,
+                      max_cells: int = 2_000_000) -> list:
+    """Walk a :func:`cost_backlink` raster from ``dest`` (row, col)
+    back to its source; returns the path as a list of (row, col) from
+    destination to source inclusive. Driver-side by design: a path is
+    O(grid diameter) cells, but the walk needs random access, so the
+    backlink band is collected once (guarded by ``max_cells`` — for
+    larger rasters, clip the cube to the path's bounding region
+    first; the backlink raster itself always stays distributed)."""
+    n_cells = backlink.chunks.agg(
+        F.sum(F.col("h") * F.col("w"))).collect()[0][0] or 0
+    if n_cells > max_cells:
+        raise ValueError(
+            f"backlink raster has {n_cells} cells > max_cells "
+            f"{max_cells}; clip to the region of interest first")
+    from .operators.geocube_queries import _explode_cells
+
+    rows = _explode_cells(backlink.chunks).where(
+        F.col("val").isNotNull() & ~F.isnan("val")).collect()
+    codes = {(r["row"], r["col"]): int(r["val"]) for r in rows}
+    step = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1), 16: (0, -1),
+            32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+    cur = (int(dest[0]), int(dest[1]))
+    if cur not in codes:
+        raise ValueError(f"destination {cur} is not a reached cell")
+    path = [cur]
+    seen = {cur}
+    while codes[cur] != 0:
+        dy, dx = step[codes[cur]]
+        cur = (cur[0] + dy, cur[1] + dx)
+        if cur in seen:
+            raise RuntimeError(f"backlink cycle at {cur}")
+        seen.add(cur)
+        path.append(cur)
+    return path

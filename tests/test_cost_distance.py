@@ -150,3 +150,27 @@ def test_backlink_sources_zero_and_codes_valid(spark):
     assert codes[(4, 4)] == 0
     valid = {0, 1, 2, 4, 8, 16, 32, 64, 128}
     assert {int(v) for v in codes.values()} <= valid
+
+
+def test_extract_cost_path(spark):
+    from geocube_spark.bandops import (cost_backlink, cost_distance,
+                                       extract_cost_path)
+
+    arr = np.ones((10, 10))
+    arr[4, 1:9] = np.nan       # wall forces a detour
+    cube = _cube(spark, arr, ts=8)
+    srcs = [(0, 5)]
+    dist = cost_distance(cube, srcs, cost_band="cost")
+    bl = cost_backlink(cube, srcs, cost_band="cost", dist=dist)
+    path = extract_cost_path(bl, (9, 5))
+    assert path[0] == (9, 5) and path[-1] == (0, 5)
+    # consecutive cells are 8-adjacent and path cost equals dist
+    acc = 0.0
+    for a, b in zip(path, path[1:]):
+        assert max(abs(a[0] - b[0]), abs(a[1] - b[1])) == 1
+        w = math.sqrt(2.0) if (a[0] != b[0] and a[1] != b[1]) else 1.0
+        acc += (arr[a] + arr[b]) / 2.0 * w
+    dvals = _collect(spark, dist)
+    assert acc == pytest.approx(dvals[(9, 5)], abs=1e-9)
+    with pytest.raises(ValueError, match="not a reached cell"):
+        extract_cost_path(bl, (4, 5))
