@@ -978,3 +978,66 @@ def edit_distance_pairs(df: DataFrame, *, max_dist: int = 2, q: int = 3,
         .where(F.col("dist") <= k)
         .select("id_a", "id_b", "dist")
     )
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame, *,
+                  width: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  bench_text_col: str = None) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene step
+    (Dolma / FineWeb / GPT-3 appendix C): flag every corpus document
+    sharing at least one ``width``-token window with a held-out
+    evaluation set, so eval data can be excluded from training.
+    Same tokenizer + portable window hash as
+    :func:`duplicate_spans`, so a shared window is an exact token
+    sequence match (60-bit hash, collision-free at corpus scale).
+
+    Returns one row per corpus document: (id, n_windows,
+    n_contaminated, contaminated) — ``n_contaminated`` counts the
+    doc's windows that appear anywhere in the benchmark,
+    ``contaminated`` is the 0/1 drop signal.
+
+    Scale shape: benchmark window hashes are DISTINCT 8-byte keys —
+    eval suites are MBs against a 100 TB corpus, so the hash set
+    BROADCASTS and the corpus scan never shuffles for the probe (one
+    broadcast semi-ish left join + one map-side-combined per-doc
+    count). The corpus side explodes (id, win_hash) pairs only."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    bench_text_col = bench_text_col or text_col
+
+    def _wins(col, w):
+        toks = tokens(F.col(col))
+        return F.when(
+            F.size(toks) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+                lambda i: h60(F.concat_ws(" ", F.slice(toks, i, w))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    bench = benchmark.select(
+        F.explode(_wins(bench_text_col, width)).alias("win_hash")
+    ).distinct()
+
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_wins(text_col, width)).alias("win_hash"),
+    )
+    hits = (
+        occ.join(F.broadcast(bench.withColumn("__hit", F.lit(1))),
+                 "win_hash", "left")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_windows"),
+             F.sum(F.coalesce("__hit", F.lit(0)))
+             .alias("n_contaminated"))
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_contaminated", F.lit(0)).cast("long")
+        .alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).cast("int")
+        .alias("contaminated"),
+    )

@@ -1341,6 +1341,72 @@ FROM raw
 SQL_HLL_DISTINCT = _hll_sql()
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions.dedup.decontaminate):
+    every 17th doc plays the held-out eval set; the corpus is the
+    rest plus PLANTED leaks (benchmark docs with the first 10 chars
+    dropped — their 8-token windows past the first token still
+    match). Benchmark hashes broadcast; the corpus probe never
+    shuffles."""
+    from ..functions.dedup import decontaminate
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    bench = d.where(F.col("doc_id") % 17 == 0)
+    corpus = d.where(F.col("doc_id") % 17 != 0).unionByName(
+        bench.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                     F.expr("substring(text, 11)").alias("text")))
+    return decontaminate(_spread(spark, corpus), bench,
+                         width=8).orderBy("id")
+
+
+SQL_DECONTAMINATE = (
+    """
+WITH bdocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text
+  FROM documents WHERE doc_id % 17 = 0
+),
+cdocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT id + 2000000, substring(text, 11) FROM bdocs
+),
+btok AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM bdocs
+),
+bwin AS (
+  SELECT DISTINCT """
+    + H60_SQL.format(x="array_to_string(toks[i:i+7], ' ')")
+    + """ AS win_hash
+  FROM btok, unnest(range(1, greatest(1, len(toks) - 6))) AS t(i)
+),
+ctok AS (
+  SELECT id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM cdocs
+),
+cwin AS (
+  SELECT id, """
+    + H60_SQL.format(x="array_to_string(toks[i:i+7], ' ')")
+    + """ AS win_hash
+  FROM ctok, unnest(range(1, greatest(1, len(toks) - 6))) AS t(i)
+),
+hits AS (
+  SELECT c.id, count(*) AS n_windows,
+         sum(CASE WHEN b.win_hash IS NOT NULL THEN 1 ELSE 0 END)
+         AS n_contaminated
+  FROM cwin c LEFT JOIN bwin b USING (win_hash)
+  GROUP BY c.id
+)
+SELECT d.id, COALESCE(h.n_windows, 0) AS n_windows,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(h.n_contaminated, 0) > 0 AS INT) AS contaminated
+FROM cdocs d LEFT JOIN hits h ON d.id = h.id
+ORDER BY d.id
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1703,6 +1769,10 @@ EXTRA_QUERIES = {
     # cardinality with oracle-exact registers
     "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    # benchmark decontamination (round 4 cont.,
+    # functions.dedup.decontaminate): eval-set window-hash overlap,
+    # broadcast probe, planted-leak query
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)

@@ -114,3 +114,52 @@ def test_plan_shape(spark, docs_df):
     for bad in ("CartesianProduct", "BroadcastNestedLoop",
                 "BatchEvalPython", "ArrowEvalPython", "InPandas"):
         assert bad not in plan, bad
+
+
+class TestDecontaminate:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_leak_flagged(self, spark):
+        bench = self._df(spark, [
+            (0, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+        ])
+        corpus = self._df(spark, [
+            # full copy -> contaminated
+            (10, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+            # shares the 8-token window starting at 'beta'
+            (11, "XX beta gamma delta eps zeta eta theta iota YY"),
+            # clean
+            (12, "one two three four five six seven eight nine ten"),
+            # too short for any window
+            (13, "alpha beta"),
+        ])
+        from geocube_spark.functions.dedup import decontaminate
+
+        out = {r["id"]: r for r in
+               decontaminate(corpus, bench, width=8).collect()}
+        assert out[10]["contaminated"] == 1
+        assert out[10]["n_contaminated"] == out[10]["n_windows"] == 3
+        assert out[11]["contaminated"] == 1
+        assert out[11]["n_contaminated"] == 1
+        assert out[12]["contaminated"] == 0
+        assert out[13]["n_windows"] == 0
+        assert out[13]["contaminated"] == 0
+
+    def test_benchmark_broadcast_plan(self, spark, sf_dir):
+        from geocube_spark.functions.dedup import decontaminate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select("doc_id", "text")
+        bench = docs.limit(20)
+        plan = decontaminate(docs, bench)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, spark):
+        from geocube_spark.functions.dedup import decontaminate
+
+        df = self._df(spark, [(1, "x")])
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="width"):
+            decontaminate(df, df, width=0)
