@@ -111,13 +111,26 @@ def hll_count_distinct(df: DataFrame, col: str, *,
 
     Returns one row: (registers, zero_registers, raw_estimate,
     estimate) with the estimates rounded to 4 dp."""
+    regs = hll_registers(df, col, registers=registers)
+    return hll_estimate(regs, registers=registers)
+
+
+def hll_registers(df: DataFrame, col: str, *,
+                  registers: int = 256) -> DataFrame:
+    """The HLL sketch STATE: (reg, mr) rows, max rank per register.
+    This is a SINGLE aggregation, so it runs unchanged under
+    Structured Streaming (update/complete mode) — stream the
+    registers, then finish with :func:`hll_estimate` per micro-batch
+    or on the compacted state (streaming forbids chained
+    aggregations, which is exactly why the sketch is split here).
+    Register tables merge by another groupBy(reg).max — sketches are
+    mergeable by construction."""
     m = int(registers)
     if m < 16 or (m & (m - 1)) != 0:
         raise ValueError(f"registers must be a power of two >= 16, "
                          f"got {registers}")
     p = int(math.log2(m))
     wbits = HLL_HASH_BITS - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
 
     h = h60(F.col(col).cast("string"))
     reg = (h % m).alias("reg")
@@ -125,11 +138,20 @@ def hll_count_distinct(df: DataFrame, col: str, *,
     rank = F.when(w > 0,
                   F.lit(wbits) - F.floor(F.log2(w))) \
         .otherwise(F.lit(wbits + 1)).cast("int").alias("rank")
-
-    regs = (
+    return (
         df.select(reg, rank)
         .groupBy("reg").agg(F.max("rank").alias("mr"))
     )
+
+
+def hll_estimate(regs: DataFrame, *, registers: int = 256) -> DataFrame:
+    """Finish an :func:`hll_registers` state into the one-row
+    estimate (see :func:`hll_count_distinct` for the formula)."""
+    m = int(registers)
+    if m < 16 or (m & (m - 1)) != 0:
+        raise ValueError(f"registers must be a power of two >= 16, "
+                         f"got {registers}")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = regs.agg(
         F.count(F.lit(1)).alias("n_used"),
         F.sum(F.pow(F.lit(2.0), -F.col("mr"))).alias("s_used"),

@@ -90,3 +90,48 @@ def test_hll_validation(spark):
         hll_count_distinct(df, "v", registers=100)
     with pytest.raises(ValueError, match="power of two"):
         hll_count_distinct(df, "v", registers=8)
+
+
+def test_hll_registers_streaming_equals_batch(spark, tmp_path):
+    """hll_registers is a single aggregation, so it runs unchanged as
+    a Structured Streaming stateful agg: an availableNow stream over
+    two parquet micro-batches produces the exact batch register table
+    (sketches merge by max), and hll_estimate finishes it to the
+    identical estimate."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from geocube_spark.functions.sketch import (hll_count_distinct,
+                                                hll_estimate,
+                                                hll_registers)
+
+    in_dir = str(tmp_path / "hll_in")
+    os.makedirs(in_dir)
+    vals = [(int(v),) for v in range(3000)]
+    df1 = spark.createDataFrame(vals[:1500], "v long")
+    df2 = spark.createDataFrame(vals[1500:], "v long")
+    df1.coalesce(1).write.parquet(f"{in_dir}/b1")
+    df2.coalesce(1).write.parquet(f"{in_dir}/b2")
+    schema = T.StructType([T.StructField("v", T.LongType())])
+
+    q = (
+        hll_registers(
+            spark.readStream.schema(schema).parquet(f"{in_dir}/*"),
+            "v", registers=64)
+        .writeStream.format("memory").queryName("hll_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream_regs = spark.table("hll_stream")
+
+    batch = spark.createDataFrame(vals, "v long")
+    want_regs = {(r["reg"], r["mr"]) for r in
+                 hll_registers(batch, "v", registers=64).collect()}
+    got_regs = {(r["reg"], r["mr"]) for r in stream_regs.collect()}
+    assert got_regs == want_regs
+
+    est_stream = hll_estimate(stream_regs, registers=64).collect()[0]
+    est_batch = hll_count_distinct(batch, "v",
+                                   registers=64).collect()[0]
+    assert est_stream == est_batch
