@@ -510,3 +510,83 @@ def audio_features(media_df: DataFrame, codec: str = "real") -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(_feats, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def dhash_bits(df: DataFrame, *, width: int = 8, height: int = 8,
+               vec_col: str = "pixels",
+               id_col: str = "doc_id") -> DataFrame:
+    """Perceptual difference hash (dHash — Krawetz's public
+    algorithm): over a row-major ``height x width`` grayscale pixel
+    array, bit ``r*(width-1)+c`` is set iff ``p[r,c] < p[r,c+1]``
+    (strict <, so ties are deterministic). ``height*(width-1)`` bits
+    packed little-endian into one long (must be <= 62 bits). Near-
+    identical images differ in few bits; crops/re-encodes move only
+    the bits whose local gradient flipped — the standard cheap image
+    near-dup signature.
+
+    Pure Catalyst (element_at comparisons + conditional bit sums, the
+    simhash construction) — zero Python, zero shuffle. Feed it
+    ``decode_media``/``resize_media`` pixels for real images, or any
+    fixed-length feature vector.
+
+    Returns (id, dhash: long)."""
+    nbits = height * (width - 1)
+    if width < 2 or height < 1:
+        raise ValueError(f"need width >= 2, height >= 1, got "
+                         f"{width}x{height}")
+    if nbits > 62:
+        raise ValueError(f"{nbits} bits exceed a signed long; shrink "
+                         f"width/height (max 62)")
+    v = F.col(vec_col)
+    terms = []
+    for r in range(height):
+        for c in range(width - 1):
+            i = r * (width - 1) + c
+            bit = (F.element_at(v, r * width + c + 1)
+                   < F.element_at(v, r * width + c + 2))
+            terms.append(F.when(bit, F.lit(1 << i).cast("long"))
+                         .otherwise(F.lit(0).cast("long")))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        total.alias("dhash"),
+    )
+
+
+def dhash_near_pairs(sig: DataFrame, *, max_hamming: int = 6,
+                     bands: int = 7, bits: int = 56) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance — the
+    banded-segment equi-join (pigeonhole: Hamming <= bands-1 implies
+    >=1 exact shared segment) with exact ``bit_count(xor)``
+    verification, same scale shape as ``simhash_near_pairs``:
+    candidates ~ colliding pairs, never all-pairs.
+
+    ``sig`` is a :func:`dhash_bits` frame (id, dhash). Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    if bands < 1 or bits % bands:
+        raise ValueError(f"bands must divide bits ({bits})")
+    seg = bits // bands
+    segs = F.array(*[
+        F.struct(
+            F.lit(i).alias("seg"),
+            F.shiftright(F.col("dhash"), i * seg)
+            .bitwiseAND(F.lit((1 << seg) - 1)).alias("sv"),
+        )
+        for i in range(bands)
+    ])
+    b = sig.select("id", "dhash", F.explode(segs).alias("s")).select(
+        "id", "dhash", F.col("s.seg").alias("seg"),
+        F.col("s.sv").alias("sv"))
+    l, r = b.alias("l"), b.alias("r")
+    ham = F.bit_count(F.col("l.dhash").bitwiseXOR(F.col("r.dhash")))
+    return (
+        l.join(r, (F.col("l.seg") == F.col("r.seg"))
+               & (F.col("l.sv") == F.col("r.sv"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

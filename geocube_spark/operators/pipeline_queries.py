@@ -1407,6 +1407,60 @@ ORDER BY d.id
 )
 
 
+def q_dhash_near_pairs(spark, sf_dir):
+    """Perceptual dHash image near-dup pairs
+    (functions.multimodal.dhash_bits + dhash_near_pairs): 64-dim
+    embeddings as 8x8 grayscale images, plus perturbed copies whose
+    single changed pixel flips at most one gradient bit. Bands=7 >
+    max_hamming=4, so the pigeonhole guarantee makes the banded join
+    EXACT — the oracle is the brute-force Hamming ground truth."""
+    from ..functions.multimodal import dhash_bits, dhash_near_pairs
+
+    e = _emb(spark, sf_dir)
+    pert = e.select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.25).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(pert)
+    sig = dhash_bits(corpus, vec_col="embedding", id_col="vec_id")
+    return dhash_near_pairs(sig, max_hamming=4).orderBy(
+        "id_a", "id_b")
+
+
+def _dhash_sql(width: int = 8, height: int = 8,
+               max_hamming: int = 4) -> str:
+    terms = " + ".join(
+        f"CASE WHEN v[{r * width + c + 1}] < v[{r * width + c + 2}] "
+        f"THEN {1 << (r * (width - 1) + c)} ELSE 0 END"
+        for r in range(height) for c in range(width - 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+corpus AS (
+  SELECT id, v FROM base
+  UNION ALL
+  SELECT id + {DUP_OFFSET},
+         list_concat([v[1] + CAST(CAST(0.25 AS FLOAT) AS DOUBLE)], v[2:64])
+  FROM base
+),
+sig AS (SELECT id, CAST({terms} AS BIGINT) AS dhash FROM corpus)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_DHASH_PAIRS = _dhash_sql()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1773,6 +1827,10 @@ EXTRA_QUERIES = {
     # functions.dedup.decontaminate): eval-set window-hash overlap,
     # broadcast probe, planted-leak query
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    # perceptual dHash near-dup pairs (round 4 cont.,
+    # functions.multimodal.dhash_bits/dhash_near_pairs): banded
+    # Hamming join with pigeonhole-exact recall; brute-force oracle
+    "dhash_near_pairs": (q_dhash_near_pairs, SQL_DHASH_PAIRS),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)
