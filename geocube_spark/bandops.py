@@ -2934,3 +2934,75 @@ def extract_cost_path(backlink: GeoCube, dest, *,
         seen.add(cur)
         path.append(cur)
     return path
+
+
+def watershed(cube: GeoCube, pour_points, band: str = "flowdir",
+              max_rounds: int = None) -> DataFrame:
+    """Watershed delineation (ESRI Watershed / GRASS r.water.outlet):
+    label every cell by the FIRST pour point its D8 flow path
+    reaches. Nested pour points follow the ESRI rule — a cell belongs
+    to the nearest pour point downstream of it, so an upstream pour
+    "captures" its sub-catchment out of a downstream pour's
+    watershed; a pour cell belongs to its own watershed.
+
+    Built on the same exact ancestor-pair doubling closure as
+    :func:`flow_accumulation` (log-round joins, never a sequential
+    walk): hits = closure pairs landing on a pour (plus pour
+    self-hits); the first-encounter rule is one anti-join against the
+    pour-to-pour drainage order (q strictly upstream of p blocks p
+    for any cell that also reaches q). Pour points broadcast.
+
+    ``pour_points``: DataFrame (pour_id, row, col) or iterable of
+    (pour_id, row, col). Returns (row, col, pour_id) for every cell
+    in some watershed; cells draining to no pour point are absent."""
+    cells = flow_cells(cube, band)
+    edges = flow_edges(cube, band)
+    if isinstance(pour_points, DataFrame):
+        pp = pour_points.select(
+            F.col("pour_id").cast("int").alias("pid"),
+            F.col("row").cast("int").alias("prow"),
+            F.col("col").cast("int").alias("pcol"),
+        )
+    else:
+        rows = [(int(p), int(r), int(c)) for p, r, c in pour_points]
+        if not rows:
+            raise ValueError("no pour points")
+        pp = cells.sparkSession.createDataFrame(
+            rows, "pid int, prow int, pcol int")
+    pp = F.broadcast(pp)
+    pairs = _ancestor_closure(cells, edges, cube.geobox.shape,
+                              max_rounds)
+
+    hits = pairs.join(
+        pp, (F.col("ar") == F.col("prow"))
+        & (F.col("ac") == F.col("pcol"))
+    ).select(F.col("ur").alias("row"), F.col("uc").alias("col"),
+             "pid")
+    self_hits = cells.join(
+        pp, (F.col("row") == F.col("prow"))
+        & (F.col("col") == F.col("pcol"))
+    ).select("row", "col", "pid")
+    hits = hits.unionByName(self_hits)
+
+    # pour drainage order: qid strictly upstream of pid
+    porder = (
+        pp.alias("q")
+        .join(pairs, (F.col("q.prow") == F.col("ur"))
+              & (F.col("q.pcol") == F.col("uc")))
+        .join(pp.alias("p"), (F.col("ar") == F.col("p.prow"))
+              & (F.col("ac") == F.col("p.pcol")))
+        .select(F.col("q.pid").alias("qid"),
+                F.col("p.pid").alias("bpid"))
+    )
+    blockers = (
+        hits.alias("h2")
+        .join(F.broadcast(porder),
+              F.col("h2.pid") == F.col("qid"))
+        .select(F.col("h2.row").alias("row"),
+                F.col("h2.col").alias("col"),
+                F.col("bpid").alias("pid"))
+        .where(F.col("pid").isNotNull())
+        .distinct()
+    )
+    return hits.join(blockers, ["row", "col", "pid"], "left_anti") \
+        .select("row", "col", F.col("pid").alias("pour_id"))

@@ -4191,7 +4191,69 @@ ORDER BY fd.row, fd.col
 """
 
 
+def q_watershed(spark, sf_dir):
+    """Watershed delineation (bandops.watershed): pour points are
+    the top-3 flow-accumulation cells (deterministic tie order), so
+    the watersheds are the three busiest catchments — including the
+    ESRI capture rule when one pour sits upstream of another;
+    nearest-downstream-pour labels via the closure + pour-order
+    anti-join."""
+    from pyspark.sql import Window
+
+    from ..bandops import flow_accumulation, watershed
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    fd = cube.terrain("value", "flowdir")
+    acc = flow_accumulation(fd)
+    w = Window.orderBy(F.desc("n_upstream"), "row", "col")
+    pours = (
+        acc.withColumn("pour_id", F.row_number().over(w))
+        .where(F.col("pour_id") <= 3)
+        .select("pour_id", "row", "col")
+    )
+    return watershed(fd, pours).orderBy("row", "col", "pour_id")
+
+
+SQL_WATERSHED = _FLOWDIR_AS_CTE + """, acc AS (
+  SELECT ar, ac, count(*) AS n FROM walk GROUP BY 1, 2
+),
+accf AS (
+  SELECT f.row, f.col, coalesce(a.n, 0) AS n
+  FROM fd f LEFT JOIN acc a ON a.ar = f.row AND a.ac = f.col
+),
+pours AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, row, col) AS INT)
+         AS pid, row AS prow, col AS pcol
+  FROM accf QUALIFY pid <= 3
+),
+hit AS (
+  SELECT w.ur AS row, w.uc AS col, p.pid
+  FROM walk w JOIN pours p ON p.prow = w.ar AND p.pcol = w.ac
+  UNION ALL
+  SELECT p.prow, p.pcol, p.pid
+  FROM pours p JOIN fd f ON f.row = p.prow AND f.col = p.pcol
+),
+porder AS (
+  SELECT q.pid AS qid, p.pid AS bpid
+  FROM pours q
+  JOIN walk w ON w.ur = q.prow AND w.uc = q.pcol
+  JOIN pours p ON p.prow = w.ar AND p.pcol = w.ac
+)
+SELECT h.row, h.col, CAST(h.pid AS INT) AS pour_id
+FROM hit h
+WHERE NOT EXISTS (
+  SELECT 1 FROM hit h2 JOIN porder o
+    ON o.qid = h2.pid AND o.bpid = h.pid
+  WHERE h2.row = h.row AND h2.col = h.col AND h2.pid <> h.pid
+)
+ORDER BY h.row, h.col, pour_id
+"""
+
+
 EXTRA_QUERIES = {
+    # watershed delineation (round 4 cont., bandops.watershed):
+    # nearest-downstream-pour labels via closure + order anti-join
+    "watershed": (q_watershed, SQL_WATERSHED),
     # cost backlink (round 4 cont., bandops.cost_backlink): D8
     # predecessor codes over the converged cost surface
     "cost_backlink": (q_cost_backlink, SQL_COST_BACKLINK),
