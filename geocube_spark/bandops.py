@@ -3006,3 +3006,54 @@ def watershed(cube: GeoCube, pour_points, band: str = "flowdir",
     )
     return hits.join(blockers, ["row", "col", "pid"], "left_anti") \
         .select("row", "col", F.col("pid").alias("pour_id"))
+
+
+def flow_length(cube: GeoCube, band: str = "flowdir",
+                max_rounds: int = None) -> DataFrame:
+    """Downstream flow length (ESRI FlowLength, direction
+    DOWNSTREAM): for every valid cell, the along-path distance to its
+    terminal sink — orthogonal steps cost the affine cell size
+    (|a| east-west, |e| north-south), diagonal steps their hypot.
+
+    Same pointer-jumping plan as :func:`flow_basins` with an additive
+    distance rider: each round composes pointers AND sums the two
+    half-path distances, so length-L paths resolve in ceil(log2 L)
+    rounds (the doubling sums tree-wise; at 6 dp that is
+    indistinguishable from the sequential walk the oracle runs).
+
+    Returns (row, col, flow_length) — 0.0 for sinks/flats."""
+    cells = flow_cells(cube, band)
+    edges = flow_edges(cube, band)
+    a = cube.geobox.affine
+    dx, dy = abs(float(a.a)), abs(float(a.e))
+    diag = float(np.hypot(dx, dy))
+    h, w = cube.geobox.shape
+    if max_rounds is None:
+        max_rounds = max(2, int(np.ceil(np.log2(max(2, h * w)))) + 1)
+    step = F.when(
+        (F.col("nrow") != F.col("row"))
+        & (F.col("ncol") != F.col("col")), F.lit(diag)
+    ).when(F.col("nrow") != F.col("row"), F.lit(dy)) \
+        .otherwise(F.lit(dx))
+    ptr = cells.join(edges, ["row", "col"], "left").select(
+        "row", "col",
+        F.coalesce("nrow", "row").alias("prow"),
+        F.coalesce("ncol", "col").alias("pcol"),
+        F.when(F.col("nrow").isNotNull(), step)
+        .otherwise(F.lit(0.0)).alias("d"),
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        if _converged(ptr, edges):
+            break
+        hop = ptr.select(
+            F.col("row").alias("prow"), F.col("col").alias("pcol"),
+            F.col("prow").alias("gprow"), F.col("pcol").alias("gpcol"),
+            F.col("d").alias("d2"),
+        )
+        ptr = ptr.join(hop, ["prow", "pcol"], "inner").select(
+            "row", "col",
+            F.col("gprow").alias("prow"),
+            F.col("gpcol").alias("pcol"),
+            (F.col("d") + F.col("d2")).alias("d"),
+        ).localCheckpoint()
+    return ptr.select("row", "col", F.col("d").alias("flow_length"))

@@ -4250,7 +4250,43 @@ ORDER BY h.row, h.col, pour_id
 """
 
 
+def q_flow_length(spark, sf_dir):
+    """Downstream flow length (bandops.flow_length): pointer jumping
+    with an additive distance rider on the coarse flowdir forest;
+    oracle = the recursive walk's sequential edge-length sum (4-unit
+    orthogonal steps, hypot diagonals — the coarsened grid's affine
+    sizes)."""
+    from ..bandops import flow_length
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    fd = cube.terrain("value", "flowdir")
+    return flow_length(fd).select(
+        "row", "col", F.round("flow_length", 6).alias("flow_length")
+    ).orderBy("row", "col")
+
+
+# step lengths for the 4x-coarsened grid (|a| = |e| = 4 degrees)
+SQL_FLOW_LENGTH = _FLOWDIR_AS_CTE + """, wl(row, col, cr, cc, d) AS (
+  SELECT row, col, row, col, CAST(0.0 AS DOUBLE) FROM fd
+  UNION ALL
+  SELECT w.row, w.col, e.nrow, e.ncol,
+         w.d + CASE WHEN e.nrow <> e.row AND e.ncol <> e.col
+                    THEN sqrt(32.0) ELSE 4.0 END
+  FROM wl w JOIN edges e ON e.row = w.cr AND e.col = w.cc
+)
+SELECT f.row, f.col, round(t.d, 6) AS flow_length
+FROM fd f
+JOIN (
+  SELECT row, col, max(d) AS d FROM wl GROUP BY row, col
+) t ON t.row = f.row AND t.col = f.col
+ORDER BY f.row, f.col
+"""
+
+
 EXTRA_QUERIES = {
+    # downstream flow length (round 4 cont., bandops.flow_length):
+    # pointer jumping with additive distance rider
+    "flow_length": (q_flow_length, SQL_FLOW_LENGTH),
     # watershed delineation (round 4 cont., bandops.watershed):
     # nearest-downstream-pour labels via closure + order anti-join
     "watershed": (q_watershed, SQL_WATERSHED),

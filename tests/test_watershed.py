@@ -111,3 +111,27 @@ def test_pour_points_dataframe_and_validation(spark):
     assert got == {(1, 1): 5}   # all-pit grid: only the pour itself
     with pytest.raises(ValueError, match="no pour"):
         watershed(cube, [])
+
+
+def test_flow_length_chain_and_referee(spark):
+    from geocube_spark.bandops import flow_length
+
+    codes = np.full((3, 12), np.nan)
+    codes[1, :10] = 1.0
+    codes[1, 10] = 0.0
+    cube = _fd_cube(spark, codes)
+    got = {(r["row"], r["col"]): r["flow_length"]
+           for r in flow_length(cube).collect()}
+    # cell size 1: straight chain => distance = hops to the pit
+    for c in range(11):
+        assert got[(1, c)] == pytest.approx(10 - c)
+    # diagonal steps cost hypot: build a SE staircase
+    codes2 = np.full((6, 6), np.nan)
+    for i in range(5):
+        codes2[i, i] = 2.0          # SE
+    codes2[5, 5] = 0.0
+    cube2 = _fd_cube(spark, codes2)
+    got2 = {(r["row"], r["col"]): r["flow_length"]
+            for r in flow_length(cube2).collect()}
+    for i in range(6):
+        assert got2[(i, i)] == pytest.approx((5 - i) * np.sqrt(2.0))
