@@ -174,3 +174,61 @@ def hll_estimate(regs: DataFrame, *, registers: int = 256) -> DataFrame:
             ).otherwise(F.col("raw_estimate")), 4
         ).alias("estimate"),
     )
+
+
+def cms_counters(df: DataFrame, col: str, *, width: int = 1024,
+                 depth: int = 4) -> DataFrame:
+    """Count-Min sketch state (Cormode & Muthukrishnan 2005): a
+    ``depth x width`` counter grid as (d, pos, cnt) rows; row ``d``
+    hashes items with the double-hashed family
+    ``(h1 + (d+1) * h2) mod width`` (h2 odd — same construction as
+    the Bloom positions, different lane offsets so no row reuses the
+    Bloom layout). ONE map-side-combined aggregate after a
+    ``depth``-way explode; state is at most depth*width tiny rows no
+    matter the input size, and sketches MERGE by summing counters.
+    Single aggregation => runs unchanged under Structured Streaming.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    key = F.col(col).cast("string")
+    h1 = h60(key) % F.lit(width)
+    h2 = _h2(key) % F.lit(width)
+    lanes = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 ((h1 + F.lit(d + 1) * h2) % F.lit(width)).alias("pos"))
+        for d in range(depth)
+    ])
+    return (
+        df.select(F.explode(lanes).alias("l"))
+        .select(F.col("l.d").alias("d"), F.col("l.pos").alias("pos"))
+        .groupBy("d", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, probes: DataFrame, *,
+                 probe_col: str, width: int = 1024,
+                 depth: int = 4) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_counters` state:
+    for every probe key, ``min`` over its ``depth`` counters — never
+    an under-estimate, over by at most ~ n*e/width with probability
+    1 - e^-depth. The counter table broadcasts (<= depth*width rows);
+    probes never shuffle. Returns (probe_col, estimate)."""
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2 and depth >= 1")
+    key = F.col(probe_col).cast("string")
+    h1 = h60(key) % F.lit(width)
+    h2 = _h2(key) % F.lit(width)
+    out = probes
+    for d in range(depth):
+        pos = ((h1 + F.lit(d + 1) * h2) % F.lit(width))
+        cd = counters.where(F.col("d") == d).select(
+            F.col("pos").alias(f"__p{d}"),
+            F.col("cnt").alias(f"__c{d}"),
+        )
+        out = out.withColumn(f"__p{d}", pos).join(
+            F.broadcast(cd), f"__p{d}", "left")
+    est = F.least(*[F.coalesce(F.col(f"__c{d}"), F.lit(0))
+                    for d in range(depth)])
+    return out.select(probe_col, est.cast("long").alias("estimate"))

@@ -1461,6 +1461,87 @@ ORDER BY id_a, id_b
 SQL_DHASH_PAIRS = _dhash_sql()
 
 
+def q_cms_frequency(spark, sf_dir):
+    """Count-Min frequency sketch (functions.sketch.cms_counters +
+    cms_estimate): order counts per customer through a 512x3 sketch,
+    probed at the nation-1 customer keys, with the exact count
+    alongside — the CMS over-estimate property (estimate >= exact) is
+    visible and, with portable hashes, oracle-exact."""
+    from ..functions.sketch import cms_counters, cms_estimate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    counters = cms_counters(orders, "o_custkey", width=512, depth=3)
+    probes = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_nationkey") == 1)
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"))
+        .distinct()
+    )
+    est = cms_estimate(counters, probes, probe_col="c_custkey",
+                       width=512, depth=3)
+    exact = orders.groupBy(
+        F.col("o_custkey").cast("long").alias("c_custkey")
+    ).agg(F.count(F.lit(1)).alias("exact"))
+    return (
+        est.join(exact, "c_custkey", "left")
+        .select("c_custkey", "estimate",
+                F.coalesce("exact", F.lit(0)).cast("long")
+                .alias("exact"))
+        .orderBy("c_custkey")
+    )
+
+
+def _cms_sql(width: int = 512, depth: int = 3) -> str:
+    h1 = H60_SQL.format(x="CAST({k} AS VARCHAR)") + f" % {width}"
+    h2 = ("(" + H60_SQL.format(x="CAST({k} AS VARCHAR) || '#'")
+          + f" | 1) % {width}")
+    lanes = "\n  UNION ALL\n".join(
+        f"  SELECT {d} AS d, (h1 + {d + 1} * h2) % {width} AS pos "
+        f"FROM oh" for d in range(depth))
+    probe_pos = ", ".join(
+        f"(h1 + {d + 1} * h2) % {width} AS p{d}" for d in range(depth))
+    joins = "\n".join(
+        f"LEFT JOIN cnt c{d} ON c{d}.d = {d} AND c{d}.pos = pp.p{d}"
+        for d in range(depth))
+    est = "least(" + ", ".join(
+        f"COALESCE(c{d}.cnt, 0)" for d in range(depth)) + ")"
+    return f"""
+WITH oh AS (
+  SELECT {h1.format(k='o_custkey')} AS h1,
+         {h2.format(k='o_custkey')} AS h2
+  FROM orders
+),
+lanes AS (
+{lanes}
+),
+cnt AS (SELECT d, pos, count(*) AS cnt FROM lanes GROUP BY d, pos),
+ks AS (
+  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS c_custkey
+  FROM customer WHERE c_nationkey = 1
+),
+pp AS (
+  SELECT c_custkey, {probe_pos}
+  FROM (SELECT c_custkey,
+               {h1.format(k='c_custkey')} AS h1,
+               {h2.format(k='c_custkey')} AS h2
+        FROM ks)
+),
+ex AS (
+  SELECT CAST(o_custkey AS BIGINT) AS c_custkey, count(*) AS exact
+  FROM orders GROUP BY 1
+)
+SELECT pp.c_custkey, CAST({est} AS BIGINT) AS estimate,
+       CAST(COALESCE(ex.exact, 0) AS BIGINT) AS exact
+FROM pp
+{joins}
+LEFT JOIN ex ON ex.c_custkey = pp.c_custkey
+ORDER BY pp.c_custkey
+"""
+
+
+SQL_CMS_FREQUENCY = _cms_sql()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1831,6 +1912,9 @@ EXTRA_QUERIES = {
     # functions.multimodal.dhash_bits/dhash_near_pairs): banded
     # Hamming join with pigeonhole-exact recall; brute-force oracle
     "dhash_near_pairs": (q_dhash_near_pairs, SQL_DHASH_PAIRS),
+    # Count-Min frequency sketch (round 4 cont., functions.sketch):
+    # portable counters, estimate >= exact visible in the output
+    "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)

@@ -135,3 +135,69 @@ def test_hll_registers_streaming_equals_batch(spark, tmp_path):
     est_batch = hll_count_distinct(batch, "v",
                                    registers=64).collect()[0]
     assert est_stream == est_batch
+
+
+def test_cms_never_underestimates_and_is_tight(spark):
+    from geocube_spark.functions.sketch import (cms_counters,
+                                                cms_estimate)
+
+    rng_rows = [(v % 97,) for v in range(5000)]  # zipf-ish repeats
+    df = spark.createDataFrame(rng_rows, "v long")
+    counters = cms_counters(df, "v", width=256, depth=4)
+    probes = spark.createDataFrame([(k,) for k in range(97)], "v long")
+    est = {r["v"]: r["estimate"] for r in
+           cms_estimate(counters, probes, probe_col="v", width=256,
+                        depth=4).collect()}
+    from collections import Counter
+
+    exact = Counter(v for (v,) in rng_rows)
+    slack = 5000 * 2.0 / 256          # ~ e*n/width, the CM tail bound
+    over = [est[k] - exact[k] for k in range(97)]
+    assert all(o >= 0 for o in over)  # NEVER an under-estimate
+    # the per-key tail bound holds with prob ~1-e^-depth: allow a few
+    # violations, none catastrophic, and most keys tight
+    assert sum(1 for o in over if o > slack) <= 8
+    assert max(over) <= 4 * slack
+    assert sorted(over)[48] <= slack / 2
+
+
+def test_cms_absent_key_small_estimate(spark):
+    from geocube_spark.functions.sketch import (cms_counters,
+                                                cms_estimate)
+
+    df = spark.createDataFrame([(v,) for v in range(2000)], "v long")
+    counters = cms_counters(df, "v", width=4096, depth=4)
+    probes = spark.createDataFrame([(999999,)], "v long")
+    est = cms_estimate(counters, probes, probe_col="v", width=4096,
+                       depth=4).collect()[0]["estimate"]
+    assert est <= 3    # wide sketch: near-zero collision mass
+
+
+def test_cms_mergeable(spark):
+    from geocube_spark.functions.sketch import cms_counters
+    from pyspark.sql import functions as FF
+
+    a = spark.createDataFrame([(v % 10,) for v in range(500)], "v long")
+    b = spark.createDataFrame([(v % 7,) for v in range(300)], "v long")
+    whole = a.unionByName(b)
+    merged = (
+        cms_counters(a, "v", width=128, depth=3)
+        .unionByName(cms_counters(b, "v", width=128, depth=3))
+        .groupBy("d", "pos").agg(FF.sum("cnt").alias("cnt"))
+    )
+    direct = cms_counters(whole, "v", width=128, depth=3)
+    assert {tuple(r) for r in merged.collect()} == \
+        {tuple(r) for r in direct.collect()}
+
+
+def test_cms_validation(spark):
+    from geocube_spark.functions.sketch import (cms_counters,
+                                                cms_estimate)
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="width"):
+        cms_counters(df, "v", width=1)
+    with pytest.raises(ValueError, match="depth"):
+        cms_counters(df, "v", depth=0)
+    with pytest.raises(ValueError, match="width"):
+        cms_estimate(df, df, probe_col="v", width=1)
