@@ -1542,6 +1542,74 @@ ORDER BY pp.c_custkey
 SQL_CMS_FREQUENCY = _cms_sql()
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (functions.graph.pagerank): 5 rounds
+    over the directed part -> supplier graph from lineitem (suppliers
+    are all dangling, so the teleport redistribution is exercised);
+    one join + one aggregate per round. Ranks rounded 9 dp."""
+    from ..functions.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+    )
+    return (
+        pagerank(edges, iters=5, damping=0.85)
+        .select("node", F.round("rank", 9).alias("rank"))
+        .orderBy("node")
+    )
+
+
+def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    parts = [f"""
+WITH e AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + 1000000 AS dst
+  FROM lineitem
+),
+nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        FROM e GROUP BY src),
+r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+  FROM nodes CROSS JOIN nn
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+dang{i} AS (
+  SELECT COALESCE(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+  FROM r{i - 1} r LEFT JOIN deg ON r.node = deg.src
+  WHERE deg.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst, sum(r.rank / deg.deg) AS c
+  FROM r{i - 1} r
+  JOIN deg ON r.node = deg.src
+  JOIN e ON e.src = r.node
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         CAST({(1.0 - d)!r} AS DOUBLE) / nn.n
+         + CAST({d!r} AS DOUBLE)
+           * (COALESCE(c.c, CAST(0.0 AS DOUBLE)) + dang{i}.dm / nn.n)
+         AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN dang{i}
+  LEFT JOIN c{i} c ON c.dst = nodes.node
+)""")
+    parts.append(f"""
+SELECT node, round(rank, 9) AS rank FROM r{iters} ORDER BY node
+""")
+    return "".join(parts)
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1915,6 +1983,9 @@ EXTRA_QUERIES = {
     # Count-Min frequency sketch (round 4 cont., functions.sketch):
     # portable counters, estimate >= exact visible in the output
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
+    # fixed-iteration PageRank (round 4 cont., functions.graph):
+    # one join + one agg per round, per-iteration CTE oracle
+    "pagerank": (q_pagerank, SQL_PAGERANK),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)
