@@ -1610,6 +1610,46 @@ SELECT node, round(rank, 9) AS rank FROM r{iters} ORDER BY node
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle counts (functions.graph.triangle_count, degree
+    orientation) on the part co-purchase graph (parts sharing an
+    order); the oracle is the brute-force ordered 3-way join."""
+    from ..functions.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pb"))
+    edges = a.join(b, "o").where(F.col("pa") < F.col("pb")) \
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return triangle_count(edges).orderBy("node")
+
+
+SQL_TRIANGLE_COUNT = """
+WITH und AS (
+  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS a,
+         CAST(b.l_partkey AS BIGINT) AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -1986,6 +2026,9 @@ EXTRA_QUERIES = {
     # fixed-iteration PageRank (round 4 cont., functions.graph):
     # one join + one agg per round, per-iteration CTE oracle
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    # exact triangle counting (round 4 cont., functions.graph):
+    # degree orientation, brute-force 3-way-join oracle
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)

@@ -68,3 +68,43 @@ def test_validation(spark):
         pagerank(df, iters=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.0)
+
+
+class TestTriangles:
+    def _run(self, spark, edges):
+        from geocube_spark.functions.graph import triangle_count
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: r["n_triangles"]
+                for r in triangle_count(df).collect()}
+
+    def test_known_graphs(self, spark):
+        # K4: every node in C(3,3)=3 triangles
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert self._run(spark, k4) == {i: 3 for i in range(4)}
+        # square (no diagonal): zero triangles
+        sq = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        assert self._run(spark, sq) == {}
+        # square + one diagonal: two triangles sharing the diagonal
+        sq2 = sq + [(0, 2)]
+        assert self._run(spark, sq2) == {0: 2, 2: 2, 1: 1, 3: 1}
+
+    def test_direction_duplicates_selfloops_ignored(self, spark):
+        tri = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
+        assert self._run(spark, tri) == {0: 1, 1: 1, 2: 1}
+
+    def test_matches_bruteforce_random(self, spark):
+        import itertools
+
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        edges = {(int(a), int(b)) for a, b in
+                 rng.integers(0, 25, (160, 2)) if a != b}
+        und = {(min(a, b), max(a, b)) for a, b in edges}
+        want = {}
+        for x, y, z in itertools.combinations(range(25), 3):
+            if {(x, y), (y, z), (x, z)} <= und:
+                for n in (x, y, z):
+                    want[n] = want.get(n, 0) + 1
+        assert self._run(spark, sorted(edges)) == want
