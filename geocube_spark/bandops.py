@@ -998,9 +998,31 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
       is <= 0 (flats and pits) code 0. Same all-9-valid rule as the
       other modes — borders and nodata-adjacent cells are nodata,
       exactly the cells where D8 is undefined.
+
+    And the three Zevenbergen & Thorne (1987) curvatures (the ESRI
+    Curvature tool's outputs, x100 scaling; generalized to dx != dy).
+    With the quartic-fit coefficients over the 3x3 window (t = north
+    neighbor, etc.):
+
+    * ``D = ((l + r)/2 - c) / dx^2``, ``E = ((t + b)/2 - c) / dy^2``,
+      ``F = (-tl + tr + bl - br) / (4*dx*dy)``,
+      ``G = (r - l) / (2*dx)``, ``H = (t - b) / (2*dy)``
+    * curvature = ``-2(D + E) * 100`` — total/general curvature;
+      positive = surface upwardly convex at the cell
+    * profile   = ``2(D*G^2 + E*H^2 + F*G*H) / (G^2 + H^2) * 100`` —
+      curvature in the direction of maximum slope; negative =
+      upwardly convex (ESRI sign convention). Flat cells (G=H=0) -> 0.
+    * plan      = ``-2(D*H^2 + E*G^2 - F*G*H) / (G^2 + H^2) * 100`` —
+      curvature perpendicular to the slope direction; positive =
+      laterally convex. Flat cells -> 0.
+
+    The y-axis orientation cancels in all three (H flips sign with
+    the grid's row direction but only H^2 and F*H appear, and F flips
+    with it too), so the outputs are orientation-independent.
     """
     if mode not in ("slope", "aspect", "hillshade",
-                    "tpi", "tri", "roughness", "flowdir"):
+                    "tpi", "tri", "roughness", "flowdir",
+                    "curvature", "profile", "plan"):
         raise ValueError(f"unsupported mode {mode!r}")
     if band not in cube.bands:
         raise ValueError(f"unknown band {band!r}")
@@ -1052,6 +1074,24 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
                 np.exp2(drops.argmax(axis=0).astype(np.float64)),
                 0.0,
             )
+            return np.where(k9, out, np.nan)
+        if mode in ("curvature", "profile", "plan"):
+            c0 = z[1:th + 1, 1:tw + 1]
+            D = ((l_ + r_) / 2.0 - c0) / (dx * dx)
+            E = ((t + b) / 2.0 - c0) / (dy * dy)
+            Fc = (-tl + tr + bl - br) / (4.0 * dx * dy)
+            G = (r_ - l_) / (2.0 * dx)
+            H = (t - b) / (2.0 * dy)
+            if mode == "curvature":
+                out = -2.0 * (D + E) * 100.0
+            else:
+                g2h2 = G * G + H * H
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    if mode == "profile":
+                        num = 2.0 * (D * G * G + E * H * H + Fc * G * H)
+                    else:
+                        num = -2.0 * (D * H * H + E * G * G - Fc * G * H)
+                    out = np.where(g2h2 == 0.0, 0.0, num / g2h2 * 100.0)
             return np.where(k9, out, np.nan)
         if mode in ("tpi", "tri", "roughness"):
             c0 = z[1:th + 1, 1:tw + 1]

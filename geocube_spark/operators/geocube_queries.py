@@ -2907,6 +2907,75 @@ FROM g ORDER BY row, col
 """
 
 
+# Zevenbergen-Thorne curvature CTE chain: named 3x3 neighbors via
+# conditional sums, then the quartic-fit coefficients (dx = dy = 4 on
+# the coarsened grid: dx^2 = 16, 4*dx*dy = 64, 2*dx = 8) — identical
+# closed forms to the numpy kernel in bandops.terrain.
+_SQL_TERRAIN_ZT = (
+    SQL_TERRAIN_SLOPE[: SQL_TERRAIN_SLOPE.index("), g AS")]
+    + """), cen AS (
+  SELECT c.row AS row, c.col AS col, v.sv AS cv
+  FROM cells c JOIN v ON v.row = c.row AND v.col = c.col
+), w AS (
+  SELECT ce.row AS row, ce.col AS col,
+         any_value(ce.cv) AS c0,
+         sum(CASE WHEN n.row = ce.row - 1 AND n.col = ce.col - 1
+                  THEN n.sv END) AS ztl,
+         sum(CASE WHEN n.row = ce.row - 1 AND n.col = ce.col
+                  THEN n.sv END) AS zt,
+         sum(CASE WHEN n.row = ce.row - 1 AND n.col = ce.col + 1
+                  THEN n.sv END) AS ztr,
+         sum(CASE WHEN n.row = ce.row AND n.col = ce.col - 1
+                  THEN n.sv END) AS zl,
+         sum(CASE WHEN n.row = ce.row AND n.col = ce.col + 1
+                  THEN n.sv END) AS zr,
+         sum(CASE WHEN n.row = ce.row + 1 AND n.col = ce.col - 1
+                  THEN n.sv END) AS zbl,
+         sum(CASE WHEN n.row = ce.row + 1 AND n.col = ce.col
+                  THEN n.sv END) AS zb,
+         sum(CASE WHEN n.row = ce.row + 1 AND n.col = ce.col + 1
+                  THEN n.sv END) AS zbr
+  FROM cen ce
+  JOIN v n ON n.row BETWEEN ce.row - 1 AND ce.row + 1
+          AND n.col BETWEEN ce.col - 1 AND ce.col + 1
+  GROUP BY 1, 2
+  HAVING count(*) = 9
+), g AS (
+  SELECT row, col,
+         ((zl + zr) / 2.0 - c0) / (4.0 * 4.0) AS cd,
+         ((zt + zb) / 2.0 - c0) / (4.0 * 4.0) AS ce_,
+         (-ztl + ztr + zbl - zbr) / (4.0 * 4.0 * 4.0) AS cf,
+         (zr - zl) / (2.0 * 4.0) AS cg,
+         (zt - zb) / (2.0 * 4.0) AS ch
+  FROM w
+)
+"""
+)
+
+SQL_TERRAIN_CURVATURE = _SQL_TERRAIN_ZT + """SELECT row, col,
+       round(-2.0 * (cd + ce_) * 100.0 + 1e-9, 6) AS val
+FROM g ORDER BY row, col
+"""
+
+SQL_TERRAIN_PROFILE = _SQL_TERRAIN_ZT + """SELECT row, col,
+       round(CASE WHEN cg * cg + ch * ch = 0.0 THEN 0.0
+                  ELSE 2.0 * (cd * cg * cg + ce_ * ch * ch
+                              + cf * cg * ch)
+                       / (cg * cg + ch * ch) * 100.0 END + 1e-9,
+             6) AS val
+FROM g ORDER BY row, col
+"""
+
+SQL_TERRAIN_PLAN = _SQL_TERRAIN_ZT + """SELECT row, col,
+       round(CASE WHEN cg * cg + ch * ch = 0.0 THEN 0.0
+                  ELSE -2.0 * (cd * ch * ch + ce_ * cg * cg
+                               - cf * cg * ch)
+                       / (cg * cg + ch * ch) * 100.0 END + 1e-9,
+             6) AS val
+FROM g ORDER BY row, col
+"""
+
+
 def _q_terrain_index(spark, sf_dir, mode):
     cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
     out = cube.terrain("value", mode)
@@ -2938,6 +3007,28 @@ def q_terrain_roughness(spark, sf_dir):
     """Roughness (bandops.terrain mode='roughness', gdaldem): 3x3
     window max - min."""
     return _q_terrain_index(spark, sf_dir, "roughness")
+
+
+def q_terrain_curvature(spark, sf_dir):
+    """Total curvature (bandops.terrain mode='curvature'; Zevenbergen
+    & Thorne 1987 / ESRI Curvature, x100): -2(D+E)*100 from the
+    quartic-fit coefficients over the 3x3 window; same
+    one-halo-exchange stencil plan as slope."""
+    return _q_terrain_index(spark, sf_dir, "curvature")
+
+
+def q_terrain_profile(spark, sf_dir):
+    """Profile curvature (bandops.terrain mode='profile'): curvature
+    along the maximum-slope direction, 2(DG^2+EH^2+FGH)/(G^2+H^2)*100,
+    flats -> 0; the oracle replays the identical closed form."""
+    return _q_terrain_index(spark, sf_dir, "profile")
+
+
+def q_terrain_plan(spark, sf_dir):
+    """Plan curvature (bandops.terrain mode='plan'): curvature
+    perpendicular to the slope direction,
+    -2(DH^2+EG^2-FGH)/(G^2+H^2)*100, flats -> 0."""
+    return _q_terrain_index(spark, sf_dir, "plan")
 
 
 def q_terrain_flowdir(spark, sf_dir):
@@ -4415,6 +4506,13 @@ EXTRA_QUERIES = {
     "terrain_tpi": (q_terrain_tpi, SQL_TERRAIN_TPI),
     "terrain_tri": (q_terrain_tri, SQL_TERRAIN_TRI),
     "terrain_roughness": (q_terrain_roughness, SQL_TERRAIN_ROUGHNESS),
+    # Zevenbergen-Thorne curvatures (bandops.terrain curvature/
+    # profile/plan, ESRI Curvature x100): quartic-fit coefficients on
+    # the shared 3x3 chain; analytic-surface referee tests in
+    # tests/test_bandops.py
+    "terrain_curvature": (q_terrain_curvature, SQL_TERRAIN_CURVATURE),
+    "terrain_profile": (q_terrain_profile, SQL_TERRAIN_PROFILE),
+    "terrain_plan": (q_terrain_plan, SQL_TERRAIN_PLAN),
     # geohash (grid/geohash.py): the fifth index scheme — prefix
     # hierarchy verified via the substr ancestor + rollup
     "geohash_cover": (q_geohash_cover, SQL_GEOHASH_COVER),

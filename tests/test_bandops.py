@@ -368,6 +368,25 @@ def _terrain_reference(arr, fill, mode, dx, dy, ysign=1.0,
             2.0 ** drops.argmax(axis=0), 0.0,
         )
         return np.where(all9, out, np.nan)
+    if mode in ("curvature", "profile", "plan"):
+        c0 = sh(0, 0)
+        D = ((sh(0, -1) + sh(0, 1)) / 2.0 - c0) / (dx * dx)
+        E = ((sh(-1, 0) + sh(1, 0)) / 2.0 - c0) / (dy * dy)
+        Fc = (-sh(-1, -1) + sh(-1, 1) + sh(1, -1) - sh(1, 1)) / (
+            4.0 * dx * dy)
+        G = (sh(0, 1) - sh(0, -1)) / (2.0 * dx)
+        Hh = (sh(-1, 0) - sh(1, 0)) / (2.0 * dy)
+        if mode == "curvature":
+            out = -2.0 * (D + E) * 100.0
+        else:
+            g2h2 = G * G + Hh * Hh
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if mode == "profile":
+                    num = 2.0 * (D * G * G + E * Hh * Hh + Fc * G * Hh)
+                else:
+                    num = -2.0 * (D * Hh * Hh + E * G * G - Fc * G * Hh)
+                out = np.where(g2h2 == 0.0, 0.0, num / g2h2 * 100.0)
+        return np.where(all9, out, np.nan)
     if mode in ("tpi", "tri", "roughness"):
         c0 = sh(0, 0)
         nbrs = [sh(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
@@ -404,7 +423,7 @@ def _terrain_reference(arr, fill, mode, dx, dy, ysign=1.0,
 
 @pytest.mark.parametrize(
     "mode", ["slope", "aspect", "hillshade", "tpi", "tri",
-             "roughness", "flowdir"]
+             "roughness", "flowdir", "curvature", "profile", "plan"]
 )
 def test_terrain_matches_numpy(spark, two_band_cube, mode):
     cube = two_band_cube
@@ -486,9 +505,69 @@ def test_terrain_analytic_plane(spark):
 
 def test_terrain_errors(two_band_cube):
     with pytest.raises(ValueError):
-        two_band_cube.terrain("m0", "curvature")
+        two_band_cube.terrain("m0", "color-relief")
     with pytest.raises(ValueError):
         two_band_cube.terrain("nope")
+
+
+def test_terrain_curvature_analytic(spark):
+    """Quadratic surfaces make the Zevenbergen-Thorne fit EXACT (the
+    finite differences of a quadratic reproduce its derivatives), so
+    the curvatures have closed-form constants: for z = a*x^2 + a*y^2,
+    D = E = a, F = 0, and away from the apex profile = 200a,
+    plan = -200a, curvature = -400a; a tilted plane is 0 everywhere."""
+    from geocube_spark.cube import CHUNK_SCHEMA, GeoCube, BandMeta
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.geometry.crs import CRS
+    from geocube_spark.grid.geobox import GeoBox
+
+    ts, H, W = 16, 32, 32
+    gb = GeoBox(W, H, Affine(10.0, 0.0, 0.0, 0.0, -10.0, 0.0), CRS(32615))
+
+    def _cube(f):
+        rows = []
+        for tid, row0, col0, h, w in gb.tile_grid(ts):
+            yy, xx = np.mgrid[row0:row0 + h, col0:col0 + w]
+            x = 10.0 * (xx + 0.5)
+            y = -10.0 * (yy + 0.5)
+            vals = f(x, y)
+            rows.append((
+                "dem", None, 0, int(tid), int(row0), int(col0), int(h),
+                int(w), [float(v) for v in vals.ravel()], 1, h * w,
+                0, 0,
+            ))
+        return GeoCube(
+            chunks=spark.createDataFrame(rows, CHUNK_SCHEMA), geobox=gb,
+            bands={"dem": BandMeta("dem", "float64", float("nan"))},
+            tile_size=ts, fill=float("nan"),
+        )
+
+    a = 0.001
+    bowl = _cube(lambda x, y: a * (x * x + y * y))
+    cur = bowl.terrain("dem", "curvature").assemble()["curvature"]
+    prof = bowl.terrain("dem", "profile").assemble()["profile"]
+    plan = bowl.terrain("dem", "plan").assemble()["plan"]
+    np.testing.assert_allclose(
+        cur[1:-1, 1:-1], -400.0 * a, rtol=0, atol=1e-9
+    )
+    # no cell center sits at the apex (centers are at odd multiples
+    # of 5), so G,H never both vanish and the constants hold
+    np.testing.assert_allclose(
+        prof[1:-1, 1:-1], 200.0 * a, rtol=0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        plan[1:-1, 1:-1], -200.0 * a, rtol=0, atol=1e-9
+    )
+    plane = _cube(lambda x, y: 2.0 * x + 3.0 * y - 7.0)
+    for m in ("curvature", "profile", "plan"):
+        got = plane.terrain("dem", m).assemble()[m]
+        np.testing.assert_allclose(
+            got[1:-1, 1:-1], 0.0, rtol=0, atol=1e-9
+        )
+    # flat plateau: G = H = 0 -> profile/plan defined as 0, not NaN
+    flat = _cube(lambda x, y: np.full_like(x, 5.0))
+    fp = flat.terrain("dem", "profile").assemble()["profile"]
+    np.testing.assert_allclose(fp[1:-1, 1:-1], 0.0, rtol=0, atol=0)
 
 
 def test_focal_reaches_unburned_tiles(spark):
