@@ -321,6 +321,106 @@ def zonal_stats_raster(cube: GeoCube, zone_band: str, value_band: str):
     )
 
 
+def zonal_majority(cube: GeoCube, zone_band: str, value_band: str):
+    """Per-zone MAJORITY / MINORITY / VARIETY of ``value_band`` under
+    the zones of ``zone_band`` — the categorical half of ESRI
+    ZonalStatistics (which restricts these stats to integer rasters;
+    here values are counted by exact equality, so the operator is
+    meaningful for integer-valued bands).
+
+    Per zone: ``variety`` = number of distinct data values,
+    ``majority`` = the most frequent value (ties -> smallest value,
+    ESRI's deterministic rule) with its count ``majority_n``, and
+    ``minority`` = the least frequent (ties -> smallest) with
+    ``minority_n``.
+
+    Plan: the same ONE tile-aligned equi-join as
+    :func:`zonal_stats_raster`, then numpy (zone, value) pair counts
+    per chunk (map-side combine at tile grain), a (group, zone, value)
+    count sum, and the final per-zone argmax/argmin via ``max_by`` /
+    ``min_by`` with struct tie-break orders. The shuffle carries one
+    row per (chunk, zone, value), never cells."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    for b in (zone_band, value_band):
+        if b not in cube.bands:
+            raise ValueError(f"unknown band {b!r}")
+    c = cube.chunks
+    z = c.filter(F.col("measurement") == zone_band).alias("z")
+    v = c.filter(F.col("measurement") == value_band).alias("v")
+    joined = z.join(
+        v,
+        F.col("z.group_key").eqNullSafe(F.col("v.group_key"))
+        & (F.col("z.tile_id") == F.col("v.tile_id")),
+    ).select(
+        F.col("z.group_key").alias("group_key"),
+        F.col("z.values").alias("zvals"),
+        F.col("v.values").alias("vvals"),
+    )
+
+    z_fill = float(cube.bands[zone_band].fill)
+    v_fill = float(cube.bands[value_band].fill)
+
+    schema = T.StructType([
+        T.StructField("group_key", T.StringType()),
+        T.StructField("zone", T.DoubleType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def _pair_counts(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                zz = np.asarray(row.zvals, dtype=np.float64)
+                vv = np.asarray(row.vvals, dtype=np.float64)
+                ok = ~np.isnan(zz) & ~np.isnan(vv)
+                if not np.isnan(z_fill):
+                    ok &= zz != z_fill
+                if not np.isnan(v_fill):
+                    ok &= vv != v_fill
+                if not ok.any():
+                    continue
+                zz, vv = zz[ok], vv[ok]
+                order = np.lexsort((vv, zz))
+                zz, vv = zz[order], vv[order]
+                bounds = np.flatnonzero(
+                    (np.diff(zz) != 0) | (np.diff(vv) != 0)
+                ) + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [len(zz)]])
+                frames.append(pd.DataFrame({
+                    "group_key": row.group_key,
+                    "zone": zz[starts],
+                    "value": vv[starts],
+                    "n": ends - starts,
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    pairs = (
+        joined.mapInPandas(_pair_counts, schema=schema)
+        .groupBy("group_key", "zone", "value")
+        .agg(F.sum("n").alias("n"))
+    )
+    # majority: max count, ties -> smallest value (max over
+    # (n, -value)); minority: min count, ties -> smallest value
+    return (
+        pairs.groupBy("group_key", "zone")
+        .agg(
+            F.count(F.lit(1)).alias("variety"),
+            F.max_by(
+                "value", F.struct(F.col("n"), (-F.col("value")).alias("nv"))
+            ).alias("majority"),
+            F.max("n").alias("majority_n"),
+            F.min_by("value", F.struct("n", "value")).alias("minority"),
+            F.min("n").alias("minority_n"),
+        )
+        .orderBy("group_key", "zone")
+    )
+
+
 def band_stats(cube: GeoCube,
                measurements: Optional[Sequence[str]] = None) -> DataFrame:
     """Per-(measurement, group) statistics: n_cells, n_nodata, and

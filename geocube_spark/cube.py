@@ -257,6 +257,13 @@ class GeoCube:
 
         return zonal_stats_raster(self, zone_band, value_band)
 
+    def zonal_majority(self, zone_band: str, value_band: str):
+        """Per-zone majority/minority/variety (ESRI ZonalStatistics
+        categorical stats); exact-value counting."""
+        from .bandops import zonal_majority
+
+        return zonal_majority(self, zone_band, value_band)
+
     def clip(self, geom, *, invert: bool = False):
         """Mask to a cutline polygon (gdalwarp -cutline / rioxarray
         ``.rio.clip`` parity); cells outside become fill."""

@@ -2325,6 +2325,66 @@ FROM data GROUP BY 1 ORDER BY zone
 """
 
 
+def q_zonal_majority(spark, sf_dir):
+    """Categorical zonal statistics (bandops.zonal_majority, ESRI
+    ZonalStatistics MAJORITY/MINORITY/VARIETY): zones from the
+    integer user-sum band, values from the reclassified value-class
+    band (integers 1..4 — ESRI restricts these stats to integer
+    rasters, and exact-equality counting needs exact keys; the raw
+    double sums would truncate differently under the two engines'
+    casts). Chunk-grain (zone, value) pair counts map-side, one pair
+    aggregate, max_by/min_by with ESRI's ties-to-smallest-value rule.
+    The oracle replays the counts with two row_number windows."""
+    cube = _two_band_cube(spark, sf_dir)
+    cls = cube.reclassify(
+        "value", [100.0, 400.0, 900.0], [1.0, 2.0, 3.0, 4.0]
+    )
+    st = cls.zonal_majority("uval", "value_class")
+    return st.select(
+        F.col("zone").cast("long").alias("zone"),
+        "variety",
+        F.col("majority").cast("long").alias("majority"),
+        "majority_n",
+        F.col("minority").cast("long").alias("minority"),
+        "minority_n",
+    ).orderBy("zone")
+
+
+SQL_ZONAL_MAJORITY = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value, CAST(user_id AS DOUBLE) AS uval
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv, sum(uval) AS su
+  FROM pts GROUP BY 1, 2
+), data AS (
+  SELECT * FROM cell WHERE su <> 0.0 AND sv <> 0.0
+), pc AS (
+  SELECT CAST(su AS BIGINT) AS zone,
+         CAST(CASE WHEN sv < 100.0 THEN 1 WHEN sv < 400.0 THEN 2
+                   WHEN sv < 900.0 THEN 3 ELSE 4 END AS BIGINT)
+           AS value,
+         count(*) AS n
+  FROM data GROUP BY 1, 2
+), rk AS (
+  SELECT zone, value, n,
+         row_number() OVER (PARTITION BY zone
+                            ORDER BY n DESC, value ASC) AS rmaj,
+         row_number() OVER (PARTITION BY zone
+                            ORDER BY n ASC, value ASC) AS rmin
+  FROM pc
+)
+SELECT zone, count(*) AS variety,
+       max(CASE WHEN rmaj = 1 THEN value END) AS majority,
+       max(CASE WHEN rmaj = 1 THEN n END) AS majority_n,
+       max(CASE WHEN rmin = 1 THEN value END) AS minority,
+       max(CASE WHEN rmin = 1 THEN n END) AS minority_n
+FROM rk GROUP BY zone ORDER BY zone
+"""
+
+
 def q_reclassify(spark, sf_dir):
     """Range -> class recode (bandops.reclassify, numpy digitize
     semantics): per-cell class of the value band under breaks
@@ -4500,6 +4560,11 @@ EXTRA_QUERIES = {
     # parity in tests/test_reclassify_crosstab.py
     "reclassify": (q_reclassify, SQL_RECLASSIFY),
     "zonal_crosstab": (q_zonal_crosstab, SQL_ZONAL_CROSSTAB),
+    # categorical zonal stats (bandops.zonal_majority, ESRI
+    # MAJORITY/MINORITY/VARIETY): pair counts map-side, max_by/min_by
+    # tie-break parity with the oracle's row_number windows; Counter
+    # referee in tests/test_bandops.py
+    "zonal_majority": (q_zonal_majority, SQL_ZONAL_MAJORITY),
     # gdaldem neighborhood indices (bandops.terrain tpi/tri/roughness):
     # same halo-exchange stencil as slope, closed-form SQL oracles
     # over the shared coarsened burn

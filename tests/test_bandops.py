@@ -188,6 +188,63 @@ def test_zonal_stats_raster_matches_pandas(spark, two_band_cube):
     )
 
 
+def test_zonal_majority_matches_counter(spark, two_band_cube):
+    """Counter referee for the categorical zonal stats: per zone the
+    majority (ties -> smallest value), minority, and variety must
+    match an exact python count over the assembled arrays."""
+    from collections import Counter
+
+    cube = two_band_cube
+    arrs = cube.assemble()
+    z, v = arrs["m1"].ravel(), arrs["m0"].ravel()
+    ok = (z != 0.0) & (v != 0.0)
+    got = cube.zonal_majority("m1", "m0").toPandas().set_index("zone")
+    zones = {}
+    for zz, vv in zip(z[ok], v[ok]):
+        zones.setdefault(zz, Counter())[vv] += 1
+    assert len(got) == len(zones)
+    for zz, cnt in zones.items():
+        row = got.loc[zz]
+        assert int(row["variety"]) == len(cnt)
+        maj = min(cnt, key=lambda k: (-cnt[k], k))
+        mnr = min(cnt, key=lambda k: (cnt[k], k))
+        assert row["majority"] == maj and row["majority_n"] == cnt[maj]
+        assert row["minority"] == mnr and row["minority_n"] == cnt[mnr]
+
+
+def test_zonal_majority_ties_and_errors(spark):
+    """Hand-built 2-zone cube with real count ties: majority AND
+    minority both break to the smallest value (ESRI rule)."""
+    from geocube_spark.cube import CHUNK_SCHEMA, BandMeta, GeoCube
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.geometry.crs import CRS
+    from geocube_spark.grid.geobox import GeoBox
+
+    gb = GeoBox(4, 2, Affine(1.0, 0.0, 0.0, 0.0, -1.0, 0.0), CRS(4326))
+    # zone 1: values 5,5,7,7 (tie) -> majority 5, minority 5
+    # zone 2: values 3,9,9,4  -> majority 9, minority (tie 3/4) 3
+    zvals = [1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0]
+    vvals = [5.0, 5.0, 7.0, 7.0, 3.0, 9.0, 9.0, 4.0]
+    rows = [
+        ("zone", None, 0, 0, 0, 0, 2, 4, zvals, 1, 8, 0, 0),
+        ("val", None, 0, 0, 0, 0, 2, 4, vvals, 1, 8, 0, 0),
+    ]
+    cube = GeoCube(
+        chunks=spark.createDataFrame(rows, CHUNK_SCHEMA), geobox=gb,
+        bands={"zone": BandMeta("zone", "float64", float("nan")),
+               "val": BandMeta("val", "float64", float("nan"))},
+        tile_size=4, fill=float("nan"),
+    )
+    got = cube.zonal_majority("zone", "val").toPandas().set_index("zone")
+    assert got.loc[1.0, "majority"] == 5.0 and got.loc[1.0, "majority_n"] == 2
+    assert got.loc[1.0, "minority"] == 5.0 and got.loc[1.0, "variety"] == 2
+    assert got.loc[2.0, "majority"] == 9.0 and got.loc[2.0, "majority_n"] == 2
+    assert got.loc[2.0, "minority"] == 3.0 and got.loc[2.0, "minority_n"] == 1
+    assert got.loc[2.0, "variety"] == 3
+    with pytest.raises(ValueError, match="unknown band"):
+        cube.zonal_majority("zone", "nope")
+
+
 def test_coarsen_nan_fill_skipna(spark):
     """NaN-fill cube: nodata travels as NULL elements; coarsen mean
     skips them (xarray skipna) and all-nodata blocks stay nodata."""
