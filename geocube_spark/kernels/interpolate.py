@@ -133,6 +133,20 @@ class GridInterpolator:
                 qx = (qx - self._ox) / self._sx
                 qy = (qy - self._oy) / self._sy
             out = nearest_interp(px_f, py_f, self.values, qx, qy)
+        elif self.method.split(":", 1)[0] in ("idw", "invdist"):
+            # gdal_grid 'invdist' inverse-distance-to-a-power; the
+            # method string carries the parameters in gdal_grid's own
+            # algorithm syntax ("invdist:power=2:smoothing=1:radius=40
+            # :min_points=1"). rescale would distort distances.
+            if self.rescale:
+                raise ValueError("idw does not support rescale")
+            p = _parse_idw(self.method)
+            out = idw_interp(
+                self.px, self.py, self.values, qx, qy,
+                power=p["power"], smoothing=p["smoothing"],
+                radius=p["radius"], min_points=p["min_points"],
+                fill=self.fill,
+            )
         elif self.method == "proximity":
             # distance (CRS units) to the nearest input point — the
             # GDAL/xarray-spatial proximity raster. Reuses the exact
@@ -186,6 +200,81 @@ def _offsets_arange(counts):
     out[0] = 0
     out[ends[:-1]] = 1 - counts[:-1]
     return out.cumsum()
+
+
+def _parse_idw(method: str) -> dict:
+    """Parse a gdal_grid-style 'invdist' algorithm string:
+    ``invdist[:power=2.0][:smoothing=0.0][:radius=<R>][:min_points=0]``
+    (``idw`` is accepted as an alias; unknown keys raise)."""
+    out = {"power": 2.0, "smoothing": 0.0, "radius": None,
+           "min_points": 0}
+    parts = method.split(":")
+    for kv in parts[1:]:
+        if not kv:
+            continue
+        k, _, v = kv.partition("=")
+        if k not in out:
+            raise ValueError(f"unknown idw parameter {k!r} in {method!r}")
+        out[k] = int(v) if k == "min_points" else float(v)
+    if out["power"] <= 0:
+        raise ValueError("idw power must be > 0")
+    return out
+
+
+def idw_interp(px, py, values, qx, qy, *, power=2.0, smoothing=0.0,
+               radius=None, min_points=0, fill=np.nan):
+    """Inverse-distance-weighted interpolation — GDAL gdal_grid
+    'invdist' semantics (GDAL alg_gridinvdist docs):
+
+    * weight = 1 / (d^2 + smoothing^2)^(power/2) — the smoothing term
+      enters the EFFECTIVE distance, so smoothing > 0 keeps weights
+      finite everywhere
+    * with smoothing == 0, a query coinciding exactly with an input
+      point takes that point's value directly (lowest point index on
+      a multi-hit, matching GDAL's first-found rule)
+    * ``radius`` restricts donors to raw distance <= radius (the
+      circular search ellipse); a query with fewer than
+      ``min_points`` donors (or none) gets ``fill``
+
+    Blocked O(queries x points) evaluation with bounded memory — the
+    same shape as the brute nearest path; the distributed plan
+    parallelizes evaluation per tile with the O(points) payload
+    broadcast, and a radius-bounded variant is halo-tileable by
+    construction (donors live within ``radius`` of the tile)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    values = np.asarray(values, dtype=np.float64)
+    qx = np.asarray(qx, dtype=np.float64).ravel()
+    qy = np.asarray(qy, dtype=np.float64).ravel()
+    out = np.full(qx.shape, fill, dtype=np.float64)
+    if len(px) == 0:
+        return out
+    s2 = float(smoothing) * float(smoothing)
+    r2 = None if radius is None else float(radius) * float(radius)
+    need = max(1, int(min_points))
+    step = max(1, _CHUNK // max(1, len(px)))
+    for i in range(0, len(qx), step):
+        dx = qx[i:i + step, None] - px[None, :]
+        dy = qy[i:i + step, None] - py[None, :]
+        d2 = dx * dx + dy * dy
+        with np.errstate(divide="ignore"):
+            w = (d2 + s2) ** (-power / 2.0)
+        if r2 is not None:
+            w = np.where(d2 <= r2, w, 0.0)
+        n_in = (w > 0).sum(axis=1)
+        den = w.sum(axis=1)
+        ok = (n_in >= need) & (den > 0) & np.isfinite(den)
+        num = w @ values
+        blk = np.where(ok, num / np.where(den == 0, 1.0, den), fill)
+        if s2 == 0.0:
+            # exact hits: first (lowest-index) coincident point wins
+            hit = d2 == 0.0
+            any_hit = hit.any(axis=1)
+            if any_hit.any():
+                first = hit.argmax(axis=1)
+                blk = np.where(any_hit, values[first], blk)
+        out[i:i + step] = blk
+    return out
 
 
 def nearest_interp(px, py, values, qx, qy, rescale=False):

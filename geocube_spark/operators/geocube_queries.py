@@ -1508,6 +1508,67 @@ ORDER BY row, col
 """
 
 
+def q_interp_idw(spark, sf_dir):
+    """Inverse-distance-weighted surface (gdal_grid 'invdist',
+    kernels/interpolate.idw_interp) with the parameters in gdal_grid's
+    own algorithm syntax: power=2, smoothing=1 (weights stay finite),
+    radius=40 (circular search ellipse -> some far cells get fill and
+    drop out identically on both engines). Oracle replays the weighted
+    sum per cell with the identical closed form."""
+    from ..cube import make_geocube
+
+    vec = _event_vector_df(spark, sf_dir).filter(
+        F.col("seq") % 97 == 0
+    )
+    cube = make_geocube(
+        vec,
+        measurements=["value"],
+        geom=WORLD_GEOM,
+        resolution=(-5.0, 5.0),
+        fill=-9999.0,
+        rasterize_function="points_griddata",
+        interp_method="invdist:power=2:smoothing=1:radius=40:min_points=1",
+        tile_size=64,
+    )
+    cell = cube.chunks.select(
+        "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
+    )
+    return cell.select(
+        (F.col("row0") + (F.col("pos") / F.col("w")).cast("int")).alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("w")).cast("int").alias("col"),
+        F.round(F.col("val") + F.lit(1e-9), 6).alias("val"),
+    ).filter(F.col("val") != -9999.0).orderBy("row", "col")
+
+
+SQL_INTERP_IDW = f"""
+WITH pts AS (
+  SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat, value
+  FROM events WHERE event_id % 97 = 0
+),
+cells AS (
+  SELECT r.range AS row, c.range AS col,
+         -180.0 + 5.0 * (c.range + 0.5) AS gx,
+         90.0 - 5.0 * (r.range + 0.5) AS gy
+  FROM range(0, 36) r, range(0, 72) c
+),
+d AS (
+  SELECT row, col, value,
+         (gx - lon) * (gx - lon) + (gy - lat) * (gy - lat) AS d2
+  FROM cells, pts
+),
+a AS (
+  SELECT row, col,
+         sum(CASE WHEN d2 <= 1600.0 THEN value / (d2 + 1.0) END) AS num,
+         sum(CASE WHEN d2 <= 1600.0 THEN 1.0 / (d2 + 1.0) END) AS den,
+         count(CASE WHEN d2 <= 1600.0 THEN 1 END) AS n_in
+  FROM d GROUP BY 1, 2
+)
+SELECT CAST(row AS INT) AS row, CAST(col AS INT) AS col,
+       round(num / den + 1e-9, 6) AS val
+FROM a WHERE n_in >= 1 ORDER BY row, col
+"""
+
+
 def q_interp_nearest_dense(spark, sf_dir):
     """Same semantics as ``interp_nearest`` but over EVERY event point
     (10k at sf0.01, 100k at sf0.1) — exercises the grid-bucket exact-NN
@@ -4546,6 +4607,11 @@ EXTRA_QUERIES = {
     # proximity raster (distance-to-nearest-feature, GDAL
     # gdal_proximity semantics) through the nearest-interp plan
     "interp_proximity": (q_interp_proximity, SQL_INTERP_PROXIMITY),
+    # inverse-distance-weighted surface (gdal_grid 'invdist' with its
+    # own algorithm-string syntax; kernels/interpolate.idw_interp):
+    # power/smoothing/radius/min_points; scalar referee in
+    # tests/test_interpolate.py
+    "interp_idw": (q_interp_idw, SQL_INTERP_IDW),
     # raster sampling at points (bandops.point_query): nearest =
     # rasterio sample / xarray .sel parity, bilinear = GDAL
     # GRIORA_Bilinear cell-center convention; both pure Catalyst
