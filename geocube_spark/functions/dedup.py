@@ -849,6 +849,64 @@ def duplicate_span_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dedup_paragraphs(df: DataFrame, *, tokens_per_para: int = 10,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-wide paragraph-level dedup with reassembly — the Dolma /
+    FineWeb "remove duplicate paragraphs" pass (Soldaini et al. 2024
+    dedupe by paragraph): documents split into paragraphs, every
+    repeated paragraph keeps only its globally FIRST occurrence
+    (lowest (id, paragraph index)), and each document's text is
+    rebuilt from its surviving paragraphs in order.
+
+    The sf corpora carry no newlines, so "paragraph" here is the
+    structural stand-in every other text op composes with: the
+    non-overlapping ``tokens_per_para``-token windows of
+    :func:`~geocube_spark.textops.analysis.chunk_documents` (overlap
+    0, trailing partial kept, empty doc = one empty paragraph). On
+    real corpora, pre-split on newlines and feed one row per
+    paragraph instead.
+
+    Returns (id, n_paras, n_kept, text): the scrubbed text joined by
+    single spaces (whitespace-normalized like the token stream); a
+    fully-duplicated document reassembles to ''.
+
+    Scale shape: narrow chunk explode -> ONE window over the 8-byte
+    paragraph hash (row_number picks the first instance; the shuffle
+    carries each paragraph's text once — it is needed for reassembly
+    downstream anyway) -> one groupBy(id) rebuild. No all-pairs
+    comparison; both shuffles are O(corpus tokens)."""
+    from ..textops.analysis import chunk_documents
+
+    if tokens_per_para < 1:
+        raise ValueError("tokens_per_para must be >= 1")
+    paras = chunk_documents(
+        df, tokens_per_para, 0, text_col=text_col, id_col=id_col
+    ).select("id", "chunk_id", "chunk", h60(F.col("chunk")).alias("h"))
+    w = Window.partitionBy("h").orderBy("id", "chunk_id")
+    flagged = paras.select(
+        "id", "chunk_id", "chunk",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    packed = F.sort_array(F.collect_list(F.struct(
+        F.col("chunk_id"), F.col("keep"), F.col("chunk")
+    )))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(packed, lambda x: x["keep"]),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+
+
 def edit_distance_pairs(df: DataFrame, *, max_dist: int = 2, q: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
                         prefix_filter: bool = True) -> DataFrame:

@@ -996,6 +996,62 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level dedup with reassembly (functions.dedup.
+    dedup_paragraphs, the Dolma 'dedupe by paragraph' pass) over the
+    exact-dup corpus: 10-token paragraphs, globally-first occurrence
+    wins, documents rebuilt from survivors — every +OFFSET duplicate
+    reassembles to ''. Oracle replays the windows, the h60 winner
+    rule, and the ordered string_agg rebuild."""
+    from ..functions.dedup import dedup_paragraphs
+
+    out = dedup_paragraphs(corpus_exact(spark, sf_dir))
+    return out.select(
+        F.col("id").alias("doc_id"), "n_paras", "n_kept",
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_PARAGRAPHS = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents
+), tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS ts
+  FROM corpus
+), ck AS (
+  SELECT doc_id, ts,
+         greatest(1, CAST(ceil(len(ts) / 10.0) AS INT)) AS np
+  FROM tk
+), ex AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(0, np - 1)) AS pidx
+  FROM ck
+), para AS (
+  SELECT doc_id, CAST(pidx AS BIGINT) AS pidx,
+         array_to_string(ts[pidx * 10 + 1 : pidx * 10 + 10], ' ')
+           AS ptext
+  FROM ex
+), rk AS (
+  SELECT doc_id, pidx, ptext,
+         row_number() OVER (
+           PARTITION BY {H60_SQL.format(x='ptext')}
+           ORDER BY doc_id, pidx) AS rn
+  FROM para
+)
+SELECT doc_id, count(*) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       md5(coalesce(
+         string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
+                    ORDER BY pidx), '')) AS text_md5
+FROM rk GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dedup_levenshtein(spark, sf_dir):
     """Fuzzy edit-distance dedup (functions.dedup.edit_distance_pairs,
     ED-Join q-gram prefix blocking + JVM ``levenshtein``
@@ -1989,6 +2045,11 @@ EXTRA_QUERIES = {
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     # context-window packing (round 4 cont., textops.chunk_documents)
     "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+    # paragraph-level dedup with reassembly (round 4 cont.,
+    # functions.dedup.dedup_paragraphs, Dolma 'dedupe by paragraph'):
+    # first-occurrence-wins over the paragraph hash, scrubbed text
+    # rebuilt and md5-compared
+    "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     # fuzzy edit-distance dedup (round 4 cont.,
     # functions.dedup.edit_distance_pairs): ED-Join q-gram prefix
     # blocking (provably complete candidate superset) + JVM
