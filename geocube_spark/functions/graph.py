@@ -136,3 +136,169 @@ def triangle_count(edges: DataFrame, *, src_col: str = "src",
         F.explode(F.array("u", "x", "y")).alias("node"))
     return tri.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def sssp(edges: DataFrame, sources, *, weight_col: str = None,
+         max_rounds: int = 20, src_col: str = "src",
+         dst_col: str = "dst") -> DataFrame:
+    """Single-source(s) shortest paths by synchronous Bellman-Ford
+    rounds (the label-correcting form every BSP graph engine ships;
+    same blocked-relaxation family as ``bandops.cost_distance`` but
+    over an explicit edge list):
+
+        dist'(v) = min(dist(v), min_{u->v} dist(u) + w(u, v))
+
+    from ``dist = 0`` at the sources. Non-negative weights required
+    (``weight_col=None`` = hop count); parallel edges collapse to
+    their minimum weight. Stops at the fixpoint, raising if it is not
+    reached within ``max_rounds`` — so a bounded-round SQL replay of
+    the same recurrence is guaranteed to agree (early stopping cannot
+    change a converged answer). Returns (node, dist) for REACHED
+    nodes only.
+
+    Scale shape per round: one equi-join of the frontier-bearing dist
+    table with the edge list + ONE map-side-combined min aggregate;
+    ``localCheckpoint`` per round keeps the plan depth O(1). Rounds =
+    shortest-path hop radius, not graph size."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+            w.alias("w"),
+        )
+        .groupBy("src", "dst").agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if e.where(F.col("w") < 0).limit(1).count():
+        raise ValueError("sssp requires non-negative weights")
+    spark = edges.sparkSession
+    src_ids = [int(s) for s in sources]
+    if not src_ids:
+        raise ValueError("at least one source required")
+    dist = spark.createDataFrame(
+        [(s, 0.0) for s in src_ids], "node long, dist double"
+    )
+    for _ in range(int(max_rounds)):
+        cand = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        new = (
+            dist.unionByName(cand)
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = new.join(
+            dist.withColumnRenamed("dist", "old"), "node", "left"
+        ).where(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).limit(1).count()
+        dist = new
+        if not improved:
+            return dist
+    raise RuntimeError(
+        f"sssp did not converge within {max_rounds} rounds"
+    )
+
+
+def label_propagation(edges: DataFrame, *, iters: int = 5,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) with the deterministic tie rule distributed LPA
+    implementations use: every node starts as its own label; each
+    round every node adopts its neighbors' MOST FREQUENT label, ties
+    to the smallest label (Raghavan's random tie-break replaced by a
+    total order so the result is reproducible and SQL-replayable).
+    Undirected simple graph (directions/self-loops dropped); a FIXED
+    ``iters`` rounds — synchronous LPA on bipartite-ish structures
+    can oscillate, so a fixed round count is the honest contract (it
+    is also exactly what keeps the closed-form oracle possible).
+    Returns (node, label).
+
+    Scale shape per round: one equi-join (labels onto edges) + one
+    map-side-combined (node, label) count + ``max_by`` argmax — two
+    shuffles of O(m) narrow rows; ``localCheckpoint`` bounds plan
+    depth."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    und = edges.select(
+        F.col(src_col).cast("long").alias("a"),
+        F.col(dst_col).cast("long").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    e = (
+        und.unionByName(und.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        .distinct().localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("a").alias("node")).distinct() \
+        .select("node", F.col("node").alias("label"))
+    for _ in range(int(iters)):
+        votes = (
+            labels.join(e, labels["node"] == e["a"])
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "label",
+                F.struct(F.col("n"), (-F.col("label")).alias("neg")),
+            ).alias("label")
+        ).localCheckpoint(eager=True)
+    return labels
+
+
+def k_core(edges: DataFrame, k: int, *, max_rounds: int = 30,
+           src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """The k-core of the undirected simple graph: the maximal
+    subgraph in which every node has degree >= k (Seidman 1983),
+    computed by synchronous peeling — each round drops every node
+    whose CURRENT degree is < k, then re-induces the edge set; the
+    fixpoint is the k-core (peeling order cannot change it). Raises
+    if the fixpoint is not reached within ``max_rounds`` so a
+    bounded-round SQL replay is guaranteed to agree. Returns
+    (node, deg) with each survivor's degree inside the core.
+
+    Scale shape per round: one degree aggregate + two semi-joins to
+    re-induce the edges — all narrow (node)/(a, b) rows; rounds
+    bounded by the peeling depth (<= max degeneracy layers), not
+    graph size."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    und = edges.select(
+        F.least(F.col(src_col).cast("long"),
+                F.col(dst_col).cast("long")).alias("a"),
+        F.greatest(F.col(src_col).cast("long"),
+                   F.col(dst_col).cast("long")).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct() \
+        .localCheckpoint(eager=True)
+    e = und
+    n_prev = None
+    for _ in range(int(max_rounds)):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k) \
+            .select("node").localCheckpoint(eager=True)
+        n_keep = keep.count()
+        if n_keep == 0:
+            return keep.select(
+                "node", F.lit(0).cast("long").alias("deg"))
+        if n_prev is not None and n_keep == n_prev:
+            return deg.where(F.col("deg") >= k)
+        n_prev = n_keep
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core did not converge within {max_rounds} rounds"
+    )

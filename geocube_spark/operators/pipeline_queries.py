@@ -1706,6 +1706,185 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_graph_sssp(spark, sf_dir):
+    """Multi-source shortest paths (functions.graph.sssp, synchronous
+    Bellman-Ford rounds) on the UNDIRECTED weighted part<->supplier
+    graph (weight = l_quantity, an integer-valued double, so path
+    sums are exact and min-parity is bit-for-bit); sources = parts
+    1..3. The engine stops at the fixpoint (raising past max_rounds),
+    the oracle replays the identical recurrence for the full round
+    budget — extra rounds past convergence are no-ops, so they agree
+    by construction."""
+    from ..functions.graph import sssp
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"),
+                   F.col("src").alias("dst"), "w")
+    )
+    return (
+        sssp(edges, [1, 2, 3], weight_col="w", max_rounds=10)
+        .orderBy("node")
+    )
+
+
+def _sssp_sql(rounds: int = 10) -> str:
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT CAST(l_partkey AS BIGINT) AS src,
+           CAST(l_suppkey AS BIGINT) + 1000000 AS dst,
+           CAST(l_quantity AS DOUBLE) AS w
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(l_suppkey AS BIGINT) + 1000000,
+           CAST(l_partkey AS BIGINT),
+           CAST(l_quantity AS DOUBLE)
+    FROM lineitem
+  ) GROUP BY 1, 2
+),
+d0 AS (
+  SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+                        (CAST(2 AS BIGINT), CAST(0.0 AS DOUBLE)),
+                        (CAST(3 AS BIGINT), CAST(0.0 AS DOUBLE)))
+       t(node, dist)
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w
+    FROM d{i - 1} d JOIN e ON e.src = d.node
+  ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node, dist FROM d{rounds} ORDER BY node
+""")
+    return "".join(parts)
+
+
+SQL_GRAPH_SSSP = _sssp_sql()
+
+
+_COPURCHASE_E_SQL = """
+e AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT DISTINCT CAST(x.l_partkey AS BIGINT) AS a,
+           CAST(y.l_partkey AS BIGINT) AS b
+    FROM lineitem x JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey
+     AND x.l_partkey <> y.l_partkey
+  )
+)"""
+
+
+def q_graph_label_prop(spark, sf_dir):
+    """Deterministic synchronous label propagation
+    (functions.graph.label_propagation, Raghavan et al. 2007 with the
+    smallest-label tie rule) on the part co-purchase graph, 4 fixed
+    rounds; the oracle replays each round's most-frequent-neighbor
+    vote with a count + row_number window."""
+    from ..functions.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pb"))
+    edges = a.join(b, "o").where(F.col("pa") < F.col("pb")) \
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return label_propagation(edges, iters=4).orderBy("node")
+
+
+def _label_prop_sql(iters: int = 4) -> str:
+    parts = [f"""
+WITH {_COPURCHASE_E_SQL},
+l0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM e
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.b AS node, l.label, count(*) AS n,
+           row_number() OVER (PARTITION BY e.b
+                              ORDER BY count(*) DESC, l.label ASC)
+             AS rn
+    FROM l{i - 1} l JOIN e ON e.a = l.node
+    GROUP BY e.b, l.label
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT node, label FROM l{iters} ORDER BY node
+""")
+    return "".join(parts)
+
+
+SQL_GRAPH_LABEL_PROP = _label_prop_sql()
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition (functions.graph.k_core, Seidman 1983
+    synchronous peeling) of the part co-purchase graph at k=80; the
+    engine peels to the fixpoint (raising past max_rounds = the
+    oracle's round budget), the oracle replays the same peel for the
+    full budget — rounds past the fixpoint are no-ops."""
+    from ..functions.graph import k_core
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("pb"))
+    edges = a.join(b, "o").where(F.col("pa") < F.col("pb")) \
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return k_core(edges, 80, max_rounds=12).orderBy("node")
+
+
+def _kcore_sql(k: int = 80, rounds: int = 12) -> str:
+    parts = [f"""
+WITH {_COPURCHASE_E_SQL},
+e0 AS MATERIALIZED (SELECT a, b FROM e WHERE a < b)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+deg{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{i - 1}
+    UNION ALL
+    SELECT b FROM e{i - 1}
+  ) GROUP BY node
+),
+keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE deg >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN keep{i} ka ON ka.node = e.a
+  JOIN keep{i} kb ON kb.node = e.b
+)""")
+    parts.append(f""",
+degf AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{rounds}
+    UNION ALL
+    SELECT b FROM e{rounds}
+  ) GROUP BY node
+)
+SELECT node, deg FROM degf WHERE deg >= {k} ORDER BY node
+""")
+    return "".join(parts)
+
+
+SQL_GRAPH_KCORE = _kcore_sql()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -2090,6 +2269,16 @@ EXTRA_QUERIES = {
     # exact triangle counting (round 4 cont., functions.graph):
     # degree orientation, brute-force 3-way-join oracle
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    # multi-source shortest paths (round 4 cont., functions.graph.
+    # sssp): Bellman-Ford rounds to the fixpoint, integer-valued
+    # weights for bit-exact min parity, per-round CTE oracle
+    "graph_sssp": (q_graph_sssp, SQL_GRAPH_SSSP),
+    # deterministic label propagation (round 4 cont.): most-frequent-
+    # neighbor vote with smallest-label ties, per-round CTE oracle
+    "graph_label_prop": (q_graph_label_prop, SQL_GRAPH_LABEL_PROP),
+    # k-core peeling (round 4 cont.): synchronous peel to fixpoint,
+    # bounded-round CTE oracle (no-op rounds past convergence)
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)
