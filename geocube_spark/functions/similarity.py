@@ -860,3 +860,108 @@ def pca_power_scores(corpus: DataFrame, *, dim: int, iters: int = 5,
         return out
     finally:
         vecs.unpersist()
+
+
+def kmeans(corpus: DataFrame, *, k: int = 8, iters: int = 2,
+           id_col: str = "vec_id",
+           vec_col: str = "embedding") -> DataFrame:
+    """Fixed-iteration Lloyd k-means (Lloyd 1982) over an embedding
+    column, fully deterministic and SQL-replayable: seeds are the
+    :func:`exemplar_centroids` content-hash exemplars (one k-means||
+    init round), the iteration count is FIXED, assignment is argmin
+    of the squared euclidean distance ROUNDED to 6 dp (+1e-9 nudge —
+    the repo's cross-engine float rule) with ties to the smallest
+    cluster id, and a cluster that loses all members keeps its
+    previous centroid. Unlike the tolerance-looped IVF trainer
+    (``ivf_centroids_distributed``), every step here is a closed-form
+    function of the corpus, which is what lets the DuckDB oracle
+    replay it iteration by iteration.
+
+    Scale shape (the pca_power_scores pattern): the corpus projects
+    once to a persisted narrow (id, vec) cache; each iteration is one
+    Arrow-batched pass emitting per-batch per-cluster partial sums
+    (O(batches * k * dim) tiny rows reduced on the driver), and the
+    final labeling is one more narrow map — no shuffle of the wide
+    vectors anywhere, centroids broadcast at k*dim*8 bytes.
+
+    Returns (id, cluster, d2) with d2 the rounded squared distance to
+    the final centroid."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
+    cents = exemplar_centroids(
+        corpus, k=k, id_col=id_col, vec_col=vec_col
+    ).orderBy("cid").collect()
+    if not cents:
+        raise ValueError("empty corpus")
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cents])
+
+    def _assign(m: np.ndarray, C: np.ndarray):
+        d2 = ((m * m).sum(axis=1)[:, None]
+              - 2.0 * (m @ C.T)
+              + (C * C).sum(axis=1)[None, :])
+        d2r = np.round(d2 + 1e-9, 6)
+        cid = d2r.argmin(axis=1)  # first-wins = smallest cid on ties
+        return cid, d2r[np.arange(len(m)), cid]
+
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).persist()
+    try:
+        part_schema = T.StructType([
+            T.StructField("cid", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ])
+        for _ in range(int(iters)):
+            def _parts(batches: Iterator[pd.DataFrame],
+                       C=C) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.stack(pdf["v"].values).astype(np.float64)
+                    cid, _ = _assign(m, C)
+                    rows = []
+                    for c in np.unique(cid):
+                        sel = m[cid == c]
+                        rows.append((int(c), len(sel), sel.sum(axis=0)))
+                    yield pd.DataFrame(rows, columns=["cid", "n", "s"])
+
+            parts = vecs.mapInPandas(_parts, schema=part_schema).collect()
+            sums = np.zeros_like(C)
+            cnts = np.zeros(len(C), dtype=np.int64)
+            for p in parts:
+                sums[p["cid"]] += np.asarray(p["s"])
+                cnts[p["cid"]] += p["n"]
+            newC = C.copy()
+            nz = cnts > 0
+            newC[nz] = sums[nz] / cnts[nz, None]
+            C = newC
+
+        out_schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("d2", T.DoubleType()),
+        ])
+
+        def _label(batches: Iterator[pd.DataFrame],
+                   C=C) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].values).astype(np.float64)
+                cid, d2 = _assign(m, C)
+                yield pd.DataFrame({
+                    "id": pdf["id"].astype("int64"),
+                    "cluster": cid.astype("int64"),
+                    "d2": d2,
+                })
+
+        out = vecs.mapInPandas(_label, schema=out_schema)
+        # materialize before releasing the cache
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()

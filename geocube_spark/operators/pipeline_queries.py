@@ -1706,6 +1706,75 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_kmeans(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means (functions.similarity.kmeans):
+    exemplar seeds, 2 Lloyd rounds, 6-dp-rounded argmin assignment
+    with smallest-cid ties, empty clusters keep their centroid. The
+    oracle replays every round: assignment window, per-dimension
+    centroid avg (per-dimension range join + ordered list repack),
+    COALESCE for empty clusters. Dim 64 is pinned in the oracle."""
+    from ..functions.similarity import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=8, iters=2).orderBy("id")
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    asg = """
+  SELECT id, cid FROM (
+    SELECT b.id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY round(pow(list_distance(b.v, c.cv), 2)
+                            + 1e-9, 6) ASC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cent{prev} c
+  ) WHERE rn = 1
+"""
+    parts = [f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+seed AS (
+  SELECT id, v, {H60_SQL.format(x="CAST(id AS VARCHAR)")} AS h
+  FROM base
+),
+cent0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS cv
+  FROM seed ORDER BY h, id LIMIT {k}
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+asg{i} AS MATERIALIZED ({asg.format(prev=i - 1)}),
+u{i} AS MATERIALIZED (
+  SELECT a.cid, t.j, avg(b.v[t.j]) AS m
+  FROM asg{i} a JOIN base b ON b.id = a.id,
+       range(1, 65) t(j)
+  GROUP BY a.cid, t.j
+),
+cent{i} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM cent{i - 1} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY j) AS cv FROM u{i} GROUP BY cid
+  ) n ON n.cid = p.cid
+)""")
+    parts.append(f"""
+SELECT id, cid AS cluster, d2 FROM (
+  SELECT b.id, c.cid,
+         round(pow(list_distance(b.v, c.cv), 2) + 1e-9, 6) AS d2,
+         row_number() OVER (
+           PARTITION BY b.id
+           ORDER BY round(pow(list_distance(b.v, c.cv), 2)
+                          + 1e-9, 6) ASC, c.cid ASC) AS rn
+  FROM base b CROSS JOIN cent{iters} c
+) WHERE rn = 1 ORDER BY id
+""")
+    return "".join(parts)
+
+
+SQL_KMEANS = _kmeans_sql()
+
+
 def q_graph_sssp(spark, sf_dir):
     """Multi-source shortest paths (functions.graph.sssp, synchronous
     Bellman-Ford rounds) on the UNDIRECTED weighted part<->supplier
@@ -2269,6 +2338,10 @@ EXTRA_QUERIES = {
     # exact triangle counting (round 4 cont., functions.graph):
     # degree orientation, brute-force 3-way-join oracle
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    # fixed-iteration Lloyd k-means (round 4 cont.,
+    # functions.similarity.kmeans): deterministic seeds + rounded
+    # argmin, per-round CTE oracle with ordinality-repacked centroids
+    "kmeans": (q_kmeans, SQL_KMEANS),
     # multi-source shortest paths (round 4 cont., functions.graph.
     # sssp): Bellman-Ford rounds to the fixpoint, integer-valued
     # weights for bit-exact min parity, per-round CTE oracle
