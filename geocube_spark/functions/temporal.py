@@ -868,3 +868,65 @@ def time_fill(
             val = val.cast("double")
         out = out.withColumn(c, F.coalesce(val, fill))
     return out.select(*df.columns)
+
+
+def resample_bars(df: DataFrame, time_col: str = "ts",
+                  value_col: str = "value", *, every,
+                  by=None) -> DataFrame:
+    """Time-bucket OHLC downsampling — the candlestick/resample
+    primitive (pandas ``resample().ohlc()`` / TimescaleDB
+    ``time_bucket`` + first/last aggregates): rows fall into
+    half-open buckets ``[k*every, (k+1)*every)`` on the time axis
+    (``every`` in SECONDS for timestamp/date axes, raw axis units for
+    numeric axes; epoch-anchored like time_bucket's default origin),
+    and each (keys, bucket) emits:
+
+    * ``open``  = value at the earliest time in the bucket
+    * ``close`` = value at the latest time
+    * ``high`` / ``low`` = max / min value
+    * ``n`` rows and ``vsum`` (the volume column every bar chart
+      wants)
+
+    Rows sharing the boundary timestamp make first/last ambiguous;
+    pandas resolves by input order, which a shuffle destroys — here
+    ties break by value (open: smallest value among the earliest
+    rows; close: largest among the latest), a deterministic total
+    order both engines can replay.
+
+    Scale shape: ONE map-side-combined groupBy over (keys, bucket) —
+    ``min_by``/``max_by`` struct aggregates combine partially like
+    any min/max, so the shuffle carries one partial row per group per
+    task, never raw rows."""
+    dtype = _dtype_of(df, time_col)
+    keys = list(by) if by else []
+    t = _as_micros(F.col(time_col), dtype)
+    if dtype.startswith("timestamp") or dtype == "date":
+        step = int(round(float(every) * _MICROS))
+        if step <= 0:
+            raise ValueError("every must be > 0")
+        bucket = F.floor(t / F.lit(step)) * F.lit(step)
+        bucket_out = F.timestamp_micros(bucket.cast("long")) \
+            .alias("bucket")
+    else:
+        if float(every) <= 0:
+            raise ValueError("every must be > 0")
+        step = F.lit(every)
+        bucket = F.floor(t / step) * step
+        bucket_out = bucket.alias("bucket")
+    v = F.col(value_col)
+    base = df.select(
+        *keys, bucket_out, t.alias("__t"), v.alias("__v")
+    )
+    return (
+        base.groupBy(*keys, "bucket")
+        .agg(
+            F.min_by("__v", F.struct(F.col("__t"), F.col("__v")))
+            .alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max_by("__v", F.struct(F.col("__t"), F.col("__v")))
+            .alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__v").alias("vsum"),
+        )
+    )

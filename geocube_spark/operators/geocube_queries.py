@@ -4035,6 +4035,57 @@ ORDER BY user_id, t_us
 """
 
 
+def q_resample_ohlc(spark, sf_dir):
+    """Time-bucket OHLC bars (functions/temporal.resample_bars,
+    pandas resample().ohlc() / TimescaleDB time_bucket + first/last):
+    daily candles per event_type — ONE map-side-combined groupBy with
+    min_by/max_by struct aggregates; open/close tie rule = value
+    order at the boundary timestamp, replayed by the oracle's two
+    row_number windows."""
+    from ..functions.temporal import resample_bars
+
+    ev = _events(spark, sf_dir)
+    out = resample_bars(ev, "ts", "value", every=86400.0,
+                        by=["event_type"])
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("bucket")).alias("b_us"),
+        "open", "high", "low", "close",
+        "n",
+        F.round(F.col("vsum") + F.lit(1e-9), 6).alias("vsum"),
+    ).orderBy("event_type", "b_us")
+
+
+SQL_RESAMPLE_OHLC = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+           * 86400000000 AS bm,
+         epoch_us(ts) AS t, value AS v
+  FROM events
+), agg AS (
+  SELECT event_type, bm, max(v) AS high, min(v) AS low,
+         count(*) AS n, round(sum(v) + 1e-9, 6) AS vsum
+  FROM base GROUP BY 1, 2
+), o AS (
+  SELECT event_type, bm, v,
+         row_number() OVER (PARTITION BY event_type, bm
+                            ORDER BY t ASC, v ASC) AS ro,
+         row_number() OVER (PARTITION BY event_type, bm
+                            ORDER BY t DESC, v DESC) AS rc
+  FROM base
+)
+SELECT a.event_type AS event_type, a.bm AS b_us, oo.v AS open,
+       a.high, a.low, cc.v AS close, a.n, a.vsum
+FROM agg a
+JOIN o oo ON oo.event_type = a.event_type AND oo.bm = a.bm
+         AND oo.ro = 1
+JOIN o cc ON cc.event_type = a.event_type AND cc.bm = a.bm
+         AND cc.rc = 1
+ORDER BY a.event_type, b_us
+"""
+
+
 def q_rolling_spend(spark, sf_dir):
     """Time-range rolling aggregate (functions/temporal.py): per-user
     trailing-1h purchase spend at every purchase — Spark's native
@@ -4560,6 +4611,9 @@ EXTRA_QUERIES = {
     # windows); pandas parity in tests/test_temporal.py
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "rolling_spend": (q_rolling_spend, SQL_ROLLING_SPEND),
+    # time-bucket OHLC candles (functions/temporal.resample_bars):
+    # one map-side-combined groupBy, deterministic boundary ties
+    "resample_ohlc": (q_resample_ohlc, SQL_RESAMPLE_OHLC),
     # aspect + hillshade: the other two Horn terrain modes (slope is
     # in-window); same stencil plan, closed-form SQL oracles
     "terrain_aspect": (q_terrain_aspect, SQL_TERRAIN_ASPECT),

@@ -726,3 +726,73 @@ def test_asof_decimal_scale0_exact_above_2pow53(spark):
     got = asof_join(left, right, on="t",
                     direction="backward").collect()
     assert got[0]["rv"] == 2.0  # exact long arithmetic finds base+1
+
+
+# ---------------------------------------------------------------------------
+# resample_bars (OHLC time-bucket downsampling)
+# ---------------------------------------------------------------------------
+
+from geocube_spark.functions.temporal import resample_bars  # noqa: E402
+
+
+def test_resample_bars_matches_pandas_ohlc(spark):
+    """Distinct timestamps (no ties): pandas resample().ohlc() is the
+    referee; buckets are epoch-anchored like TimescaleDB
+    time_bucket."""
+    rng = np.random.default_rng(9)
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        sorted(rng.choice(10 * 86400, 300, replace=False).tolist()),
+        unit="s",
+    )
+    vals = rng.uniform(-10, 100, 300).round(3)
+    pdf = pd.DataFrame({"ts": ts, "value": vals})
+    df = spark.createDataFrame(pdf).repartition(5)
+    got = (
+        resample_bars(df, "ts", "value", every=3600.0)
+        .toPandas().sort_values("bucket").reset_index(drop=True)
+    )
+    want = (
+        pdf.set_index("ts")["value"]
+        .resample("1h").ohlc().dropna()
+    )
+    # epoch-anchored hourly buckets == calendar hours
+    assert list(got["bucket"]) == list(want.index)
+    for c in ("open", "high", "low", "close"):
+        np.testing.assert_allclose(got[c].values, want[c].values,
+                                   rtol=0, atol=0)
+    n = pdf.set_index("ts")["value"].resample("1h").count()
+    np.testing.assert_array_equal(got["n"].values,
+                                  n[n > 0].values)
+
+
+def test_resample_bars_tie_rule_and_keys(spark):
+    # two rows share the boundary timestamp: open takes the smaller
+    # value among earliest rows, close the larger among latest
+    rows = [
+        ("a", "2024-01-01 00:00:00", 5.0),
+        ("a", "2024-01-01 00:00:00", 3.0),
+        ("a", "2024-01-01 00:59:59", 7.0),
+        ("a", "2024-01-01 00:59:59", 2.0),
+        ("b", "2024-01-01 00:30:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, value double") \
+        .select("k", F.col("ts").cast("timestamp").alias("ts"), "value")
+    got = {r["k"]: r for r in
+           resample_bars(df, "ts", "value", every=3600.0,
+                         by=["k"]).collect()}
+    assert got["a"]["open"] == 3.0 and got["a"]["close"] == 7.0
+    assert got["a"]["high"] == 7.0 and got["a"]["low"] == 2.0
+    assert got["a"]["n"] == 4 and abs(got["a"]["vsum"] - 17.0) < 1e-12
+    assert got["b"]["open"] == got["b"]["close"] == 1.0
+
+
+def test_resample_bars_numeric_axis_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0.5, 10.0), (1.4, 20.0), (2.5, 5.0)], "t double, value double"
+    )
+    got = {r["bucket"]: r for r in
+           resample_bars(df, "t", "value", every=1.0).collect()}
+    assert got[0.0]["open"] == 10.0 and got[1.0]["open"] == 20.0
+    assert got[2.0]["low"] == 5.0
+    with pytest.raises(ValueError, match="every"):
+        resample_bars(df, "t", "value", every=0)
