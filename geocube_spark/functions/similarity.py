@@ -965,3 +965,209 @@ def kmeans(corpus: DataFrame, *, k: int = 8, iters: int = 2,
         return out.localCheckpoint(eager=True)
     finally:
         vecs.unpersist()
+
+
+def pq_train(corpus: DataFrame, *, m: int = 4, k: int = 8,
+             iters: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks (Jegou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): the vector
+    splits into ``m`` contiguous subspaces and each learns its own
+    ``k``-centroid codebook by the same deterministic fixed-iteration
+    Lloyd scheme as :func:`kmeans` (exemplar seeds = the k smallest
+    (h60(id), id) rows, sliced per subspace; 6-dp-rounded argmin with
+    smallest-cid ties; empty cells keep their centroid) — so the
+    whole trainer is SQL-replayable. Returns the (m, k', dsub)
+    codebook array (k' <= k when the corpus is smaller).
+
+    Scale shape: ALL subspaces train in the same Arrow pass — one
+    persisted narrow projection, one mapInPandas per iteration
+    emitting (subspace, cell) partial sums reduced on the driver
+    (O(batches * m * k * dsub) tiny rows). Train on a capped sample
+    at real scale; the codebook is m*k*dsub*8 bytes — broadcast
+    territory at any realistic setting."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+
+    cents = exemplar_centroids(
+        corpus, k=k, id_col=id_col, vec_col=vec_col
+    ).orderBy("cid").collect()
+    if not cents:
+        raise ValueError("empty corpus")
+    seeds = np.stack([np.asarray(r["cv"], dtype=np.float64)
+                      for r in cents])
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # C[s]: (k', dsub) codebook of subspace s
+    C = np.stack([seeds[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    def _sub_assign(msub: np.ndarray, Cs: np.ndarray) -> np.ndarray:
+        d2 = ((msub * msub).sum(axis=1)[:, None]
+              - 2.0 * (msub @ Cs.T)
+              + (Cs * Cs).sum(axis=1)[None, :])
+        return np.round(d2 + 1e-9, 6).argmin(axis=1)
+
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).persist()
+    try:
+        part_schema = T.StructType([
+            T.StructField("sub", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ])
+        for _ in range(int(iters)):
+            def _parts(batches: Iterator[pd.DataFrame],
+                       C=C) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    mat = np.stack(pdf["v"].values).astype(np.float64)
+                    rows = []
+                    for s in range(m):
+                        msub = mat[:, s * dsub:(s + 1) * dsub]
+                        cid = _sub_assign(msub, C[s])
+                        for c in np.unique(cid):
+                            sel = msub[cid == c]
+                            rows.append((s, int(c), len(sel),
+                                         sel.sum(axis=0)))
+                    yield pd.DataFrame(
+                        rows, columns=["sub", "cid", "n", "s"])
+
+            parts = vecs.mapInPandas(_parts, schema=part_schema).collect()
+            sums = np.zeros_like(C)
+            cnts = np.zeros(C.shape[:2], dtype=np.int64)
+            for p in parts:
+                sums[p["sub"], p["cid"]] += np.asarray(p["s"])
+                cnts[p["sub"], p["cid"]] += p["n"]
+            newC = C.copy()
+            nz = cnts > 0
+            newC[nz] = sums[nz] / cnts[nz][:, None]
+            C = newC
+        return C
+    finally:
+        vecs.unpersist()
+
+
+def pq_codes(corpus: DataFrame, codebook: np.ndarray, *,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as its ``m`` nearest-subcentroid codes
+    under a :func:`pq_train` codebook — dim*4 bytes down to m bytes
+    per vector, the compression that lets a billion-vector index live
+    in executor memory. One Arrow-batched narrow map, codebook
+    broadcast, NO shuffle. Returns (id, codes: array<long>)."""
+    C = np.ascontiguousarray(codebook, dtype=np.float64)
+    m, _, dsub = C.shape
+
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.LongType())),
+    ])
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].values).astype(np.float64)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for s in range(m):
+                msub = mat[:, s * dsub:(s + 1) * dsub]
+                Cs = C[s]
+                d2 = ((msub * msub).sum(axis=1)[:, None]
+                      - 2.0 * (msub @ Cs.T)
+                      + (Cs * Cs).sum(axis=1)[None, :])
+                codes[:, s] = np.round(d2 + 1e-9, 6).argmin(axis=1)
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "codes": list(codes),
+            })
+
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    return vecs.mapInPandas(_enc, schema=out_schema)
+
+
+def ann_pq_topk(corpus: DataFrame, *, queries: DataFrame = None,
+                m: int = 4, k: int = 8, iters: int = 1,
+                topk: int = 3, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k neighbors by PQ asymmetric distance (ADC,
+    Jegou et al. 2011): train codebooks on the corpus
+    (:func:`pq_train`), encode it (:func:`pq_codes`), then score each
+    query against every code word via its per-subspace lookup table —
+    O(m) adds per candidate instead of O(dim) multiplies, and the
+    scan reads m-byte codes instead of dim*4-byte vectors. The
+    subspace accumulation order is fixed (s = 0..m-1, left to right)
+    and the result rounded at 6 dp, so the DuckDB oracle replays the
+    ranking exactly. ``queries=None`` defaults to the corpus itself
+    minus self-matches. At real scale compose with the IVF coarse
+    index (``ivf_topk``) to prune candidates first; the ADC scan here
+    is the in-list scorer of a classic IVFADC index.
+
+    Returns (qid, rank, nid, d2)."""
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    C = pq_train(corpus, m=m, k=k, iters=iters,
+                 id_col=id_col, vec_col=vec_col)
+    codes = pq_codes(corpus, C, id_col=id_col, vec_col=vec_col)
+    qdf = queries if queries is not None else corpus
+    Q = qdf.select(
+        F.col(id_col).cast("long").alias("qid"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).collect()
+    if not Q:
+        raise ValueError("empty query set")
+    qids = np.array([r["qid"] for r in Q], dtype=np.int64)
+    qv = np.stack([np.asarray(r["v"], dtype=np.float64) for r in Q])
+    mm, _, dsub = C.shape
+    # LUT[q, s, cid] = d2(query subvector, codeword)
+    lut = np.stack([
+        ((qv[:, s * dsub:(s + 1) * dsub] ** 2).sum(axis=1)[:, None]
+         - 2.0 * (qv[:, s * dsub:(s + 1) * dsub] @ C[s].T)
+         + (C[s] * C[s]).sum(axis=1)[None, :])
+        for s in range(mm)
+    ], axis=1)
+
+    out_schema = T.StructType([
+        T.StructField("qid", T.LongType()),
+        T.StructField("nid", T.LongType()),
+        T.StructField("d2", T.DoubleType()),
+    ])
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_m = np.stack(pdf["codes"].values)
+            nids = pdf["id"].values.astype(np.int64)
+            # accumulate subspace LUT hits in fixed order (parity)
+            frames = []
+            for qi in range(len(qids)):
+                d = lut[qi, 0][codes_m[:, 0]]
+                for s in range(1, mm):
+                    d = d + lut[qi, s][codes_m[:, s]]
+                frames.append(pd.DataFrame({
+                    "qid": qids[qi],
+                    "nid": nids,
+                    "d2": np.round(d + 1e-9, 6),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.mapInPandas(_score, schema=out_schema) \
+        .where(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    return (
+        scored.select("qid", "nid", "d2",
+                      F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= topk)
+        .select("qid", "rank", "nid", "d2")
+    )

@@ -1706,6 +1706,117 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance ANN (functions.similarity.ann_pq_topk,
+    Jegou et al. 2011 IVFADC's in-list scorer): 4 subspaces x 8
+    codes, 1 Lloyd round, every 50th vector as a query, top-3 by the
+    fixed-order subspace accumulation. The oracle replays the whole
+    chain: per-subspace kmeans CTEs, code assignment, LUT joins, the
+    left-to-right ADC sum."""
+    from ..functions.similarity import ann_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return ann_pq_topk(emb, queries=q, m=4, k=8, iters=1,
+                       topk=3).orderBy("qid", "rank")
+
+
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 1, dim: int = 64,
+            topk: int = 3) -> str:
+    dsub = dim // m
+    parts = [f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+seed AS (
+  SELECT id, v, {H60_SQL.format(x="CAST(id AS VARCHAR)")} AS h
+  FROM base
+),
+sd AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v
+  FROM seed ORDER BY h, id LIMIT {k}
+)"""]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f""",
+cent0_{s} AS MATERIALIZED (
+  SELECT cid, v[{lo}:{hi}] AS cv FROM sd
+)""")
+        for i in range(1, iters + 1):
+            parts.append(f""",
+asg{i}_{s} AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT b.id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY round(pow(list_distance(b.v[{lo}:{hi}], c.cv), 2)
+                            + 1e-9, 6) ASC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cent{i - 1}_{s} c
+  ) WHERE rn = 1
+),
+u{i}_{s} AS MATERIALIZED (
+  SELECT a.cid, t.j, avg(b.v[{lo - 1} + t.j]) AS mv
+  FROM asg{i}_{s} a JOIN base b ON b.id = a.id,
+       range(1, {dsub + 1}) t(j)
+  GROUP BY a.cid, t.j
+),
+cent{i}_{s} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM cent{i - 1}_{s} p LEFT JOIN (
+    SELECT cid, list(mv ORDER BY j) AS cv FROM u{i}_{s} GROUP BY cid
+  ) n ON n.cid = p.cid
+)""")
+        parts.append(f""",
+code_{s} AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT b.id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY round(pow(list_distance(b.v[{lo}:{hi}], c.cv), 2)
+                            + 1e-9, 6) ASC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cent{iters}_{s} c
+  ) WHERE rn = 1
+),
+lut_{s} AS MATERIALIZED (
+  SELECT q.id AS qid, c.cid,
+         pow(list_distance(q.v[{lo}:{hi}], c.cv), 2) AS d
+  FROM base q CROSS JOIN cent{iters}_{s} c
+  WHERE q.id % 50 = 0
+)""")
+    code_joins = "\n  ".join(
+        f"JOIN code_{s} c{s} ON c{s}.id = c0.id" for s in range(1, m)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.cid = c{s}.cid"
+        + (" AND l%d.qid = l0.qid" % s if s else "")
+        for s in range(m)
+    ).replace("JOIN lut_0 l0 ON l0.cid = c0.cid",
+              "JOIN lut_0 l0 ON l0.cid = c0.cid")
+    adc = " + ".join(f"l{s}.d" for s in range(m))
+    parts.append(f""",
+scored AS (
+  SELECT l0.qid, c0.id AS nid, round({adc} + 1e-9, 6) AS d2
+  FROM code_0 c0
+  {code_joins}
+  {lut_joins}
+  WHERE c0.id <> l0.qid
+),
+r AS (
+  SELECT qid, nid, d2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY d2, nid) AS rank
+  FROM scored
+)
+SELECT qid, rank, nid, d2 FROM r WHERE rank <= {topk}
+ORDER BY qid, rank
+""")
+    return "".join(parts)
+
+
+SQL_ANN_PQ = _pq_sql()
+
+
 def q_kmeans(spark, sf_dir):
     """Fixed-iteration Lloyd k-means (functions.similarity.kmeans):
     exemplar seeds, 2 Lloyd rounds, 6-dp-rounded argmin assignment
@@ -2338,6 +2449,10 @@ EXTRA_QUERIES = {
     # exact triangle counting (round 4 cont., functions.graph):
     # degree orientation, brute-force 3-way-join oracle
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    # PQ asymmetric-distance ANN (round 4 cont.,
+    # functions.similarity.pq_train/pq_codes/ann_pq_topk): the IVFADC
+    # in-list scorer, whole chain (train/encode/LUT/ADC) SQL-replayed
+    "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ),
     # fixed-iteration Lloyd k-means (round 4 cont.,
     # functions.similarity.kmeans): deterministic seeds + rounded
     # argmin, per-round CTE oracle with ordinality-repacked centroids
