@@ -2179,6 +2179,62 @@ def reclassify(cube: GeoCube, band: str, breaks: Sequence[float],
     )
 
 
+def color_relief(cube: GeoCube, band: str,
+                 ramp: Sequence[Sequence[float]], *,
+                 prefix: Optional[str] = None) -> GeoCube:
+    """gdaldem color-relief: map a value band through a color ramp —
+    the last of the seven gdaldem modes (the others live in
+    :func:`terrain`). ``ramp`` = rows of (value, r, g, b) with
+    strictly increasing values; each output channel interpolates
+    LINEARLY between the bracketing ramp entries (gdaldem's default;
+    its ``-exact_color_entry``/``-nearest_color_entry`` variants are
+    a reclassify), clamping below the first and above the last entry.
+    Channels round half-up to integers 0..255 exactly like the
+    byte-banded GeoTIFF gdaldem writes. Nodata stays fill.
+
+    Three pure element programs through :func:`with_band` — narrow
+    chunk-local maps, zero shuffle; bands ``{prefix}_r/_g/_b``
+    appended (prefix defaults to the band name)."""
+    ramp = [[float(x) for x in row] for row in ramp]
+    if len(ramp) < 2:
+        raise ValueError("ramp needs at least 2 entries")
+    if any(len(row) != 4 for row in ramp):
+        raise ValueError("ramp rows must be (value, r, g, b)")
+    vs = [row[0] for row in ramp]
+    if any(b <= a for a, b in zip(vs, vs[1:])):
+        raise ValueError("ramp values must be strictly increasing")
+    if band not in cube.bands:
+        raise ValueError(f"unknown band {band!r}")
+    src_fill = float(cube.bands[band].fill)
+    is_data = _is_data_fn(F.lit(src_fill))
+    pre = prefix or band
+
+    def _channel(ch):
+        def _fn(v):
+            expr = F.when(v <= F.lit(vs[0]), F.lit(ramp[0][ch]))
+            for (v0, *c0), (v1, *c1) in zip(ramp, ramp[1:]):
+                expr = expr.when(
+                    v <= F.lit(v1),
+                    F.lit(c0[ch - 1])
+                    + (v - F.lit(v0)) * F.lit(c1[ch - 1] - c0[ch - 1])
+                    / F.lit(v1 - v0),
+                )
+            expr = expr.otherwise(F.lit(ramp[-1][ch]))
+            # half-up integer rounding, cross-engine stable (+1e-9)
+            return F.when(
+                is_data(v),
+                F.floor(expr + F.lit(0.5 + 1e-9)).cast("double"),
+            ).otherwise(F.lit(src_fill))
+
+        return _fn
+
+    out = cube
+    for ch, suffix in ((1, "r"), (2, "g"), (3, "b")):
+        out = with_band(out, f"{pre}_{suffix}", (band,),
+                        _channel(ch), fill=src_fill)
+    return out
+
+
 def zonal_crosstab(cube: GeoCube, zone_band: str,
                    class_band: str) -> DataFrame:
     """Cell-count cross-tabulation of two categorical bands (the

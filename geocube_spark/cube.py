@@ -280,6 +280,12 @@ class GeoCube:
         return reclassify(self, band, breaks, classes, name=name,
                           right=right)
 
+    def color_relief(self, band: str, ramp, *, prefix=None):
+        """gdaldem color-relief: linear color-ramp bands (r/g/b)."""
+        from .bandops import color_relief
+
+        return color_relief(self, band, ramp, prefix=prefix)
+
     def zonal_crosstab(self, zone_band: str, class_band: str):
         """Cell-count cross-tabulation of two categorical bands."""
         from .bandops import zonal_crosstab

@@ -2482,6 +2482,83 @@ ORDER BY row, col
 """
 
 
+def q_color_relief(spark, sf_dir):
+    """gdaldem color-relief (bandops.color_relief): the value burn
+    through a 4-stop linear color ramp, channels rounded half-up to
+    bytes — three narrow element programs, zero added shuffle. Oracle
+    replays the segment interpolation + floor(x + 0.5) closed form."""
+    cube = _two_band_cube(spark, sf_dir)
+    ramp = [
+        (0.0, 0.0, 0.0, 128.0),
+        (100.0, 0.0, 255.0, 0.0),
+        (500.0, 255.0, 255.0, 0.0),
+        (1500.0, 255.0, 0.0, 0.0),
+    ]
+    out = cube.color_relief("value", ramp)
+    cells = {
+        s: _explode_cells(
+            out.chunks.filter(F.col("measurement") == f"value_{s}")
+        ).withColumnRenamed("val", s)
+        for s in ("r", "g", "b")
+    }
+    joined = (
+        cells["r"].join(cells["g"], ["row", "col"])
+        .join(cells["b"], ["row", "col"])
+    )
+    # fill cells (value 0 -> fill stays 0 on every channel, but real
+    # value 0 also maps to (0, 0, 128)): keep rows where any channel
+    # is nonzero, matching the oracle's sv <> 0 filter exactly
+    # because ramp(0) = (0, 0, 128) has b = 128 <> 0 for data cells
+    return (
+        joined.where((F.col("r") != 0.0) | (F.col("g") != 0.0)
+                     | (F.col("b") != 0.0))
+        .select("row", "col", F.col("r").cast("int").alias("r"),
+                F.col("g").cast("int").alias("g"),
+                F.col("b").cast("int").alias("b"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_COLOR_RELIEF = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2
+), data AS (
+  SELECT * FROM cell WHERE sv <> 0.0
+), ch AS (
+  SELECT row, col,
+         CASE WHEN sv <= 0.0 THEN 0.0
+              WHEN sv <= 100.0 THEN 0.0 + (sv - 0.0) * (0.0 - 0.0) / 100.0
+              WHEN sv <= 500.0 THEN 0.0 + (sv - 100.0) * (255.0 - 0.0) / 400.0
+              WHEN sv <= 1500.0 THEN 255.0 + (sv - 500.0) * (255.0 - 255.0) / 1000.0
+              ELSE 255.0 END AS r,
+         CASE WHEN sv <= 0.0 THEN 0.0
+              WHEN sv <= 100.0 THEN 0.0 + (sv - 0.0) * (255.0 - 0.0) / 100.0
+              WHEN sv <= 500.0 THEN 255.0 + (sv - 100.0) * (255.0 - 255.0) / 400.0
+              WHEN sv <= 1500.0 THEN 255.0 + (sv - 500.0) * (0.0 - 255.0) / 1000.0
+              ELSE 0.0 END AS g,
+         CASE WHEN sv <= 0.0 THEN 128.0
+              WHEN sv <= 100.0 THEN 128.0 + (sv - 0.0) * (0.0 - 128.0) / 100.0
+              WHEN sv <= 500.0 THEN 0.0 + (sv - 100.0) * (0.0 - 0.0) / 400.0
+              WHEN sv <= 1500.0 THEN 0.0 + (sv - 500.0) * (0.0 - 0.0) / 1000.0
+              ELSE 0.0 END AS b
+  FROM data
+)
+SELECT row, col,
+       CAST(floor(r + 0.5 + 1e-9) AS INT) AS r,
+       CAST(floor(g + 0.5 + 1e-9) AS INT) AS g,
+       CAST(floor(b + 0.5 + 1e-9) AS INT) AS b
+FROM ch
+WHERE floor(r + 0.5 + 1e-9) <> 0.0 OR floor(g + 0.5 + 1e-9) <> 0.0
+   OR floor(b + 0.5 + 1e-9) <> 0.0
+ORDER BY row, col
+"""
+
+
 def q_zonal_crosstab(spark, sf_dir):
     """Cell-count cross-tabulation of two recoded bands
     (bandops.zonal_crosstab): value classes x user-sum classes. One
@@ -4680,6 +4757,9 @@ EXTRA_QUERIES = {
     # parity in tests/test_reclassify_crosstab.py
     "reclassify": (q_reclassify, SQL_RECLASSIFY),
     "zonal_crosstab": (q_zonal_crosstab, SQL_ZONAL_CROSSTAB),
+    # gdaldem color-relief (bandops.color_relief): linear color ramp,
+    # half-up byte rounding — completes the seven gdaldem modes
+    "color_relief": (q_color_relief, SQL_COLOR_RELIEF),
     # categorical zonal stats (bandops.zonal_majority, ESRI
     # MAJORITY/MINORITY/VARIETY): pair counts map-side, max_by/min_by
     # tie-break parity with the oracle's row_number windows; Counter

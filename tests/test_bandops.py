@@ -245,6 +245,35 @@ def test_zonal_majority_ties_and_errors(spark):
         cube.zonal_majority("zone", "nope")
 
 
+def test_color_relief_matches_numpy_interp(spark, two_band_cube):
+    """np.interp referee for the ramp channels (gdaldem's linear
+    interpolation with clamping), plus the half-up byte rounding."""
+    cube = two_band_cube
+    ramp = [
+        (0.0, 0.0, 0.0, 128.0),
+        (2.0, 0.0, 255.0, 0.0),
+        (5.0, 255.0, 255.0, 0.0),
+        (9.0, 255.0, 0.0, 0.0),
+    ]
+    out = cube.color_relief("m0", ramp)
+    arrs = out.assemble()
+    base = cube.assemble()["m0"]
+    data = base != 0.0
+    xs = [r[0] for r in ramp]
+    for ch, sfx in ((1, "r"), (2, "g"), (3, "b")):
+        want = np.floor(
+            np.interp(base, xs, [r[ch] for r in ramp]) + 0.5 + 1e-9
+        )
+        got = arrs[f"m0_{sfx}"]
+        np.testing.assert_array_equal(got[data], want[data])
+        # nodata stays fill
+        np.testing.assert_array_equal(got[~data], 0.0)
+    with pytest.raises(ValueError, match="increasing"):
+        cube.color_relief("m0", [(1.0, 0, 0, 0), (1.0, 1, 1, 1)])
+    with pytest.raises(ValueError, match="at least 2"):
+        cube.color_relief("m0", [(1.0, 0, 0, 0)])
+
+
 def test_coarsen_nan_fill_skipna(spark):
     """NaN-fill cube: nodata travels as NULL elements; coarsen mean
     skips them (xarray skipna) and all-nodata blocks stay nodata."""
