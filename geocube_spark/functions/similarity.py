@@ -1171,3 +1171,102 @@ def ann_pq_topk(corpus: DataFrame, *, queries: DataFrame = None,
         .where(F.col("rank") <= topk)
         .select("qid", "rank", "nid", "d2")
     )
+
+
+def quantize_embeddings(corpus: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Scalar (per-dimension min-max) int8 quantization — the 4x
+    embedding-compression step vector stores run before indexing
+    (e.g. faiss ScalarQuantizer SQ8): dimension ``j`` maps linearly
+    onto codes 0..255 between the corpus-wide min and max of that
+    dimension, ``code = clamp(floor((v - mn) / (mx - mn) * 255 +
+    0.5))`` (half-up, degenerate dimensions -> 0). All arithmetic is
+    closed-form over exact per-dim extremes (min/max carry no float-
+    accumulation order), so codes are bit-deterministic and
+    SQL-replayable.
+
+    Returns (codes_df, mn, mx): ``codes_df`` = (id, codes:
+    array<int>), ``mn``/``mx`` the per-dim extreme vectors (numpy) —
+    feed both to :func:`dequantize_embeddings` to reconstruct.
+
+    Scale shape: one Arrow pass of per-batch extreme partials reduced
+    on the driver (O(batches x dim)), one broadcast, one narrow
+    encode map. No shuffle anywhere."""
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).persist()
+    try:
+        part_schema = T.StructType([
+            T.StructField("mn", T.ArrayType(T.DoubleType())),
+            T.StructField("mx", T.ArrayType(T.DoubleType())),
+        ])
+
+        def _extremes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].values).astype(np.float64)
+                yield pd.DataFrame({"mn": [m.min(axis=0)],
+                                    "mx": [m.max(axis=0)]})
+
+        parts = vecs.mapInPandas(_extremes, schema=part_schema).collect()
+        if not parts:
+            raise ValueError("empty corpus")
+        mn = np.min([np.asarray(p["mn"]) for p in parts], axis=0)
+        mx = np.max([np.asarray(p["mx"]) for p in parts], axis=0)
+        rng = mx - mn
+
+        out_schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ])
+
+        def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].values).astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    x = (m - mn) / np.where(rng == 0, 1.0, rng) * 255.0
+                codes = np.clip(
+                    np.floor(x + 0.5 + 1e-9), 0, 255
+                ).astype(np.int32)
+                codes[:, rng == 0] = 0
+                yield pd.DataFrame({
+                    "id": pdf["id"].astype("int64"),
+                    "codes": list(codes),
+                })
+
+        codes_df = vecs.mapInPandas(_enc, schema=out_schema) \
+            .localCheckpoint(eager=True)
+        return codes_df, mn, mx
+    finally:
+        vecs.unpersist()
+
+
+def dequantize_embeddings(codes_df: DataFrame, mn: np.ndarray,
+                          mx: np.ndarray) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``v_hat = mn +
+    code / 255 * (mx - mn)`` — reconstruction error bounded by half a
+    quantization step per dimension. Narrow map, no shuffle. Returns
+    (id, v: array<double>)."""
+    mn = np.asarray(mn, dtype=np.float64)
+    rng = np.asarray(mx, dtype=np.float64) - mn
+
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["codes"].values).astype(np.float64)
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "v": list(mn + c / 255.0 * rng),
+            })
+
+    return codes_df.mapInPandas(_dec, schema=out_schema)

@@ -1706,6 +1706,47 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Scalar int8 quantization (functions.similarity.
+    quantize_embeddings, faiss SQ8-style): per-dim min-max codes,
+    bit-deterministic (extremes carry no float-sum order). One row
+    per (id, dim) so the hash covers every code; the oracle replays
+    the closed form with a per-dim extreme join."""
+    from ..functions.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes_df, _mn, _mx = quantize_embeddings(emb)
+    return (
+        codes_df.select(
+            "id", F.posexplode("codes").alias("pos", "code")
+        )
+        .select("id", (F.col("pos") + 1).alias("j"), "code")
+        .orderBy("id", "j")
+    )
+
+
+SQL_QUANTIZE = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+stats AS MATERIALIZED (
+  SELECT t.j, min(b.v[t.j]) AS mn, max(b.v[t.j]) AS mx
+  FROM base b, range(1, 65) t(j)
+  GROUP BY t.j
+)
+SELECT b.id, CAST(t.j AS BIGINT) AS j,
+       CAST(CASE WHEN s.mx = s.mn THEN 0
+                 ELSE least(255, greatest(0,
+                      floor((b.v[t.j] - s.mn) / (s.mx - s.mn)
+                            * 255.0 + 0.5 + 1e-9)))
+            END AS INT) AS code
+FROM base b, range(1, 65) t(j)
+JOIN stats s ON s.j = t.j
+ORDER BY b.id, j
+"""
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """PQ asymmetric-distance ANN (functions.similarity.ann_pq_topk,
     Jegou et al. 2011 IVFADC's in-list scorer): 4 subspaces x 8
@@ -2449,6 +2490,10 @@ EXTRA_QUERIES = {
     # exact triangle counting (round 4 cont., functions.graph):
     # degree orientation, brute-force 3-way-join oracle
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    # scalar int8 embedding quantization (round 4 cont.,
+    # functions.similarity.quantize_embeddings): per-dim min-max
+    # codes, bit-deterministic closed form
+    "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE),
     # PQ asymmetric-distance ANN (round 4 cont.,
     # functions.similarity.pq_train/pq_codes/ann_pq_topk): the IVFADC
     # in-list scorer, whole chain (train/encode/LUT/ADC) SQL-replayed

@@ -96,3 +96,33 @@ def test_pq_validation(spark):
         ann_pq_topk(df, m=2, topk=0)
     with pytest.raises(ValueError, match="empty"):
         pq_train(df.where("vec_id < 0"), m=2)
+
+
+def test_quantize_roundtrip_and_determinism(spark):
+    from geocube_spark.functions.similarity import (
+        dequantize_embeddings, quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(0, 2, (70, 12)).astype(np.float32).astype(np.float64)
+    X[:, 5] = 3.25  # degenerate dimension -> code 0 everywhere
+    ids = np.arange(70)
+    codes_df, mn, mx = quantize_embeddings(_df(spark, ids, X, 5))
+    codes = {r["id"]: np.asarray(r["codes"]) for r in codes_df.collect()}
+    np.testing.assert_array_equal(mn, X.min(axis=0))
+    np.testing.assert_array_equal(mx, X.max(axis=0))
+    assert all(c[5] == 0 for c in codes.values())
+    assert all((c >= 0).all() and (c <= 255).all() for c in codes.values())
+    # scalar replay: identical closed form
+    rngv = mx - mn
+    for i in ids:
+        x = (X[i] - mn) / np.where(rngv == 0, 1.0, rngv) * 255.0
+        want = np.clip(np.floor(x + 0.5 + 1e-9), 0, 255).astype(int)
+        want[rngv == 0] = 0
+        np.testing.assert_array_equal(codes[i], want)
+    # reconstruction within half a step per dim
+    rec = {r["id"]: np.asarray(r["v"])
+           for r in dequantize_embeddings(codes_df, mn, mx).collect()}
+    step = np.where(rngv == 0, 0.0, rngv / 255.0)
+    for i in ids:
+        assert (np.abs(rec[i] - X[i]) <= step / 2 + 1e-12).all()
