@@ -1706,6 +1706,35 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_char_entropy(spark, sf_dir):
+    """Shannon char entropy quality signal (textops.analysis.
+    char_entropy): zero-shuffle Arrow numpy counting vs the oracle's
+    explode + double groupBy — the same number from two different
+    physical shapes."""
+    from ..textops.analysis import char_entropy
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return char_entropy(_spread(spark, d)).orderBy("id")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents
+), cnt AS (
+  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nc FROM cnt GROUP BY 1
+)
+SELECT c.doc_id AS id, t.nc AS n_chars,
+       round(-sum((c.n * 1.0 / t.nc) * log2(c.n * 1.0 / t.nc))
+             + 1e-9, 6) AS entropy
+FROM cnt c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.nc ORDER BY id
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Scalar int8 quantization (functions.similarity.
     quantize_embeddings, faiss SQ8-style): per-dim min-max codes,
@@ -2490,6 +2519,9 @@ EXTRA_QUERIES = {
     # exact triangle counting (round 4 cont., functions.graph):
     # degree orientation, brute-force 3-way-join oracle
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    # Shannon char entropy quality signal (round 4 cont.,
+    # textops.analysis.char_entropy): zero-shuffle numpy counting
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     # scalar int8 embedding quantization (round 4 cont.,
     # functions.similarity.quantize_embeddings): per-dim min-max
     # codes, bit-deterministic closed form

@@ -166,3 +166,29 @@ def test_pii_plan_is_narrow(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = with_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_char_entropy_matches_counter(spark):
+    """Scalar Counter referee + edge cases (uniform text -> log2 of
+    alphabet size; single repeated char -> 0; empty -> 0)."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from geocube_spark.textops.analysis import char_entropy
+
+    rows = [(1, "abab"), (2, "aaaa"), (3, ""), (4, "abcd"),
+            (5, "hello world, entropy!"), (6, "ü ü é")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in char_entropy(df).collect()}
+    for did, text in rows:
+        cnt = collections.Counter(text)
+        n = len(text)
+        want = (-sum((c / n) * math.log2(c / n)
+                     for c in cnt.values()) if n else 0.0)
+        assert got[did]["n_chars"] == n
+        np.testing.assert_allclose(got[did]["entropy"], want, atol=1e-6)
+    assert got[2]["entropy"] == 0.0
+    assert abs(got[1]["entropy"] - 1.0) < 1e-9
+    assert abs(got[4]["entropy"] - 2.0) < 1e-9
