@@ -86,3 +86,15 @@ def test_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="tokens_per_para"):
         dedup_paragraphs(df, tokens_per_para=0)
+
+
+def test_dedup_paragraphs_plan_no_cartesian(spark):
+    """Two shuffles (hash window + rebuild groupBy), no cartesian
+    product, no Python anywhere — the whole pipeline is Catalyst."""
+    rows = [(i, "w%d w%d w%d w%d" % (i % 3, i % 5, i % 3, i % 7))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_paragraphs(df, tokens_per_para=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan

@@ -796,3 +796,16 @@ def test_resample_bars_numeric_axis_and_validation(spark):
     assert got[2.0]["low"] == 5.0
     with pytest.raises(ValueError, match="every"):
         resample_bars(df, "t", "value", every=0)
+
+
+def test_resample_bars_map_side_combine_plan(spark):
+    """ONE exchange; min_by/max_by/sum combine partially before it —
+    the shuffle carries one partial row per (key, bucket) per task."""
+    rows = [("a", "2024-01-01 00:10:00", 1.0)] * 4
+    df = spark.createDataFrame(rows, "k string, ts string, value double") \
+        .select("k", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = resample_bars(df, "ts", "value", every=3600.0, by=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower()
+    assert plan.count("Exchange") == 1
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
