@@ -477,6 +477,82 @@ def minhash_lsh_pairs(df: DataFrame = None, *, threshold: float = 0.5,
     )
 
 
+def cross_dedup_minhash(corpus: DataFrame, reference: DataFrame, *,
+                        threshold: float = 0.5, num_hashes: int = 64,
+                        bands: int = 16, k: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Cross-corpus near-duplicate filtering — dedup a NEW corpus
+    against an EXISTING one (new crawl vs the training set already
+    ingested; the fuzzy counterpart of :func:`decontaminate`'s exact
+    window overlap). MinHash-LSH candidates are generated only ACROSS
+    the two corpora (corpus bucket x reference bucket — within-corpus
+    pairs are :func:`minhash_lsh_pairs`' job), then verified with the
+    exact shingle Jaccard, so matches have perfect precision at LSH
+    recall.
+
+    Returns one row per corpus document: (id, keep, dup_of, jaccard)
+    — ``keep`` false when some reference doc reaches ``threshold``,
+    ``dup_of`` the smallest (jaccard DESC tie-broken) matching
+    reference id, NULL/-1-free: unmatched rows carry NULL dup_of and
+    NULL jaccard.
+
+    Scale shape: both sides shingle+sign once (Arrow batches); ONE
+    (band, bh) equi-join generates candidates (sub-quadratic, uniform
+    band hashes); verification joins the two cached hash-set tables
+    by candidate only. The reference corpus streams through the same
+    plan — nothing is collected or broadcast, so the reference can be
+    the full training set."""
+    sets_c = shingle_hash_sets(corpus, text_col, id_col, k).persist()
+    sets_r = shingle_hash_sets(reference, text_col, id_col, k).persist()
+    try:
+        bc = minhash_band_buckets(
+            num_hashes=num_hashes, bands=bands, k=k, sets=sets_c)
+        br = minhash_band_buckets(
+            num_hashes=num_hashes, bands=bands, k=k, sets=sets_r)
+        cand = (
+            bc.alias("l").join(
+                br.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh")),
+            )
+            .select(F.col("l.id").alias("id"),
+                    F.col("r.id").alias("ref_id"))
+            .distinct()
+        )
+        sa = sets_c.select(F.col("id"), F.col("set_size").alias("na"),
+                           F.col("sh_hashes").alias("ha"))
+        sb = sets_r.select(F.col("id").alias("ref_id"),
+                           F.col("set_size").alias("nb"),
+                           F.col("sh_hashes").alias("hb"))
+        inter = F.size(F.array_intersect("ha", "hb"))
+        jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 6)
+        hits = (
+            cand.join(sa, "id").join(sb, "ref_id")
+            .select("id", "ref_id", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        best = hits.groupBy("id").agg(
+            F.max_by(
+                "ref_id",
+                F.struct(F.col("jaccard"),
+                         (-F.col("ref_id")).alias("nr")),
+            ).alias("dup_of"),
+            F.max("jaccard").alias("jaccard"),
+        )
+        out = (
+            sets_c.select("id").join(best, "id", "left")
+            .select(
+                "id", F.col("dup_of").isNull().alias("keep"),
+                "dup_of", "jaccard",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sets_c.unpersist()
+        sets_r.unpersist()
+
+
 def simhash(df: DataFrame, *, bits: int = 60, text_col: str = "text",
             id_col: str = "doc_id", engine: str = "numpy") -> DataFrame:
     """60-bit SimHash over whitespace tokens (token multiset, h60 bit

@@ -1706,6 +1706,81 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_cross_dedup(spark, sf_dir):
+    """Cross-corpus near-dup filtering (functions.dedup.
+    cross_dedup_minhash): the truncated variants as the NEW corpus
+    vs the originals as the REFERENCE training set — every new doc
+    should be caught by its source. The oracle replays signatures,
+    cross-side banding, exact-Jaccard verification, and the
+    best-match window."""
+    from ..functions.dedup import cross_dedup_minhash
+
+    d = _docs(spark, sf_dir)
+    ref = _spread(spark, d.select("doc_id", "text"))
+    new = _spread(spark, d.select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(n_chars * 0.8) as int))"
+        ).alias("text"),
+    ))
+    out = cross_dedup_minhash(new, ref, threshold=0.5)
+    return out.select(
+        "id", F.col("keep").cast("int").alias("keep"),
+        F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+        F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+    ).orderBy("id")
+
+
+def _cross_dedup_sql(tau: float = 0.5) -> str:
+    base = _minhash_lsh_sql()
+    prefix = base[: base.index("cand AS")]
+    return (
+        f"WITH {CORPUS_NEARDUP_SQL}, {SHINGLE_IDX_SQL}, "
+        + prefix[1:]
+        + f"""cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r
+    ON l.band = r.band AND l.bh = r.bh
+   AND l.id >= {DUP_OFFSET} AND r.id < {DUP_OFFSET}
+),
+szs AS (SELECT id, any_value(set_size) AS set_size FROM idx GROUP BY id),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         any_value(sa.set_size) AS na, any_value(sb.set_size) AS nb,
+         count(*) AS n_inter
+  FROM cand c
+  JOIN idx a ON a.id = c.id_a
+  JOIN idx b ON b.id = c.id_b AND b.sh_hash = a.sh_hash
+  JOIN szs sa ON sa.id = c.id_a
+  JOIN szs sb ON sb.id = c.id_b
+  GROUP BY c.id_a, c.id_b
+),
+hits AS (
+  SELECT id_a AS id, id_b AS ref_id,
+         round(n_inter / (na + nb - n_inter), 6) AS jaccard
+  FROM ver
+  WHERE round(n_inter / (na + nb - n_inter), 6) >= {tau}
+),
+best AS (
+  SELECT id, ref_id AS dup_of, jaccard,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY jaccard DESC, ref_id ASC) AS rn
+  FROM hits
+),
+allnew AS (SELECT DISTINCT id FROM idx WHERE id >= {DUP_OFFSET})
+SELECT a.id,
+       CAST(b.dup_of IS NULL AS INT) AS keep,
+       COALESCE(b.dup_of, -1) AS dup_of,
+       COALESCE(b.jaccard, -1.0) AS jaccard
+FROM allnew a LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (id)
+ORDER BY id
+"""
+    )
+
+
+SQL_CROSS_DEDUP = _cross_dedup_sql()
+
+
 def q_char_entropy(spark, sf_dir):
     """Shannon char entropy quality signal (textops.analysis.
     char_entropy): zero-shuffle Arrow numpy counting vs the oracle's
@@ -2519,6 +2594,10 @@ EXTRA_QUERIES = {
     # exact triangle counting (round 4 cont., functions.graph):
     # degree orientation, brute-force 3-way-join oracle
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    # cross-corpus near-dup filtering (round 4 cont.,
+    # functions.dedup.cross_dedup_minhash): new crawl vs existing
+    # training set, cross-side LSH banding + exact-Jaccard verify
+    "cross_dedup": (q_cross_dedup, SQL_CROSS_DEDUP),
     # Shannon char entropy quality signal (round 4 cont.,
     # textops.analysis.char_entropy): zero-shuffle numpy counting
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),

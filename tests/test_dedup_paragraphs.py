@@ -98,3 +98,34 @@ def test_dedup_paragraphs_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cross_dedup_minhash_catches_planted_variants(spark):
+    """New corpus = prefix-truncated variants of the reference; every
+    variant must be flagged against its own source; unrelated docs
+    must survive."""
+    from geocube_spark.functions.dedup import cross_dedup_minhash
+
+    ref_rows = [
+        (i, " ".join("tok%d_%d" % (i, j) for j in range(30)))
+        for i in range(20)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    new_rows = (
+        # truncated variants of refs 0..9 -> should be caught
+        [(100 + i, " ".join(t.split()[:24])) for i, t in ref_rows[:10]]
+        # fresh unrelated docs -> should be kept
+        + [(200 + i, " ".join("x%d_%d" % (i, j) for j in range(25)))
+           for i in range(5)]
+    )
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           cross_dedup_minhash(new, ref, threshold=0.5).collect()}
+    assert set(got) == {i for i, _ in new_rows}
+    for i in range(10):
+        r = got[100 + i]
+        assert not r["keep"] and r["dup_of"] == i
+        assert r["jaccard"] >= 0.5
+    for i in range(5):
+        r = got[200 + i]
+        assert r["keep"] and r["dup_of"] is None and r["jaccard"] is None
