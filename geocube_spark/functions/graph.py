@@ -302,3 +302,61 @@ def k_core(edges: DataFrame, k: int, *, max_rounds: int = 30,
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} rounds"
     )
+
+
+def connected_components(edges: DataFrame, *, max_rounds: int = 30,
+                         src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Weakly-connected component labels of the undirected simple
+    graph: every node gets the MINIMUM node id reachable from it
+    (the canonical label every distributed CC formulation converges
+    to). Synchronous min-label propagation — ``label'(v) =
+    min(label(v), min_{u~v} label(u))`` — to the fixpoint, raising
+    past ``max_rounds``; rounds scale with component DIAMETER, so use
+    this for the shallow/moderate graphs it fits and the
+    pointer-jumping doubling in ``functions.dedup.near_dup_clusters``
+    (O(log n) rounds) for adversarially deep chains. Returns
+    (node, component).
+
+    Scale shape per round: one equi-join of labels onto the
+    bidirectional edge list + ONE map-side-combined min aggregate;
+    ``localCheckpoint`` bounds plan depth; the fixpoint test is a
+    LEFT-join count of changed labels (no collect of the labels)."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    und = edges.select(
+        F.col(src_col).cast("long").alias("a"),
+        F.col(dst_col).cast("long").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    e = (
+        und.unionByName(und.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        .distinct().localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("a").alias("node")).distinct() \
+        .select("node", F.col("node").alias("label")) \
+        .localCheckpoint(eager=True)
+    for _ in range(int(max_rounds)):
+        nbr_min = (
+            labels.join(e, labels["node"] == e["a"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nm"))
+        )
+        new = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"),
+                    F.coalesce(F.col("nm"), F.col("label")))
+            .alias("label"),
+        ).localCheckpoint(eager=True)
+        changed = new.alias("n").join(
+            labels.alias("o"), "node"
+        ).where(F.col("n.label") != F.col("o.label")) \
+            .limit(1).count()
+        labels = new
+        if not changed:
+            return labels.select(
+                "node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} "
+        "rounds; use the pointer-jumping path for deep graphs"
+    )

@@ -2210,6 +2210,50 @@ SELECT node, deg FROM degf WHERE deg >= {k} ORDER BY node
 SQL_GRAPH_KCORE = _kcore_sql()
 
 
+def q_graph_components(spark, sf_dir):
+    """Weakly-connected components (functions.graph.
+    connected_components, min-label propagation to the fixpoint) on a
+    sparse part<->supplier subgraph that actually fragments (69
+    components at sf0.01); the oracle computes each node's minimum
+    reachable id with a recursive-CTE closure."""
+    from ..functions.graph import connected_components
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.where(
+        (F.col("l_quantity") == 1) & (F.col("l_orderkey") % 3 == 0)
+    ).select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+    )
+    return connected_components(edges).orderBy("node")
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+           CAST(l_suppkey AS BIGINT) + 1000000 AS b
+    FROM lineitem
+    WHERE l_quantity = 1 AND l_orderkey % 3 = 0
+  )
+  UNION
+  SELECT b, a FROM (
+    SELECT DISTINCT CAST(l_partkey AS BIGINT) AS a,
+           CAST(l_suppkey AS BIGINT) + 1000000 AS b
+    FROM lineitem
+    WHERE l_quantity = 1 AND l_orderkey % 3 = 0
+  )
+),
+r AS (
+  SELECT a AS node, a AS reach FROM e
+  UNION
+  SELECT r.node, e.b FROM r JOIN e ON e.a = r.reach
+)
+SELECT node, min(reach) AS component
+FROM r GROUP BY node ORDER BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
@@ -2623,6 +2667,9 @@ EXTRA_QUERIES = {
     # k-core peeling (round 4 cont.): synchronous peel to fixpoint,
     # bounded-round CTE oracle (no-op rounds past convergence)
     "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+    # weakly-connected components (round 4 cont.): min-label
+    # propagation to fixpoint, recursive-closure oracle
+    "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     # ann_ivf_topk is the one genuinely non-SQL-expressible query
     # (iterative distributed k-means trainer); its correctness
     # evidence is the pytest recall floor (tests/test_pipeline_ops.py)

@@ -164,3 +164,48 @@ def test_k_core_cascade_and_referee(spark):
         assert got == _kcore_ref(edges, k)
     with pytest.raises(ValueError, match="k must"):
         k_core(dfr, 0)
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from geocube_spark.functions.graph import connected_components
+
+    rng = random.Random(19)
+    # several small clusters + isolated-pair edges
+    edges = []
+    for c in range(6):
+        base = c * 20
+        nodes = list(range(base, base + rng.randrange(2, 8)))
+        for n in nodes[1:]:
+            edges.append((nodes[0], n))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(mem) for mem in comp.values() for n in mem}
+    assert got == want
+    # deep chain exceeds a tiny round budget -> loud failure
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_rounds=3)
+    # but converges given enough rounds
+    got2 = {r["node"]: r["component"]
+            for r in connected_components(chain, max_rounds=15).collect()}
+    assert set(got2.values()) == {0}
