@@ -2512,6 +2512,87 @@ def stream_magnitude(cube: GeoCube, band: str = "flowdir",
     )
 
 
+def stream_order(cube: GeoCube, band: str = "flowdir",
+                 max_rounds: int = 64) -> DataFrame:
+    """Strahler stream order (Strahler 1957; ESRI StreamOrder
+    STRAHLER) over the D8 flow forest — the last of the hydrology
+    family (flowdir/accumulation/basins/watershed/Shreve/flow_length
+    already live here): a cell with no inflow has order 1; a cell
+    whose upstream maximum order ``m`` is reached by >= 2 upstream
+    cells gets ``m + 1``, otherwise ``m``. Returns (row, col, order)
+    for every valid D8 cell.
+
+    Unlike accumulation/magnitude (additive -> ancestor-closure
+    doubling), Strahler's junction rule is NOT associative, so it
+    resolves level-by-level: each round settles every cell whose
+    upstream cells are all settled — rounds = longest flow PATH in
+    cells (not log), which on coarsened DEMs is small; raises past
+    ``max_rounds`` so a bounded-round SQL replay provably agrees. Per
+    round: two equi-joins + two map-side-combined aggregates over the
+    O(edges) rows, ``localCheckpoint`` keeping the plan O(1) deep."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    cells = flow_cells(cube, band).localCheckpoint(eager=True)
+    edges = flow_edges(cube, band).localCheckpoint(eager=True)
+    inflow = edges.select(
+        F.col("nrow").alias("row"), F.col("ncol").alias("col")
+    ).distinct()
+    n_up = inflow.join(
+        edges.select(F.col("nrow").alias("row"),
+                     F.col("ncol").alias("col")),
+        ["row", "col"],
+    ).groupBy("row", "col").agg(F.count(F.lit(1)).alias("n_up")) \
+        .localCheckpoint(eager=True)
+    orders = cells.join(inflow, ["row", "col"], "left_anti").select(
+        "row", "col", F.lit(1).cast("long").alias("order")
+    ).localCheckpoint(eager=True)
+    n_cells = cells.count()
+    for _ in range(int(max_rounds)):
+        if orders.count() == n_cells:
+            return orders
+        up_res = edges.join(
+            orders.select(F.col("row"), F.col("col"),
+                          F.col("order").alias("uo")),
+            ["row", "col"],
+        ).select("nrow", "ncol", "uo")
+        a = up_res.groupBy("nrow", "ncol").agg(
+            F.count(F.lit(1)).alias("n_res"),
+            F.max("uo").alias("m"),
+        )
+        cmax = up_res.join(a, ["nrow", "ncol"]).where(
+            F.col("uo") == F.col("m")
+        ).groupBy("nrow", "ncol").agg(
+            F.count(F.lit(1)).alias("c_max"),
+            F.max("m").alias("m"),
+        )
+        ready = (
+            cmax.join(a.select("nrow", "ncol", "n_res"),
+                      ["nrow", "ncol"])
+            .join(
+                n_up.select(F.col("row").alias("nrow"),
+                            F.col("col").alias("ncol"), "n_up"),
+                ["nrow", "ncol"],
+            )
+            .where(F.col("n_res") == F.col("n_up"))
+            .join(
+                orders.select(F.col("row").alias("nrow"),
+                              F.col("col").alias("ncol")),
+                ["nrow", "ncol"], "left_anti",
+            )
+            .select(
+                F.col("nrow").alias("row"), F.col("ncol").alias("col"),
+                F.when(F.col("c_max") >= 2, F.col("m") + 1)
+                .otherwise(F.col("m")).cast("long").alias("order"),
+            )
+        )
+        orders = orders.unionByName(ready).localCheckpoint(eager=True)
+    if orders.count() == n_cells:
+        return orders
+    raise RuntimeError(
+        f"stream_order did not settle within {max_rounds} rounds"
+    )
+
+
 def cells_to_cube(cells: DataFrame, like, *, scheme: str, res: int,
                   cell_col: str = "cell",
                   measurements: Sequence[str] = ("value",),

@@ -3372,6 +3372,71 @@ ORDER BY row, col
 """
 
 
+def q_stream_order(spark, sf_dir):
+    """Strahler stream order (bandops.stream_order): level-by-level
+    settling over the D8 forest (the junction rule is not
+    associative, so no closure doubling — rounds = longest flow path,
+    3 on this fixture); the oracle replays each settling round with
+    the same two-join/two-aggregate recurrence, extra rounds past the
+    fixpoint being no-ops."""
+    from ..bandops import stream_order
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    fd = cube.terrain("value", "flowdir")
+    return stream_order(fd).orderBy("row", "col")
+
+
+def _stream_order_sql(rounds: int = 6) -> str:
+    parts = [_FLOWDIR_AS_CTE + """, nup AS MATERIALIZED (
+  SELECT e.nrow, e.ncol, count(*) AS n_up
+  FROM edges e GROUP BY 1, 2
+),
+s0 AS MATERIALIZED (
+  SELECT f.row AS row, f.col AS col, CAST(1 AS BIGINT) AS ord
+  FROM fd f
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.nrow = f.row AND e.ncol = f.col)
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+j{i} AS MATERIALIZED (
+  SELECT e.nrow, e.ncol, s.ord
+  FROM edges e JOIN s{i - 1} s ON s.row = e.row AND s.col = e.col
+),
+a{i} AS MATERIALIZED (
+  SELECT nrow, ncol, count(*) AS n_res, max(ord) AS m
+  FROM j{i} GROUP BY 1, 2
+),
+r{i} AS MATERIALIZED (
+  SELECT a.nrow AS row, a.ncol AS col,
+         CAST(CASE WHEN cm.c_max >= 2 THEN a.m + 1 ELSE a.m END
+              AS BIGINT) AS ord
+  FROM a{i} a
+  JOIN (SELECT j.nrow, j.ncol, count(*) AS c_max
+        FROM j{i} j JOIN a{i} x ON x.nrow = j.nrow
+                                AND x.ncol = j.ncol
+                                AND j.ord = x.m
+        GROUP BY 1, 2) cm
+    ON cm.nrow = a.nrow AND cm.ncol = a.ncol
+  JOIN nup u ON u.nrow = a.nrow AND u.ncol = a.ncol
+            AND u.n_up = a.n_res
+  WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} s
+                    WHERE s.row = a.nrow AND s.col = a.ncol)
+),
+s{i} AS MATERIALIZED (
+  SELECT row, col, ord FROM s{i - 1}
+  UNION ALL
+  SELECT row, col, ord FROM r{i}
+)""")
+    parts.append(f"""
+SELECT row, col, ord AS "order" FROM s{rounds} ORDER BY row, col
+""")
+    return "".join(parts)
+
+
+SQL_STREAM_ORDER = _stream_order_sql()
+
+
 def q_stream_magnitude(spark, sf_dir):
     """Shreve stream magnitude (bandops.stream_magnitude): upstream
     SOURCE counts through the D8 forest via the same ancestor-pair
@@ -4705,6 +4770,10 @@ EXTRA_QUERIES = {
     "flow_basins": (q_flow_basins, SQL_FLOW_BASINS),
     "flow_accum": (q_flow_accum, SQL_FLOW_ACCUM),
     "stream_magnitude": (q_stream_magnitude, SQL_STREAM_MAGNITUDE),
+    # Strahler stream order (bandops.stream_order): level-by-level
+    # settling, bounded-round CTE oracle — completes the hydrology
+    # family (flowdir/accum/basins/watershed/Shreve/length/order)
+    "stream_order": (q_stream_order, SQL_STREAM_ORDER),
     # raster -> spherical-index rollup (round 4 cont.): burned band
     # aggregated into hex cells, map-side combined, fill excluded
     "cube_to_cells_hex": (q_cube_to_cells_hex,

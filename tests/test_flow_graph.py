@@ -251,3 +251,47 @@ def test_stream_magnitude_matches_walker(spark, rough_dem):
         if valid2[r, c] and (r, c) not in inflow
     )
     assert got2[(11, 11)] == n_sources
+
+
+def test_stream_order_strahler_referee(spark):
+    """Scalar topological Strahler on the real terrain forest: orders
+    must match, sources are 1, and a junction of two equal orders
+    increments."""
+    import collections
+
+    from geocube_spark.bandops import flow_edges, stream_order
+
+    rng = np.random.default_rng(21)
+    dem = rng.uniform(0, 100, (24, 24)).round(1)
+    cube = _dem_cube(spark, dem)
+    fd = cube.terrain("dem", "flowdir")
+    got = {(r["row"], r["col"]): r["order"]
+           for r in stream_order(fd).collect()}
+    edges = [((r["row"], r["col"]), (r["nrow"], r["ncol"]))
+             for r in flow_edges(fd).collect()]
+    ups = collections.defaultdict(list)
+    for u, v in edges:
+        ups[v].append(u)
+    # topological walk
+    want = {}
+    pending = set(got)
+    while pending:
+        prog = False
+        for c in list(pending):
+            if all(u in want for u in ups[c]):
+                os = [want[u] for u in ups[c]]
+                if not os:
+                    want[c] = 1
+                else:
+                    m = max(os)
+                    want[c] = m + 1 if os.count(m) >= 2 else m
+                pending.discard(c)
+                prog = True
+        assert prog, "cycle in D8 forest?"
+    assert got == want
+    # every source is order 1; some junction increments on this DEM
+    srcs = [c for c in got if not ups[c]]
+    assert srcs and all(got[c] == 1 for c in srcs)
+
+    # canonical junctions: two order-1s meet -> 2; 2 meets 1 -> 2
+    assert max(got.values()) >= 2
