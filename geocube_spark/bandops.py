@@ -1077,6 +1077,11 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
     * hillshade = 255 * max(0, cos(zen)*cos(s) +
       sin(zen)*sin(s)*cos(az - aspect)), zen = 90 - altitude, with
       the sun at (``azimuth``, ``altitude``) degrees
+    * hillshade_md = MDOW multidirectional hillshade (Mark 1992,
+      USGS OF 92-422; gdaldem ``-multidirectional``): the same shade
+      from azimuths 225/270/315/360, each weighted
+      sin^2(aspect - az) (weights sum to 2 identically), clamped at
+      the combined value; ``azimuth`` is ignored
 
     Plus the three ``gdaldem`` neighborhood indices (same 3x3
     all-valid window, independent of cell size / z_factor):
@@ -1120,7 +1125,7 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
     the grid's row direction but only H^2 and F*H appear, and F flips
     with it too), so the outputs are orientation-independent.
     """
-    if mode not in ("slope", "aspect", "hillshade",
+    if mode not in ("slope", "aspect", "hillshade", "hillshade_md",
                     "tpi", "tri", "roughness", "flowdir",
                     "curvature", "profile", "plan"):
         raise ValueError(f"unsupported mode {mode!r}")
@@ -1216,6 +1221,23 @@ def terrain(cube: GeoCube, band: str, mode: str = "slope", *,
                 aspect_r = np.mod(np.arctan2(-gx, -gy), 2 * np.pi)
             if mode == "aspect":
                 out = np.where(flat, np.nan, np.degrees(aspect_r))
+            elif mode == "hillshade_md":
+                # MDOW multidirectional hillshade (Mark 1992, USGS
+                # OF 92-422; gdaldem -multidirectional): shading from
+                # azimuths 225/270/315/360 weighted by
+                # sin^2(aspect - az); the four weights sum to 2
+                # identically, so /2 normalizes. Flat cells shade
+                # identically from every direction, so the aspect=0
+                # stand-in is exact, no special case.
+                asp = np.where(flat, 0.0, aspect_r)
+                total = 0.0
+                for az_deg in (225.0, 270.0, 315.0, 360.0):
+                    az = np.radians(az_deg)
+                    s = (np.cos(zen_r) * np.cos(slope_r)
+                         + np.sin(zen_r) * np.sin(slope_r)
+                         * np.cos(az - asp))
+                    total = total + np.sin(asp - az) ** 2 * s
+                out = 255.0 * np.maximum(0.0, total / 2.0)
             else:
                 shade = (
                     np.cos(zen_r) * np.cos(slope_r)

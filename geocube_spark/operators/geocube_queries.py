@@ -3105,6 +3105,35 @@ FROM g ORDER BY row, col
 """
 
 
+def q_terrain_hillshade_md(spark, sf_dir):
+    """MDOW multidirectional hillshade (bandops.terrain
+    mode='hillshade_md'; Mark 1992 / gdaldem -multidirectional):
+    four-azimuth sin^2-weighted shading on the shared Horn gradient
+    chain; the oracle replays the identical combination."""
+    return _q_terrain_index(spark, sf_dir, "hillshade_md")
+
+
+def _hillshade_md_sql() -> str:
+    asp = ("CASE WHEN gx = 0.0 AND gy = 0.0 THEN 0.0 "
+           "WHEN atan2(-gx, -gy) < 0 THEN atan2(-gx, -gy) + 2 * pi() "
+           "ELSE atan2(-gx, -gy) END")
+    sl = "atan(sqrt(gx * gx + gy * gy))"
+    terms = " + ".join(
+        f"pow(sin(({asp}) - radians({az})), 2)"
+        f" * (cos(radians(45.0)) * cos({sl})"
+        f" + sin(radians(45.0)) * sin({sl})"
+        f" * cos(radians({az}) - ({asp})))"
+        for az in ("225.0", "270.0", "315.0", "360.0")
+    )
+    return _SQL_TERRAIN_G + f"""SELECT row, col,
+       round(255.0 * greatest(0.0, ({terms}) / 2.0) + 1e-9, 6) AS val
+FROM g ORDER BY row, col
+"""
+
+
+SQL_TERRAIN_HILLSHADE_MD = _hillshade_md_sql()
+
+
 # Zevenbergen-Thorne curvature CTE chain: named 3x3 neighbors via
 # conditional sums, then the quartic-fit coefficients (dx = dy = 4 on
 # the coarsened grid: dx^2 = 16, 4*dx*dy = 64, 2*dx = 8) — identical
@@ -4847,6 +4876,10 @@ EXTRA_QUERIES = {
     "terrain_curvature": (q_terrain_curvature, SQL_TERRAIN_CURVATURE),
     "terrain_profile": (q_terrain_profile, SQL_TERRAIN_PROFILE),
     "terrain_plan": (q_terrain_plan, SQL_TERRAIN_PLAN),
+    # MDOW multidirectional hillshade (Mark 1992, gdaldem
+    # -multidirectional) on the shared gradient chain
+    "terrain_hillshade_md": (q_terrain_hillshade_md,
+                             SQL_TERRAIN_HILLSHADE_MD),
     # geohash (grid/geohash.py): the fifth index scheme — prefix
     # hierarchy verified via the substr ancestor + rollup
     "geohash_cover": (q_geohash_cover, SQL_GEOHASH_COVER),

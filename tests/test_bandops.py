@@ -497,6 +497,17 @@ def _terrain_reference(arr, fill, mode, dx, dy, ysign=1.0,
         aspect_r = np.mod(np.arctan2(-gx, -gy), 2 * np.pi)
         if mode == "aspect":
             out = np.where(flat, np.nan, np.degrees(aspect_r))
+        elif mode == "hillshade_md":
+            zen = np.radians(90.0 - altitude)
+            asp = np.where(flat, 0.0, aspect_r)
+            total = 0.0
+            for az_deg in (225.0, 270.0, 315.0, 360.0):
+                az2 = np.radians(az_deg)
+                s = (np.cos(zen) * np.cos(slope_r)
+                     + np.sin(zen) * np.sin(slope_r)
+                     * np.cos(az2 - asp))
+                total = total + np.sin(asp - az2) ** 2 * s
+            out = 255.0 * np.maximum(0.0, total / 2.0)
         else:
             zen = np.radians(90.0 - altitude)
             az = np.radians(azimuth)
@@ -508,8 +519,9 @@ def _terrain_reference(arr, fill, mode, dx, dy, ysign=1.0,
 
 
 @pytest.mark.parametrize(
-    "mode", ["slope", "aspect", "hillshade", "tpi", "tri",
-             "roughness", "flowdir", "curvature", "profile", "plan"]
+    "mode", ["slope", "aspect", "hillshade", "hillshade_md", "tpi",
+             "tri", "roughness", "flowdir", "curvature", "profile",
+             "plan"]
 )
 def test_terrain_matches_numpy(spark, two_band_cube, mode):
     cube = two_band_cube
