@@ -232,3 +232,90 @@ def cms_estimate(counters: DataFrame, probes: DataFrame, *,
     est = F.least(*[F.coalesce(F.col(f"__c{d}"), F.lit(0))
                     for d in range(depth)])
     return out.select(probe_col, est.cast("long").alias("estimate"))
+
+
+_KMV_SCALE = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, col: str, *, k: int = 256,
+               by=None) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch (Bar-Yossef et al.
+    2002; Beyer et al. SIGMOD'07 for the set-operation estimators):
+    the ``k`` smallest unit-interval hashes ``u = h60(v) / 2^60`` of
+    the DISTINCT values — a mergeable, engine-portable summary whose
+    estimates are deterministic functions of the input set (same
+    portability contract as the Bloom/HLL/CMS sketches above).
+
+    Returns one row per group: (by..., ks: array<double> ascending,
+    n_vals) — ``n_vals < k`` means the sketch IS the exact distinct
+    set. Plan: one distinct + one bottom-k window per group (the
+    shuffle carries 8-byte hashes); at extreme group widths swap the
+    window for the two-phase bucketed top-n used by quota sampling —
+    the sketch itself stays identical."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    keys = list(by) if by else []
+    u = (h60(F.col(col).cast("string")) / F.lit(_KMV_SCALE)).alias("u")
+    d = df.select(*keys, u).distinct()
+    if not keys:
+        # keyless: two-phase bottom-k (per-partition prune first) so
+        # the final single-partition window only ever sees
+        # k x n_partitions rows, never the distinct set
+        wp = Window.partitionBy(F.spark_partition_id()).orderBy("u")
+        d = d.select("u", F.row_number().over(wp).alias("rp")) \
+            .where(F.col("rp") <= k).select("u")
+    w = Window.partitionBy(*keys).orderBy("u") if keys else \
+        Window.orderBy("u")
+    topk = d.select(*keys, "u", F.row_number().over(w).alias("rn")) \
+        .where(F.col("rn") <= k)
+    return (
+        topk.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("u")).alias("ks"))
+        .select(*keys, "ks", F.size("ks").cast("long").alias("n_vals"))
+    )
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_sketch` row:
+    exact ``n_vals`` when the sketch is unsaturated, else the
+    unbiased ``(k - 1) / u_(k)`` (Beyer et al. 2007). Adds ``est``
+    (rounded 6 dp, the cross-engine parity rule)."""
+    full = F.size("ks") >= k
+    est = F.when(
+        full, (F.lit(float(k - 1)) / F.element_at("ks", k))
+    ).otherwise(F.size("ks").cast("double"))
+    return sketch.select("*", F.round(est + F.lit(1e-9), 6).alias("est"))
+
+
+def kmv_set_estimates(sk_a: DataFrame, sk_b: DataFrame, *,
+                      k: int = 256) -> DataFrame:
+    """Set-operation estimates from two single-group KMV sketches
+    (Beyer et al. 2007): combine to the union sketch ``Kc`` =
+    bottom-k of the merged hash sets, estimate the union cardinality
+    from it, and estimate Jaccard as ``rho = |Kc ∩ A ∩ B| / |Kc|``;
+    the intersection estimate is ``rho * union_est``. Every quantity
+    is a deterministic function of the two input sets. Returns ONE
+    row: (d_a, d_b, d_union, jaccard, n_inter), all rounded 6 dp."""
+    a = kmv_estimate(sk_a, k=k).select(
+        F.col("ks").alias("ka"), F.col("est").alias("d_a"),
+        F.lit(1).alias("__k"))
+    b = kmv_estimate(sk_b, k=k).select(
+        F.col("ks").alias("kb"), F.col("est").alias("d_b"),
+        F.lit(1).alias("__k"))
+    j = a.join(b, "__k")  # 1 x 1 rows, literal-key equi-join
+    kc = F.slice(F.array_sort(F.array_union("ka", "kb")), 1, k)
+    ufull = F.size(kc) >= k
+    u_est = F.when(
+        ufull, F.lit(float(k - 1)) / F.element_at(kc, k)
+    ).otherwise(F.size(kc).cast("double"))
+    shared = F.array_intersect("ka", "kb")
+    rho = (F.size(F.array_intersect(kc, shared))
+           / F.size(kc).cast("double"))
+    return j.select(
+        "d_a", "d_b",
+        F.round(u_est + F.lit(1e-9), 6).alias("d_union"),
+        F.round(rho + F.lit(1e-9), 6).alias("jaccard"),
+        F.round(rho * u_est + F.lit(1e-9), 6).alias("n_inter"),
+    )

@@ -1706,6 +1706,107 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (functions.sketch.kmv_sketch /
+    kmv_estimate, Beyer et al. 2007): k=64 bottom hashes of the
+    distinct part keys per returnflag, estimate (k-1)/u_k vs the
+    exact count side by side — deterministic h60 hashes make even
+    the approximation oracle-exact."""
+    from ..functions.sketch import kmv_estimate, kmv_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_partkey").cast("long").alias("pk"))
+    sk = kmv_sketch(li, "pk", k=64, by=["l_returnflag"])
+    est = kmv_estimate(sk, k=64)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("pk").alias("exact"))
+    return (
+        est.join(exact, "l_returnflag")
+        .select("l_returnflag", "n_vals", "est", "exact")
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag,
+         CAST({H60_SQL.format(x="CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)")}
+              AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM lineitem
+), rk AS (
+  SELECT l_returnflag, u,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY u) AS rn
+  FROM d
+), sk AS (
+  SELECT l_returnflag, count(*) AS n_vals, max(u) AS uk
+  FROM rk WHERE rn <= 64 GROUP BY 1
+), ex AS (
+  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact
+  FROM lineitem GROUP BY 1
+)
+SELECT s.l_returnflag AS l_returnflag, s.n_vals,
+       round(CASE WHEN s.n_vals >= 64 THEN 63.0 / s.uk
+                  ELSE CAST(s.n_vals AS DOUBLE) END + 1e-9, 6) AS est,
+       e.exact
+FROM sk s JOIN ex e ON e.l_returnflag = s.l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_kmv_jaccard(spark, sf_dir):
+    """KMV set-operation estimates (functions.sketch.
+    kmv_set_estimates): distinct part sets of low-quantity vs
+    high-quantity lineitems — union/Jaccard/intersection estimated
+    from two k=128 sketches; the oracle replays the combined
+    bottom-k and the rho rule over the identical hash lists."""
+    from ..functions.sketch import kmv_set_estimates, kmv_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", F.col("l_partkey").cast("long").alias("pk"))
+    a = kmv_sketch(li.where(F.col("l_quantity") <= 10), "pk", k=128)
+    b = kmv_sketch(li.where(F.col("l_quantity") >= 40), "pk", k=128)
+    return kmv_set_estimates(a, b, k=128)
+
+
+SQL_KMV_JACCARD = f"""
+WITH da AS (
+  SELECT DISTINCT
+         CAST({H60_SQL.format(x="CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)")}
+              AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM lineitem WHERE l_quantity <= 10
+), db AS (
+  SELECT DISTINCT
+         CAST({H60_SQL.format(x="CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)")}
+              AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM lineitem WHERE l_quantity >= 40
+), ka AS (SELECT u FROM da ORDER BY u LIMIT 128),
+kb AS (SELECT u FROM db ORDER BY u LIMIT 128),
+na AS (SELECT count(*) AS n, max(u) AS uk FROM ka),
+nb AS (SELECT count(*) AS n, max(u) AS uk FROM kb),
+kc AS (
+  SELECT u FROM (SELECT u FROM ka UNION SELECT u FROM kb)
+  ORDER BY u LIMIT 128
+), nc AS (SELECT count(*) AS n, max(u) AS uk FROM kc),
+sh AS (
+  SELECT count(*) AS n FROM kc
+  WHERE u IN (SELECT u FROM ka) AND u IN (SELECT u FROM kb)
+)
+SELECT
+  round(CASE WHEN na.n >= 128 THEN 127.0 / na.uk
+             ELSE CAST(na.n AS DOUBLE) END + 1e-9, 6) AS d_a,
+  round(CASE WHEN nb.n >= 128 THEN 127.0 / nb.uk
+             ELSE CAST(nb.n AS DOUBLE) END + 1e-9, 6) AS d_b,
+  round(CASE WHEN nc.n >= 128 THEN 127.0 / nc.uk
+             ELSE CAST(nc.n AS DOUBLE) END + 1e-9, 6) AS d_union,
+  round(CAST(sh.n AS DOUBLE) / nc.n + 1e-9, 6) AS jaccard,
+  round(CAST(sh.n AS DOUBLE) / nc.n
+        * CASE WHEN nc.n >= 128 THEN 127.0 / nc.uk
+               ELSE CAST(nc.n AS DOUBLE) END + 1e-9, 6) AS n_inter
+FROM na, nb, nc, sh
+"""
+
+
 def q_cross_dedup(spark, sf_dir):
     """Cross-corpus near-dup filtering (functions.dedup.
     cross_dedup_minhash): the truncated variants as the NEW corpus
@@ -2638,6 +2739,11 @@ EXTRA_QUERIES = {
     # exact triangle counting (round 4 cont., functions.graph):
     # degree orientation, brute-force 3-way-join oracle
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    # KMV bottom-k distinct sketch + set-operation estimates (round 4
+    # cont., functions.sketch.kmv_*): deterministic h60 hashes make
+    # even the approximations oracle-exact
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "kmv_jaccard": (q_kmv_jaccard, SQL_KMV_JACCARD),
     # cross-corpus near-dup filtering (round 4 cont.,
     # functions.dedup.cross_dedup_minhash): new crawl vs existing
     # training set, cross-side LSH banding + exact-Jaccard verify

@@ -201,3 +201,59 @@ def test_cms_validation(spark):
         cms_counters(df, "v", depth=0)
     with pytest.raises(ValueError, match="width"):
         cms_estimate(df, df, probe_col="v", width=1)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch
+# ---------------------------------------------------------------------------
+
+def test_kmv_sketch_exact_replay_and_estimates(spark):
+    """Scalar replay of the deterministic sketch + the (k-1)/u_k
+    estimator; unsaturated sketches are exact by construction."""
+    from geocube_spark.functions.dedup import _h60_py
+    from geocube_spark.functions.sketch import kmv_estimate, kmv_sketch
+
+    vals = [f"v{i}" for i in range(500)] * 3  # duplicates collapse
+    df = spark.createDataFrame([(v,) for v in vals], "x string") \
+        .repartition(7)
+    k = 64
+    sk = kmv_sketch(df, "x", k=k).collect()[0]
+    want = sorted(_h60_py(f"v{i}") / float(1 << 60)
+                  for i in range(500))[:k]
+    assert list(sk["ks"]) == want
+    est = kmv_estimate(
+        kmv_sketch(df, "x", k=k), k=k).collect()[0]["est"]
+    ref = round((k - 1) / want[-1] + 1e-9, 6)
+    assert est == ref
+    # the estimator should be in the right ballpark of 500
+    assert 300 <= est <= 800
+    # unsaturated: exact
+    small = spark.createDataFrame([(f"s{i}",) for i in range(10)],
+                                  "x string")
+    e2 = kmv_estimate(kmv_sketch(small, "x", k=k), k=k).collect()[0]
+    assert e2["est"] == 10.0 and e2["n_vals"] == 10
+
+
+def test_kmv_set_estimates_overlap(spark):
+    """Half-overlapping sets: Jaccard estimate lands near 1/3 and the
+    intersection estimate near the true overlap."""
+    from geocube_spark.functions.sketch import (
+        kmv_set_estimates, kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(400)],
+                              "x string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(200, 600)],
+                              "x string")
+    k = 128
+    out = kmv_set_estimates(kmv_sketch(a, "x", k=k),
+                            kmv_sketch(b, "x", k=k), k=k).collect()[0]
+    # truth: |A|=|B|=400, union 600, inter 200, J = 1/3
+    assert 280 <= out["d_a"] <= 560 and 280 <= out["d_b"] <= 560
+    assert 420 <= out["d_union"] <= 840
+    assert 0.2 <= out["jaccard"] <= 0.5
+    assert 100 <= out["n_inter"] <= 340
+    from geocube_spark.functions.sketch import kmv_sketch as _ks
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        _ks(a, "x", k=1)
