@@ -257,3 +257,48 @@ def test_kmv_set_estimates_overlap(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must"):
         _ks(a, "x", k=1)
+
+
+def test_cms_counters_streaming_equals_batch(spark, tmp_path):
+    """cms_counters is a single aggregation (explode -> groupBy sum),
+    so it runs unchanged as a Structured Streaming stateful agg: an
+    availableNow stream over two micro-batches produces the exact
+    batch counter grid, and the estimates finish identically."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from geocube_spark.functions.sketch import cms_counters, cms_estimate
+
+    in_dir = str(tmp_path / "cms_in")
+    os.makedirs(in_dir)
+    vals = [(f"k{v % 97}",) for v in range(4000)]
+    df1 = spark.createDataFrame(vals[:2000], "v string")
+    df2 = spark.createDataFrame(vals[2000:], "v string")
+    df1.coalesce(1).write.parquet(f"{in_dir}/b1")
+    df2.coalesce(1).write.parquet(f"{in_dir}/b2")
+    schema = T.StructType([T.StructField("v", T.StringType())])
+
+    q = (
+        cms_counters(
+            spark.readStream.schema(schema).parquet(f"{in_dir}/*"),
+            "v", width=256, depth=3)
+        .writeStream.format("memory").queryName("cms_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream_cnt = spark.table("cms_stream")
+
+    batch = spark.createDataFrame(vals, "v string")
+    want = {(r["d"], r["pos"], r["cnt"]) for r in
+            cms_counters(batch, "v", width=256, depth=3).collect()}
+    got = {(r["d"], r["pos"], r["cnt"]) for r in stream_cnt.collect()}
+    assert got == want
+
+    probes = spark.createDataFrame([("k0",), ("k5",)], "v string")
+    es = cms_estimate(stream_cnt, probes, probe_col="v",
+                      width=256, depth=3).collect()
+    eb = cms_estimate(cms_counters(batch, "v", width=256, depth=3),
+                      probes, probe_col="v", width=256,
+                      depth=3).collect()
+    assert sorted(map(tuple, es)) == sorted(map(tuple, eb))
