@@ -1706,6 +1706,42 @@ FROM corners GROUP BY node ORDER BY node
 """
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus token-bigram count table (textops.analysis.
+    token_ngram_counts): totals + document frequency in one
+    map-side-combined aggregate, min_count=5; oracle replays the
+    sliding windows with list slicing."""
+    from ..textops.analysis import token_ngram_counts
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return token_ngram_counts(
+        _spread(spark, d), n=2, min_count=5
+    ).orderBy("ngram")
+
+
+SQL_NGRAM_COUNTS = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ts) >= 2
+                     THEN list_transform(
+                            range(1, greatest(2, len(ts))),
+                            i -> array_to_string(ts[i:i+1], ' '))
+                     ELSE [] END) AS ngram
+  FROM tk
+)
+SELECT ngram, count(*) AS count,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM wins GROUP BY ngram HAVING count(*) >= 5
+ORDER BY ngram
+"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch (functions.sketch.kmv_sketch /
     kmv_estimate, Beyer et al. 2007): k=64 bottom hashes of the
@@ -2739,6 +2775,9 @@ EXTRA_QUERIES = {
     # exact triangle counting (round 4 cont., functions.graph):
     # degree orientation, brute-force 3-way-join oracle
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    # corpus token n-gram count table (round 4 cont.,
+    # textops.analysis.token_ngram_counts)
+    "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     # KMV bottom-k distinct sketch + set-operation estimates (round 4
     # cont., functions.sketch.kmv_*): deterministic h60 hashes make
     # even the approximations oracle-exact

@@ -466,3 +466,43 @@ def char_entropy(df, *, id_col: str = "doc_id",
     base = df.select(F.col(id_col).cast("long").alias("id"),
                      F.col(text_col).alias("t"))
     return base.mapInPandas(_ent, schema=out_schema)
+
+
+def token_ngram_counts(df, *, n: int = 2, min_count: int = 1,
+                       id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Corpus token n-gram count table — the LM-training-data /
+    contamination-analysis primitive (the token-level sibling of
+    ``lm_perplexity``'s char tables): every n-token window of the
+    shared whitespace token stream, with total occurrences and the
+    document frequency. Returns (ngram, count, n_docs), filtered to
+    ``count >= min_count``.
+
+    Pure Catalyst: tokens -> sliding windows (transform over a
+    sequence) -> explode -> ONE aggregate; the count combines
+    map-side, the document frequency rides the same shuffle as a
+    count(DISTINCT id) partial. Shuffle rows are (ngram, id) — never
+    text bodies."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    ts = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    wins = F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1),
+                                            F.size(ts) - (n - 1))),
+            lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(wins).alias("ngram")
+    )
+    out = occ.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    if min_count > 1:
+        out = out.where(F.col("count") >= min_count)
+    return out

@@ -83,3 +83,41 @@ def test_tfidf_validation(spark, corpus):
     empty = corpus.limit(0)
     with pytest.raises(ValueError, match="empty corpus"):
         tfidf_top_terms(empty)
+
+
+def test_token_ngram_counts_matches_counter(spark):
+    """Counter referee over hand-made docs: totals, doc frequency,
+    short-doc handling (fewer than n tokens -> no windows),
+    min_count filter, and n=1 equals plain token counts."""
+    import collections
+
+    from geocube_spark.textops.analysis import token_ngram_counts
+
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["ngram"]: (r["count"], r["n_docs"])
+           for r in token_ngram_counts(df, n=2).collect()}
+    cnt = collections.Counter()
+    docs = collections.defaultdict(set)
+    for did, text in rows:
+        ts = text.split()
+        for i in range(len(ts) - 1):
+            g = " ".join(ts[i:i + 2])
+            cnt[g] += 1
+            docs[g].add(did)
+    want = {g: (c, len(docs[g])) for g, c in cnt.items()}
+    assert got == want
+    assert got["a b"] == (3, 2)
+    # min_count filter
+    got2 = {r["ngram"] for r in
+            token_ngram_counts(df, n=2, min_count=2).collect()}
+    assert got2 == {g for g, (c, _) in want.items() if c >= 2}
+    # unigrams = token counts
+    got1 = {r["ngram"]: r["count"]
+            for r in token_ngram_counts(df, n=1).collect()}
+    allt = collections.Counter(
+        t for _, text in rows for t in text.split())
+    assert got1 == dict(allt)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must"):
+        token_ngram_counts(df, n=0)
