@@ -2482,6 +2482,62 @@ ORDER BY row, col
 """
 
 
+def q_zonal_geometry(spark, sf_dir):
+    """ESRI ZonalGeometry (bandops.zonal_geometry): per-zone area,
+    perimeter (exposed 4-neighbor edges via the halo stencil — no
+    cell self-joins in the engine), and centroid over the integer
+    user-sum zones. The oracle replays the exposed-edge rule with
+    four LEFT joins on the cell table."""
+    from ..bandops import zonal_geometry
+
+    cube = _two_band_cube(spark, sf_dir)
+    out = zonal_geometry(cube, "uval")
+    return out.select(
+        F.col("zone").cast("long").alias("zone"),
+        "area_cells",
+        F.round("area", 6).alias("area"),
+        F.round(F.col("perimeter") + F.lit(1e-9), 6).alias("perimeter"),
+        F.round(F.col("cx") + F.lit(1e-9), 6).alias("cx"),
+        F.round(F.col("cy") + F.lit(1e-9), 6).alias("cy"),
+    ).orderBy("zone")
+
+
+SQL_ZONAL_GEOMETRY = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         CAST(user_id AS DOUBLE) AS uval
+  FROM events
+), cell AS (
+  SELECT row, col, sum(uval) AS su FROM pts GROUP BY 1, 2
+), data AS MATERIALIZED (
+  SELECT row, col, su FROM cell WHERE su <> 0.0
+), pc AS (
+  SELECT d.row, d.col, d.su,
+         (CASE WHEN e.su IS NULL OR e.su <> d.su
+               THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN w.su IS NULL OR w.su <> d.su
+               THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN n.su IS NULL OR n.su <> d.su
+               THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN s.su IS NULL OR s.su <> d.su
+               THEN 1.0 ELSE 0.0 END) AS edges
+  FROM data d
+  LEFT JOIN data w ON w.row = d.row AND w.col = d.col - 1
+  LEFT JOIN data e ON e.row = d.row AND e.col = d.col + 1
+  LEFT JOIN data n ON n.row = d.row - 1 AND n.col = d.col
+  LEFT JOIN data s ON s.row = d.row + 1 AND s.col = d.col
+)
+SELECT CAST(su AS BIGINT) AS zone,
+       count(*) AS area_cells,
+       round(count(*) * 1.0, 6) AS area,
+       round(sum(edges) + 1e-9, 6) AS perimeter,
+       round(avg(-180.0 + 1.0 * (col + 0.5)) + 1e-9, 6) AS cx,
+       round(avg(90.0 + (-1.0) * (row + 0.5)) + 1e-9, 6) AS cy
+FROM pc GROUP BY 1 ORDER BY zone
+"""
+
+
 def q_color_relief(spark, sf_dir):
     """gdaldem color-relief (bandops.color_relief): the value burn
     through a 4-stop linear color ramp, channels rounded half-up to
@@ -4858,6 +4914,10 @@ EXTRA_QUERIES = {
     # gdaldem color-relief (bandops.color_relief): linear color ramp,
     # half-up byte rounding — completes the seven gdaldem modes
     "color_relief": (q_color_relief, SQL_COLOR_RELIEF),
+    # ESRI ZonalGeometry (bandops.zonal_geometry): area/perimeter/
+    # centroid per zone; exposed edges via the halo stencil (no cell
+    # self-joins), oracle replays with four LEFT joins
+    "zonal_geometry": (q_zonal_geometry, SQL_ZONAL_GEOMETRY),
     # categorical zonal stats (bandops.zonal_majority, ESRI
     # MAJORITY/MINORITY/VARIETY): pair counts map-side, max_by/min_by
     # tie-break parity with the oracle's row_number windows; Counter

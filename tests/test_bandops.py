@@ -974,3 +974,50 @@ def test_cube_to_cells_errors(spark, two_band_cube):
     )
     with pytest.raises(ValueError, match="geographic"):
         cube_to_cells(proj, "m0", 6)
+
+
+def test_zonal_geometry_rectangles_and_referee(spark):
+    """Hand grid: a 2x3 rectangle zone has area 6 and perimeter
+    2*(2+3); an L-shape and a grid-edge zone pin the exposed-edge
+    rule (off-grid and nodata neighbors count); centroid = mean of
+    cell centers."""
+    from geocube_spark.bandops import zonal_geometry
+    from geocube_spark.cube import CHUNK_SCHEMA, BandMeta, GeoCube
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.geometry.crs import CRS
+    from geocube_spark.grid.geobox import GeoBox
+
+    # 4x6 grid, 10m cells; zone 1 = rows 0-1, cols 0-2 (2x3 rect,
+    # touches the grid edge); zone 2 = L-shape; NaN elsewhere
+    Z = np.array([
+        [1, 1, 1, np.nan, np.nan, np.nan],
+        [1, 1, 1, np.nan, 2, np.nan],
+        [np.nan, np.nan, np.nan, np.nan, 2, np.nan],
+        [np.nan, np.nan, np.nan, 2, 2, np.nan],
+    ])
+    gb = GeoBox(6, 4, Affine(10.0, 0.0, 100.0, 0.0, -10.0, 50.0),
+                CRS(32615))
+    rows = []
+    for tid, row0, col0, h, w in gb.tile_grid(4):
+        sub = Z[row0:row0 + h, col0:col0 + w]
+        rows.append((
+            "z", None, 0, int(tid), int(row0), int(col0), int(h),
+            int(w), [float(v) for v in sub.ravel()], 1, h * w, 0, 0,
+        ))
+    cube = GeoCube(
+        chunks=spark.createDataFrame(rows, CHUNK_SCHEMA), geobox=gb,
+        bands={"z": BandMeta("z", "float64", float("nan"))},
+        tile_size=4, fill=float("nan"),
+    )
+    got = {r["zone"]: r for r in zonal_geometry(cube, "z").collect()}
+    r1 = got[1.0]
+    assert r1["area_cells"] == 6 and r1["area"] == 600.0
+    assert r1["perimeter"] == 100.0  # 2*(2+3) edges x 10 m
+    np.testing.assert_allclose(r1["cx"], 100.0 + 10.0 * 1.5)
+    np.testing.assert_allclose(r1["cy"], 50.0 - 10.0 * 1.0)
+    r2 = got[2.0]
+    assert r2["area_cells"] == 4
+    # L-tetromino perimeter = 10 edges x 10 m
+    assert r2["perimeter"] == 100.0
+    with pytest.raises(ValueError, match="unknown band"):
+        zonal_geometry(cube, "nope")
