@@ -3457,3 +3457,74 @@ def zonal_geometry(cube: GeoCube, zone_band: str) -> DataFrame:
         F.coalesce("perimeter", F.lit(0.0)).alias("perimeter"),
         "cx", "cy",
     ).orderBy("group_key", "zone")
+
+
+def iso_cluster(cube: GeoCube, measurements: Sequence[str], *,
+                k: int = 8, iters: int = 2) -> DataFrame:
+    """Unsupervised raster classification — the ESRI IsoCluster /
+    multiband k-means workflow: every cell whose SELECTED bands all
+    hold data becomes a feature vector, clustered by the engine's
+    deterministic fixed-iteration Lloyd trainer
+    (:func:`~geocube_spark.functions.similarity.kmeans`: exemplar
+    seeds from the content hash of the cell id, 6-dp rounded argmin,
+    empty clusters keep centroids — the whole chain SQL-replayable).
+    Ungrouped cubes only (a grouped classification is one call per
+    group key).
+
+    Returns (row, col, cluster, d2). Plan: the bands' chunk tables
+    tile-align with |bands|-1 equi-joins on (tile_id) and explode
+    ONCE to cell vectors (never a cell-level join); the trainer then
+    runs its Arrow partial-sum passes over that narrow projection."""
+    if cube.group_by is not None:
+        raise ValueError("iso_cluster expects an ungrouped cube; "
+                         "classify per group key instead")
+    measurements = list(measurements)
+    if len(measurements) < 1:
+        raise ValueError("at least one band required")
+    for m in measurements:
+        if m not in cube.bands:
+            raise ValueError(f"unknown band {m!r}")
+    from .functions.similarity import kmeans as _kmeans
+
+    c = cube.chunks
+    base = None
+    for i, m in enumerate(measurements):
+        b = c.filter(F.col("measurement") == m).select(
+            "tile_id",
+            *( ["row0", "col0", "w"] if i == 0 else [] ),
+            F.col("values").alias(f"__v{i}"),
+        )
+        base = b if base is None else base.join(b, "tile_id")
+    zipped = base.select(
+        "row0", "col0", "w",
+        F.posexplode(F.arrays_zip(
+            *[f"__v{i}" for i in range(len(measurements))]
+        )).alias("pos", "z"),
+    )
+    vec = F.array(*[
+        F.col("z").getField(f"__v{i}").cast("double")
+        for i in range(len(measurements))
+    ])
+    fills = [float(cube.bands[m].fill) for m in measurements]
+    is_data = F.lit(True)
+    for i, fl in enumerate(fills):
+        el = F.element_at(vec, i + 1)
+        cond = el.isNotNull() & ~F.isnan(el)
+        if not np.isnan(fl):
+            cond = cond & (el != F.lit(fl))
+        is_data = is_data & cond
+    width = int(cube.geobox.width)
+    cells = zipped.select(
+        ((F.col("row0") + (F.col("pos") / F.col("w")).cast("int"))
+         * width
+         + F.col("col0") + F.col("pos") % F.col("w"))
+        .cast("long").alias("cid"),
+        vec.alias("features"),
+    ).where(is_data)
+    out = _kmeans(cells, k=k, iters=iters, id_col="cid",
+                  vec_col="features")
+    return out.select(
+        (F.col("id") / width).cast("int").alias("row"),
+        (F.col("id") % width).cast("int").alias("col"),
+        "cluster", "d2",
+    )

@@ -2482,6 +2482,84 @@ ORDER BY row, col
 """
 
 
+def q_iso_cluster(spark, sf_dir):
+    """Unsupervised raster classification (bandops.iso_cluster, the
+    ESRI IsoCluster workflow): cells of the two-band burn become
+    (value, user-sum) feature vectors clustered by the deterministic
+    fixed-iteration kmeans; the oracle replays seeds, both Lloyd
+    rounds, and the final labeling over the identical cell ids."""
+    from ..bandops import iso_cluster
+
+    cube = _two_band_cube(spark, sf_dir)
+    out = iso_cluster(cube, ["value", "uval"], k=6, iters=2)
+    return out.select("row", "col", "cluster", "d2") \
+        .orderBy("row", "col")
+
+
+def _iso_cluster_sql(k: int = 6, iters: int = 2) -> str:
+    from .pipeline_queries import H60_SQL
+
+    parts = [f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value, CAST(user_id AS DOUBLE) AS uval
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv, sum(uval) AS su
+  FROM pts GROUP BY 1, 2
+), base AS MATERIALIZED (
+  SELECT CAST(row * 360 + col AS BIGINT) AS id, row, col,
+         [sv, su] AS v
+  FROM cell WHERE sv <> 0.0 AND su <> 0.0
+), seed AS (
+  SELECT id, v, {H60_SQL.format(x="CAST(id AS VARCHAR)")} AS h
+  FROM base
+), cent0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS cv
+  FROM seed ORDER BY h, id LIMIT {k}
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+asg{i} AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT b.id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY round(pow(list_distance(b.v, c.cv), 2)
+                            + 1e-9, 6) ASC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cent{i - 1} c
+  ) WHERE rn = 1
+),
+u{i} AS MATERIALIZED (
+  SELECT a.cid, t.j, avg(b.v[t.j]) AS m
+  FROM asg{i} a JOIN base b ON b.id = a.id,
+       range(1, 3) t(j)
+  GROUP BY a.cid, t.j
+),
+cent{i} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM cent{i - 1} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY j) AS cv FROM u{i} GROUP BY cid
+  ) n ON n.cid = p.cid
+)""")
+    parts.append(f"""
+SELECT row, col, cid AS cluster, d2 FROM (
+  SELECT b.row, b.col, c.cid,
+         round(pow(list_distance(b.v, c.cv), 2) + 1e-9, 6) AS d2,
+         row_number() OVER (
+           PARTITION BY b.id
+           ORDER BY round(pow(list_distance(b.v, c.cv), 2)
+                          + 1e-9, 6) ASC, c.cid ASC) AS rn
+  FROM base b CROSS JOIN cent{iters} c
+) WHERE rn = 1 ORDER BY row, col
+""")
+    return "".join(parts)
+
+
+SQL_ISO_CLUSTER = _iso_cluster_sql()
+
+
 def q_zonal_geometry(spark, sf_dir):
     """ESRI ZonalGeometry (bandops.zonal_geometry): per-zone area,
     perimeter (exposed 4-neighbor edges via the halo stencil — no
@@ -4918,6 +4996,10 @@ EXTRA_QUERIES = {
     # centroid per zone; exposed edges via the halo stencil (no cell
     # self-joins), oracle replays with four LEFT joins
     "zonal_geometry": (q_zonal_geometry, SQL_ZONAL_GEOMETRY),
+    # unsupervised raster classification (bandops.iso_cluster, ESRI
+    # IsoCluster workflow): multiband cell vectors through the
+    # deterministic kmeans, per-round CTE oracle
+    "iso_cluster": (q_iso_cluster, SQL_ISO_CLUSTER),
     # categorical zonal stats (bandops.zonal_majority, ESRI
     # MAJORITY/MINORITY/VARIETY): pair counts map-side, max_by/min_by
     # tie-break parity with the oracle's row_number windows; Counter

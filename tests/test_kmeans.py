@@ -82,3 +82,55 @@ def test_kmeans_validation(spark):
     # corpus smaller than k: as many clusters as rows, still labeled
     out = kmeans(df, k=5, iters=1).collect()
     assert len(out) == 1 and out[0]["d2"] == 0.0
+
+
+def test_iso_cluster_separates_band_regimes(spark):
+    """Two synthetic bands with two obvious regimes: iso_cluster with
+    k=2 must split them; cells missing EITHER band are excluded;
+    grouped cubes are rejected."""
+    from geocube_spark.bandops import iso_cluster
+    from geocube_spark.cube import CHUNK_SCHEMA, BandMeta, GeoCube
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.geometry.crs import CRS
+    from geocube_spark.grid.geobox import GeoBox
+
+    H = W = 16
+    gb = GeoBox(W, H, Affine(1.0, 0.0, 0.0, 0.0, -1.0, 0.0), CRS(4326))
+    a = np.where(np.arange(H)[:, None] < 8, 10.0, 100.0) \
+        + np.zeros((H, W))
+    b = np.where(np.arange(H)[:, None] < 8, 5.0, 50.0) \
+        + np.zeros((H, W))
+    a[0, 0] = np.nan  # missing band-a cell -> excluded
+
+    def _rows(name, arr):
+        out = []
+        for tid, r0, c0, h, w in gb.tile_grid(8):
+            sub = arr[r0:r0 + h, c0:c0 + w]
+            out.append((name, None, 0, int(tid), int(r0), int(c0),
+                        int(h), int(w),
+                        [float(v) for v in sub.ravel()], 1, h * w,
+                        0, 0))
+        return out
+
+    cube = GeoCube(
+        chunks=spark.createDataFrame(_rows("a", a) + _rows("b", b),
+                                     CHUNK_SCHEMA),
+        geobox=gb,
+        bands={"a": BandMeta("a", "float64", float("nan")),
+               "b": BandMeta("b", "float64", float("nan"))},
+        tile_size=8, fill=float("nan"),
+    )
+    got = {(r["row"], r["col"]): r["cluster"]
+           for r in iso_cluster(cube, ["a", "b"], k=2,
+                                iters=3).collect()}
+    assert (0, 0) not in got and len(got) == H * W - 1
+    top = {got[(r, c)] for r in range(8) for c in range(W)
+           if (r, c) in got}
+    bot = {got[(r, c)] for r in range(8, H) for c in range(W)}
+    assert len(top) == 1 and len(bot) == 1 and top != bot
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown band"):
+        iso_cluster(cube, ["nope"])
+    with _pt.raises(ValueError, match="at least one"):
+        iso_cluster(cube, [])
