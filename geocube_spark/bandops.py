@@ -3528,3 +3528,30 @@ def iso_cluster(cube: GeoCube, measurements: Sequence[str], *,
         (F.col("id") % width).cast("int").alias("col"),
         "cluster", "d2",
     )
+
+
+def normalized_difference(cube: GeoCube, a: str, b: str, *,
+                          name: Optional[str] = None) -> GeoCube:
+    """Normalized-difference index ``(a - b) / (a + b)`` — the NDVI /
+    NDWI / NBR family every remote-sensing pipeline derives (xarray
+    ``(nir - red) / (nir + red)``): appended as band ``name``
+    (default ``nd_{a}_{b}``), nodata where either input is nodata,
+    and a ZERO denominator (both bands 0) also maps to nodata rather
+    than an inf that would poison downstream stats — rasterio's
+    ``np.errstate``-guarded convention. Pure element program through
+    :func:`with_band`; zero added shuffle."""
+    for m in (a, b):
+        if m not in cube.bands:
+            raise ValueError(f"unknown band {m!r}")
+    is_a = _is_data_fn(F.lit(float(cube.bands[a].fill)))
+    is_b = _is_data_fn(F.lit(float(cube.bands[b].fill)))
+
+    def _nd(x, y):
+        den = x + y
+        val = F.when(den != 0.0, (x - y) / den) \
+            .otherwise(F.lit(float("nan")))
+        return F.when(is_a(x) & is_b(y), val) \
+            .otherwise(F.lit(float("nan")))
+
+    return with_band(cube, name or f"nd_{a}_{b}", (a, b), _nd,
+                     fill=float("nan"))

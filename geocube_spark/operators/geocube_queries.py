@@ -2482,6 +2482,42 @@ ORDER BY row, col
 """
 
 
+def q_normalized_difference(spark, sf_dir):
+    """Normalized-difference index (bandops.normalized_difference —
+    the NDVI family) between the value and user-sum burns: nodata
+    where either band is fill; zero denominators drop out identically
+    on both engines."""
+    from ..bandops import normalized_difference
+
+    cube = _two_band_cube(spark, sf_dir)
+    out = normalized_difference(cube, "value", "uval", name="nd")
+    df = _explode_cells(out.chunks.filter(F.col("measurement") == "nd"))
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col",
+                F.round(F.col("val") + F.lit(1e-9), 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_NORMALIZED_DIFF = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) AS col,
+         value, CAST(user_id AS DOUBLE) AS uval
+  FROM events
+), cell AS (
+  SELECT row, col, sum(value) AS sv, sum(uval) AS su
+  FROM pts GROUP BY 1, 2
+)
+SELECT row, col,
+       round((sv - su) / (sv + su) + 1e-9, 6) AS val
+FROM cell
+WHERE sv <> 0.0 AND su <> 0.0 AND sv + su <> 0.0
+ORDER BY row, col
+"""
+
+
 def q_iso_cluster(spark, sf_dir):
     """Unsupervised raster classification (bandops.iso_cluster, the
     ESRI IsoCluster workflow): cells of the two-band burn become
@@ -5000,6 +5036,9 @@ EXTRA_QUERIES = {
     # IsoCluster workflow): multiband cell vectors through the
     # deterministic kmeans, per-round CTE oracle
     "iso_cluster": (q_iso_cluster, SQL_ISO_CLUSTER),
+    # NDVI-family normalized difference (bandops.
+    # normalized_difference): nodata-guarded element program
+    "normalized_diff": (q_normalized_difference, SQL_NORMALIZED_DIFF),
     # categorical zonal stats (bandops.zonal_majority, ESRI
     # MAJORITY/MINORITY/VARIETY): pair counts map-side, max_by/min_by
     # tie-break parity with the oracle's row_number windows; Counter

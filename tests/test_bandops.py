@@ -1021,3 +1021,21 @@ def test_zonal_geometry_rectangles_and_referee(spark):
     assert r2["perimeter"] == 100.0
     with pytest.raises(ValueError, match="unknown band"):
         zonal_geometry(cube, "nope")
+
+
+def test_normalized_difference_matches_numpy(spark, two_band_cube):
+    from geocube_spark.bandops import normalized_difference
+
+    nd = normalized_difference(two_band_cube, "m0", "m1")
+    arrs = nd.assemble()
+    a = arrs["m0"]
+    b = arrs["m1"]
+    got = arrs["nd_m0_m1"]
+    data = (a != 0.0) & (b != 0.0) & (a + b != 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        want = (a - b) / (a + b)
+    np.testing.assert_allclose(got[data], want[data], rtol=0,
+                               atol=1e-12)
+    assert np.isnan(got[~data]).all()
+    with pytest.raises(ValueError, match="unknown band"):
+        normalized_difference(two_band_cube, "m0", "nope")
