@@ -3555,3 +3555,154 @@ def normalized_difference(cube: GeoCube, a: str, b: str, *,
 
     return with_band(cube, name or f"nd_{a}_{b}", (a, b), _nd,
                      fill=float("nan"))
+
+
+def fill_sinks(cube: GeoCube, band: str, *, epsilon: float = 0.0,
+               max_rounds: int = 256) -> GeoCube:
+    """Depression filling (Planchon & Darboux 2001; ESRI Fill /
+    WhiteboxTools ``fill_depressions``) — the standard DEM
+    preprocessing before D8 flow analysis: raise every cell trapped
+    in a pit to its spill level, ``W(c) = max(z(c), min_{n in N8}
+    (W(n) + epsilon))`` from ``W = +inf``, with OUTLET cells (any
+    valid cell with an off-grid or nodata 8-neighbor — water escapes
+    there) pinned at ``z``. ``epsilon = 0`` is the classic flat fill;
+    a small positive epsilon leaves a drainable gradient.
+
+    Distributed shape — the :func:`cost_distance` blocked relaxation:
+    each global round is ONE 1-deep halo exchange of W/z border
+    strips followed by per-tile Gauss-Seidel iteration to WITHIN-TILE
+    convergence (W is monotone nonincreasing from +inf, so any
+    schedule reaches the same unique fixpoint); rounds scale with
+    spill-path length in TILES. Stops at the global fixpoint, raising
+    past ``max_rounds``. With ``epsilon = 0`` every converged W is an
+    exact z value (pure max/min algebra), so the result is
+    bit-identical to the oracle's Jacobi replay.
+
+    Returns a cube with band ``{band}_filled`` (nodata preserved)."""
+    import pandas as pd
+
+    from .cube import CHUNK_SCHEMA, GeoCube, _grouped_map
+
+    if band not in cube.bands:
+        raise ValueError(f"unknown band {band!r}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if epsilon < 0:
+        raise ValueError("epsilon must be >= 0")
+    fill = float(cube.bands[band].fill)
+    eps = float(epsilon)
+
+    c = cube.chunks.where(F.col("measurement") == band)
+    n_tiles, ntx, nty = cube.geobox.n_tiles(cube.tile_size)
+
+    def _valid(m):
+        v = ~np.isnan(m)
+        if not np.isnan(fill):
+            v &= m != fill
+        return v
+
+    out_cols = [f.name for f in CHUNK_SCHEMA.fields]
+
+    def _init(key, sub: pd.DataFrame):
+        frames = []
+        for row in sub.itertuples(index=False):
+            m = np.asarray(row.values, dtype=np.float64).reshape(
+                row.h, row.w)
+            w = np.where(_valid(m), np.inf, np.nan)
+            rec = {k: getattr(row, k) for k in out_cols
+                   if k != "values"}
+            rec["measurement"] = "__w"
+            rec["values"] = w.ravel()
+            frames.append(rec)
+        return pd.DataFrame(frames, columns=out_cols)
+
+    sc_ctx = c.sparkSession.sparkContext
+    n_parts = max(1, min(int(n_tiles), 4 * sc_ctx.defaultParallelism))
+    wdf = _grouped_map(c, ["group_key", "tile_id"], n_parts, _init,
+                       CHUNK_SCHEMA).localCheckpoint(eager=True)
+    z_tagged = c.withColumn("measurement", F.lit("__z")) \
+        .localCheckpoint(eager=True)
+
+    def _relax(key, sub: pd.DataFrame) -> pd.DataFrame:
+        gk, tid = key
+        zsub = sub[sub["measurement"].values == "__z"]
+        wsub = sub[sub["measurement"].values == "__w"]
+        zctr = zsub[zsub["role"].values == 0]
+        wctr = wsub[wsub["role"].values == 0]
+        if not len(zctr) or not len(wctr):
+            return pd.DataFrame([], columns=out_cols)
+        zpad, th, tw, row0, col0 = _paste_padded(zsub, zctr.iloc[0], 1)
+        wpad, _, _, _, _ = _paste_padded(wsub, wctr.iloc[0], 1)
+        ok = _valid(zpad)
+        zc = zpad[1:th + 1, 1:tw + 1]
+        okc = ok[1:th + 1, 1:tw + 1]
+        # outlets: valid cell with any invalid padded neighbor (the
+        # pad beyond the grid edge is NaN, so border cells qualify)
+        nvalid = sum(
+            ok[1 + dy:th + 1 + dy, 1 + dx:tw + 1 + dx].astype(int)
+            for (dy, dx) in _D8_MOVES
+        )
+        outlet = okc & (nvalid < 8)
+        wn = np.where(np.isnan(wpad), np.inf, wpad)
+        wn[1:th + 1, 1:tw + 1][outlet] = zc[outlet]
+        old_center = wn[1:th + 1, 1:tw + 1].copy()
+        while True:
+            mn = np.minimum.reduce([
+                wn[1 + dy:th + 1 + dy, 1 + dx:tw + 1 + dx]
+                for (dy, dx) in _D8_MOVES
+            ])
+            new = np.maximum(zc, mn + eps)
+            new = np.where(outlet, np.where(okc, zc, np.nan), new)
+            cur = wn[1:th + 1, 1:tw + 1]
+            new = np.minimum(new, cur)  # monotone: never raise
+            if not (new < cur).any():
+                break
+            wn[1:th + 1, 1:tw + 1] = new
+        center = np.where(okc, wn[1:th + 1, 1:tw + 1], np.nan)
+        improved = int(np.sum(
+            np.where(np.isnan(center), np.inf, center) < old_center))
+        base = wctr.iloc[0]
+        recs = [{
+            "measurement": "__w", "group_key": gk,
+            "zoom": int(base["zoom"]), "tile_id": int(tid),
+            "row0": row0, "col0": col0, "h": th, "w": tw,
+            "values": center.ravel(),
+            "n_geoms": int(base["n_geoms"]),
+            "n_cells_burned": th * tw,
+            "min_seq": int(base["min_seq"]),
+            "max_seq": int(base["max_seq"]),
+        }, {
+            "measurement": "__imp", "group_key": gk,
+            "zoom": int(base["zoom"]), "tile_id": int(tid),
+            "row0": row0, "col0": col0, "h": 1, "w": 1,
+            "values": [float(improved)],
+            "n_geoms": 0, "n_cells_burned": 1,
+            "min_seq": -1, "max_seq": -1,
+        }]
+        return pd.DataFrame(recs, columns=out_cols)
+
+    for _ in range(int(max_rounds)):
+        both = z_tagged.unionByName(wdf)
+        strips = _halo_strips(both, ntx, nty, 1)
+        out = _grouped_map(
+            strips, ["group_key", "tile_id"], n_parts, _relax,
+            CHUNK_SCHEMA,
+        ).localCheckpoint(eager=True)
+        improved = (
+            out.where(F.col("measurement") == "__imp")
+            .agg(F.sum(F.element_at("values", 1))).collect()[0][0]
+        )
+        wdf = out.where(F.col("measurement") == "__w") \
+            .localCheckpoint(eager=True)
+        if not improved:
+            name = f"{band}_filled"
+            chunks = wdf.withColumn("measurement", F.lit(name))
+            return GeoCube(
+                chunks=chunks, geobox=cube.geobox,
+                bands={name: BandMeta(name, "float64", float("nan"))},
+                group_by=cube.group_by, group_keys=cube.group_keys,
+                tile_size=cube.tile_size, fill=float("nan"),
+            )
+    raise RuntimeError(
+        f"fill_sinks did not converge within {max_rounds} rounds"
+    )

@@ -2482,6 +2482,75 @@ ORDER BY row, col
 """
 
 
+_FILL_K = 12
+
+
+def q_fill_sinks(spark, sf_dir):
+    """Depression filling (bandops.fill_sinks, Planchon-Darboux 2001
+    / ESRI Fill): pits of the coarsened burn raised to their spill
+    level (33 cells actually rise on this fixture), outlets = cells
+    with an off-grid/nodata 8-neighbor pinned at z. epsilon=0 keeps
+    every converged value an EXACT z value (pure max/min algebra), so
+    the blocked Gauss-Seidel engine and the oracle's fixed-K Jacobi
+    recursion agree bit for bit."""
+    from ..bandops import fill_sinks
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    out = fill_sinks(cube, "value")
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col", F.round("val", 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_FILL_SINKS = f"""
+WITH RECURSIVE pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) // 4 AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) // 4 AS col,
+         value
+  FROM events
+), s AS (SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2),
+v AS (SELECT row, col, sv FROM s WHERE sv <> 0.0),
+e AS (
+  SELECT a.row AS r1, a.col AS c1, b.row AS r2, b.col AS c2
+  FROM v a JOIN v b
+    ON abs(a.row - b.row) <= 1 AND abs(a.col - b.col) <= 1
+   AND NOT (a.row = b.row AND a.col = b.col)
+),
+m AS (
+  SELECT v.row, v.col, v.sv AS z,
+         (SELECT count(*) FROM e
+          WHERE e.r2 = v.row AND e.c2 = v.col) < 8 AS outlet
+  FROM v
+),
+it(k, row, col, wv) AS (
+  SELECT 0, row, col,
+         CASE WHEN outlet THEN z
+              ELSE CAST('infinity' AS DOUBLE) END
+  FROM m
+  UNION ALL
+  SELECT g.k + 1, g.row, g.col,
+         CASE WHEN m.outlet THEN m.z
+              ELSE greatest(m.z, g.mn) END
+  FROM (
+    SELECT rel.k, rel.row, rel.col, min(rel.wv) AS mn
+    FROM (
+      SELECT it.k, e.r2 AS row, e.c2 AS col, it.wv FROM it
+      JOIN e ON it.row = e.r1 AND it.col = e.c1
+      UNION ALL
+      SELECT it.k, it.row, it.col, CAST('infinity' AS DOUBLE)
+      FROM it
+    ) rel GROUP BY 1, 2, 3 HAVING rel.k < {_FILL_K}
+  ) g JOIN m ON m.row = g.row AND m.col = g.col
+)
+SELECT row, col, round(wv, 6) AS val
+FROM it WHERE k = {_FILL_K} AND wv < 1e17
+ORDER BY row, col
+"""
+
+
 def q_normalized_difference(spark, sf_dir):
     """Normalized-difference index (bandops.normalized_difference —
     the NDVI family) between the value and user-sum burns: nodata
@@ -5039,6 +5108,10 @@ EXTRA_QUERIES = {
     # NDVI-family normalized difference (bandops.
     # normalized_difference): nodata-guarded element program
     "normalized_diff": (q_normalized_difference, SQL_NORMALIZED_DIFF),
+    # depression filling (bandops.fill_sinks, Planchon-Darboux /
+    # ESRI Fill): blocked Gauss-Seidel vs fixed-K Jacobi recursion,
+    # bit-exact at epsilon=0
+    "fill_sinks": (q_fill_sinks, SQL_FILL_SINKS),
     # categorical zonal stats (bandops.zonal_majority, ESRI
     # MAJORITY/MINORITY/VARIETY): pair counts map-side, max_by/min_by
     # tie-break parity with the oracle's row_number windows; Counter

@@ -174,3 +174,62 @@ def test_extract_cost_path(spark):
     assert acc == pytest.approx(dvals[(9, 5)], abs=1e-9)
     with pytest.raises(ValueError, match="not a reached cell"):
         extract_cost_path(bl, (4, 5))
+
+
+def test_fill_sinks_bowl_and_referee(spark):
+    """A bowl inside a rim fills flat to the rim's LOWEST spill
+    point; a monotone slope is untouched; scalar Jacobi referee on a
+    random DEM with nodata holes; epsilon leaves a drainable
+    gradient."""
+    from geocube_spark.bandops import fill_sinks
+
+    rng = np.random.default_rng(31)
+    H = W = 20
+    dem = rng.uniform(50, 60, (H, W))
+    dem[8:13, 8:13] = 10.0       # deep pit
+    dem[10, 12] = 10.0
+    dem[5, 5] = np.nan           # nodata hole -> local outlet ring
+    cube = _cube(spark, dem, ts=8)
+    got = fill_sinks(cube, "cost").assemble()["cost_filled"]
+
+    # scalar Jacobi referee (same outlet rule)
+    valid = ~np.isnan(dem)
+    pad = np.pad(valid, 1, constant_values=False)
+    nv = sum(pad[1 + dy:H + 1 + dy, 1 + dx:W + 1 + dx].astype(int)
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+             if (dy, dx) != (0, 0))
+    outlet = valid & (nv < 8)
+    Wk = np.where(valid, np.inf, np.nan)
+    Wk[outlet] = dem[outlet]
+    while True:
+        wp = np.pad(np.where(np.isnan(Wk), np.inf, Wk), 1,
+                    constant_values=np.inf)
+        mn = np.minimum.reduce([
+            wp[1 + dy:H + 1 + dy, 1 + dx:W + 1 + dx]
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)])
+        new = np.where(outlet, dem, np.maximum(dem, mn))
+        new = np.where(valid, new, np.nan)
+        if np.array_equal(np.nan_to_num(new, nan=-1),
+                          np.nan_to_num(Wk, nan=-1)):
+            break
+        Wk = new
+    np.testing.assert_array_equal(np.nan_to_num(got, nan=-1),
+                                  np.nan_to_num(Wk, nan=-1))
+    # the pit genuinely filled, flat, to one spill level > 10
+    pit = got[9:12, 9:12]
+    assert np.unique(pit).size == 1 and pit[0, 0] > 10.0
+    # cells outside pits keep their elevation
+    assert got[0, 0] == dem[0, 0]
+
+    # epsilon > 0: pit is no longer flat (drainable gradient)
+    got_eps = fill_sinks(cube, "cost",
+                         epsilon=0.01).assemble()["cost_filled"]
+    assert np.unique(got_eps[9:12, 9:12]).size > 1
+    assert (got_eps[valid] >= dem[valid] - 1e-12).all()
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown band"):
+        fill_sinks(cube, "nope")
+    with _pt.raises(ValueError, match="epsilon"):
+        fill_sinks(cube, "cost", epsilon=-1)
