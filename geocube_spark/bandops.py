@@ -3706,3 +3706,106 @@ def fill_sinks(cube: GeoCube, band: str, *, epsilon: float = 0.0,
     raise RuntimeError(
         f"fill_sinks did not converge within {max_rounds} rounds"
     )
+
+
+def glcm(cube: GeoCube, band: str, metric: str = "contrast", *,
+         levels: int = 8, lo: float, hi: float,
+         size: int = 3) -> GeoCube:
+    """GLCM texture metric (Haralick, Shanmugam & Dinstein 1973; the
+    ESRI / xarray-spatial / scikit-image ``graycomatrix`` family):
+    the band quantizes to ``levels`` equal-width bins on [lo, hi)
+    (clamped), and each cell's ``size x size`` window builds the
+    SYMMETRIC gray-level co-occurrence matrix at offset (0, 1) —
+    horizontal neighbor pairs with both ends inside the window, each
+    counted in both directions (scikit-image ``symmetric=True,
+    normed=True``). Metrics over the normalized matrix P:
+
+    * contrast    = sum P(i,j) * (i-j)^2
+    * homogeneity = sum P(i,j) / (1 + (i-j)^2)   (a.k.a. IDM)
+    * energy      = sum P(i,j)^2                  (ASM)
+    * entropy     = -sum P(i,j) * ln P(i,j)       (zero bins skipped)
+
+    Defined only where ALL window cells are valid (the terrain
+    all-valid rule); elsewhere nodata.
+
+    Kernel shape: ONE halo exchange (radius size//2), then per tile
+    every directed (i, j) pair class gets its per-cell window count
+    from a summed-area table over the class's indicator raster —
+    levels^2 SATs per tile, each O(cells), no per-cell window
+    loop."""
+    if metric not in ("contrast", "homogeneity", "energy", "entropy"):
+        raise ValueError(f"unsupported metric {metric!r}")
+    if band not in cube.bands:
+        raise ValueError(f"unknown band {band!r}")
+    if levels < 2:
+        raise ValueError("levels must be >= 2")
+    if size < 3 or size % 2 == 0:
+        raise ValueError("size must be odd and >= 3")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    fill = float(cube.bands[band].fill)
+    L = int(levels)
+    r = size // 2
+    lo_f, hi_f = float(lo), float(hi)
+
+    def _kernel(m, pad, th, tw):
+        valid = ~np.isnan(pad)
+        if not np.isnan(fill):
+            valid &= pad != fill
+        q = np.clip(
+            np.floor((pad - lo_f) / (hi_f - lo_f) * L), 0, L - 1
+        ).astype(np.int64)
+        q[~valid] = -1
+        rows = r + np.arange(th)[:, None]
+        cols = r + np.arange(tw)[None, :]
+
+        def _box(S, r0, c0, r1, c1):
+            # inclusive box sums around every center cell (padded
+            # index (R + r, C + r)): rows [R+r0, R+r1], cols
+            # [C+c0, C+c1]
+            return (S[rows + r1 + 1, cols + c1 + 1]
+                    - S[rows + r0, cols + c1 + 1]
+                    - S[rows + r1 + 1, cols + c0]
+                    + S[rows + r0, cols + c0])
+
+        V = np.zeros((pad.shape[0] + 1, pad.shape[1] + 1))
+        V[1:, 1:] = valid.astype(np.float64).cumsum(0).cumsum(1)
+        allv = np.round(_box(V, -r, -r, r, r)) == float(size * size)
+        total = 2.0 * size * (size - 1)
+        qa, qb = q[:, :-1], q[:, 1:]
+        counts = {}
+        for i in range(L):
+            for j in range(L):
+                ind = ((qa == i) & (qb == j)).astype(np.float64)
+                S = np.zeros((ind.shape[0] + 1, ind.shape[1] + 1))
+                S[1:, 1:] = ind.cumsum(0).cumsum(1)
+                # pair anchors: rows [R-r, R+r], cols [C-r, C+r-1]
+                counts[(i, j)] = np.round(_box(S, -r, -r, r, r - 1))
+        out = np.zeros((th, tw), dtype=np.float64)
+        for i in range(L):
+            for j in range(L):
+                # full-matrix cell (i, j) of the SYMMETRIC GLCM
+                p = (counts[(i, j)] + counts[(j, i)]) / total
+                if metric == "contrast":
+                    out += p * float((i - j) ** 2)
+                elif metric == "homogeneity":
+                    out += p / float(1 + (i - j) ** 2)
+                elif metric == "energy":
+                    out += p * p
+                else:
+                    with np.errstate(divide="ignore",
+                                     invalid="ignore"):
+                        out += np.where(p > 0, p * np.log(p), 0.0)
+        if metric == "entropy":
+            out = -out
+        return np.where(allv, out, np.nan)
+
+    c = cube.chunks.filter(F.col("measurement") == band)
+    name = f"{band}_{metric}"
+    chunks = _stencil_cube(cube, c, r, _kernel, name, False)
+    return GeoCube(
+        chunks=chunks, geobox=cube.geobox,
+        bands={name: BandMeta(name, "float64", float("nan"))},
+        group_by=cube.group_by, group_keys=cube.group_keys,
+        tile_size=cube.tile_size, fill=float("nan"),
+    )

@@ -2482,6 +2482,85 @@ ORDER BY row, col
 """
 
 
+def _q_glcm(spark, sf_dir, metric):
+    from ..bandops import glcm
+
+    cube = _two_band_cube(spark, sf_dir).coarsen(4, "sum")
+    out = glcm(cube, "value", metric, levels=4, lo=0.0, hi=2000.0,
+               size=3)
+    df = _explode_cells(out.chunks)
+    return (
+        df.filter(F.col("val").isNotNull() & ~F.isnan("val"))
+        .select("row", "col",
+                F.round(F.col("val") + F.lit(1e-9), 6).alias("val"))
+        .orderBy("row", "col")
+    )
+
+
+def q_glcm_contrast(spark, sf_dir):
+    """GLCM contrast (bandops.glcm, Haralick 1973 / scikit-image
+    graycomatrix symmetric+normed): 4-level quantization, 3x3
+    windows, horizontal offset; the oracle replays the window pairs
+    with two joins and the symmetric count."""
+    return _q_glcm(spark, sf_dir, "contrast")
+
+
+def q_glcm_entropy(spark, sf_dir):
+    """GLCM entropy on the same matrix (zero bins skipped, natural
+    log)."""
+    return _q_glcm(spark, sf_dir, "entropy")
+
+
+_SQL_GLCM_BASE = f"""
+WITH pts AS (
+  SELECT CAST(floor(90.0 - ({_LAT_SQL})) AS INT) // 4 AS row,
+         CAST(floor(({_LON_SQL}) + 180.0) AS INT) // 4 AS col,
+         value
+  FROM events
+), s AS (SELECT row, col, sum(value) AS sv FROM pts GROUP BY 1, 2),
+v AS (SELECT row, col, sv FROM s WHERE sv <> 0.0),
+q AS (
+  SELECT row, col,
+         CAST(least(3, greatest(0,
+              floor((sv - 0.0) / 2000.0 * 4))) AS INT) AS lv
+  FROM v
+),
+win AS (
+  SELECT c.row, c.col FROM q c
+  JOIN q n ON n.row BETWEEN c.row - 1 AND c.row + 1
+          AND n.col BETWEEN c.col - 1 AND c.col + 1
+  GROUP BY 1, 2 HAVING count(*) = 9
+),
+pr AS (
+  SELECT w.row, w.col, a.lv AS la, b.lv AS lb
+  FROM win w
+  JOIN q a ON a.row BETWEEN w.row - 1 AND w.row + 1
+          AND a.col BETWEEN w.col - 1 AND w.col
+  JOIN q b ON b.row = a.row AND b.col = a.col + 1
+),
+sym AS (
+  SELECT row, col, la AS i, lb AS j FROM pr
+  UNION ALL
+  SELECT row, col, lb, la FROM pr
+),
+cnt AS (
+  SELECT row, col, i, j, count(*) AS n FROM sym GROUP BY 1, 2, 3, 4
+)
+"""
+
+SQL_GLCM_CONTRAST = _SQL_GLCM_BASE + """
+SELECT row, col,
+       round(sum(n / 12.0 * (i - j) * (i - j)) + 1e-9, 6) AS val
+FROM cnt GROUP BY 1, 2 ORDER BY row, col
+"""
+
+SQL_GLCM_ENTROPY = _SQL_GLCM_BASE + """
+SELECT row, col,
+       round(-sum((n / 12.0) * ln(n / 12.0)) + 1e-9, 6) AS val
+FROM cnt GROUP BY 1, 2 ORDER BY row, col
+"""
+
+
 _FILL_K = 12
 
 
@@ -5112,6 +5191,10 @@ EXTRA_QUERIES = {
     # ESRI Fill): blocked Gauss-Seidel vs fixed-K Jacobi recursion,
     # bit-exact at epsilon=0
     "fill_sinks": (q_fill_sinks, SQL_FILL_SINKS),
+    # GLCM texture (bandops.glcm, Haralick 1973): symmetric
+    # co-occurrence via per-class SATs on the halo stencil
+    "glcm_contrast": (q_glcm_contrast, SQL_GLCM_CONTRAST),
+    "glcm_entropy": (q_glcm_entropy, SQL_GLCM_ENTROPY),
     # categorical zonal stats (bandops.zonal_majority, ESRI
     # MAJORITY/MINORITY/VARIETY): pair counts map-side, max_by/min_by
     # tie-break parity with the oracle's row_number windows; Counter

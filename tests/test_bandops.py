@@ -1039,3 +1039,83 @@ def test_normalized_difference_matches_numpy(spark, two_band_cube):
     assert np.isnan(got[~data]).all()
     with pytest.raises(ValueError, match="unknown band"):
         normalized_difference(two_band_cube, "m0", "nope")
+
+
+@pytest.mark.parametrize("metric", ["contrast", "homogeneity",
+                                    "energy", "entropy"])
+def test_glcm_matches_bruteforce(spark, metric):
+    """Per-cell brute-force referee: quantize, enumerate the window's
+    horizontal pairs both directions, normalize, apply the metric."""
+    from geocube_spark.bandops import glcm
+    from geocube_spark.cube import CHUNK_SCHEMA, BandMeta, GeoCube
+    from geocube_spark.geometry.affine import Affine
+    from geocube_spark.geometry.crs import CRS
+    from geocube_spark.grid.geobox import GeoBox
+
+    rng = np.random.default_rng(41)
+    H = W = 18
+    arr = rng.uniform(0, 100, (H, W))
+    arr[3, 4] = np.nan
+    gb = GeoBox(W, H, Affine(1.0, 0.0, 0.0, 0.0, -1.0, 0.0), CRS(4326))
+    rows = [("v", None, 0, int(tid), int(r0), int(c0), int(h), int(w),
+             [float(x) for x in arr[r0:r0 + h, c0:c0 + w].ravel()],
+             1, h * w, 0, 0)
+            for tid, r0, c0, h, w in gb.tile_grid(6)]
+    cube = GeoCube(
+        chunks=spark.createDataFrame(rows, CHUNK_SCHEMA), geobox=gb,
+        bands={"v": BandMeta("v", "float64", float("nan"))},
+        tile_size=6, fill=float("nan"),
+    )
+    L, lo, hi, size = 5, 0.0, 100.0, 3
+    got = glcm(cube, "v", metric, levels=L, lo=lo, hi=hi,
+               size=size).assemble()[f"v_{metric}"]
+
+    q = np.clip(np.floor((arr - lo) / (hi - lo) * L), 0, L - 1)
+    q = np.where(np.isnan(arr), -1, q).astype(int)
+    valid = q >= 0
+    r = size // 2
+    want = np.full((H, W), np.nan)
+    for R in range(H):
+        for C in range(W):
+            rs, cs = slice(R - r, R + r + 1), slice(C - r, C + r + 1)
+            if (R - r < 0 or C - r < 0 or R + r >= H or C + r >= W
+                    or not valid[rs, cs].all()):
+                continue
+            cnt = {}
+            for rr in range(R - r, R + r + 1):
+                for cc in range(C - r, C + r):
+                    a, b = q[rr, cc], q[rr, cc + 1]
+                    cnt[(a, b)] = cnt.get((a, b), 0) + 1
+                    cnt[(b, a)] = cnt.get((b, a), 0) + 1
+            total = 2 * size * (size - 1)
+            val = 0.0
+            for (i, j), n in cnt.items():
+                p = n / total
+                if metric == "contrast":
+                    val += p * (i - j) ** 2
+                elif metric == "homogeneity":
+                    val += p / (1 + (i - j) ** 2)
+                elif metric == "energy":
+                    val += p * p
+                else:
+                    val -= p * np.log(p)
+            want[R, C] = val
+    np.testing.assert_allclose(
+        np.nan_to_num(got, nan=-9), np.nan_to_num(want, nan=-9),
+        rtol=0, atol=1e-9,
+    )
+    # flat raster: energy of a one-bin matrix is 1, contrast 0
+    flat = GeoCube(
+        chunks=spark.createDataFrame(
+            [("v", None, 0, int(tid), int(r0), int(c0), int(h),
+              int(w), [50.0] * (h * w), 1, h * w, 0, 0)
+             for tid, r0, c0, h, w in gb.tile_grid(6)], CHUNK_SCHEMA),
+        geobox=gb,
+        bands={"v": BandMeta("v", "float64", float("nan"))},
+        tile_size=6, fill=float("nan"),
+    )
+    if metric in ("energy", "contrast"):
+        fv = glcm(flat, "v", metric, levels=L, lo=lo, hi=hi,
+                  size=3).assemble()[f"v_{metric}"]
+        expect = 1.0 if metric == "energy" else 0.0
+        np.testing.assert_allclose(fv[1:-1, 1:-1], expect, atol=0)
