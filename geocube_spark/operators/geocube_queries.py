@@ -2561,6 +2561,30 @@ FROM cnt GROUP BY 1, 2 ORDER BY row, col
 """
 
 
+def q_glcm_homogeneity(spark, sf_dir):
+    """GLCM homogeneity (IDM) on the same symmetric matrix."""
+    return _q_glcm(spark, sf_dir, "homogeneity")
+
+
+def q_glcm_energy(spark, sf_dir):
+    """GLCM energy (ASM) on the same symmetric matrix."""
+    return _q_glcm(spark, sf_dir, "energy")
+
+
+SQL_GLCM_HOMOGENEITY = _SQL_GLCM_BASE + """
+SELECT row, col,
+       round(sum(n / 12.0 / (1 + (i - j) * (i - j))) + 1e-9, 6)
+         AS val
+FROM cnt GROUP BY 1, 2 ORDER BY row, col
+"""
+
+SQL_GLCM_ENERGY = _SQL_GLCM_BASE + """
+SELECT row, col,
+       round(sum((n / 12.0) * (n / 12.0)) + 1e-9, 6) AS val
+FROM cnt GROUP BY 1, 2 ORDER BY row, col
+"""
+
+
 _FILL_K = 12
 
 
@@ -5195,6 +5219,8 @@ EXTRA_QUERIES = {
     # co-occurrence via per-class SATs on the halo stencil
     "glcm_contrast": (q_glcm_contrast, SQL_GLCM_CONTRAST),
     "glcm_entropy": (q_glcm_entropy, SQL_GLCM_ENTROPY),
+    "glcm_homogeneity": (q_glcm_homogeneity, SQL_GLCM_HOMOGENEITY),
+    "glcm_energy": (q_glcm_energy, SQL_GLCM_ENERGY),
     # categorical zonal stats (bandops.zonal_majority, ESRI
     # MAJORITY/MINORITY/VARIETY): pair counts map-side, max_by/min_by
     # tie-break parity with the oracle's row_number windows; Counter
