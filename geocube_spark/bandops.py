@@ -2212,7 +2212,11 @@ def color_relief(cube: GeoCube, band: str,
     its ``-exact_color_entry``/``-nearest_color_entry`` variants are
     a reclassify), clamping below the first and above the last entry.
     Channels round half-up to integers 0..255 exactly like the
-    byte-banded GeoTIFF gdaldem writes. Nodata stays fill.
+    byte-banded GeoTIFF gdaldem writes. Nodata becomes NaN on the
+    color bands (the derived-band convention shared with glcm /
+    fill_sinks / normalized_difference): ramp outputs live in 0..255,
+    so reusing the source fill would make a real color value equal to
+    it (e.g. 0) indistinguishable from nodata downstream.
 
     Three pure element programs through :func:`with_band` — narrow
     chunk-local maps, zero shuffle; bands ``{prefix}_r/_g/_b``
@@ -2246,14 +2250,14 @@ def color_relief(cube: GeoCube, band: str,
             return F.when(
                 is_data(v),
                 F.floor(expr + F.lit(0.5 + 1e-9)).cast("double"),
-            ).otherwise(F.lit(src_fill))
+            ).otherwise(F.lit(float("nan")))
 
         return _fn
 
     out = cube
     for ch, suffix in ((1, "r"), (2, "g"), (3, "b")):
         out = with_band(out, f"{pre}_{suffix}", (band,),
-                        _channel(ch), fill=src_fill)
+                        _channel(ch), fill=float("nan"))
     return out
 
 
@@ -3752,10 +3756,20 @@ def glcm(cube: GeoCube, band: str, metric: str = "contrast", *,
         valid = ~np.isnan(pad)
         if not np.isnan(fill):
             valid &= pad != fill
-        q = np.clip(
-            np.floor((pad - lo_f) / (hi_f - lo_f) * L), 0, L - 1
+        # mask invalid cells BEFORE the int cast: floor(NaN) ->
+        # int64 is platform-defined and warns per batch, so replace
+        # nodata with lo first and overwrite with -1 after.
+        q = np.where(
+            valid,
+            np.clip(
+                np.floor(
+                    (np.where(valid, pad, lo_f) - lo_f)
+                    / (hi_f - lo_f) * L
+                ),
+                0, L - 1,
+            ),
+            -1.0,
         ).astype(np.int64)
-        q[~valid] = -1
         rows = r + np.arange(th)[:, None]
         cols = r + np.arange(tw)[None, :]
 

@@ -532,11 +532,16 @@ def cross_dedup_minhash(corpus: DataFrame, reference: DataFrame, *,
             .select("id", "ref_id", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
+        # min_by over (-jaccard, ref_id): highest jaccard first, ties
+        # to the SMALLEST ref_id. Only the numeric jaccard is negated,
+        # so the tie-break holds for ids of any orderable type (a
+        # string ref_id under the old -ref_id form cast to double ->
+        # NULL non-ANSI, degrading the tie-break to arbitrary).
         best = hits.groupBy("id").agg(
-            F.max_by(
+            F.min_by(
                 "ref_id",
-                F.struct(F.col("jaccard"),
-                         (-F.col("ref_id")).alias("nr")),
+                F.struct((-F.col("jaccard")).alias("nj"),
+                         F.col("ref_id")),
             ).alias("dup_of"),
             F.max("jaccard").alias("jaccard"),
         )

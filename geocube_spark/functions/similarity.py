@@ -1099,7 +1099,8 @@ def pq_codes(corpus: DataFrame, codebook: np.ndarray, *,
 def ann_pq_topk(corpus: DataFrame, *, queries: DataFrame = None,
                 m: int = 4, k: int = 8, iters: int = 1,
                 topk: int = 3, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                exclude_self: bool = True) -> DataFrame:
     """Approximate top-k neighbors by PQ asymmetric distance (ADC,
     Jegou et al. 2011): train codebooks on the corpus
     (:func:`pq_train`), encode it (:func:`pq_codes`), then score each
@@ -1109,7 +1110,9 @@ def ann_pq_topk(corpus: DataFrame, *, queries: DataFrame = None,
     subspace accumulation order is fixed (s = 0..m-1, left to right)
     and the result rounded at 6 dp, so the DuckDB oracle replays the
     ranking exactly. ``queries=None`` defaults to the corpus itself
-    minus self-matches. At real scale compose with the IVF coarse
+    minus self-matches; ``exclude_self`` (default True) assumes query
+    ids share the corpus id space — set it False when an explicit
+    query set uses an unrelated id space. At real scale compose with the IVF coarse
     index (``ivf_topk``) to prune candidates first; the ADC scan here
     is the in-list scorer of a classic IVFADC index.
 
@@ -1162,8 +1165,14 @@ def ann_pq_topk(corpus: DataFrame, *, queries: DataFrame = None,
                 }))
             yield pd.concat(frames, ignore_index=True)
 
-    scored = codes.mapInPandas(_score, schema=out_schema) \
-        .where(F.col("qid") != F.col("nid"))
+    scored = codes.mapInPandas(_score, schema=out_schema)
+    if exclude_self:
+        # meaningful only when query ids share the corpus id space
+        # (queries=None, or an explicit subset of the corpus). Pass
+        # exclude_self=False for a query set whose ids are unrelated
+        # to the corpus, where a qid==nid collision is a legitimate
+        # neighbor, not a self-match.
+        scored = scored.where(F.col("qid") != F.col("nid"))
     w = Window.partitionBy("qid").orderBy("d2", "nid")
     return (
         scored.select("qid", "nid", "d2",

@@ -2847,13 +2847,12 @@ def q_color_relief(spark, sf_dir):
         cells["r"].join(cells["g"], ["row", "col"])
         .join(cells["b"], ["row", "col"])
     )
-    # fill cells (value 0 -> fill stays 0 on every channel, but real
-    # value 0 also maps to (0, 0, 128)): keep rows where any channel
-    # is nonzero, matching the oracle's sv <> 0 filter exactly
-    # because ramp(0) = (0, 0, 128) has b = 128 <> 0 for data cells
+    # color bands carry NaN fill (distinct from any 0..255 color), so
+    # data cells are exactly the non-NaN ones — matching the oracle's
+    # sv <> 0 filter (the source band's fill is 0, so is_data drops
+    # zero-sum cells on both sides).
     return (
-        joined.where((F.col("r") != 0.0) | (F.col("g") != 0.0)
-                     | (F.col("b") != 0.0))
+        joined.where(~F.isnan("r"))
         .select("row", "col", F.col("r").cast("int").alias("r"),
                 F.col("g").cast("int").alias("g"),
                 F.col("b").cast("int").alias("b"))
@@ -2895,8 +2894,6 @@ SELECT row, col,
        CAST(floor(g + 0.5 + 1e-9) AS INT) AS g,
        CAST(floor(b + 0.5 + 1e-9) AS INT) AS b
 FROM ch
-WHERE floor(r + 0.5 + 1e-9) <> 0.0 OR floor(g + 0.5 + 1e-9) <> 0.0
-   OR floor(b + 0.5 + 1e-9) <> 0.0
 ORDER BY row, col
 """
 

@@ -266,8 +266,9 @@ def test_color_relief_matches_numpy_interp(spark, two_band_cube):
         )
         got = arrs[f"m0_{sfx}"]
         np.testing.assert_array_equal(got[data], want[data])
-        # nodata stays fill
-        np.testing.assert_array_equal(got[~data], 0.0)
+        # nodata becomes NaN on the color bands (ramp outputs live in
+        # 0..255, so a byte fill would be ambiguous)
+        assert np.isnan(got[~data]).all()
     with pytest.raises(ValueError, match="increasing"):
         cube.color_relief("m0", [(1.0, 0, 0, 0), (1.0, 1, 1, 1)])
     with pytest.raises(ValueError, match="at least 2"):
