@@ -277,6 +277,34 @@ def kmv_sketch(df: DataFrame, col: str, *, k: int = 256,
     )
 
 
+def kmv_state(df: DataFrame, col: str, *, k: int = 256,
+              by=None) -> DataFrame:
+    """The KMV sketch as a SINGLE aggregation — the streaming-safe
+    state form, mirroring :func:`hll_registers`: ``collect_set`` of
+    the unit-interval hashes, sorted and cut to ``k`` in the same
+    projection, so it runs unchanged under Structured Streaming
+    (update/complete mode; the batch :func:`kmv_sketch` uses window
+    functions, which streams forbid). Identical output contract —
+    (by..., ks ascending, n_vals) — and bit-identical values, since
+    bottom-k of the distinct hash set is the same set either way;
+    finish with :func:`kmv_estimate`.
+
+    State trade: Spark's agg state here is the per-group DISTINCT
+    hash set (8 bytes/value), not the cut sketch — fine for bounded
+    per-group cardinality. For unbounded streams use
+    ``streaming.sketch.kmv_stream``, which keeps only the bottom-k
+    per group via ``applyInPandasWithState``."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = list(by) if by else []
+    u = (h60(F.col(col).cast("string")) / F.lit(_KMV_SCALE)).alias("u")
+    ks = F.slice(F.array_sort(F.collect_set("u")), 1, k).alias("ks")
+    agg = df.select(*keys, u).groupBy(*keys).agg(ks)
+    return agg.select(
+        *keys, "ks", F.size("ks").cast("long").alias("n_vals")
+    )
+
+
 def kmv_estimate(sketch: DataFrame, *, k: int = 256) -> DataFrame:
     """Distinct-count estimate from a :func:`kmv_sketch` row:
     exact ``n_vals`` when the sketch is unsaturated, else the

@@ -302,3 +302,126 @@ def test_cms_counters_streaming_equals_batch(spark, tmp_path):
                       probes, probe_col="v", width=256,
                       depth=3).collect()
     assert sorted(map(tuple, es)) == sorted(map(tuple, eb))
+
+
+def test_kmv_state_streaming_equals_batch(spark, tmp_path):
+    """kmv_state is a single aggregation, so it runs unchanged as a
+    Structured Streaming stateful agg: an availableNow stream over
+    two parquet micro-batches produces the exact batch sketch
+    (bottom-k of the distinct hash set merges by union + re-cut), and
+    kmv_estimate finishes both to the identical estimate."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from geocube_spark.functions.sketch import (kmv_estimate,
+                                                kmv_sketch, kmv_state)
+
+    in_dir = str(tmp_path / "kmv_in")
+    os.makedirs(in_dir)
+    vals = [(int(v),) for v in range(2000)]
+    spark.createDataFrame(vals[:900], "v long") \
+        .coalesce(1).write.parquet(f"{in_dir}/b1")
+    spark.createDataFrame(vals[900:], "v long") \
+        .coalesce(1).write.parquet(f"{in_dir}/b2")
+    schema = T.StructType([T.StructField("v", T.LongType())])
+
+    q = (
+        kmv_state(
+            spark.readStream.schema(schema).parquet(f"{in_dir}/*"),
+            "v", k=64)
+        .writeStream.format("memory").queryName("kmv_stream_agg")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("kmv_stream_agg")
+
+    batch = spark.createDataFrame(vals, "v long")
+    want = kmv_sketch(batch, "v", k=64).collect()[0]
+    got_row = got.collect()[0]
+    assert list(got_row["ks"]) == list(want["ks"])
+    assert got_row["n_vals"] == want["n_vals"]
+    es = kmv_estimate(got, k=64).collect()[0]["est"]
+    eb = kmv_estimate(kmv_sketch(batch, "v", k=64),
+                      k=64).collect()[0]["est"]
+    assert es == eb
+
+
+def test_kmv_state_matches_sketch_grouped(spark):
+    """Grouped single-agg state form == windowed batch form, group by
+    group (same bottom-k either way)."""
+    from geocube_spark.functions.sketch import kmv_sketch, kmv_state
+
+    df = spark.createDataFrame(
+        [(v % 3, v % 701) for v in range(5000)], "g long, x long"
+    )
+    a = {r["g"]: (list(r["ks"]), r["n_vals"])
+         for r in kmv_sketch(df, "x", k=32, by=["g"]).collect()}
+    b = {r["g"]: (list(r["ks"]), r["n_vals"])
+         for r in kmv_state(df, "x", k=32, by=["g"]).collect()}
+    assert a == b
+
+
+def test_kmv_stream_bounded_state_equals_batch(spark, tmp_path):
+    """The applyInPandasWithState KMV (O(k) state per group) over an
+    availableNow two-micro-batch stream lands on the bit-identical
+    sketch as the batch operator on the unioned input — bottom-k can
+    only shrink downward, so evicted hashes can never re-enter and
+    micro-batch boundaries cannot move the result."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from geocube_spark.functions.sketch import kmv_estimate, kmv_sketch
+    from geocube_spark.streaming.sketch import (kmv_stream,
+                                                latest_sketches)
+
+    in_dir = str(tmp_path / "kmvs_in")
+    os.makedirs(in_dir)
+    # overlap between batches: duplicates across micro-batches must
+    # not perturb the sketch
+    spark.createDataFrame(
+        [(int(v),) for v in range(1200)], "v long"
+    ).coalesce(1).write.parquet(f"{in_dir}/b1")
+    spark.createDataFrame(
+        [(int(v),) for v in range(800, 2000)], "v long"
+    ).coalesce(1).write.parquet(f"{in_dir}/b2")
+    schema = T.StructType([T.StructField("v", T.LongType())])
+
+    q = (
+        kmv_stream(
+            spark.readStream.schema(schema).parquet(f"{in_dir}/*"),
+            "v", k=64)
+        .writeStream.format("memory").queryName("kmv_stream_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    final = latest_sketches(spark.table("kmv_stream_state")).collect()
+    assert len(final) == 1
+    got = final[0]
+    assert got["n_seen"] == 2400
+
+    batch = spark.createDataFrame(
+        [(int(v),) for v in range(2000)], "v long"
+    )
+    want = kmv_sketch(batch, "v", k=64).collect()[0]
+    assert list(got["ks"]) == list(want["ks"])
+    assert got["n_vals"] == want["n_vals"]
+
+
+def test_kmv_stream_batch_mode_grouped(spark):
+    """kmv_stream also runs on a plain batch frame (applyInPandas
+    WithState degrades to a grouped map); grouped output matches the
+    batch sketch per group."""
+    from geocube_spark.functions.sketch import kmv_sketch
+    from geocube_spark.streaming.sketch import kmv_stream
+
+    df = spark.createDataFrame(
+        [(("a" if v % 2 else "b"), v % 401) for v in range(3000)],
+        "g string, x long",
+    )
+    want = {r["g"]: list(r["ks"])
+            for r in kmv_sketch(df, "x", k=16, by=["g"]).collect()}
+    got = {r["g"]: list(r["ks"])
+           for r in kmv_stream(df, "x", k=16, by=["g"]).collect()}
+    assert got == want
