@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from .cube import BandMeta, GeoCube
 from .geometry.affine import Affine
 from .grid.geobox import GeoBox
+from .plans.flatten import _flat
 
 _LINEAGE = ["zoom", "row0", "col0", "h", "w"]
 
@@ -2397,7 +2398,7 @@ def flow_basins(cube: GeoCube, band: str = "flowdir",
         "row", "col",
         F.coalesce("nrow", "row").alias("prow"),
         F.coalesce("ncol", "col").alias("pcol"),
-    ).localCheckpoint()
+    ).transform(_flat)
     for _ in range(max_rounds):
         if _converged(ptr, edges):
             break
@@ -2409,7 +2410,7 @@ def flow_basins(cube: GeoCube, band: str = "flowdir",
             "row", "col",
             F.col("gprow").alias("prow"),
             F.col("gpcol").alias("pcol"),
-        ).localCheckpoint()
+        ).transform(_flat)
     return ptr.select(
         "row", "col",
         F.col("prow").alias("basin_row"),
@@ -2431,12 +2432,12 @@ def _ancestor_closure(cells: DataFrame, edges: DataFrame, shape,
     pairs = edges.select(
         F.col("row").alias("ur"), F.col("col").alias("uc"),
         F.col("nrow").alias("ar"), F.col("ncol").alias("ac"),
-    ).localCheckpoint()
+    ).transform(_flat)
     ptr = cells.join(edges, ["row", "col"], "left").select(
         "row", "col",
         F.coalesce("nrow", "row").alias("prow"),
         F.coalesce("ncol", "col").alias("pcol"),
-    ).localCheckpoint()
+    ).transform(_flat)
     for _ in range(max_rounds):
         if _converged(ptr, edges):
             break
@@ -2451,7 +2452,7 @@ def _ancestor_closure(cells: DataFrame, edges: DataFrame, shape,
             ),
             ["jr", "jc"], "inner",
         ).select("ur", "uc", "ar", "ac")
-        pairs = pairs.unionByName(thru).distinct().localCheckpoint()
+        pairs = pairs.unionByName(thru).distinct().transform(_flat)
         hop = ptr.select(
             F.col("row").alias("prow"), F.col("col").alias("pcol"),
             F.col("prow").alias("gprow"), F.col("pcol").alias("gpcol"),
@@ -2460,7 +2461,7 @@ def _ancestor_closure(cells: DataFrame, edges: DataFrame, shape,
             "row", "col",
             F.col("gprow").alias("prow"),
             F.col("gpcol").alias("pcol"),
-        ).localCheckpoint()
+        ).transform(_flat)
     return pairs
 
 
@@ -2558,8 +2559,8 @@ def stream_order(cube: GeoCube, band: str = "flowdir",
     O(edges) rows, ``localCheckpoint`` keeping the plan O(1) deep."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
-    cells = flow_cells(cube, band).localCheckpoint(eager=True)
-    edges = flow_edges(cube, band).localCheckpoint(eager=True)
+    cells = flow_cells(cube, band).transform(_flat)
+    edges = flow_edges(cube, band).transform(_flat)
     inflow = edges.select(
         F.col("nrow").alias("row"), F.col("ncol").alias("col")
     ).distinct()
@@ -2568,10 +2569,10 @@ def stream_order(cube: GeoCube, band: str = "flowdir",
                      F.col("ncol").alias("col")),
         ["row", "col"],
     ).groupBy("row", "col").agg(F.count(F.lit(1)).alias("n_up")) \
-        .localCheckpoint(eager=True)
+        .transform(_flat)
     orders = cells.join(inflow, ["row", "col"], "left_anti").select(
         "row", "col", F.lit(1).cast("long").alias("order")
-    ).localCheckpoint(eager=True)
+    ).transform(_flat)
     n_cells = cells.count()
     for _ in range(int(max_rounds)):
         if orders.count() == n_cells:
@@ -2611,7 +2612,7 @@ def stream_order(cube: GeoCube, band: str = "flowdir",
                 .otherwise(F.col("m")).cast("long").alias("order"),
             )
         )
-        orders = orders.unionByName(ready).localCheckpoint(eager=True)
+        orders = orders.unionByName(ready).transform(_flat)
     if orders.count() == n_cells:
         return orders
     raise RuntimeError(
@@ -3006,9 +3007,9 @@ def cost_distance(cube: GeoCube, sources, *, cost_band: str,
     sc_ctx = c.sparkSession.sparkContext
     n_parts = max(1, min(int(n_tiles), 4 * sc_ctx.defaultParallelism))
     dist = _grouped_map(c, ["group_key", "tile_id"], n_parts, _init,
-                        CHUNK_SCHEMA).localCheckpoint(eager=True)
+                        CHUNK_SCHEMA).transform(_flat)
     cost_tagged = c.withColumn("measurement", F.lit("__cost")) \
-        .localCheckpoint(eager=True)
+        .transform(_flat)
 
     sq2 = float(np.sqrt(2.0))
 
@@ -3073,7 +3074,7 @@ def cost_distance(cube: GeoCube, sources, *, cost_band: str,
         out = _grouped_map(
             strips, ["group_key", "tile_id"], n_parts, _relax,
             CHUNK_SCHEMA,
-        ).localCheckpoint(eager=True)
+        ).transform(_flat)
         improved = (
             out.where(F.col("measurement") == "__improved")
             .agg(F.sum(F.element_at("values", 1))).collect()[0][0]
@@ -3344,7 +3345,7 @@ def flow_length(cube: GeoCube, band: str = "flowdir",
         F.coalesce("ncol", "col").alias("pcol"),
         F.when(F.col("nrow").isNotNull(), step)
         .otherwise(F.lit(0.0)).alias("d"),
-    ).localCheckpoint()
+    ).transform(_flat)
     for _ in range(max_rounds):
         if _converged(ptr, edges):
             break
@@ -3358,7 +3359,7 @@ def flow_length(cube: GeoCube, band: str = "flowdir",
             F.col("gprow").alias("prow"),
             F.col("gpcol").alias("pcol"),
             (F.col("d") + F.col("d2")).alias("d"),
-        ).localCheckpoint()
+        ).transform(_flat)
     return ptr.select("row", "col", F.col("d").alias("flow_length"))
 
 
@@ -3623,9 +3624,9 @@ def fill_sinks(cube: GeoCube, band: str, *, epsilon: float = 0.0,
     sc_ctx = c.sparkSession.sparkContext
     n_parts = max(1, min(int(n_tiles), 4 * sc_ctx.defaultParallelism))
     wdf = _grouped_map(c, ["group_key", "tile_id"], n_parts, _init,
-                       CHUNK_SCHEMA).localCheckpoint(eager=True)
+                       CHUNK_SCHEMA).transform(_flat)
     z_tagged = c.withColumn("measurement", F.lit("__z")) \
-        .localCheckpoint(eager=True)
+        .transform(_flat)
 
     def _relax(key, sub: pd.DataFrame) -> pd.DataFrame:
         gk, tid = key
@@ -3691,13 +3692,13 @@ def fill_sinks(cube: GeoCube, band: str, *, epsilon: float = 0.0,
         out = _grouped_map(
             strips, ["group_key", "tile_id"], n_parts, _relax,
             CHUNK_SCHEMA,
-        ).localCheckpoint(eager=True)
+        ).transform(_flat)
         improved = (
             out.where(F.col("measurement") == "__imp")
             .agg(F.sum(F.element_at("values", 1))).collect()[0][0]
         )
         wdf = out.where(F.col("measurement") == "__w") \
-            .localCheckpoint(eager=True)
+            .transform(_flat)
         if not improved:
             name = f"{band}_filled"
             chunks = wdf.withColumn("measurement", F.lit(name))

@@ -56,6 +56,7 @@ MERSENNE31 = (1 << 31) - 1  # 2147483647
 # shingle strings is ~40-75 MB; token vocabularies (the high-hit-rate
 # case) are orders of magnitude smaller and always fit.
 import hashlib as _hashlib
+from ..plans.flatten import _flat
 
 _H60_CACHE: dict = {}
 _H60_CACHE_CAP = 1 << 18
@@ -552,7 +553,7 @@ def cross_dedup_minhash(corpus: DataFrame, reference: DataFrame, *,
                 "dup_of", "jaccard",
             )
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(_flat)
     finally:
         sets_c.unpersist()
         sets_r.unpersist()
@@ -773,7 +774,7 @@ def near_dup_clusters(df: DataFrame, *, pairs: DataFrame = None,
         adj.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(_flat)
     )
     for _ in range(max_iters):
         prop = (
@@ -797,7 +798,7 @@ def near_dup_clusters(df: DataFrame, *, pairs: DataFrame = None,
                 F.coalesce(F.col("p.label"), F.col("m.label"))
                 .alias("label"),
             )
-            .localCheckpoint()
+            .transform(_flat)
         )
         changed = (
             jumped.alias("j")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..plans.flatten import _flat
 
 
 def pagerank(edges: DataFrame, *, iters: int = 5,
@@ -46,11 +47,11 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(_flat)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct().localCheckpoint(eager=True)
+        .distinct().transform(_flat)
     )
     n = nodes.count()
     if n == 0:
@@ -79,7 +80,7 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
             (F.lit((1.0 - d) / n)
              + F.lit(d) * (F.coalesce(F.col("c"), F.lit(0.0))
                            + F.lit(dangling / n))).alias("rank"),
-        ).localCheckpoint(eager=True)
+        ).transform(_flat)
     return ranks
 
 
@@ -105,7 +106,7 @@ def triangle_count(edges: DataFrame, *, src_col: str = "src",
         F.greatest(F.col(src_col).cast("long"),
                    F.col(dst_col).cast("long")).alias("b"),
     ).where(F.col("a") != F.col("b")).distinct() \
-        .localCheckpoint(eager=True)
+        .transform(_flat)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -120,7 +121,7 @@ def triangle_count(edges: DataFrame, *, src_col: str = "src",
         .select(
             F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
-        ).localCheckpoint(eager=True)
+        ).transform(_flat)
     )
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
@@ -171,7 +172,7 @@ def sssp(edges: DataFrame, sources, *, weight_col: str = None,
             w.alias("w"),
         )
         .groupBy("src", "dst").agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(_flat)
     )
     if e.where(F.col("w") < 0).limit(1).count():
         raise ValueError("sssp requires non-negative weights")
@@ -189,7 +190,7 @@ def sssp(edges: DataFrame, sources, *, weight_col: str = None,
         new = (
             dist.unionByName(cand)
             .groupBy("node").agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(_flat)
         )
         improved = new.join(
             dist.withColumnRenamed("dist", "old"), "node", "left"
@@ -232,7 +233,7 @@ def label_propagation(edges: DataFrame, *, iters: int = 5,
     e = (
         und.unionByName(und.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
-        .distinct().localCheckpoint(eager=True)
+        .distinct().transform(_flat)
     )
     labels = e.select(F.col("a").alias("node")).distinct() \
         .select("node", F.col("node").alias("label"))
@@ -247,7 +248,7 @@ def label_propagation(edges: DataFrame, *, iters: int = 5,
                 "label",
                 F.struct(F.col("n"), (-F.col("label")).alias("neg")),
             ).alias("label")
-        ).localCheckpoint(eager=True)
+        ).transform(_flat)
     return labels
 
 
@@ -276,7 +277,7 @@ def k_core(edges: DataFrame, k: int, *, max_rounds: int = 30,
         F.greatest(F.col(src_col).cast("long"),
                    F.col(dst_col).cast("long")).alias("b"),
     ).where(F.col("a") != F.col("b")).distinct() \
-        .localCheckpoint(eager=True)
+        .transform(_flat)
     e = und
     n_prev = None
     for _ in range(int(max_rounds)):
@@ -286,7 +287,7 @@ def k_core(edges: DataFrame, k: int, *, max_rounds: int = 30,
             .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.where(F.col("deg") >= k) \
-            .select("node").localCheckpoint(eager=True)
+            .select("node").transform(_flat)
         n_keep = keep.count()
         if n_keep == 0:
             return keep.select(
@@ -297,7 +298,7 @@ def k_core(edges: DataFrame, k: int, *, max_rounds: int = 30,
         e = (
             e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(_flat)
         )
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} rounds"
@@ -331,11 +332,11 @@ def connected_components(edges: DataFrame, *, max_rounds: int = 30,
     e = (
         und.unionByName(und.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
-        .distinct().localCheckpoint(eager=True)
+        .distinct().transform(_flat)
     )
     labels = e.select(F.col("a").alias("node")).distinct() \
         .select("node", F.col("node").alias("label")) \
-        .localCheckpoint(eager=True)
+        .transform(_flat)
     for _ in range(int(max_rounds)):
         nbr_min = (
             labels.join(e, labels["node"] == e["a"])
@@ -347,7 +348,7 @@ def connected_components(edges: DataFrame, *, max_rounds: int = 30,
             F.least(F.col("label"),
                     F.coalesce(F.col("nm"), F.col("label")))
             .alias("label"),
-        ).localCheckpoint(eager=True)
+        ).transform(_flat)
         changed = new.alias("n").join(
             labels.alias("o"), "node"
         ).where(F.col("n.label") != F.col("o.label")) \

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..plans.flatten import _flat
 
 
 # -- small composable Column helpers (fine for few rows / wide plans) --------
@@ -856,7 +857,7 @@ def pca_power_scores(corpus: DataFrame, *, dim: int, iters: int = 5,
         out = vecs.mapInPandas(_scores, schema=score_schema)
         # materialization happens lazily after unpersist would drop
         # the cache, so force the result before releasing it
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(_flat)
         return out
     finally:
         vecs.unpersist()
@@ -962,7 +963,7 @@ def kmeans(corpus: DataFrame, *, k: int = 8, iters: int = 2,
 
         out = vecs.mapInPandas(_label, schema=out_schema)
         # materialize before releasing the cache
-        return out.localCheckpoint(eager=True)
+        return out.transform(_flat)
     finally:
         vecs.unpersist()
 
@@ -1248,7 +1249,7 @@ def quantize_embeddings(corpus: DataFrame, *, id_col: str = "vec_id",
                 })
 
         codes_df = vecs.mapInPandas(_enc, schema=out_schema) \
-            .localCheckpoint(eager=True)
+            .transform(_flat)
         return codes_df, mn, mx
     finally:
         vecs.unpersist()

@@ -41,6 +41,7 @@ from pyspark.sql import Window
 
 from ..geometry import wkb as W
 from ..kernels.pip import geometry_rings, points_in_edges, ring_edges
+from ..plans.flatten import _flat
 
 
 def _poly_envelopes(polys: DataFrame, poly_id: str, wkb_col: str):
@@ -829,7 +830,7 @@ def knn_join(
         # localCheckpoint: truncate lineage so round t+1 doesn't
         # recompute the whole chain of prior anti-joins
         pre = _persistent_ids()
-        unresolved = unresolved.localCheckpoint(eager=True)
+        unresolved = unresolved.transform(_flat)
         ckpt_ids.extend(_persistent_ids() - pre)
         proto = topk
         leftovers = topk  # best-effort rows for never-resolved queries
@@ -846,7 +847,7 @@ def knn_join(
             ).select(out_cols)
         )
     if not parts:
-        out = proto.select(out_cols).limit(0).localCheckpoint(eager=True)
+        out = proto.select(out_cols).limit(0).transform(_flat)
         _release_intermediates()
         return out
     out = parts[0]
@@ -856,6 +857,6 @@ def knn_join(
     # every per-round cache — without this a many-round join
     # accumulates persisted partitions in executor storage memory for
     # the lifetime of the returned plan (round-3 verdict item).
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(_flat)
     _release_intermediates()
     return out

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .cube import CHUNK_SCHEMA, BandMeta, GeoCube
 from .kernels import vectorize as V
+from .plans.flatten import _flat
 
 # node id packing shared with vectorize_tiled: per-tile labels are
 # bounded by tile_area/2 << 2^22, tile ids fit the remaining bits
@@ -253,8 +254,8 @@ def _components(stage: DataFrame, spark, max_iters: int,
     # them several times — the plan tree multiplies to a 10s-of-MiB
     # task binary (measured 68.7 MiB at sf0.01). localCheckpoint
     # materializes the few thousand rows and truncates the lineage.
-    node_map = node_map.localCheckpoint()
-    comp = comp.localCheckpoint()
+    node_map = node_map.transform(_flat)
+    comp = comp.transform(_flat)
     return node_map, comp, pairs
 
 
@@ -350,7 +351,7 @@ def region_group(cube: GeoCube, band: str, *,
     # stage is O(labels + perimeter) rows — materialize and truncate
     # lineage; its lazy subtree otherwise re-serializes into every
     # downstream join's task binary (measured 41.5 MiB at sf0.01)
-    stage = _stage_rows(cube, band).localCheckpoint()
+    stage = _stage_rows(cube, band).transform(_flat)
     node_map, _comp, pairs = _components(
         stage, spark, max_iters, driver_cap
     )
@@ -360,7 +361,7 @@ def region_group(cube: GeoCube, band: str, *,
     )
     # the tile map is O(labels) — materialize it eagerly so the heavy
     # per-cell stage can be released before the (lazy) output runs
-    tm = _tile_maps(mapping).localCheckpoint()
+    tm = _tile_maps(mapping).transform(_flat)
     pairs.unpersist()
     return _apply_label_map(
         cube, band, tm, name or "region", float("nan"),
@@ -450,7 +451,7 @@ def sieve(cube: GeoCube, band: str, min_size: int, *,
     cur_band = band
     fill = float(cube.bands[band].fill)
     for _ in range(passes):
-        stage = _stage_rows(cur, cur_band).localCheckpoint()
+        stage = _stage_rows(cur, cur_band).transform(_flat)
         node_map, comp, pairs = _components(
             stage, spark, max_iters, driver_cap
         )
@@ -492,7 +493,7 @@ def sieve(cube: GeoCube, band: str, min_size: int, *,
             .select("n.measurement", "n.group_key", "n.tile_id",
                     "n.label", "r.newval")
         )
-        tm = _tile_maps(mapping).localCheckpoint()
+        tm = _tile_maps(mapping).transform(_flat)
         pairs.unpersist()
         nxt = _apply_label_map(
             cur, cur_band, tm, out_band, fill, keep_unmapped=True,
@@ -501,7 +502,7 @@ def sieve(cube: GeoCube, band: str, min_size: int, *,
         # cut lineage so pass plans don't nest
         if passes > 1:
             nxt = GeoCube(
-                chunks=nxt.chunks.localCheckpoint(), geobox=nxt.geobox,
+                chunks=nxt.chunks.transform(_flat), geobox=nxt.geobox,
                 bands=nxt.bands, group_by=nxt.group_by,
                 group_keys=nxt.group_keys, tile_size=nxt.tile_size,
                 fill=nxt.fill,

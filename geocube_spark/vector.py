@@ -26,6 +26,7 @@ from .geometry import wkb as W
 from .geometry.wkb import Geometry, POLYGON
 from .grid.geobox import GeoBox
 from .kernels import vectorize as V
+from .plans.flatten import _flat
 
 VECTOR_SCHEMA = T.StructType(
     [
@@ -404,7 +405,7 @@ def _propagate_labels(pairs: DataFrame, _same, max_iters: int) -> DataFrame:
         adj.select("measurement", "group_key", F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(_flat)
     )
     for _ in range(max_iters):
         prop = (
@@ -437,7 +438,7 @@ def _propagate_labels(pairs: DataFrame, _same, max_iters: int) -> DataFrame:
                 F.coalesce(F.col("p.label"), F.col("m.label"))
                 .alias("label"),
             )
-            .localCheckpoint()
+            .transform(_flat)
         )
         changed = (
             jumped.alias("j")
