@@ -152,8 +152,11 @@ def _tm_forward(lon_deg, lat_deg, lon0_deg: float, ellps: str = "WGS84"):
     lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0_deg)
     phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
     sphi = np.sin(phi)
-    # conformal latitude tangent
-    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
+    # conformal latitude tangent; arctanh(+-1) = +-inf at the poles
+    # (legal input: e.g. the Gauss-Krueger fajas put lat_0 at -90) and
+    # the downstream arctan2/hypot recover the exact finite limit
+    with np.errstate(divide="ignore"):
+        t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
     xip = np.arctan2(t, np.cos(lam))
     etap = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
     xi = xip.copy()
@@ -316,9 +319,12 @@ def _albers_inverse(x, y, p):
     )
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    rho = np.hypot(x, rho0 - y)
+    # Snyder 14-10/14-11: rho and theta take the cone constant's sign
+    # (southern-parallel cones have n < 0, e.g. Australian Albers)
+    sgn = 1.0 if nn >= 0 else -1.0
+    rho = sgn * np.hypot(x, rho0 - y)
     qv = (C - (rho * nn / a) ** 2) / nn
-    th = np.arctan2(x, rho0 - y)
+    th = np.arctan2(sgn * x, sgn * (rho0 - y))
     # invert authalic latitude (Snyder 3-16 iteration)
     phi = np.arcsin(np.clip(qv / 2, -1, 1))
     for _ in range(8):
@@ -349,6 +355,14 @@ def _laea_forward(lon, lat, p):
     p0 = np.radians(p["lat0"])
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     lam = np.radians(np.asarray(lon, dtype=np.float64) - p["lon0"])
+    if abs(abs(p["lat0"]) - 90.0) < 1e-9:
+        # polar aspect (Snyder 24-23/24-24): the oblique form's D
+        # divides by cos(beta_0) = 0 here
+        if p["lat0"] > 0:
+            rho = a * np.sqrt(np.maximum(qp - q(phi), 0.0))
+            return rho * np.sin(lam), -rho * np.cos(lam)
+        rho = a * np.sqrt(np.maximum(qp + q(phi), 0.0))
+        return rho * np.sin(lam), rho * np.cos(lam)
     b0 = np.arcsin(q(p0) / qp)
     bb = np.arcsin(np.clip(q(phi) / qp, -1, 1))
     rq = a * np.sqrt(qp / 2)
@@ -382,31 +396,43 @@ def _laea_inverse(x, y, p):
 
     qp = q(np.pi / 2)
     p0 = np.radians(p["lat0"])
-    b0 = np.arcsin(q(p0) / qp)
-    rq = a * np.sqrt(qp / 2)
-    D = a * (np.cos(p0) / np.sqrt(1 - e2 * np.sin(p0) ** 2)) / (
-        rq * np.cos(b0)
-    )
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    rho = np.hypot(x / D, D * y)
-    ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
-    with np.errstate(invalid="ignore", divide="ignore"):
-        bb = np.where(
-            rho == 0,
-            b0,
-            np.arcsin(
-                np.cos(ce) * np.sin(b0)
-                + (D * y * np.sin(ce) * np.cos(b0)) / np.where(rho == 0, 1, rho)
-            ),
+    if abs(abs(p["lat0"]) - 90.0) < 1e-9:
+        # polar aspect: invert Snyder 24-23/24-24 directly
+        rho = np.hypot(x, y)
+        if p["lat0"] > 0:
+            qv = qp - (rho / a) ** 2
+            lam = np.arctan2(x, -y)
+        else:
+            qv = (rho / a) ** 2 - qp
+            lam = np.arctan2(x, y)
+    else:
+        b0 = np.arcsin(q(p0) / qp)
+        rq = a * np.sqrt(qp / 2)
+        D = a * (np.cos(p0) / np.sqrt(1 - e2 * np.sin(p0) ** 2)) / (
+            rq * np.cos(b0)
         )
-        lam = np.arctan2(
-            x * np.sin(ce),
-            D * rho * np.cos(b0) * np.cos(ce)
-            - D * D * y * np.sin(b0) * np.sin(ce),
-        )
-    qv = qp * np.sin(bb)
-    phi = bb.copy()
+        rho = np.hypot(x / D, D * y)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1, 1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            bb = np.where(
+                rho == 0,
+                b0,
+                np.arcsin(
+                    np.cos(ce) * np.sin(b0)
+                    + (D * y * np.sin(ce) * np.cos(b0))
+                    / np.where(rho == 0, 1, rho)
+                ),
+            )
+            lam = np.arctan2(
+                x * np.sin(ce),
+                D * rho * np.cos(b0) * np.cos(ce)
+                - D * D * y * np.sin(b0) * np.sin(ce),
+            )
+            qv = qp * np.sin(bb)
+    # authalic-latitude start (== beta in the oblique branch)
+    phi = np.arcsin(np.clip(qv / qp, -1, 1))
     for _ in range(8):
         s = np.sin(phi)
         phi = phi + (
@@ -784,7 +810,9 @@ class CRS:
             "grids (27700, 2180), LCC (2154), Albers (5070), LAEA "
             "(3035), plus the curated bare-code table in "
             "geometry/epsg_table.py (US State Plane NAD83, NZTM, "
-            "MGA/GDA, SIRGAS UTM, European TM/LCC grids). Any other "
+            "MGA/GDA/AGD, SIRGAS UTM, ED50/Pulkovo/CGCS2000/POSGAR "
+            "Gauss-Krueger, Japan JGD zones, European TM/LCC grids, "
+            "polar LAEA/stereographic, Albers). Any other "
             "CRS can be passed as WKT1/WKT2 or proj4 TEXT (Transverse "
             "Mercator, LCC 1SP/2SP, Albers, LAEA, Mercator, polar "
             "stereographic methods are parsed into closed-form "

@@ -599,6 +599,7 @@ _P4_ELLPS = {
     "wgs84": (6378137.0, 298.257223563),
     "grs80": (6378137.0, 298.257222101),
     "airy": (6377563.396, 299.3249646),
+    "mod_airy": (6377340.189, 299.3249646),
     "intl": (6378388.0, 297.0),
     "clrk66": (6378206.4, 294.9786982139006),
     "clrk80": (6378249.145, 293.465),

@@ -171,10 +171,211 @@ for _z in range(46, 60):
         f"+proj=utm +zone={_z} +south {_GRS80_NULL} +units=m"
     )
 
-# SIRGAS 2000 / UTM south zones 17S-25S (31977-31985)
+# SIRGAS 2000 / UTM south zones 17S-25S (31977-31985) and north
+# zones 11N-22N (31965-31976)
 for _z in range(17, 26):
     EPSG_PROJ4[31960 + _z] = (
         f"+proj=utm +zone={_z} +south {_GRS80_NULL} +units=m"
+    )
+for _z in range(11, 23):
+    EPSG_PROJ4[31954 + _z] = (
+        f"+proj=utm +zone={_z} {_GRS80_NULL} +units=m"
+    )
+
+# ---------------------------------------------------------------------------
+# round-5 expansion: every public-registry family whose projection
+# method the closed-form kernels already support (tmerc/utm, lcc
+# 1SP/2SP, aea, laea, merc, polar stere). Parameters are the public
+# EPSG registry values in proj4 form; datum shifts are the registry's
+# published national/mean Helmert transformations (their stated
+# accuracy is the registry's, typically 1-10 m for the classic
+# datums — the projection math itself is exact).
+# ---------------------------------------------------------------------------
+
+# ED50 / UTM zones 28N-38N (23028-23038): International 1924
+# ellipsoid, mean-European Helmert
+_ED50 = "+ellps=intl +towgs84=-87,-98,-121"
+for _z in range(28, 39):
+    EPSG_PROJ4[23000 + _z] = f"+proj=utm +zone={_z} {_ED50} +units=m"
+
+# Pulkovo 1942 / Gauss-Krueger zones 2-32 (28402-28432): Krassowsky
+# 1940, registry mean USSR transformation; 6-degree zones, zone-coded
+# false easting
+_PULKOVO = "+ellps=krass +towgs84=28,-130,-95"
+for _z in range(2, 33):
+    EPSG_PROJ4[28400 + _z] = (
+        f"+proj=tmerc +lat_0=0 +lon_0={6 * _z - 3} +k=1 "
+        f"+x_0={_z * 1_000_000 + 500_000} +y_0=0 {_PULKOVO} +units=m"
+    )
+
+# AGD66 / AMG zones 48-58 (20248-20258) and AGD84 / AMG zones 48-58
+# (20348-20358): Australian National Spheroid, registry national
+# transformations (7-param for AGD66, 3-param for AGD84)
+_AGD66 = ("+ellps=aust_SA "
+          "+towgs84=-117.808,-51.536,137.784,0.303,0.446,0.234,-0.29")
+_AGD84 = "+ellps=aust_SA +towgs84=-134,-48,149"
+for _z in range(48, 59):
+    EPSG_PROJ4[20200 + _z] = (
+        f"+proj=utm +zone={_z} +south {_AGD66} +units=m"
+    )
+    EPSG_PROJ4[20300 + _z] = (
+        f"+proj=utm +zone={_z} +south {_AGD84} +units=m"
+    )
+
+# Japan Plane Rectangular CS zones I-XIX: JGD2000 (2443-2461) and
+# JGD2011 (6669-6687), identical parameters (GRS80, null transform,
+# k=0.9999, zero false origin); per-zone natural origins from the
+# public registry
+_JPRCS = [
+    (33.0, 129.5), (33.0, 131.0), (36.0, 132.16666666666666),
+    (33.0, 133.5), (36.0, 134.33333333333334), (36.0, 136.0),
+    (36.0, 137.16666666666666), (36.0, 138.5),
+    (36.0, 139.83333333333334), (40.0, 140.83333333333334),
+    (44.0, 140.25), (44.0, 142.25), (44.0, 144.25), (26.0, 142.0),
+    (26.0, 127.5), (26.0, 124.0), (26.0, 131.0), (20.0, 136.0),
+    (26.0, 154.0),
+]
+for _i, (_la, _lo) in enumerate(_JPRCS):
+    _p4 = (f"+proj=tmerc +lat_0={_la} +lon_0={_lo} +k=0.9999 "
+           f"+x_0=0 +y_0=0 {_GRS80_NULL} +units=m")
+    EPSG_PROJ4[2443 + _i] = _p4
+    EPSG_PROJ4[6669 + _i] = _p4
+
+# CGCS2000 / Gauss-Krueger 6-degree zones 13-23 (4491-4501,
+# zone-coded FE) and CM variants 75E-135E (4502-4512, FE=500000);
+# the CGCS2000 ellipsoid is numerically GRS80
+for _z in range(13, 24):
+    _lon = 6 * _z - 3
+    EPSG_PROJ4[4478 + _z] = (
+        f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+        f"+x_0={_z * 1_000_000 + 500_000} +y_0=0 {_GRS80_NULL} +units=m"
+    )
+    EPSG_PROJ4[4489 + _z] = (
+        f"+proj=tmerc +lat_0=0 +lon_0={_lon} +k=1 "
+        f"+x_0=500000 +y_0=0 {_GRS80_NULL} +units=m"
+    )
+
+# Argentina Gauss-Krueger fajas 1-7: POSGAR 94 (22181-22187) and
+# POSGAR 2007 (5343-5349), identical parameters (lat_0 at the pole,
+# faja-coded FE)
+for _f in range(1, 8):
+    _p4 = (f"+proj=tmerc +lat_0=-90 +lon_0={-75 + 3 * _f} +k=1 "
+           f"+x_0={_f * 1_000_000 + 500_000} +y_0=0 "
+           f"{_GRS80_NULL} +units=m")
+    EPSG_PROJ4[22180 + _f] = _p4
+    EPSG_PROJ4[5342 + _f] = _p4
+
+# TUREF / TM zones 27..45 (5253-5259)
+for _i in range(7):
+    EPSG_PROJ4[5253 + _i] = (
+        f"+proj=tmerc +lat_0=0 +lon_0={27 + 3 * _i} +k=1 "
+        f"+x_0=500000 +y_0=0 {_GRS80_NULL} +units=m"
+    )
+
+# ETRS89 / Poland CS2000 zones 5-8 (2176-2179), zone-coded FE
+for _z in range(5, 9):
+    EPSG_PROJ4[2171 + _z] = (
+        f"+proj=tmerc +lat_0=0 +lon_0={3 * _z} +k=0.999923 "
+        f"+x_0={_z * 1_000_000 + 500_000} +y_0=0 {_GRS80_NULL} +units=m"
+    )
+
+# national TM singles
+EPSG_PROJ4.update({
+    # GGRS87 / Greek Grid (registry national transformation)
+    2100: "+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9996 +x_0=500000 "
+          "+y_0=0 +ellps=GRS80 +towgs84=-199.87,74.79,246.62 +units=m",
+    # HTRS96 / Croatia TM
+    3765: "+proj=tmerc +lat_0=0 +lon_0=16.5 +k=0.9999 +x_0=500000 "
+          f"+y_0=0 {_GRS80_NULL} +units=m",
+    # LKS92 / Latvia TM
+    3059: "+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9996 +x_0=500000 "
+          f"+y_0=-6000000 {_GRS80_NULL} +units=m",
+    # LKS94 / Lithuania TM
+    3346: "+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9998 +x_0=500000 "
+          f"+y_0=0 {_GRS80_NULL} +units=m",
+    # TM65 / Irish Grid (modified Airy, registry 7-param)
+    29902: "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=1.000035 "
+           "+x_0=200000 +y_0=250000 +ellps=mod_airy "
+           "+towgs84=482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15 "
+           "+units=m",
+    # TM75 / Irish Grid (same projection/datum family)
+    29903: "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=1.000035 "
+           "+x_0=200000 +y_0=250000 +ellps=mod_airy "
+           "+towgs84=482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15 "
+           "+units=m",
+})
+
+# LCC singles
+EPSG_PROJ4.update({
+    # L-EST97 / Estonian Coordinate System of 1997
+    3301: "+proj=lcc +lat_1=59.33333333333334 +lat_2=58 "
+          "+lat_0=57.51755393055556 +lon_0=24 +x_0=500000 "
+          f"+y_0=6375000 {_GRS80_NULL} +units=m",
+    # ISN93 / Lambert 1993 (Iceland)
+    3057: "+proj=lcc +lat_1=64.25 +lat_2=65.75 +lat_0=65 +lon_0=-19 "
+          f"+x_0=500000 +y_0=500000 {_GRS80_NULL} +units=m",
+    # BD72 / Belgian Lambert 72 (registry national 7-param)
+    31370: "+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 "
+           "+lat_0=90 +lon_0=4.367486666666666 +x_0=150000.013 "
+           "+y_0=5400088.438 +ellps=intl +towgs84=-106.8686,52.2978,"
+           "-103.7239,0.3366,-0.457,1.8422,-1.2747 +units=m",
+    # ETRS89 / Belgian Lambert 2008
+    3812: "+proj=lcc +lat_1=49.83333333333334 +lat_2=51.16666666666667 "
+          "+lat_0=50.797815 +lon_0=4.359215833333333 +x_0=649328 "
+          f"+y_0=665262 {_GRS80_NULL} +units=m",
+})
+
+# Albers equal-area singles
+EPSG_PROJ4.update({
+    # NAD83 / California Albers
+    3310: "+proj=aea +lat_1=34 +lat_2=40.5 +lat_0=0 +lon_0=-120 "
+          f"+x_0=0 +y_0=-4000000 {_GRS80_NULL} +units=m",
+    # GDA94 / Australian Albers
+    3577: "+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132 "
+          f"+x_0=0 +y_0=0 {_GRS80_NULL} +units=m",
+    # NAD83(2011) / Conus Albers (parameter twin of EPSG:5070)
+    6350: "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+          f"+x_0=0 +y_0=0 {_GRS80_NULL} +units=m",
+})
+
+# LAEA: WGS 84 / North Pole LAEA regional variants (3571-3576) and
+# EASE-Grid 2.0 North/South (6931/6932)
+for _code, _lon in ((3571, 180), (3572, -150), (3573, -100),
+                    (3574, -40), (3575, 10), (3576, 90)):
+    EPSG_PROJ4[_code] = (
+        f"+proj=laea +lat_0=90 +lon_0={_lon} +x_0=0 +y_0=0 "
+        "+ellps=WGS84 +towgs84=0,0,0 +units=m"
+    )
+EPSG_PROJ4[6931] = ("+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 "
+                    "+ellps=WGS84 +towgs84=0,0,0 +units=m")
+EPSG_PROJ4[6932] = ("+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 "
+                    "+ellps=WGS84 +towgs84=0,0,0 +units=m")
+
+# polar stereographic: Arctic Polar Stereographic (3995) and
+# Universal Polar Stereographic north/south (5041/5042 and the
+# WGS84-coded twins 32661/32761)
+EPSG_PROJ4[3995] = ("+proj=stere +lat_0=90 +lat_ts=71 +lon_0=0 "
+                    "+x_0=0 +y_0=0 +ellps=WGS84 +towgs84=0,0,0 "
+                    "+units=m")
+for _c in (5041, 32661):
+    EPSG_PROJ4[_c] = (
+        "+proj=stere +lat_0=90 +k=0.994 +lon_0=0 +x_0=2000000 "
+        "+y_0=2000000 +ellps=WGS84 +towgs84=0,0,0 +units=m"
+    )
+for _c in (5042, 32761):
+    EPSG_PROJ4[_c] = (
+        "+proj=stere +lat_0=-90 +k=0.994 +lon_0=0 +x_0=2000000 "
+        "+y_0=2000000 +ellps=WGS84 +towgs84=0,0,0 +units=m"
+    )
+
+# NAD83 / California zones 1-6 in METERS (26941-26946): same cones
+# as the ftUS zones 2225-2230, metric false origins
+for _i, _usft_code in enumerate((2225, 2226, 2227, 2228, 2229, 2230)):
+    EPSG_PROJ4[26941 + _i] = (
+        EPSG_PROJ4[_usft_code]
+        .replace("+x_0=2000000.0001016", "+x_0=2000000")
+        .replace("+y_0=500000.0001016001", "+y_0=500000")
+        .replace(_USFT, "+units=m")
     )
 
 
