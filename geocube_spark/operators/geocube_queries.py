@@ -4712,7 +4712,6 @@ QUERIES = {
     "interp_nearest": (q_interp_nearest, SQL_INTERP_NEAREST),
     "interpolate_na": (q_interpolate_na, SQL_INTERPOLATE_NA),
     "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
-    "s2_cover": (q_s2_cover, SQL_S2_COVER),
     # round 4: the hex half of the north rule's "H3/S2 index" —
     # aperture-7 hierarchy (grid/hex.py), FULL SQL oracles
     "hex_cover": (q_hex_cover, SQL_HEX_COVER),
@@ -4728,7 +4727,6 @@ QUERIES = {
                              SQL_VECTORIZE_COMPONENTS),
     "shapefile_roundtrip": (q_shapefile_roundtrip, SQL_SHAPEFILE_RT),
     "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_RT),
-    "geopackage_roundtrip": (q_geopackage_roundtrip, SQL_GPKG_RT),
     "geotiff_roundtrip": (q_geotiff_roundtrip, SQL_GEOTIFF_RT),
     "band_algebra": (q_band_algebra, SQL_BAND_ALGEBRA),
     "coarsen_sum": (q_coarsen_sum, SQL_COARSEN_SUM),
@@ -5254,3 +5252,21 @@ EXTRA_QUERIES = {
     # tests/test_clip.py
     "clip_cutline": (q_clip_cutline, SQL_CLIP_CUTLINE),
 }
+
+# ---------------------------------------------------------------------------
+# round-5 window rotations (verdict r04 item 8): promote the strongest
+# r4 geocube operators into the driver-verified window (asof_join_price
+# — the temporal-join family's headliner with the DuckDB ASOF JOIN
+# oracle; region_group — the iterative halo-round connected-components
+# engine). Retired in trade, each subsumed by a surviving in-window
+# query on the same code path and still oracle-checked via --extra:
+# s2_cover (tile-index cover path == hex_cover; quadkey/XYZ/geohash/
+# hilbert covers are extras too), geopackage_roundtrip (source
+# round-trip pattern == shapefile_roundtrip; the GPKG codec keeps its
+# golden tests).
+# ---------------------------------------------------------------------------
+for _name in ("asof_join_price", "region_group"):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+EXTRA_QUERIES["s2_cover"] = (q_s2_cover, SQL_S2_COVER)
+EXTRA_QUERIES["geopackage_roundtrip"] = (q_geopackage_roundtrip,
+                                         SQL_GPKG_RT)

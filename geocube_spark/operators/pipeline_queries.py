@@ -2399,20 +2399,19 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_topk_bruteforce": (q_ann_topk_bruteforce, SQL_ANN_TOPK),
     "embedding_dedup_cosine": (q_embedding_dedup_cosine, SQL_EMB_DEDUP),
-    "embedding_dedup_lsh": (q_embedding_dedup_lsh, SQL_EMB_DEDUP_LSH),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
-    "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
     "media_meta": (q_media_meta, SQL_MEDIA_META),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
-    "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
-    "sample_budget": (q_sample_budget, SQL_SAMPLE_BUDGET),
 }
+# round-5 window rotations land at module bottom (the promoted
+# queries are defined below this literal) — see the block after
+# EXTRA_QUERIES.
 
 # dedup_simhash is subsumed by simhash_near_pairs (same signature
 # computation; the pairs query is the stronger check) — retired from
@@ -2823,3 +2822,25 @@ EXTRA_QUERIES = {
     # oracle-checkable (round-3 verdict item 2).
     "ann_ivf_topk": (q_ann_ivf_topk, None),
 }
+
+# ---------------------------------------------------------------------------
+# round-5 window rotations (verdict r04 item 8): promote the strongest
+# r4 pipeline operators into the driver-verified window so its
+# artifact certifies the newest code. Retired to EXTRA_QUERIES in
+# trade — each subsumed by a surviving in-window query on the SAME
+# code path and still oracle-checked by scripts/check_oracle.py
+# --extra: sample_quota + sample_budget (two-phase bucketed top-n /
+# shuffle-free content-hash filter; sample_stratified + sample_hash
+# survive), embedding_dedup_lsh (band-bucket equi-join path ==
+# ann_lsh_topk), token_count (pure-Catalyst token program ==
+# text_quality).
+# ---------------------------------------------------------------------------
+for _name in ("dedup_paragraphs", "semantic_dedup", "cross_dedup",
+              "ann_pq_topk"):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+EXTRA_QUERIES["sample_quota"] = (q_sample_quota, SQL_SAMPLE_QUOTA)
+EXTRA_QUERIES["sample_budget"] = (q_sample_budget, SQL_SAMPLE_BUDGET)
+EXTRA_QUERIES["embedding_dedup_lsh"] = (
+    q_embedding_dedup_lsh, SQL_EMB_DEDUP_LSH
+)
+EXTRA_QUERIES["token_count"] = (q_token_count, SQL_TOKEN_COUNT)
