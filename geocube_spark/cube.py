@@ -463,6 +463,7 @@ def make_geocube(
     _emit_partials: bool = False,   # internal: keep aux bands (streaming)
     interp_method: Optional[str] = None,   # griddata: nearest|linear|cubic; radial: rbf function
     rescale: bool = False,
+    interp_engine: str = "auto",  # linear fit: auto|tiled|global
 ) -> GeoCube:
     """Rasterize a vector/document DataFrame into a chunked cube.
 
@@ -624,7 +625,7 @@ def make_geocube(
         chunks = _interp_chunks(
             work, meas, gb_dict, in_crs.spec, tile_size, zoom, fill,
             rasterize_function, interp_method, rescale, filter_nan,
-            bool(group_by),
+            bool(group_by), interp_engine=interp_engine,
         )
     elif callable(rasterize_function):
         # reference §2.9 extension point: any f(*, geometry_array,
@@ -1341,8 +1342,281 @@ def _burn_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
 # interpolation strategy (points_griddata / points_radial)
 # ---------------------------------------------------------------------------
 
+# above this many scatter points the 'linear' method routes to the
+# halo-tiled certified fit (kernels/tiled_linear.py) instead of the
+# single-task global Delaunay — the last single-task stage retired
+# (verdict r04 item 1). Below it the global fit is cheap and keeps the
+# legacy (value-identical) code path.
+_TILED_LINEAR_MIN_POINTS = 150_000
+
+
+def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
+                         fill, grouped, max_rounds: int = 5):
+    """Distributed linear (Delaunay barycentric) interpolation with NO
+    single-task stage: per-tile local triangulations over halo point
+    sets, certified cell-by-cell against the global answer
+    (kernels/tiled_linear.py docstring has the two certificates).
+
+    Plan shape per round: tiles explode to their (2r+1)^2 candidate
+    halo buckets -> ONE equi-join with the bucketed points -> one
+    grouped map per tile (fit + evaluate + certify). Uncertified
+    tiles double the halo; the last round gathers the full band
+    (R = the whole plane), so termination with global-exact values is
+    unconditional. The only driver-side materializations are the
+    per-band hull/stat rows (O(hull) each) and the per-round
+    unresolved count.
+    """
+    import pickle
+
+    from .kernels.tiled_linear import convex_hull, tile_linear_certified
+    from .plans.flatten import _flat
+
+    spark = long_df.sparkSession
+    gb0 = GeoBox.from_dict(gb_dict)
+    A = gb0.affine
+    n_tiles, ntx, nty = gb0.n_tiles(tile_size)
+    H, Wd = gb0.height, gb0.width
+
+    gsel = (F.col("group_key").cast("string") if grouped
+            else F.lit(None).cast("string"))
+    src_rows = long_df.select(
+        F.col("measurement"),
+        F.coalesce(gsel, F.lit("\x00")).alias("__g"),
+        "seq", "geometry_wkb",
+        F.col("value").cast("double").alias("v"),
+    )
+
+    pt_schema = ("measurement string, __g string, seq long, x double, "
+                 "y double, v double, bi int, bj int")
+
+    def _decode(batches):
+        gb = GeoBox.from_dict(gb_dict)
+        src = CRS.from_user_input(src_spec)
+        reproject = src != gb.crs
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blobs = list(pdf["geometry_wkb"].values)
+            is_pt, vx, vy = W.partition_points(blobs)
+            if not is_pt.all():
+                raise VectorDataError(
+                    "tiled linear interpolation requires point "
+                    "geometries (same contract as the global fit)"
+                )
+            px, py = vx, vy
+            if reproject and len(px):
+                px, py = crs_transform(src, gb.crs, px, py)
+            col = np.floor((px - A.c) / A.a).astype(np.int64)
+            row = np.floor((py - A.f) / A.e).astype(np.int64)
+            yield pd.DataFrame({
+                "measurement": pdf["measurement"].values,
+                "__g": pdf["__g"].values,
+                "seq": pdf["seq"].values.astype(np.int64),
+                "x": px, "y": py,
+                "v": pdf["v"].values.astype(np.float64),
+                "bi": np.clip(row // tile_size, 0, nty - 1).astype(np.int32),
+                "bj": np.clip(col // tile_size, 0, ntx - 1).astype(np.int32),
+            })
+
+    pts = src_rows.mapInPandas(_decode, schema=pt_schema).transform(_flat)
+
+    # per-band stats + convex hull: per-partition hulls (tiny) merged
+    # on the driver — the classic distributed-hull reduce
+    hull_schema = ("measurement string, __g string, hx array<double>, "
+                   "hy array<double>, n long, mn long, mx long")
+
+    def _phull(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for (m, g), sub in pdf.groupby(["measurement", "__g"],
+                                           sort=False):
+                h = convex_hull(sub["x"].values, sub["y"].values)
+                out.append({
+                    "measurement": m, "__g": g,
+                    "hx": h[:, 0], "hy": h[:, 1], "n": len(sub),
+                    "mn": int(sub["seq"].min()),
+                    "mx": int(sub["seq"].max()),
+                })
+            yield pd.DataFrame(out)
+
+    bands = {}
+    for r_ in pts.mapInPandas(_phull, schema=hull_schema).collect():
+        key = (r_["measurement"], r_["__g"])
+        hx, hy = np.asarray(r_["hx"]), np.asarray(r_["hy"])
+        if key in bands:
+            phx, phy, n, mn, mx = bands[key]
+            bands[key] = (np.concatenate([phx, hx]),
+                          np.concatenate([phy, hy]),
+                          n + r_["n"], min(mn, r_["mn"]),
+                          max(mx, r_["mx"]))
+        else:
+            bands[key] = (hx, hy, r_["n"], r_["mn"], r_["mx"])
+    stats = {
+        k: (convex_hull(v[0], v[1]), int(v[2]), int(v[3]), int(v[4]))
+        for k, v in bands.items()
+    }
+    sc = spark.sparkContext
+    stats_b = sc.broadcast(pickle.dumps(stats, protocol=4))
+
+    # distributed tile table: bands x tiles, no driver tile list
+    band_rows = [(m, g) for (m, g) in sorted(stats)]
+    bands_df = spark.createDataFrame(
+        band_rows, "measurement string, __g string"
+    )
+    tiles = (
+        spark.range(n_tiles).select(F.col("id").alias("tile_id"))
+        .withColumn("ti", (F.col("tile_id") / ntx).cast("int"))
+        .withColumn("tj", F.pmod(F.col("tile_id"), F.lit(ntx)).cast("int"))
+        .withColumn("row0", F.col("ti") * tile_size)
+        .withColumn("col0", F.col("tj") * tile_size)
+        .withColumn("h", F.least(F.lit(tile_size), F.lit(H) - F.col("row0")))
+        .withColumn("w", F.least(F.lit(tile_size), F.lit(Wd) - F.col("col0")))
+        .crossJoin(F.broadcast(bands_df))
+    )
+
+    out_cols = [f.name for f in _CHUNK_FIELDS]
+    eval_schema = T.StructType(
+        list(CHUNK_SCHEMA.fields)
+        + [T.StructField("__g", T.StringType()),
+           T.StructField("ti", T.IntegerType()),
+           T.StructField("tj", T.IntegerType()),
+           T.StructField("ok", T.BooleanType())]
+    )
+    tkeys = ["measurement", "__g", "tile_id", "row0", "col0", "h", "w",
+             "ti", "tj"]
+
+    def _mk_eval(r):
+        def _eval(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            m, g, tile_id, row0, col0, h, w, ti, tj = key
+            hull, n_g, mn, mx = pickle.loads(stats_b.value)[(m, g)]
+            gb = GeoBox.from_dict(gb_dict)
+            coords = gb.coords()
+            gx = coords["x"][col0: col0 + w]
+            gy = coords["y"][row0: row0 + h]
+            lo_i, hi_i = ti - r, ti + r
+            lo_j, hi_j = tj - r, tj + r
+            # gathered region: union of the candidate buckets' rects;
+            # clamped edge buckets are unbounded on their outer side
+            xe = (A.c + A.a * lo_j * tile_size,
+                  A.c + A.a * (hi_j + 1) * tile_size)
+            ye = (A.f + A.e * lo_i * tile_size,
+                  A.f + A.e * (hi_i + 1) * tile_size)
+            x0, x1 = min(xe), max(xe)
+            y0, y1 = min(ye), max(ye)
+            if lo_j <= 0:
+                x0 = -np.inf if A.a > 0 else x0
+                x1 = np.inf if A.a < 0 else x1
+            if hi_j >= ntx - 1:
+                x1 = np.inf if A.a > 0 else x1
+                x0 = -np.inf if A.a < 0 else x0
+            if lo_i <= 0:
+                y1 = np.inf if A.e < 0 else y1
+                y0 = -np.inf if A.e > 0 else y0
+            if hi_i >= nty - 1:
+                y0 = -np.inf if A.e < 0 else y0
+                y1 = np.inf if A.e > 0 else y1
+            sub = pdf.sort_values("seq", kind="mergesort")
+            band, ok = tile_linear_certified(
+                sub["x"].values, sub["y"].values, sub["v"].values,
+                gx, gy, (x0, x1, y0, y1), hull,
+                n_global=n_g, fill=fill,
+            )
+            gkey = None if g == "\x00" else g
+            return pd.DataFrame([{
+                "measurement": m, "group_key": gkey, "zoom": zoom,
+                "tile_id": tile_id, "row0": row0, "col0": col0,
+                "h": h, "w": w, "values": band.ravel(),
+                "n_geoms": n_g, "n_cells_burned": int(h * w),
+                "min_seq": mn, "max_seq": mx,
+                "__g": g, "ti": ti, "tj": tj, "ok": bool(ok),
+            }], columns=out_cols + ["__g", "ti", "tj", "ok"])
+
+        return _eval
+
+    # zero-point bands: the global fit is all-fill; emit directly
+    zero_bands = [k for k, v in stats.items() if v[1] == 0]
+    resolved = []
+    if zero_bands or not stats:
+        def _fill_tile(key, pdf):
+            m, g, tile_id, row0, col0, h, w, ti, tj = key
+            gkey = None if g == "\x00" else g
+            return pd.DataFrame([{
+                "measurement": m, "group_key": gkey, "zoom": zoom,
+                "tile_id": tile_id, "row0": row0, "col0": col0,
+                "h": h, "w": w,
+                "values": np.full(h * w, fill, dtype=np.float64),
+                "n_geoms": 0, "n_cells_burned": int(h * w),
+                "min_seq": -1, "max_seq": -1,
+            }], columns=out_cols)
+
+        zdf = spark.createDataFrame(
+            [(m, g) for m, g in zero_bands],
+            "measurement string, __g string",
+        ) if zero_bands else None
+        if zdf is not None:
+            resolved.append(
+                tiles.join(F.broadcast(zdf), ["measurement", "__g"])
+                .groupBy(*tkeys).applyInPandas(_fill_tile,
+                                               schema=CHUNK_SCHEMA)
+            )
+
+    unresolved = tiles
+    if zero_bands:
+        unresolved = tiles.join(
+            F.broadcast(spark.createDataFrame(
+                [(m, g) for m, g in zero_bands],
+                "measurement string, __g string")),
+            ["measurement", "__g"], "left_anti",
+        )
+    unresolved = unresolved.transform(_flat)
+
+    r = 1
+    r_cover = max(ntx, nty)  # gathers every bucket from any tile
+    for round_i in range(max_rounds):
+        if round_i == max_rounds - 1:
+            r = r_cover
+        cand = (
+            unresolved
+            .withColumn("di", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("dj", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn(
+                "bi",
+                F.greatest(F.lit(0), F.least(F.lit(nty - 1),
+                                             F.col("ti") + F.col("di")))
+                .cast("int"))
+            .withColumn(
+                "bj",
+                F.greatest(F.lit(0), F.least(F.lit(ntx - 1),
+                                             F.col("tj") + F.col("dj")))
+                .cast("int"))
+            .dropDuplicates(tkeys + ["bi", "bj"])
+            .drop("di", "dj")
+        )
+        joined = cand.join(pts, ["measurement", "__g", "bi", "bj"])
+        out = joined.groupBy(*tkeys).applyInPandas(
+            _mk_eval(r), schema=eval_schema
+        ).transform(_flat)
+        resolved.append(out.filter(F.col("ok")).select(*out_cols))
+        solved = out.filter(F.col("ok")).select(*tkeys)
+        unresolved = unresolved.join(
+            solved, tkeys, "left_anti"
+        ).transform(_flat)
+        if unresolved.limit(1).count() == 0:
+            break
+        r *= 2
+
+    if not resolved:  # no bands at all (empty input)
+        return spark.createDataFrame([], CHUNK_SCHEMA)
+    final = resolved[0]
+    for df in resolved[1:]:
+        final = final.unionByName(df)
+    return final
+
 def _interp_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
-                   function, method, rescale, filter_nan, grouped):
+                   function, method, rescale, filter_nan, grouped,
+                   interp_engine: str = "auto"):
     """Global interpolators: melt to (group, measurement) long form, one
     task per band computes the full grid tile-by-tile (bounded memory),
     parallel across groups x measurements (SURVEY.md §2.8)."""
@@ -1364,6 +1638,24 @@ def _interp_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
         long_df = long_df.unionByName(df)
     if filter_nan:
         long_df = long_df.filter(F.col("value").isNotNull())
+
+    # linear is locally determined -> the halo-tiled certified fit has
+    # no single-task stage at all. 'auto' keeps small inputs on the
+    # (value-identical) global path where one fit task is cheaper than
+    # the halo machinery; 'tiled' forces it (tests / known-large runs);
+    # 'global' opts out. rescale couples the triangulation to the
+    # global bbox transform and stays on the global path.
+    if (function == "points_griddata" and method == "linear"
+            and not rescale and interp_engine != "global"):
+        use_tiled = interp_engine == "tiled" or (
+            interp_engine == "auto"
+            and long_df.count() > _TILED_LINEAR_MIN_POINTS
+        )
+        if use_tiled:
+            return _interp_linear_tiled(
+                long_df, gb_dict, src_spec, tile_size, zoom, fill,
+                grouped,
+            )
 
     def _fit_model(pdf: pd.DataFrame):
         """Decode + reproject the band's points and fit the globally-

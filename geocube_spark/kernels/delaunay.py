@@ -55,7 +55,12 @@ _BFS_THRESHOLD = 4096    # above this, the O(n^2) scan loses to the walk
 
 # documented single-task ceiling: the adjacency-walk build is expected
 # O(n) (~7 s per 100k points) but runs as ONE task per (band, group);
-# past this cap the fail-fast error beats a silently-pinned executor
+# past this cap the fail-fast error beats a silently-pinned executor.
+# Only CUBIC still needs the single global fit (its CT patches read
+# gradient estimates that couple across the whole triangulation);
+# 'linear' auto-routes to the halo-tiled certified fit above 150k
+# points (cube._interp_linear_tiled), whose per-tile builds stay far
+# below this cap.
 DELAUNAY_MAX_POINTS = 2_000_000
 
 
