@@ -1684,7 +1684,8 @@ FROM r WHERE rn = 1 ORDER BY row, col
 """
 
 
-def _interp_query(spark, sf_dir, function, method, nudge=0.0):
+def _interp_query(spark, sf_dir, function, method, nudge=0.0,
+                  interp_engine="auto"):
     from ..cube import make_geocube
 
     vec = _event_vector_df(spark, sf_dir).filter(F.col("seq") % 97 == 0)
@@ -1697,6 +1698,7 @@ def _interp_query(spark, sf_dir, function, method, nudge=0.0):
         rasterize_function=function,
         interp_method=method,
         tile_size=64,
+        interp_engine=interp_engine,
     )
     cell = cube.chunks.select(
         "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
@@ -5100,6 +5102,16 @@ EXTRA_QUERIES = {
     "contour_lines": (q_contour_lines, SQL_CONTOUR_LINES),
     "interp_rbf": (q_interp_rbf, None),
     "interp_cubic": (q_interp_cubic, None),
+    # round 5: the SAME linear query forced through the halo-tiled
+    # certified engine (cube._interp_linear_tiled) against the SAME
+    # closed-form Delaunay SQL oracle — driver-grade evidence that
+    # the no-single-task path is value-identical to the global fit
+    "interp_linear_tiled": (
+        lambda spark, sf_dir: _interp_query(
+            spark, sf_dir, "points_griddata", "linear", nudge=1e-9,
+            interp_engine="tiled"),
+        SQL_INTERP_LINEAR,
+    ),
     "burn_points_replace": (q_burn_points_replace, SQL_BURN_REPLACE),
     "interp_nearest_dense": (q_interp_nearest_dense,
                              SQL_INTERP_NEAREST_DENSE),
