@@ -47,9 +47,34 @@ def bloom_positions(key: Column, *, bits: int, hashes: int):
             for j in range(hashes)]
 
 
-def bloom_semijoin(probe: DataFrame, keys: DataFrame, *,
+def bloom_bits(keys: DataFrame, key_col: str, *, bits: int = 1 << 20,
+               hashes: int = 3) -> DataFrame:
+    """The Bloom filter STATE: its set-bit table — one row per
+    distinct set position (at most ``min(bits, n_keys * hashes)``
+    longs). A single distinct aggregation, so it runs unchanged under
+    Structured Streaming (update/complete mode) — stream the claims
+    table from an unbounded key stream and feed the compacted state to
+    :func:`bloom_semijoin` via ``bits_table=``; bit tables merge by
+    union + re-distinct (sketches are mergeable by construction, like
+    :func:`hll_registers` / :func:`kmv_state`)."""
+    if bits < 2:
+        raise ValueError(f"bits must be >= 2, got {bits}")
+    if hashes < 1:
+        raise ValueError(f"hashes must be >= 1, got {hashes}")
+    kc = F.col(key_col).cast("string")
+    # groupBy rather than distinct: same output (distinct positions),
+    # but Structured Streaming recognizes only a real aggregation for
+    # complete/update-mode state
+    return keys.select(
+        F.explode(F.array(*bloom_positions(kc, bits=bits,
+                                           hashes=hashes))).alias("pos")
+    ).groupBy("pos").agg(F.count(F.lit(1)).alias("__n")).select("pos")
+
+
+def bloom_semijoin(probe: DataFrame, keys: DataFrame = None, *,
                    probe_col: str, key_col: str = None,
-                   bits: int = 1 << 20, hashes: int = 3) -> DataFrame:
+                   bits: int = 1 << 20, hashes: int = 3,
+                   bits_table: DataFrame = None) -> DataFrame:
     """Filter ``probe`` to rows whose ``probe_col`` passes a Bloom
     filter built from ``keys[key_col]`` — a guaranteed SUPERSET of the
     exact semijoin (no false negatives; deterministic false positives
@@ -62,17 +87,22 @@ def bloom_semijoin(probe: DataFrame, keys: DataFrame, *,
     JVM code (h60 is md5+conv, built-in). This is the join-pruning
     pattern: at 100 TB, run ``bloom_semijoin`` before the real join so
     only surviving rows enter the wide shuffle.
+
+    ``bits_table=`` accepts a prebuilt :func:`bloom_bits` table
+    (e.g. the compacted state of a streaming claims build) instead of
+    ``keys`` — same ``bits``/``hashes`` must be used on both sides.
     """
     if bits < 2:
         raise ValueError(f"bits must be >= 2, got {bits}")
     if hashes < 1:
         raise ValueError(f"hashes must be >= 1, got {hashes}")
-    key_col = key_col or probe_col
-    kc = F.col(key_col).cast("string")
-    pos = keys.select(
-        F.explode(F.array(*bloom_positions(kc, bits=bits,
-                                           hashes=hashes))).alias("pos")
-    ).distinct()
+    if (keys is None) == (bits_table is None):
+        raise ValueError("pass exactly one of keys / bits_table")
+    if bits_table is not None:
+        pos = bits_table.select("pos")
+    else:
+        pos = bloom_bits(keys, key_col or probe_col, bits=bits,
+                         hashes=hashes)
 
     pc = F.col(probe_col).cast("string")
     out = probe

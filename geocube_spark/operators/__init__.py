@@ -16,6 +16,9 @@ a surviving query on the same code path, each still pytest-covered).
 from __future__ import annotations
 
 # Queries that had no CORRECTNESS_r02 row — verified first.
+# (sample_quota / sample_budget rotated to extras in round 5 after
+# three green driver rows each; the pop below is a no-op for retired
+# names, so the list records the original window history.)
 _FRONT = (
     "frame_sample",
     "json_props",

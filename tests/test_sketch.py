@@ -425,3 +425,62 @@ def test_kmv_stream_batch_mode_grouped(spark):
     got = {r["g"]: list(r["ks"])
            for r in kmv_stream(df, "x", k=16, by=["g"]).collect()}
     assert got == want
+
+
+def test_bloom_bits_streaming_equals_batch(spark, tmp_path):
+    """bloom_bits is a single distinct aggregation, so the Bloom
+    claims table runs unchanged as a Structured Streaming stateful
+    agg: an availableNow stream over two overlapping parquet
+    micro-batches produces the exact batch bit table, and a
+    bloom_semijoin fed the streamed table (bits_table=) equals one
+    built from the batch keys."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from geocube_spark.functions.sketch import bloom_bits, bloom_semijoin
+
+    in_dir = str(tmp_path / "bloom_in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [(int(v),) for v in range(0, 600, 10)], "k long"
+    ).coalesce(1).write.parquet(f"{in_dir}/b1")
+    spark.createDataFrame(
+        [(int(v),) for v in range(400, 1000, 10)], "k long"
+    ).coalesce(1).write.parquet(f"{in_dir}/b2")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+
+    q = (
+        bloom_bits(
+            spark.readStream.schema(schema).parquet(f"{in_dir}/*"),
+            "k", bits=512, hashes=3)
+        .writeStream.format("memory").queryName("bloom_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("bloom_stream")
+
+    batch_keys = spark.createDataFrame(
+        [(int(v),) for v in range(0, 1000, 10)], "k long"
+    )
+    want = {r["pos"] for r in
+            bloom_bits(batch_keys, "k", bits=512, hashes=3).collect()}
+    got = {r["pos"] for r in streamed.collect()}
+    assert got == want
+
+    probe = spark.createDataFrame([(int(v),) for v in range(1000)],
+                                  "p long")
+    a = {r["p"] for r in bloom_semijoin(
+        probe, batch_keys, probe_col="p", key_col="k",
+        bits=512, hashes=3).collect()}
+    b = {r["p"] for r in bloom_semijoin(
+        probe, probe_col="p", bits=512, hashes=3,
+        bits_table=streamed).collect()}
+    assert a == b
+    assert set(range(0, 1000, 10)) <= b  # no false negatives
+
+    with pytest.raises(ValueError, match="exactly one"):
+        bloom_semijoin(probe, batch_keys, probe_col="p",
+                       bits_table=streamed)
+    with pytest.raises(ValueError, match="exactly one"):
+        bloom_semijoin(probe, probe_col="p")
