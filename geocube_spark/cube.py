@@ -1357,14 +1357,17 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
     sets, certified cell-by-cell against the global answer
     (kernels/tiled_linear.py docstring has the two certificates).
 
-    Plan shape per round: tiles explode to their (2r+1)^2 candidate
-    halo buckets -> ONE equi-join with the bucketed points -> one
-    grouped map per tile (fit + evaluate + certify). Uncertified
-    tiles double the halo; the last round gathers the full band
-    (R = the whole plane), so termination with global-exact values is
-    unconditional. The only driver-side materializations are the
-    per-band hull/stat rows (O(hull) each) and the per-round
-    unresolved count.
+    Plan shape per round: tiles explode to their candidate halo
+    buckets -> ONE equi-join with the bucketed points -> one grouped
+    map per tile (fit + evaluate + certify). Buckets are FINER than
+    tiles (tile_size // 4 cells) so a round-1 halo is a thin ring
+    rather than a full neighbor-tile border — the per-tile point count
+    stays ~points-in-tile + O(ring), keeping total triangulation work
+    O(n) instead of 9x n. Uncertified tiles double the halo; the last
+    round gathers the full band (R = the whole plane), so termination
+    with global-exact values is unconditional. The only driver-side
+    materializations are the per-band hull/stat rows (O(hull) each)
+    and the per-round unresolved count.
     """
     import pickle
 
@@ -1376,6 +1379,9 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
     A = gb0.affine
     n_tiles, ntx, nty = gb0.n_tiles(tile_size)
     H, Wd = gb0.height, gb0.width
+    bc = max(8, tile_size // 4)          # bucket edge, in cells
+    nbr = (H + bc - 1) // bc             # bucket-grid rows
+    nbc = (Wd + bc - 1) // bc            # bucket-grid cols
 
     gsel = (F.col("group_key").cast("string") if grouped
             else F.lit(None).cast("string"))
@@ -1414,8 +1420,8 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
                 "seq": pdf["seq"].values.astype(np.int64),
                 "x": px, "y": py,
                 "v": pdf["v"].values.astype(np.float64),
-                "bi": np.clip(row // tile_size, 0, nty - 1).astype(np.int32),
-                "bj": np.clip(col // tile_size, 0, ntx - 1).astype(np.int32),
+                "bi": np.clip(row // bc, 0, nbr - 1).astype(np.int32),
+                "bj": np.clip(col // bc, 0, nbc - 1).astype(np.int32),
             })
 
     pts = src_rows.mapInPandas(_decode, schema=pt_schema).transform(_flat)
@@ -1473,6 +1479,11 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
         .withColumn("col0", F.col("tj") * tile_size)
         .withColumn("h", F.least(F.lit(tile_size), F.lit(H) - F.col("row0")))
         .withColumn("w", F.least(F.lit(tile_size), F.lit(Wd) - F.col("col0")))
+        # bucket-grid span of the tile itself (inclusive)
+        .withColumn("b0i", (F.col("row0") / bc).cast("int"))
+        .withColumn("b1i", ((F.col("row0") + F.col("h") - 1) / bc).cast("int"))
+        .withColumn("b0j", (F.col("col0") / bc).cast("int"))
+        .withColumn("b1j", ((F.col("col0") + F.col("w") - 1) / bc).cast("int"))
         .crossJoin(F.broadcast(bands_df))
     )
 
@@ -1482,39 +1493,42 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
         + [T.StructField("__g", T.StringType()),
            T.StructField("ti", T.IntegerType()),
            T.StructField("tj", T.IntegerType()),
+           T.StructField("b0i", T.IntegerType()),
+           T.StructField("b1i", T.IntegerType()),
+           T.StructField("b0j", T.IntegerType()),
+           T.StructField("b1j", T.IntegerType()),
            T.StructField("ok", T.BooleanType())]
     )
     tkeys = ["measurement", "__g", "tile_id", "row0", "col0", "h", "w",
-             "ti", "tj"]
+             "ti", "tj", "b0i", "b1i", "b0j", "b1j"]
 
     def _mk_eval(r):
         def _eval(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            m, g, tile_id, row0, col0, h, w, ti, tj = key
+            (m, g, tile_id, row0, col0, h, w, ti, tj,
+             b0i, b1i, b0j, b1j) = key
             hull, n_g, mn, mx = pickle.loads(stats_b.value)[(m, g)]
             gb = GeoBox.from_dict(gb_dict)
             coords = gb.coords()
             gx = coords["x"][col0: col0 + w]
             gy = coords["y"][row0: row0 + h]
-            lo_i, hi_i = ti - r, ti + r
-            lo_j, hi_j = tj - r, tj + r
+            lo_i, hi_i = b0i - r, b1i + r
+            lo_j, hi_j = b0j - r, b1j + r
             # gathered region: union of the candidate buckets' rects;
             # clamped edge buckets are unbounded on their outer side
-            xe = (A.c + A.a * lo_j * tile_size,
-                  A.c + A.a * (hi_j + 1) * tile_size)
-            ye = (A.f + A.e * lo_i * tile_size,
-                  A.f + A.e * (hi_i + 1) * tile_size)
+            xe = (A.c + A.a * lo_j * bc, A.c + A.a * (hi_j + 1) * bc)
+            ye = (A.f + A.e * lo_i * bc, A.f + A.e * (hi_i + 1) * bc)
             x0, x1 = min(xe), max(xe)
             y0, y1 = min(ye), max(ye)
             if lo_j <= 0:
                 x0 = -np.inf if A.a > 0 else x0
                 x1 = np.inf if A.a < 0 else x1
-            if hi_j >= ntx - 1:
+            if hi_j >= nbc - 1:
                 x1 = np.inf if A.a > 0 else x1
                 x0 = -np.inf if A.a < 0 else x0
             if lo_i <= 0:
                 y1 = np.inf if A.e < 0 else y1
                 y0 = -np.inf if A.e > 0 else y0
-            if hi_i >= nty - 1:
+            if hi_i >= nbr - 1:
                 y0 = -np.inf if A.e < 0 else y0
                 y1 = np.inf if A.e > 0 else y1
             sub = pdf.sort_values("seq", kind="mergesort")
@@ -1530,8 +1544,11 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
                 "h": h, "w": w, "values": band.ravel(),
                 "n_geoms": n_g, "n_cells_burned": int(h * w),
                 "min_seq": mn, "max_seq": mx,
-                "__g": g, "ti": ti, "tj": tj, "ok": bool(ok),
-            }], columns=out_cols + ["__g", "ti", "tj", "ok"])
+                "__g": g, "ti": ti, "tj": tj,
+                "b0i": b0i, "b1i": b1i, "b0j": b0j, "b1j": b1j,
+                "ok": bool(ok),
+            }], columns=out_cols + ["__g", "ti", "tj", "b0i", "b1i",
+                                    "b0j", "b1j", "ok"])
 
         return _eval
 
@@ -1573,26 +1590,26 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
     unresolved = unresolved.transform(_flat)
 
     r = 1
-    r_cover = max(ntx, nty)  # gathers every bucket from any tile
+    r_cover = max(nbr, nbc)  # gathers every bucket from any tile
     for round_i in range(max_rounds):
         if round_i == max_rounds - 1:
             r = r_cover
         cand = (
             unresolved
-            .withColumn("di", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-            .withColumn("dj", F.explode(F.sequence(F.lit(-r), F.lit(r))))
             .withColumn(
                 "bi",
-                F.greatest(F.lit(0), F.least(F.lit(nty - 1),
-                                             F.col("ti") + F.col("di")))
-                .cast("int"))
+                F.explode(F.sequence(
+                    F.greatest(F.lit(0), F.col("b0i") - F.lit(r)),
+                    F.least(F.lit(nbr - 1), F.col("b1i") + F.lit(r)),
+                )))
             .withColumn(
                 "bj",
-                F.greatest(F.lit(0), F.least(F.lit(ntx - 1),
-                                             F.col("tj") + F.col("dj")))
-                .cast("int"))
-            .dropDuplicates(tkeys + ["bi", "bj"])
-            .drop("di", "dj")
+                F.explode(F.sequence(
+                    F.greatest(F.lit(0), F.col("b0j") - F.lit(r)),
+                    F.least(F.lit(nbc - 1), F.col("b1j") + F.lit(r)),
+                )))
+            .withColumn("bi", F.col("bi").cast("int"))
+            .withColumn("bj", F.col("bj").cast("int"))
         )
         joined = cand.join(pts, ["measurement", "__g", "bi", "bj"])
         out = joined.groupBy(*tkeys).applyInPandas(
@@ -1603,7 +1620,12 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
         unresolved = unresolved.join(
             solved, tkeys, "left_anti"
         ).transform(_flat)
-        if unresolved.limit(1).count() == 0:
+        n_left = unresolved.count()
+        logger.debug(
+            "tiled-linear round %d (halo r=%d buckets): %d tiles "
+            "unresolved", round_i + 1, r, n_left,
+        )
+        if n_left == 0:
             break
         r *= 2
 

@@ -101,6 +101,57 @@ def strictly_outside(hull: np.ndarray, qx: np.ndarray, qy: np.ndarray,
     return out
 
 
+def _clip_halfplane(poly: np.ndarray, a: float, b: float,
+                    c: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of a convex polygon to the halfplane
+    ``a*x + b*y >= c``. Returns (k, 2), possibly k < 3 (degenerate)
+    or k == 0 (empty)."""
+    if len(poly) == 0:
+        return poly
+    out = []
+    n = len(poly)
+    s = a * poly[:, 0] + b * poly[:, 1] - c
+    for i in range(n):
+        j = (i + 1) % n
+        si, sj = s[i], s[j]
+        if si >= 0:
+            out.append(poly[i])
+        if (si >= 0) != (sj >= 0):
+            t = si / (si - sj)
+            out.append(poly[i] + t * (poly[j] - poly[i]))
+    return np.asarray(out, dtype=np.float64) if out else \
+        np.empty((0, 2), dtype=np.float64)
+
+
+def _dist_to_convex(poly: np.ndarray, cx: np.ndarray,
+                    cy: np.ndarray) -> np.ndarray:
+    """Euclidean distance from points to a convex polygon (0 inside).
+    Handles degenerate polygons (segment / point)."""
+    if len(poly) == 0:
+        return np.full(cx.shape, np.inf)
+    if len(poly) == 1:
+        return np.hypot(cx - poly[0, 0], cy - poly[0, 1])
+    n = len(poly)
+    dmin = np.full(cx.shape, np.inf)
+    inside = np.ones(cx.shape, dtype=bool) if n >= 3 else \
+        np.zeros(cx.shape, dtype=bool)
+    for i in range(n if n >= 3 else n - 1):
+        x0, y0 = poly[i]
+        x1, y1 = poly[(i + 1) % n] if n >= 3 else poly[i + 1]
+        ex, ey = x1 - x0, y1 - y0
+        ln2 = ex * ex + ey * ey
+        if ln2 == 0:
+            d = np.hypot(cx - x0, cy - y0)
+        else:
+            t = np.clip(((cx - x0) * ex + (cy - y0) * ey) / ln2, 0, 1)
+            d = np.hypot(cx - (x0 + t * ex), cy - (y0 + t * ey))
+        dmin = np.minimum(dmin, d)
+        if n >= 3:
+            # CCW polygon: inside iff left of every edge
+            inside &= (ex * (cy - y0) - ey * (cx - x0)) >= 0
+    return np.where(inside, 0.0, dmin)
+
+
 def tile_linear_certified(px, py, vals, gx, gy, rect, hull, *,
                           n_global: int, fill=np.nan):
     """Evaluate one tile from its halo point set, with certificates.
@@ -174,6 +225,31 @@ def tile_linear_certified(px, py, vals, gx, gy, rect, hull, *,
             & (uy - r >= y0 + pad) & (uy + r <= y1 - pad)
             & (r2 >= 0)
         )
+        escape = ~contained & (r2 >= 0)
+        if escape.any() and len(hull) >= 3:
+            # hull-aware certificate: the empty-circumcircle property
+            # only needs the circle's intersection WITH THE HULL to be
+            # point-free (every global point lies in the hull). Slivers
+            # along the hull have huge circles that never fit R, but
+            # their circle ∩ hull is a thin local lens — test each
+            # escape side: clip the hull to the beyond-R halfplane and
+            # require the disk to miss that piece by > pad.
+            safe = np.ones(int(escape.sum()), dtype=bool)
+            ex_, ey_, er_ = ux[escape], uy[escape], r[escape]
+            for a, b, c in (
+                (-1.0, 0.0, -x0), (1.0, 0.0, x1),
+                (0.0, -1.0, -y0), (0.0, 1.0, y1),
+            ):
+                # halfplane "beyond" this R edge: a*x + b*y >= c with
+                # c derived so finite edges clip, inf edges never do
+                if not np.isfinite(c):
+                    continue
+                piece = _clip_halfplane(hull, a, b, c)
+                if len(piece) == 0:
+                    continue
+                d = _dist_to_convex(piece, ex_, ey_)
+                safe &= d > er_ + pad
+            contained[escape] = safe
         ok &= bool(contained.all())
     if ok and (~m).any():
         ok = bool(strictly_outside(hull, qx[~m], qy[~m], pad).all())
