@@ -211,3 +211,22 @@ def test_auto_routes_small_to_global(spark):
     g = _build(docs, "global", resolution=(-0.05, 0.05), tile_size=16)
     _assert_parity(g, a)
     assert n < C._TILED_LINEAR_MIN_POINTS
+
+
+def test_tiled_plan_has_no_cartesian(spark):
+    """The round's candidate generation is a pure equi-join on
+    (band, bucket) — no cartesian/nested-loop anywhere in the chunk
+    plan (the bands crossJoin is a broadcast of an O(bands) frame,
+    which Spark plans as BroadcastNestedLoop only when unkeyed — the
+    bucket equi-join is the keyed path that dominates)."""
+    rng = np.random.default_rng(1)
+    n = 200
+    docs = _vec(spark, rng.uniform(-93.8, -92.2, n),
+                rng.uniform(41.2, 42.6, n), rng.uniform(0, 5, n))
+    cube = make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata", interp_method="linear",
+        interp_engine="tiled", resolution=(-0.02, 0.02), tile_size=32,
+    )
+    plan = cube.chunks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
