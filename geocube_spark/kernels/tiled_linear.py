@@ -14,7 +14,13 @@ the global one:
   the gathered region R is empty of local points; since the local set
   contains EVERY global point in R, the circle is empty of all points
   — the triangle is a global Delaunay triangle, and barycentric
-  interpolation inside it is the global answer.
+  interpolation inside it is the global answer. Hull-aware form: only
+  the circle's intersection WITH THE GLOBAL CONVEX HULL needs to be
+  point-free (every point lies in the hull), so a circle escaping R
+  is still certified when each escaping piece — the hull clipped to
+  the beyond-R halfplane — is missed by the disk. This is what makes
+  hull-boundary sliver triangles (whose raw circumcircles span the
+  whole domain) certifiable from a thin halo.
 * **NaN certificate** (global convex hull, computed exactly by a
   cheap distributed reduce): a cell strictly outside the hull by more
   than the locate tolerance is outside every global triangle — fill
