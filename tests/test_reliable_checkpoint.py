@@ -98,3 +98,43 @@ def test_flatten_local_mode_no_files(spark, tmp_path):
     out = flatten(df)
     assert out.collect()[0]["id"] == 1
     assert clear_checkpoints() == 0
+
+
+def test_tiled_linear_reliable_equals_local(spark, tmp_path):
+    """The round-5 tiled-linear loop flattens per round too; the
+    reliable path must reach the identical cube."""
+    import pandas as pd
+
+    from geocube_spark.cube import make_geocube
+    from geocube_spark.geometry import wkb as W
+
+    rng = np.random.default_rng(13)
+    n = 400
+    pdf = pd.DataFrame({
+        "seq": np.arange(n, dtype=np.int64),
+        "geometry_wkb": W.points_to_wkb(
+            rng.uniform(-93.8, -92.2, n), rng.uniform(41.2, 42.6, n)),
+        "value": rng.uniform(0, 50, n),
+    })
+    docs = spark.createDataFrame(pdf)
+
+    def build():
+        cube = make_geocube(
+            docs, measurements=["value"], fill=float("nan"),
+            rasterize_function="points_griddata",
+            interp_method="linear", interp_engine="tiled",
+            resolution=(-0.02, 0.02), tile_size=16,
+        )
+        return {r["tile_id"]: list(r["values"])
+                for r in cube.chunks.collect()}
+
+    local = build()
+    with reliable_checkpoints(str(tmp_path / "il")):
+        reliable = build()
+    clear_checkpoints()
+    assert set(local) == set(reliable)
+    for k in local:
+        a = np.asarray(local[k], dtype=np.float64)
+        b = np.asarray(reliable[k], dtype=np.float64)
+        assert np.array_equal(np.nan_to_num(a, nan=-9),
+                              np.nan_to_num(b, nan=-9)), k
