@@ -521,7 +521,13 @@ def ann_ivf_topk(corpus: DataFrame, *, k: int = 1, n_lists: int = 16,
             if not len(pdf):
                 continue
             m = _normalize(_to_matrix(pdf, vec_col))
-            order = np.argsort(-(m @ C), axis=1)[:, :nprobe].astype(np.int32)
+            # deterministic probe ranking: 6-dp-rounded scores, stable
+            # sort (ties to the smallest list id) — the cross-engine
+            # float rule, which is what lets a fixed-centroid IVF be
+            # replayed exactly by the SQL oracle
+            d = np.round(-(m @ C) + 1e-9, 6)
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe] \
+                .astype(np.int32)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             n = len(pdf)
             yield pd.DataFrame(
@@ -887,25 +893,65 @@ def kmeans(corpus: DataFrame, *, k: int = 8, iters: int = 2,
 
     Returns (id, cluster, d2) with d2 the rounded squared distance to
     the final centroid."""
+    C = kmeans_fit(corpus, k=k, iters=iters, id_col=id_col,
+                   vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("cluster", T.LongType()),
+        T.StructField("d2", T.DoubleType()),
+    ])
+
+    def _label(batches: Iterator[pd.DataFrame],
+               C=C) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].values).astype(np.float64)
+            cid, d2 = _kmeans_assign(m, C)
+            yield pd.DataFrame({
+                "id": pdf["id"].astype("int64"),
+                "cluster": cid.astype("int64"),
+                "d2": d2,
+            })
+
+    return vecs.mapInPandas(_label, schema=out_schema)
+
+
+def _kmeans_assign(m: np.ndarray, C: np.ndarray):
+    """6-dp-rounded argmin assignment, smallest-cid ties (the
+    SQL-replayable rule shared by kmeans / kmeans_fit / pq_train)."""
+    d2 = ((m * m).sum(axis=1)[:, None]
+          - 2.0 * (m @ C.T)
+          + (C * C).sum(axis=1)[None, :])
+    d2r = np.round(d2 + 1e-9, 6)
+    cid = d2r.argmin(axis=1)  # first-wins = smallest cid on ties
+    return cid, d2r[np.arange(len(m)), cid]
+
+
+def kmeans_fit(corpus: DataFrame, *, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> np.ndarray:
+    """The centroid matrix of :func:`kmeans`'s fixed-iteration
+    deterministic Lloyd loop (exemplar seeds, rounded argmin,
+    empty-cluster carry) WITHOUT the labeling pass — the trainer to
+    compose with downstream index builders (e.g. a fully
+    SQL-replayable IVF: pass the result as ``ann_ivf_topk``'s
+    ``centroids=``). Driver reduce is O(batches * k * dim) partial
+    sums; the wide vectors never shuffle."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-
     cents = exemplar_centroids(
         corpus, k=k, id_col=id_col, vec_col=vec_col
     ).orderBy("cid").collect()
     if not cents:
         raise ValueError("empty corpus")
     C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cents])
-
-    def _assign(m: np.ndarray, C: np.ndarray):
-        d2 = ((m * m).sum(axis=1)[:, None]
-              - 2.0 * (m @ C.T)
-              + (C * C).sum(axis=1)[None, :])
-        d2r = np.round(d2 + 1e-9, 6)
-        cid = d2r.argmin(axis=1)  # first-wins = smallest cid on ties
-        return cid, d2r[np.arange(len(m)), cid]
 
     vecs = corpus.select(
         F.col(id_col).cast("long").alias("id"),
@@ -924,7 +970,7 @@ def kmeans(corpus: DataFrame, *, k: int = 8, iters: int = 2,
                     if not len(pdf):
                         continue
                     m = np.stack(pdf["v"].values).astype(np.float64)
-                    cid, _ = _assign(m, C)
+                    cid, _ = _kmeans_assign(m, C)
                     rows = []
                     for c in np.unique(cid):
                         sel = m[cid == c]
@@ -941,29 +987,7 @@ def kmeans(corpus: DataFrame, *, k: int = 8, iters: int = 2,
             nz = cnts > 0
             newC[nz] = sums[nz] / cnts[nz, None]
             C = newC
-
-        out_schema = T.StructType([
-            T.StructField("id", T.LongType()),
-            T.StructField("cluster", T.LongType()),
-            T.StructField("d2", T.DoubleType()),
-        ])
-
-        def _label(batches: Iterator[pd.DataFrame],
-                   C=C) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.stack(pdf["v"].values).astype(np.float64)
-                cid, d2 = _assign(m, C)
-                yield pd.DataFrame({
-                    "id": pdf["id"].astype("int64"),
-                    "cluster": cid.astype("int64"),
-                    "d2": d2,
-                })
-
-        out = vecs.mapInPandas(_label, schema=out_schema)
-        # materialize before releasing the cache
-        return out.transform(_flat)
+        return C
     finally:
         vecs.unpersist()
 

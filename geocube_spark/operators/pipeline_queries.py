@@ -2112,7 +2112,11 @@ def q_kmeans(spark, sf_dir):
     return kmeans(emb, k=8, iters=2).orderBy("id")
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+def _kmeans_cte(k: int = 8, iters: int = 2) -> str:
+    """The WITH-chain of the deterministic fixed-iteration Lloyd
+    trainer (seeds, per-round assignment + per-dimension centroid
+    average, empty-cluster carry) ending at ``cent{iters}`` — shared
+    by the kmeans oracle and the fixed-centroid IVF oracle."""
     asg = """
   SELECT id, cid FROM (
     SELECT b.id, c.cid,
@@ -2151,6 +2155,11 @@ cent{i} AS MATERIALIZED (
     SELECT cid, list(m ORDER BY j) AS cv FROM u{i} GROUP BY cid
   ) n ON n.cid = p.cid
 )""")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    parts = [_kmeans_cte(k, iters)]
     parts.append(f"""
 SELECT id, cid AS cluster, d2 FROM (
   SELECT b.id, c.cid,
@@ -2166,6 +2175,78 @@ SELECT id, cid AS cluster, d2 FROM (
 
 
 SQL_KMEANS = _kmeans_sql()
+
+
+def q_ann_ivf_fixed(spark, sf_dir):
+    """IVF top-k with a FIXED deterministic quantizer
+    (functions.similarity.kmeans_fit -> ann_ivf_topk(centroids=...)):
+    8 lists from 1 Lloyd round, nprobe=2, exact-cosine re-rank inside
+    probed lists, per-list top-3 then global top-3. Every stage is a
+    closed-form function of the corpus (the round-5 deterministic
+    probe ranking: 6-dp-rounded scores, smallest-list ties), so the
+    oracle replays the WHOLE index — trainer CTEs, normalized probe
+    scores, rank-1 assignment, in-list candidate join, both rank
+    stages. (The default ann_ivf_topk keeps its tolerance-looped
+    trainer and stays a rows-only extra — this query is the
+    SQL-expressible fixed-quantizer form of the same index.)"""
+    from ..functions.similarity import ann_ivf_topk, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    C = kmeans_fit(emb, k=8, iters=1)
+    return ann_ivf_topk(
+        emb, k=3, n_lists=8, nprobe=2, centroids=C
+    ).orderBy("qid", "rank")
+
+
+def _ivf_fixed_sql(k_lists: int = 8, iters: int = 1, nprobe: int = 2,
+                   topk: int = 3) -> str:
+    return _kmeans_cte(k_lists, iters) + f""",
+nrm AS MATERIALIZED (
+  SELECT id, v,
+         COALESCE(NULLIF(sqrt(list_inner_product(v, v)), 0), 1) AS nv
+  FROM base
+),
+score AS MATERIALIZED (
+  SELECT b.id, c.cid,
+         round(-(list_inner_product(b.v, c.cv) / b.nv) + 1e-9, 6)
+           AS negs
+  FROM nrm b CROSS JOIN cent{iters} c
+),
+probes AS MATERIALIZED (
+  SELECT id, cid,
+         row_number() OVER (
+           PARTITION BY id ORDER BY negs ASC, cid ASC) AS pr
+  FROM score
+),
+cand AS (
+  -- per-list candidates: probe side (pr <= nprobe) meets the list's
+  -- assigned members (pr = 1); per-(list, query) top-k BEFORE the
+  -- cross-list dedup, replaying the bucket evaluator exactly
+  SELECT qid, nid, cos FROM (
+    SELECT q.id AS qid, d.id AS nid,
+           round(list_cosine_similarity(nq.v, nd.v), 6) AS cos,
+           row_number() OVER (
+             PARTITION BY q.cid, q.id
+             ORDER BY round(list_cosine_similarity(nq.v, nd.v), 6)
+               DESC, d.id ASC) AS br
+    FROM probes q
+    JOIN probes d ON d.cid = q.cid AND d.pr = 1 AND d.id <> q.id
+    JOIN nrm nq ON nq.id = q.id
+    JOIN nrm nd ON nd.id = d.id
+    WHERE q.pr <= {nprobe}
+  ) WHERE br <= {topk}
+),
+ded AS (SELECT qid, nid, max(cos) AS cos FROM cand GROUP BY qid, nid)
+SELECT qid, rank, nid, cos FROM (
+  SELECT qid, nid, cos,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM ded
+) WHERE rank <= {topk} ORDER BY qid, rank
+"""
+
+
+SQL_ANN_IVF_FIXED = _ivf_fixed_sql()
 
 
 def q_graph_sssp(spark, sf_dir):
@@ -2821,6 +2902,10 @@ EXTRA_QUERIES = {
     # hash-green — retired to extras so the window is 50/50
     # oracle-checkable (round-3 verdict item 2).
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    # round 5: the fixed-quantizer IVF with a FULL SQL oracle — the
+    # whole index (trainer + probe + in-list re-rank) replayed; the
+    # tolerance-looped default above remains the one rows-only entry
+    "ann_ivf_fixed": (q_ann_ivf_fixed, SQL_ANN_IVF_FIXED),
 }
 
 # ---------------------------------------------------------------------------
