@@ -1763,6 +1763,27 @@ def q_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_kmv_state_agg(spark, sf_dir):
+    """The streaming-safe KMV state form (functions.sketch.kmv_state,
+    one collect_set aggregation) finished by kmv_estimate — must equal
+    the windowed kmv_sketch bit-for-bit (bottom-k of the distinct hash
+    set is the same set either way), so it shares kmv_distinct's
+    oracle."""
+    from ..functions.sketch import kmv_estimate, kmv_state
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", F.col("l_partkey").cast("long").alias("pk"))
+    est = kmv_estimate(kmv_state(li, "pk", k=64, by=["l_returnflag"]),
+                       k=64)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("pk").alias("exact"))
+    return (
+        est.join(exact, "l_returnflag")
+        .select("l_returnflag", "n_vals", "est", "exact")
+        .orderBy("l_returnflag")
+    )
+
+
 SQL_KMV_DISTINCT = f"""
 WITH d AS (
   SELECT DISTINCT l_returnflag,
@@ -2862,6 +2883,11 @@ EXTRA_QUERIES = {
     # cont., functions.sketch.kmv_*): deterministic h60 hashes make
     # even the approximations oracle-exact
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    # round 5: the streaming-safe single-aggregation state form
+    # (functions.sketch.kmv_state) against the SAME oracle — bottom-k
+    # of the distinct hash set is the same set either way; this is the
+    # form that runs unchanged under Structured Streaming
+    "kmv_state_agg": (q_kmv_state_agg, SQL_KMV_DISTINCT),
     "kmv_jaccard": (q_kmv_jaccard, SQL_KMV_JACCARD),
     # cross-corpus near-dup filtering (round 4 cont.,
     # functions.dedup.cross_dedup_minhash): new crawl vs existing
