@@ -884,12 +884,13 @@ def kmeans(corpus: DataFrame, *, k: int = 8, iters: int = 2,
     function of the corpus, which is what lets the DuckDB oracle
     replay it iteration by iteration.
 
-    Scale shape (the pca_power_scores pattern): the corpus projects
-    once to a persisted narrow (id, vec) cache; each iteration is one
-    Arrow-batched pass emitting per-batch per-cluster partial sums
-    (O(batches * k * dim) tiny rows reduced on the driver), and the
-    final labeling is one more narrow map — no shuffle of the wide
-    vectors anywhere, centroids broadcast at k*dim*8 bytes.
+    Scale shape (the pca_power_scores pattern): the trainer
+    (:func:`kmeans_fit`) projects the corpus once to a persisted
+    narrow (id, vec) cache and runs one Arrow-batched pass per
+    iteration emitting per-batch per-cluster partial sums
+    (O(batches * k * dim) tiny rows reduced on the driver); the
+    final labeling here is one more narrow map — no shuffle of the
+    wide vectors anywhere, centroids broadcast at k*dim*8 bytes.
 
     Returns (id, cluster, d2) with d2 the rounded squared distance to
     the final centroid."""
