@@ -234,3 +234,45 @@ def test_burn_representative_new_codes(spark):
         want = burn(EPSG_PROJ4[code], res)
         assert got == want, code
         assert got, code
+
+
+def test_burn_osgb_27700(spark):
+    """The verdict's named example: EPSG:27700 (British National
+    Grid) burns the soil-like fixture from the bare code, identically
+    to the same parameters pasted as WKT1 text with the registry's
+    TOWGS84."""
+    from geocube_spark import datagen as DG
+    from geocube_spark.cube import make_geocube
+
+    wkt = (
+        'PROJCS["OSGB 1936 / British National Grid",'
+        'GEOGCS["OSGB 1936",DATUM["OSGB_1936",'
+        'SPHEROID["Airy 1830",6377563.396,299.3249646],'
+        "TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],"
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",49],'
+        'PARAMETER["central_meridian",-2],'
+        'PARAMETER["scale_factor",0.9996012717],'
+        'PARAMETER["false_easting",400000],'
+        'PARAMETER["false_northing",-100000],'
+        'UNIT["metre",1]]'
+    )
+    docs = DG.to_spark(spark, DG.flat_polygon_docs(n=7))
+
+    def burn(crs):
+        cube = make_geocube(
+            docs, measurements=["om_r"], output_crs=crs,
+            resolution=(-50, 50), fill=0.0, tile_size=64,
+        )
+        return {r["tile_id"]: tuple(r["values"])
+                for r in cube.chunks.select("tile_id", "values").collect()}
+
+    got = burn("EPSG:27700")
+    want = burn(wkt)
+    assert got and got.keys() == want.keys()
+    # registry Helmert carries one more decimal than common WKT dumps;
+    # identical here because the WKT uses the registry's own values
+    for k in got:
+        a = np.asarray(got[k]); b = np.asarray(want[k])
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
