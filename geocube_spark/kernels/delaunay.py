@@ -104,7 +104,7 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     if n < 3:
         return np.empty((0, 3), dtype=np.int64)
     if n > _BFS_THRESHOLD:
-        return _delaunay_walk(pts)
+        return _check_build(_delaunay_walk(pts), n)
 
     # super-triangle containing all points
     cx, cy = pts.mean(axis=0)
@@ -179,7 +179,31 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     live = np.flatnonzero(alive[:ntri])
     out = tv[live]
     out = out[(out < n).all(axis=1)]
-    return out if len(out) else np.empty((0, 3), np.int64)
+    if not len(out):
+        return np.empty((0, 3), np.int64)
+    return _check_build(out, n)
+
+
+def _check_build(tris: np.ndarray, n: int) -> np.ndarray:
+    """Euler-bound sanity check: a planar triangulation of n points
+    has at most 2n - 5 triangles (2n - 2 - h for hull size h >= 3).
+    Adversarial NEAR-collinear inputs (e.g. a rank-1 lattice whose
+    second coordinate is 1 - first, distinct only through fp jitter)
+    can defeat the floating-point in-circle predicate and make the
+    incremental build emit overlapping garbage (measured: 32k
+    'triangles' from 3k such points) — fail fast with guidance
+    instead of returning silently wrong interpolants or grinding an
+    executor."""
+    if len(tris) > 2 * n:
+        raise ValueError(
+            f"incremental Delaunay build produced {len(tris)} "
+            f"triangles for {n} points (planar maximum 2n-5): the "
+            "point set is adversarially near-degenerate for the "
+            "floating-point in-circle predicate (e.g. all points "
+            "within fp jitter of one line). Jitter or rescale the "
+            "coordinates, or use method='nearest'."
+        )
+    return tris
 
 
 def estimate_gradients(points, values, tris, maxiter=400, tol=1e-6):

@@ -191,7 +191,17 @@ def tile_linear_certified(px, py, vals, gx, gy, rect, hull, *,
         # that is the whole band (global fit is all-fill too).
         return band.reshape(gxm.shape), bool(is_global)
 
-    tri = Triangulation(np.column_stack([px, py]), vals)
+    try:
+        tri = Triangulation(np.column_stack([px, py]), vals)
+    except ValueError:
+        # near-degenerate LOCAL subset broke the fp in-circle
+        # predicate (delaunay._check_build): stay uncertified so the
+        # halo grows — a wider subset may be buildable; if the WHOLE
+        # band is degenerate the final full-gather round re-raises,
+        # matching the global fit's error exactly
+        if is_global:
+            raise
+        return band.reshape(gxm.shape), False
     if not tri._ok:
         # collinear local set: certified only when it is the whole band
         return band.reshape(gxm.shape), bool(is_global)

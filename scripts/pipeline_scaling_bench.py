@@ -44,6 +44,7 @@ CACHE = os.path.join(REPO, ".bench_cache")
 BASE_DOCS = int(os.environ.get("PIPE_BENCH_DOCS", "20000"))
 BASE_VECS = int(os.environ.get("PIPE_BENCH_VECS", "8000"))
 BASE_TICKS = int(os.environ.get("PIPE_BENCH_TICKS", "200000"))
+BASE_PTS = int(os.environ.get("PIPE_BENCH_PTS", "150000"))
 DIM = 64
 N_SYMBOLS = 500
 UI_PORT = 4061
@@ -184,6 +185,43 @@ def _ensure_ticks(spark, n):
 # shuffle metrics via the status REST API (UI enabled on UI_PORT)
 # ---------------------------------------------------------------------------
 
+def _ensure_points(spark, n):
+    """Scatter points with values for the tiled linear interp (vector
+    table shape: seq, geometry_wkb, value)."""
+    path = os.path.join(CACHE, f"pipe_pts_{n}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from geocube_spark.geometry import wkb as W
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            # independent irrational multipliers: PHI^2 = 1 - PHI
+            # (golden identity), so (i*PHI, i*PHI^2) mod 1 is a
+            # rank-1 lattice with EVERY point on one antidiagonal —
+            # an adversarially degenerate triangulation input (the
+            # build's Euler-bound guard rejects it). sqrt(2)-1 is
+            # rationally independent of PHI.
+            SQ = 0.41421356237309515
+            lon = -100.0 + ((ids * PHI) % 1.0) * 10.0
+            lat = 38.0 + ((ids * SQ) % 1.0) * 8.0
+            yield pd.DataFrame({
+                "seq": ids,
+                "geometry_wkb": W.points_to_wkb(lon, lat),
+                "value": np.round(np.sin(ids * PHI) * 50.0 + 50.0, 6),
+            })
+
+    df = spark.range(0, n, 1, 32)
+    out = df.mapInPandas(
+        _gen, schema="seq long, geometry_wkb binary, value double")
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
 def _stage_totals(app_id):
     try:
         url = (f"http://localhost:{UI_PORT}/api/v1/applications/"
@@ -242,11 +280,30 @@ def _headliners(spark, scale):
     def q_paras():
         return dedup_paragraphs(docs).count()
 
+    pts = spark.read.parquet(_ensure_points(spark, BASE_PTS * scale))
+
+    def q_interp():
+        # points AND grid both scale 4x (resolution halves per side),
+        # so wall/scale is a clean per-unit-work metric for the
+        # round-5 halo-tiled certified fit — the work per tile stays
+        # ~points-in-tile + O(ring) by design
+        from geocube_spark.cube import make_geocube
+
+        res = 0.01 / (scale ** 0.5)
+        cube = make_geocube(
+            pts, measurements=["value"], fill=float("nan"),
+            rasterize_function="points_griddata",
+            interp_method="linear", interp_engine="tiled",
+            resolution=(-res, res), tile_size=256,
+        )
+        return cube.chunks.count()
+
     return {
         "dedup_minhash_lsh": q_minhash,
         "ann_lsh_topk": q_ann,
         "asof_join_price": q_asof,
         "dedup_paragraphs": q_paras,
+        "interp_linear_tiled": q_interp,
     }
 
 
@@ -303,6 +360,7 @@ def main():
         "docs": [BASE_DOCS, BASE_DOCS * 4],
         "vectors": [BASE_VECS, BASE_VECS * 4],
         "ticks": [BASE_TICKS, BASE_TICKS * 4],
+        "interp_points": [BASE_PTS, BASE_PTS * 4],
     }
     summary = {}
     all_pass = True
