@@ -230,3 +230,34 @@ def test_tiled_plan_has_no_cartesian(spark):
     )
     plan = cube.chunks._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_delaunay_degenerate_lattice_guard():
+    """The Euler-bound guard: the golden-ratio rank-1 lattice (second
+    coordinate = 1 - first, distinct only through fp jitter) defeats
+    the fp in-circle predicate and must fail fast instead of emitting
+    an invalid triangulation; exact cocircular grids (legal ties)
+    still build under the 2n-5 bound."""
+    from geocube_spark.kernels.delaunay import Triangulation, delaunay
+
+    PHI = 0.6180339887498949
+    ids = np.arange(3000)
+    lon = -100.0 + ((ids * PHI) % 1.0) * 10.0
+    lat = 38.0 + ((ids * PHI * PHI) % 1.0) * 8.0  # = 1 - frac(i*PHI)
+    with pytest.raises(ValueError, match="near-degenerate"):
+        delaunay(np.column_stack([lon, lat]))
+
+    g = np.stack(np.meshgrid(np.arange(40), np.arange(40)), -1) \
+        .reshape(-1, 2).astype(float)
+    t = delaunay(g)
+    assert 0 < len(t) <= 2 * len(g) - 5
+
+    # the tiled kernel stays uncertified on a degenerate LOCAL subset
+    vals = np.ones(len(ids))
+    hull = convex_hull(lon, lat)
+    band, ok = tile_linear_certified(
+        lon, lat, vals, np.linspace(-99, -98, 5),
+        np.linspace(39, 40, 5), (-99.5, -97.5, 38.5, 40.5), hull,
+        n_global=len(ids) + 7,  # pretend a wider band exists
+    )
+    assert not ok and np.isnan(band).all()
