@@ -200,15 +200,22 @@ def _ensure_points(spark, n):
 
         for pdf in batches:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            # independent irrational multipliers: PHI^2 = 1 - PHI
-            # (golden identity), so (i*PHI, i*PHI^2) mod 1 is a
-            # rank-1 lattice with EVERY point on one antidiagonal —
-            # an adversarially degenerate triangulation input (the
-            # build's Euler-bound guard rejects it). sqrt(2)-1 is
-            # rationally independent of PHI.
-            SQ = 0.41421356237309515
-            lon = -100.0 + ((ids * PHI) % 1.0) * 10.0
-            lat = 38.0 + ((ids * SQ) % 1.0) * 8.0
+            # hash-scrambled uniform coordinates: rank-1 lattices
+            # (golden/sqrt2 multipliers) put points on locally
+            # near-collinear rows that stress the fp in-circle
+            # predicate and blow up halo certification; a splitmix-
+            # style integer scramble gives deterministic points with
+            # generic-position geometry, like real-world scatter
+            def _mix(x, salt):
+                x = (x + salt) * 0x9E3779B97F4A7C15 % (1 << 64)
+                x ^= x >> 30
+                x = x * 0xBF58476D1CE4E5B9 % (1 << 64)
+                x ^= x >> 27
+                return (x % (1 << 53)) / float(1 << 53)
+            u = np.asarray([_mix(int(i), 1) for i in ids])
+            w = np.asarray([_mix(int(i), 2) for i in ids])
+            lon = -100.0 + u * 10.0
+            lat = 38.0 + w * 8.0
             yield pd.DataFrame({
                 "seq": ids,
                 "geometry_wkb": W.points_to_wkb(lon, lat),
