@@ -1349,6 +1349,182 @@ def _burn_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
 # legacy (value-identical) code path.
 _TILED_LINEAR_MIN_POINTS = 150_000
 
+# radius-bounded IDW: the broadcast-eval alternative pays
+# O(cells x ALL points), so the tiled path pays off almost immediately
+_TILED_IDW_MIN_POINTS = 20_000
+
+
+def _decode_bucketed_points(long_df, gb_dict, src_spec, grouped,
+                            tile_size):
+    """Shared front half of the tiled interpolators: decode + project
+    the scatter points ONCE (distributed) and bucket them on a grid
+    of ``tile_size // 4``-cell squares (finer than tiles, so halos
+    are thin rings). Returns (pts_df flattened, bc, nbr, nbc)."""
+    from .plans.flatten import _flat
+
+    gb0 = GeoBox.from_dict(gb_dict)
+    A = gb0.affine
+    bc = max(8, tile_size // 4)
+    nbr = (gb0.height + bc - 1) // bc
+    nbc = (gb0.width + bc - 1) // bc
+
+    gsel = (F.col("group_key").cast("string") if grouped
+            else F.lit(None).cast("string"))
+    src_rows = long_df.select(
+        F.col("measurement"),
+        F.coalesce(gsel, F.lit("\x00")).alias("__g"),
+        "seq", "geometry_wkb",
+        F.col("value").cast("double").alias("v"),
+    )
+    pt_schema = ("measurement string, __g string, seq long, x double, "
+                 "y double, v double, bi int, bj int")
+
+    def _decode(batches):
+        gb = GeoBox.from_dict(gb_dict)
+        src = CRS.from_user_input(src_spec)
+        reproject = src != gb.crs
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blobs = list(pdf["geometry_wkb"].values)
+            is_pt, vx, vy = W.partition_points(blobs)
+            if not is_pt.all():
+                raise VectorDataError(
+                    "tiled interpolation requires point geometries "
+                    "(same contract as the global fit)"
+                )
+            px, py = vx, vy
+            if reproject and len(px):
+                px, py = crs_transform(src, gb.crs, px, py)
+            col = np.floor((px - A.c) / A.a).astype(np.int64)
+            row = np.floor((py - A.f) / A.e).astype(np.int64)
+            yield pd.DataFrame({
+                "measurement": pdf["measurement"].values,
+                "__g": pdf["__g"].values,
+                "seq": pdf["seq"].values.astype(np.int64),
+                "x": px, "y": py,
+                "v": pdf["v"].values.astype(np.float64),
+                "bi": np.clip(row // bc, 0, nbr - 1).astype(np.int32),
+                "bj": np.clip(col // bc, 0, nbc - 1).astype(np.int32),
+            })
+
+    pts = src_rows.mapInPandas(_decode, schema=pt_schema).transform(_flat)
+    return pts, bc, nbr, nbc
+
+
+def _tiles_frame(spark, gb_dict, tile_size, bc, bands_df):
+    """Distributed (bands x tiles) work table with each tile's
+    bucket-grid span — no driver-side tile list."""
+    gb0 = GeoBox.from_dict(gb_dict)
+    n_tiles, ntx, _nty = gb0.n_tiles(tile_size)
+    H, Wd = gb0.height, gb0.width
+    return (
+        spark.range(n_tiles).select(F.col("id").alias("tile_id"))
+        .withColumn("ti", (F.col("tile_id") / ntx).cast("int"))
+        .withColumn("tj", F.pmod(F.col("tile_id"), F.lit(ntx)).cast("int"))
+        .withColumn("row0", F.col("ti") * tile_size)
+        .withColumn("col0", F.col("tj") * tile_size)
+        .withColumn("h", F.least(F.lit(tile_size), F.lit(H) - F.col("row0")))
+        .withColumn("w", F.least(F.lit(tile_size), F.lit(Wd) - F.col("col0")))
+        .withColumn("b0i", (F.col("row0") / bc).cast("int"))
+        .withColumn("b1i", ((F.col("row0") + F.col("h") - 1) / bc).cast("int"))
+        .withColumn("b0j", (F.col("col0") / bc).cast("int"))
+        .withColumn("b1j", ((F.col("col0") + F.col("w") - 1) / bc).cast("int"))
+        .crossJoin(F.broadcast(bands_df))
+    )
+
+
+def _interp_idw_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
+                      fill, grouped, method):
+    """Distributed radius-bounded IDW — exact by construction, ONE
+    round, no certificate: every cell's donors live within ``radius``
+    of the cell, so a tile halo of ``radius`` (rounded up to whole
+    buckets per axis) gathers every donor of every cell in the tile.
+    Plan: tile-to-bucket explode -> ONE left equi-join with the
+    bucketed points -> one grouped map per tile running the same
+    ``idw_interp`` kernel on its complete donor set (seq-sorted, so
+    the weighted sums accumulate in the global order up to the zeroed
+    out-of-radius terms — values match the broadcast path to float
+    round-off, the fill pattern exactly).
+
+    The broadcast path ships ALL points to every tile and pays
+    O(cells x points); this path pays O(cells x local donors) — the
+    scale form of gdal_grid invdist with a search radius."""
+    import math as _math
+
+    from .kernels.interpolate import _parse_idw, idw_interp
+    from .plans.flatten import _flat
+
+    p = _parse_idw(method)
+    radius = float(p["radius"])
+    spark = long_df.sparkSession
+    gb0 = GeoBox.from_dict(gb_dict)
+    A = gb0.affine
+    pts, bc, nbr, nbc = _decode_bucketed_points(
+        long_df, gb_dict, src_spec, grouped, tile_size
+    )
+    stats = {
+        (r["measurement"], r["__g"]): (int(r["n"]), int(r["mn"]),
+                                       int(r["mx"]))
+        for r in pts.groupBy("measurement", "__g").agg(
+            F.count(F.lit(1)).alias("n"), F.min("seq").alias("mn"),
+            F.max("seq").alias("mx")).collect()
+    }
+    if not stats:
+        # no points at all: the global path emits nothing either
+        return spark.createDataFrame([], CHUNK_SCHEMA)
+    bands_df = spark.createDataFrame(
+        [(m, g) for (m, g) in sorted(stats)],
+        "measurement string, __g string",
+    )
+    tiles = _tiles_frame(spark, gb_dict, tile_size, bc, bands_df)
+
+    r_i = max(1, _math.ceil(radius / (bc * abs(A.e))))
+    r_j = max(1, _math.ceil(radius / (bc * abs(A.a))))
+    cand = (
+        tiles
+        .withColumn("bi", F.explode(F.sequence(
+            F.greatest(F.lit(0), F.col("b0i") - F.lit(r_i)),
+            F.least(F.lit(nbr - 1), F.col("b1i") + F.lit(r_i)))))
+        .withColumn("bj", F.explode(F.sequence(
+            F.greatest(F.lit(0), F.col("b0j") - F.lit(r_j)),
+            F.least(F.lit(nbc - 1), F.col("b1j") + F.lit(r_j)))))
+        .withColumn("bi", F.col("bi").cast("int"))
+        .withColumn("bj", F.col("bj").cast("int"))
+    )
+    joined = cand.join(pts, ["measurement", "__g", "bi", "bj"], "left")
+
+    out_cols = [f.name for f in _CHUNK_FIELDS]
+    tkeys = ["measurement", "__g", "tile_id", "row0", "col0", "h", "w"]
+
+    def _eval(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m, g, tile_id, row0, col0, h, w = key
+        n_g, mn, mx = stats[(m, g)]
+        gb = GeoBox.from_dict(gb_dict)
+        coords = gb.coords()
+        gx = coords["x"][col0: col0 + w]
+        gy = coords["y"][row0: row0 + h]
+        sub = pdf[pdf["x"].notna()].sort_values("seq", kind="mergesort")
+        gxm, gym = np.meshgrid(gx, gy)
+        band = idw_interp(
+            sub["x"].values, sub["y"].values, sub["v"].values,
+            gxm.ravel(), gym.ravel(), power=p["power"],
+            smoothing=p["smoothing"], radius=radius,
+            min_points=p["min_points"], fill=fill,
+        )
+        gkey = None if g == "\x00" else g
+        return pd.DataFrame([{
+            "measurement": m, "group_key": gkey, "zoom": zoom,
+            "tile_id": tile_id, "row0": row0, "col0": col0,
+            "h": h, "w": w, "values": band,
+            "n_geoms": n_g, "n_cells_burned": int(h * w),
+            "min_seq": mn, "max_seq": mx,
+        }], columns=out_cols)
+
+    return joined.groupBy(*tkeys).applyInPandas(
+        _eval, schema=CHUNK_SCHEMA
+    )
+
 
 def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
                          fill, grouped, max_rounds: int = 5):
@@ -1379,52 +1555,9 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
     A = gb0.affine
     n_tiles, ntx, nty = gb0.n_tiles(tile_size)
     H, Wd = gb0.height, gb0.width
-    bc = max(8, tile_size // 4)          # bucket edge, in cells
-    nbr = (H + bc - 1) // bc             # bucket-grid rows
-    nbc = (Wd + bc - 1) // bc            # bucket-grid cols
-
-    gsel = (F.col("group_key").cast("string") if grouped
-            else F.lit(None).cast("string"))
-    src_rows = long_df.select(
-        F.col("measurement"),
-        F.coalesce(gsel, F.lit("\x00")).alias("__g"),
-        "seq", "geometry_wkb",
-        F.col("value").cast("double").alias("v"),
+    pts, bc, nbr, nbc = _decode_bucketed_points(
+        long_df, gb_dict, src_spec, grouped, tile_size
     )
-
-    pt_schema = ("measurement string, __g string, seq long, x double, "
-                 "y double, v double, bi int, bj int")
-
-    def _decode(batches):
-        gb = GeoBox.from_dict(gb_dict)
-        src = CRS.from_user_input(src_spec)
-        reproject = src != gb.crs
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            blobs = list(pdf["geometry_wkb"].values)
-            is_pt, vx, vy = W.partition_points(blobs)
-            if not is_pt.all():
-                raise VectorDataError(
-                    "tiled linear interpolation requires point "
-                    "geometries (same contract as the global fit)"
-                )
-            px, py = vx, vy
-            if reproject and len(px):
-                px, py = crs_transform(src, gb.crs, px, py)
-            col = np.floor((px - A.c) / A.a).astype(np.int64)
-            row = np.floor((py - A.f) / A.e).astype(np.int64)
-            yield pd.DataFrame({
-                "measurement": pdf["measurement"].values,
-                "__g": pdf["__g"].values,
-                "seq": pdf["seq"].values.astype(np.int64),
-                "x": px, "y": py,
-                "v": pdf["v"].values.astype(np.float64),
-                "bi": np.clip(row // bc, 0, nbr - 1).astype(np.int32),
-                "bj": np.clip(col // bc, 0, nbc - 1).astype(np.int32),
-            })
-
-    pts = src_rows.mapInPandas(_decode, schema=pt_schema).transform(_flat)
 
     # per-band stats + convex hull: per-partition hulls (tiny) merged
     # on the driver — the classic distributed-hull reduce
@@ -1471,21 +1604,7 @@ def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
     bands_df = spark.createDataFrame(
         band_rows, "measurement string, __g string"
     )
-    tiles = (
-        spark.range(n_tiles).select(F.col("id").alias("tile_id"))
-        .withColumn("ti", (F.col("tile_id") / ntx).cast("int"))
-        .withColumn("tj", F.pmod(F.col("tile_id"), F.lit(ntx)).cast("int"))
-        .withColumn("row0", F.col("ti") * tile_size)
-        .withColumn("col0", F.col("tj") * tile_size)
-        .withColumn("h", F.least(F.lit(tile_size), F.lit(H) - F.col("row0")))
-        .withColumn("w", F.least(F.lit(tile_size), F.lit(Wd) - F.col("col0")))
-        # bucket-grid span of the tile itself (inclusive)
-        .withColumn("b0i", (F.col("row0") / bc).cast("int"))
-        .withColumn("b1i", ((F.col("row0") + F.col("h") - 1) / bc).cast("int"))
-        .withColumn("b0j", (F.col("col0") / bc).cast("int"))
-        .withColumn("b1j", ((F.col("col0") + F.col("w") - 1) / bc).cast("int"))
-        .crossJoin(F.broadcast(bands_df))
-    )
+    tiles = _tiles_frame(spark, gb_dict, tile_size, bc, bands_df)
 
     out_cols = [f.name for f in _CHUNK_FIELDS]
     eval_schema = T.StructType(
@@ -1678,6 +1797,24 @@ def _interp_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
                 long_df, gb_dict, src_spec, tile_size, zoom, fill,
                 grouped,
             )
+    # radius-bounded IDW is exactly tileable (donors live within the
+    # radius), one round, no certificate needed; the broadcast path
+    # pays O(cells x ALL points), so the auto threshold is low
+    if (function == "points_griddata" and method
+            and method.split(":", 1)[0] in ("idw", "invdist")
+            and not rescale and interp_engine != "global"):
+        from .kernels.interpolate import _parse_idw
+
+        if _parse_idw(method)["radius"] is not None:
+            use_tiled = interp_engine == "tiled" or (
+                interp_engine == "auto"
+                and long_df.count() > _TILED_IDW_MIN_POINTS
+            )
+            if use_tiled:
+                return _interp_idw_tiled(
+                    long_df, gb_dict, src_spec, tile_size, zoom,
+                    fill, grouped, method,
+                )
 
     def _fit_model(pdf: pd.DataFrame):
         """Decode + reproject the band's points and fit the globally-

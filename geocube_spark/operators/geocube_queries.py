@@ -1508,7 +1508,7 @@ ORDER BY row, col
 """
 
 
-def q_interp_idw(spark, sf_dir):
+def q_interp_idw(spark, sf_dir, interp_engine="auto"):
     """Inverse-distance-weighted surface (gdal_grid 'invdist',
     kernels/interpolate.idw_interp) with the parameters in gdal_grid's
     own algorithm syntax: power=2, smoothing=1 (weights stay finite),
@@ -1529,6 +1529,7 @@ def q_interp_idw(spark, sf_dir):
         rasterize_function="points_griddata",
         interp_method="invdist:power=2:smoothing=1:radius=40:min_points=1",
         tile_size=64,
+        interp_engine=interp_engine,
     )
     cell = cube.chunks.select(
         "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
@@ -5190,6 +5191,14 @@ EXTRA_QUERIES = {
     # power/smoothing/radius/min_points; scalar referee in
     # tests/test_interpolate.py
     "interp_idw": (q_interp_idw, SQL_INTERP_IDW),
+    # round 5: the SAME radius-bounded IDW forced through the
+    # fixed-halo tiled engine (cube._interp_idw_tiled) against the
+    # SAME closed-form oracle — one round, exact by construction
+    "interp_idw_tiled": (
+        lambda spark, sf_dir: q_interp_idw(spark, sf_dir,
+                                           interp_engine="tiled"),
+        SQL_INTERP_IDW,
+    ),
     # raster sampling at points (bandops.point_query): nearest =
     # rasterio sample / xarray .sel parity, bilinear = GDAL
     # GRIORA_Bilinear cell-center convention; both pure Catalyst

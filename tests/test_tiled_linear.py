@@ -261,3 +261,69 @@ def test_delaunay_degenerate_lattice_guard():
         n_global=len(ids) + 7,  # pretend a wider band exists
     )
     assert not ok and np.isnan(band).all()
+
+
+def _build_idw(docs, engine, method, **kw):
+    return _chunks(make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata", interp_method=method,
+        interp_engine=engine, **kw,
+    ))
+
+
+def test_tiled_idw_matches_global(spark):
+    """Radius-bounded IDW: the one-round fixed-halo tiled execution
+    equals the broadcast path — fill pattern exactly, values to float
+    round-off (the weighted sums differ only by interleaved zeroed
+    out-of-radius terms)."""
+    rng = np.random.default_rng(17)
+    n = 800
+    docs = _vec(spark, rng.uniform(-93.8, -92.2, n),
+                rng.uniform(41.2, 42.6, n), rng.uniform(0, 100, n))
+    m = "invdist:power=2:smoothing=1:radius=0.08:min_points=1"
+    g = _build_idw(docs, "global", m, resolution=(-0.01, 0.01),
+                   tile_size=32)
+    t = _build_idw(docs, "tiled", m, resolution=(-0.01, 0.01),
+                   tile_size=32)
+    assert set(g) == set(t)
+    saw_fill = False
+    for k in g:
+        assert g[k][:4] == t[k][:4], k
+        a, b = g[k][4], t[k][4]
+        assert np.array_equal(np.isnan(a), np.isnan(b)), k
+        saw_fill |= bool(np.isnan(a).any())
+        fin = np.isfinite(a)
+        if fin.any():
+            np.testing.assert_allclose(a[fin], b[fin], rtol=1e-12,
+                                       atol=1e-12, err_msg=str(k))
+        assert g[k][5:] == t[k][5:], k
+    assert saw_fill  # the radius really dropped some far cells
+
+
+def test_tiled_idw_grouped_and_min_points(spark):
+    rng = np.random.default_rng(19)
+    n = 400
+    docs = _vec(spark, rng.uniform(-93.8, -92.2, n),
+                rng.uniform(41.2, 42.6, n), rng.uniform(0, 9, n),
+                group=[("a" if i % 2 else "b") for i in range(n)])
+    m = "invdist:power=2:radius=0.1:min_points=3"
+    g = _chunks(make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata", interp_method=m,
+        interp_engine="global", group_by="grp",
+        resolution=(-0.02, 0.02), tile_size=16,
+    ))
+    t = _chunks(make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata", interp_method=m,
+        interp_engine="tiled", group_by="grp",
+        resolution=(-0.02, 0.02), tile_size=16,
+    ))
+    assert set(g) == set(t)
+    for k in g:
+        a, b = g[k][4], t[k][4]
+        assert np.array_equal(np.isnan(a), np.isnan(b)), k
+        fin = np.isfinite(a)
+        if fin.any():
+            np.testing.assert_allclose(a[fin], b[fin], rtol=1e-12,
+                                       atol=1e-12, err_msg=str(k))
