@@ -1526,6 +1526,159 @@ def _interp_idw_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
     )
 
 
+def _interp_nearest_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
+                          fill, grouped, max_rounds: int = 5,
+                          mode: str = "nearest"):
+    """Distributed nearest-neighbor interpolation (and its
+    ``proximity`` distance-raster sibling) with NO broadcast of the
+    point set: per-tile halo gathers with the textbook grow-until-
+    stable certificate — a cell whose nearest LOCAL donor is strictly
+    closer than the cell's distance to the gathered-region boundary
+    cannot be beaten (or tied) by any ungathered point, so its value
+    is the global answer bit-for-bit (ties resolve by lowest seq in
+    both paths; the strict margin keeps a just-outside equidistant
+    donor from flipping a tie). Uncertified cells double the halo;
+    the final round gathers the full band.
+
+    The broadcast-eval alternative ships ALL points to every tile;
+    this path's per-tile cost is O(cells + local donors)."""
+    from .plans.flatten import _flat
+
+    spark = long_df.sparkSession
+    gb0 = GeoBox.from_dict(gb_dict)
+    A = gb0.affine
+    pts, bc, nbr, nbc = _decode_bucketed_points(
+        long_df, gb_dict, src_spec, grouped, tile_size
+    )
+    stats = {
+        (r["measurement"], r["__g"]): (int(r["n"]), int(r["mn"]),
+                                       int(r["mx"]))
+        for r in pts.groupBy("measurement", "__g").agg(
+            F.count(F.lit(1)).alias("n"), F.min("seq").alias("mn"),
+            F.max("seq").alias("mx")).collect()
+    }
+    if not stats:
+        return spark.createDataFrame([], CHUNK_SCHEMA)
+    bands_df = spark.createDataFrame(
+        [(m, g) for (m, g) in sorted(stats)],
+        "measurement string, __g string",
+    )
+    tiles = _tiles_frame(spark, gb_dict, tile_size, bc, bands_df)
+
+    out_cols = [f.name for f in _CHUNK_FIELDS]
+    eval_schema = T.StructType(
+        list(CHUNK_SCHEMA.fields)
+        + [T.StructField("__g", T.StringType()),
+           T.StructField("b0i", T.IntegerType()),
+           T.StructField("b1i", T.IntegerType()),
+           T.StructField("b0j", T.IntegerType()),
+           T.StructField("b1j", T.IntegerType()),
+           T.StructField("ok", T.BooleanType())]
+    )
+    tkeys = ["measurement", "__g", "tile_id", "row0", "col0", "h", "w",
+             "b0i", "b1i", "b0j", "b1j"]
+    span = max(abs(A.a) * gb0.width, abs(A.e) * gb0.height, 1e-300)
+    pad = 1e-9 * span
+
+    def _mk_eval(r):
+        from .kernels.interpolate import nearest_interp
+
+        def _eval(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            m, g, tile_id, row0, col0, h, w, b0i, b1i, b0j, b1j = key
+            n_g, mn, mx = stats[(m, g)]
+            gb = GeoBox.from_dict(gb_dict)
+            coords = gb.coords()
+            gx = coords["x"][col0: col0 + w]
+            gy = coords["y"][row0: row0 + h]
+            gxm, gym = np.meshgrid(gx, gy)
+            qx, qy = gxm.ravel(), gym.ravel()
+            sub = pdf.sort_values("seq", kind="mergesort")
+            px = sub["x"].values
+            py = sub["y"].values
+            idx = nearest_interp(
+                px, py, np.arange(len(px), dtype=np.float64), qx, qy
+            ).astype(np.int64)
+            d = np.hypot(qx - px[idx], qy - py[idx])
+            lo_i, hi_i = b0i - r, b1i + r
+            lo_j, hi_j = b0j - r, b1j + r
+            xe = (A.c + A.a * lo_j * bc, A.c + A.a * (hi_j + 1) * bc)
+            ye = (A.f + A.e * lo_i * bc, A.f + A.e * (hi_i + 1) * bc)
+            x0, x1 = min(xe), max(xe)
+            y0, y1 = min(ye), max(ye)
+            if lo_j <= 0:
+                x0 = -np.inf if A.a > 0 else x0
+                x1 = np.inf if A.a < 0 else x1
+            if hi_j >= nbc - 1:
+                x1 = np.inf if A.a > 0 else x1
+                x0 = -np.inf if A.a < 0 else x0
+            if lo_i <= 0:
+                y1 = np.inf if A.e < 0 else y1
+                y0 = -np.inf if A.e > 0 else y0
+            if hi_i >= nbr - 1:
+                y0 = -np.inf if A.e < 0 else y0
+                y1 = np.inf if A.e > 0 else y1
+            margin = np.minimum.reduce([
+                qx - x0, x1 - qx, qy - y0, y1 - qy
+            ])
+            ok = bool(len(px) == n_g or (d < margin - pad).all())
+            band = d if mode == "proximity" else \
+                sub["v"].values[idx]
+            gkey = None if g == "\x00" else g
+            return pd.DataFrame([{
+                "measurement": m, "group_key": gkey, "zoom": zoom,
+                "tile_id": tile_id, "row0": row0, "col0": col0,
+                "h": h, "w": w, "values": band,
+                "n_geoms": n_g, "n_cells_burned": int(h * w),
+                "min_seq": mn, "max_seq": mx,
+                "__g": g, "b0i": b0i, "b1i": b1i,
+                "b0j": b0j, "b1j": b1j, "ok": ok,
+            }], columns=out_cols + ["__g", "b0i", "b1i", "b0j",
+                                    "b1j", "ok"])
+
+        return _eval
+
+    unresolved = tiles.transform(_flat)
+    resolved = []
+    r = 1
+    r_cover = max(nbr, nbc)
+    for round_i in range(max_rounds):
+        if round_i == max_rounds - 1:
+            r = r_cover
+        cand = (
+            unresolved
+            .withColumn("bi", F.explode(F.sequence(
+                F.greatest(F.lit(0), F.col("b0i") - F.lit(r)),
+                F.least(F.lit(nbr - 1), F.col("b1i") + F.lit(r)))))
+            .withColumn("bj", F.explode(F.sequence(
+                F.greatest(F.lit(0), F.col("b0j") - F.lit(r)),
+                F.least(F.lit(nbc - 1), F.col("b1j") + F.lit(r)))))
+            .withColumn("bi", F.col("bi").cast("int"))
+            .withColumn("bj", F.col("bj").cast("int"))
+        )
+        joined = cand.join(pts, ["measurement", "__g", "bi", "bj"])
+        out = joined.groupBy(*tkeys).applyInPandas(
+            _mk_eval(r), schema=eval_schema
+        ).transform(_flat)
+        resolved.append(out.filter(F.col("ok")).select(*out_cols))
+        solved = out.filter(F.col("ok")).select(*tkeys)
+        unresolved = unresolved.join(
+            solved, tkeys, "left_anti"
+        ).transform(_flat)
+        n_left = unresolved.count()
+        logger.debug(
+            "tiled-nearest round %d (halo r=%d buckets): %d tiles "
+            "unresolved", round_i + 1, r, n_left,
+        )
+        if n_left == 0:
+            break
+        r *= 2
+
+    final = resolved[0]
+    for df in resolved[1:]:
+        final = final.unionByName(df)
+    return final
+
+
 def _interp_linear_tiled(long_df, gb_dict, src_spec, tile_size, zoom,
                          fill, grouped, max_rounds: int = 5):
     """Distributed linear (Delaunay barycentric) interpolation with NO
@@ -1796,6 +1949,20 @@ def _interp_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
             return _interp_linear_tiled(
                 long_df, gb_dict, src_spec, tile_size, zoom, fill,
                 grouped,
+            )
+    # nearest / proximity: halo-grown tiled execution with the
+    # strict-margin certificate — no broadcast of the point set
+    if (function == "points_griddata"
+            and method in ("nearest", "proximity")
+            and not rescale and interp_engine != "global"):
+        use_tiled = interp_engine == "tiled" or (
+            interp_engine == "auto"
+            and long_df.count() > _TILED_LINEAR_MIN_POINTS
+        )
+        if use_tiled:
+            return _interp_nearest_tiled(
+                long_df, gb_dict, src_spec, tile_size, zoom, fill,
+                grouped, mode=method,
             )
     # radius-bounded IDW is exactly tileable (donors live within the
     # radius), one round, no certificate needed; the broadcast path

@@ -1457,7 +1457,7 @@ FROM r WHERE rn = 1 ORDER BY row, col
 """
 
 
-def q_interp_proximity(spark, sf_dir):
+def q_interp_proximity(spark, sf_dir, interp_engine="auto"):
     """Proximity raster (GDAL gdal_proximity / xarray-spatial
     proximity): every grid cell's distance in CRS units to the nearest
     input point — the nearest-interp plan with the distance, not the
@@ -1477,6 +1477,7 @@ def q_interp_proximity(spark, sf_dir):
         rasterize_function="points_griddata",
         interp_method="proximity",
         tile_size=64,
+        interp_engine=interp_engine,
     )
     cell = cube.chunks.select(
         "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
@@ -5186,6 +5187,19 @@ EXTRA_QUERIES = {
     # proximity raster (distance-to-nearest-feature, GDAL
     # gdal_proximity semantics) through the nearest-interp plan
     "interp_proximity": (q_interp_proximity, SQL_INTERP_PROXIMITY),
+    # round 5: the SAME queries forced through the halo-grown tiled
+    # nearest engine (no point-set broadcast) against the SAME oracles
+    "interp_nearest_tiled": (
+        lambda spark, sf_dir: _interp_query(
+            spark, sf_dir, "points_griddata", "nearest",
+            interp_engine="tiled"),
+        SQL_INTERP_NEAREST,
+    ),
+    "interp_proximity_tiled": (
+        lambda spark, sf_dir: q_interp_proximity(
+            spark, sf_dir, interp_engine="tiled"),
+        SQL_INTERP_PROXIMITY,
+    ),
     # inverse-distance-weighted surface (gdal_grid 'invdist' with its
     # own algorithm-string syntax; kernels/interpolate.idw_interp):
     # power/smoothing/radius/min_points; scalar referee in

@@ -327,3 +327,76 @@ def test_tiled_idw_grouped_and_min_points(spark):
         if fin.any():
             np.testing.assert_allclose(a[fin], b[fin], rtol=1e-12,
                                        atol=1e-12, err_msg=str(k))
+
+
+def test_tiled_nearest_matches_global(spark):
+    """Halo-grown tiled nearest: bit-identical to the broadcast path
+    (same donor per cell — argmin ties to lowest seq in both; the
+    strict margin certificate forbids a just-outside equidistant donor
+    from flipping a tie)."""
+    rng = np.random.default_rng(29)
+    n = 600
+    docs = _vec(spark, rng.uniform(-93.8, -92.2, n),
+                rng.uniform(41.2, 42.6, n), rng.uniform(0, 100, n))
+    g = _chunks(make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata", interp_method="nearest",
+        interp_engine="global", resolution=(-0.01, 0.01), tile_size=32,
+    ))
+    t = _chunks(make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata", interp_method="nearest",
+        interp_engine="tiled", resolution=(-0.01, 0.01), tile_size=32,
+    ))
+    assert set(g) == set(t)
+    for k in g:
+        assert np.array_equal(g[k][4], t[k][4]), k  # bit-identical
+        assert g[k][:4] == t[k][:4] and g[k][5:] == t[k][5:], k
+
+
+def test_tiled_proximity_matches_global(spark):
+    rng = np.random.default_rng(37)
+    n = 300
+    docs = _vec(spark, rng.uniform(-93.8, -92.2, n),
+                rng.uniform(41.2, 42.6, n), np.arange(n, dtype=float))
+    g = _chunks(make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata",
+        interp_method="proximity", interp_engine="global",
+        resolution=(-0.02, 0.02), tile_size=16,
+    ))
+    t = _chunks(make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata",
+        interp_method="proximity", interp_engine="tiled",
+        resolution=(-0.02, 0.02), tile_size=16,
+    ))
+    assert set(g) == set(t)
+    for k in g:
+        a, b = g[k][4], t[k][4]
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12, err_msg=str(k))
+
+
+def test_tiled_nearest_clustered_growth(spark):
+    """Clustered points + small tiles: most tiles have no local donors
+    in round 1 and must grow until the certificate holds; the result
+    must still be bit-identical."""
+    rng = np.random.default_rng(41)
+    lon = np.concatenate([
+        -93.5 + rng.normal(0, 0.02, 50), -92.4 + rng.normal(0, 0.02, 50)])
+    lat = np.concatenate([
+        41.5 + rng.normal(0, 0.02, 50), 42.4 + rng.normal(0, 0.02, 50)])
+    docs = _vec(spark, lon, lat, np.arange(len(lon), dtype=float))
+    g = _chunks(make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata", interp_method="nearest",
+        interp_engine="global", resolution=(-0.02, 0.02), tile_size=8,
+    ))
+    t = _chunks(make_geocube(
+        docs, measurements=["value"], fill=float("nan"),
+        rasterize_function="points_griddata", interp_method="nearest",
+        interp_engine="tiled", resolution=(-0.02, 0.02), tile_size=8,
+    ))
+    assert set(g) == set(t)
+    for k in g:
+        assert np.array_equal(g[k][4], t[k][4]), k
