@@ -645,7 +645,21 @@ def make_geocube(
         group_keys=group_keys, tile_size=tile_size, fill=fill,
     )
     if interpolate_na_method:
-        cube = _interpolate_na_cube(cube, interpolate_na_method)
+        # nearest is certifiably tileable (strict-margin halo rule);
+        # the single-task path assembles the FULL band per (band,
+        # group), so auto routes big grids to the tiled form
+        use_tiled_na = (
+            interpolate_na_method == "nearest"
+            and interp_engine != "global"
+            and (interp_engine == "tiled"
+                 or (interp_engine == "auto"
+                     and geobox.width * geobox.height
+                     > _TILED_NA_MIN_CELLS))
+        )
+        if use_tiled_na:
+            cube = _interpolate_na_tiled(cube, interpolate_na_method)
+        else:
+            cube = _interpolate_na_cube(cube, interpolate_na_method)
     return cube
 
 
@@ -1352,6 +1366,11 @@ _TILED_LINEAR_MIN_POINTS = 150_000
 # radius-bounded IDW: the broadcast-eval alternative pays
 # O(cells x ALL points), so the tiled path pays off almost immediately
 _TILED_IDW_MIN_POINTS = 20_000
+
+# interpolate_na: the single-task path assembles the FULL band per
+# (band, group); above this many grid cells, 'nearest' routes to the
+# halo-certified tiled form (cells, not points — the grid is the cost)
+_TILED_NA_MIN_CELLS = 16_000_000
 
 
 def _decode_bucketed_points(long_df, gb_dict, src_spec, grouped,
@@ -2255,6 +2274,261 @@ def _custom_chunks(work, meas, gb_dict, src_spec, tile_size, zoom, fill,
 # ---------------------------------------------------------------------------
 # interpolate_na post-pass (reference vector_to_cube.py:291-292)
 # ---------------------------------------------------------------------------
+
+def _interpolate_na_tiled(cube: GeoCube, method: str) -> GeoCube:
+    """Distributed ``interpolate_na`` for ``method='nearest'`` — no
+    full-band assembly: every tile fills its nodata cells from the
+    DATA cells of a halo ring of neighbor chunks, certified by the
+    same strict-margin rule as the tiled nearest interpolator (a
+    filled cell whose donor is strictly closer than the gathered
+    region's boundary cannot be beaten or tied by any ungathered data
+    cell — donors sort row-major, the global tie order). Uncertified
+    tiles double the halo; the final round gathers the whole band.
+    Tiles absent from the burn (no covering geometry) are emitted
+    filled, exactly like the single-task path; a band with no data
+    cells at all passes through unchanged (global parity).
+
+    Per-round plan: tile-to-halo-tile explode -> ONE left equi-join
+    carrying whole chunk rows (a (2r+1)^2 ring of <= tile^2-cell
+    arrays per tile, never the full band) -> one grouped map."""
+    from .plans.flatten import _flat
+
+    if method != "nearest":
+        raise ValueError(
+            "tiled interpolate_na supports method='nearest' only "
+            "(linear/cubic are globally coupled)"
+        )
+    gb_dict = cube.geobox.to_dict()
+    gb0 = cube.geobox
+    ts = cube.tile_size
+    A = gb0.affine
+    n_tiles, ntx, nty = gb0.n_tiles(ts)
+    H, Wd = gb0.height, gb0.width
+    fills = {m: b.fill for m, b in cube.bands.items()}
+    spark = cube.chunks.sparkSession
+
+    src = cube.chunks.select(
+        "*",
+        F.coalesce(F.col("group_key").cast("string"), F.lit("\x00"))
+        .alias("__g"),
+        (F.col("tile_id") / ntx).cast("int").alias("dti"),
+        F.pmod(F.col("tile_id"), F.lit(ntx)).cast("int").alias("dtj"),
+    ).transform(_flat)
+
+    # band-level meta + total data-cell count (for the full-gather /
+    # empty-band shortcuts) — one small aggregate
+    def _is_data(m):
+        nod = float(fills[m])
+        col = F.col("values")
+        if np.isnan(nod):
+            return F.size(F.filter(col, lambda x: ~F.isnan(x)))
+        return F.size(F.filter(col, lambda x: x != F.lit(nod)))
+
+    meta = {}
+    for r_ in src.groupBy("measurement", "__g").agg(
+        F.max("zoom").alias("zoom"),
+        F.sum("n_geoms").alias("ng"),
+        F.min("min_seq").alias("mn"),
+        F.max("max_seq").alias("mx"),
+        F.count(F.lit(1)).alias("rows"),
+    ).collect():
+        meta[(r_["measurement"], r_["__g"])] = (
+            int(r_["zoom"]), int(r_["ng"]), int(r_["mn"]),
+            int(r_["mx"]))
+    if not meta:
+        return cube
+    counts = {}
+    for m in {k[0] for k in meta}:
+        for r_ in (src.filter(F.col("measurement") == m)
+                   .groupBy("__g")
+                   .agg(F.sum(_is_data(m)).alias("nd")).collect()):
+            counts[(m, r_["__g"])] = int(r_["nd"] or 0)
+
+    bands_df = spark.createDataFrame(
+        [(m, g) for (m, g) in sorted(meta)],
+        "measurement string, __g string",
+    )
+    tiles = (
+        spark.range(n_tiles).select(F.col("id").alias("tile_id"))
+        .withColumn("ti", (F.col("tile_id") / ntx).cast("int"))
+        .withColumn("tj", F.pmod(F.col("tile_id"), F.lit(ntx)).cast("int"))
+        .withColumn("row0", F.col("ti") * ts)
+        .withColumn("col0", F.col("tj") * ts)
+        .withColumn("h", F.least(F.lit(ts), F.lit(H) - F.col("row0")))
+        .withColumn("w", F.least(F.lit(ts), F.lit(Wd) - F.col("col0")))
+        .crossJoin(F.broadcast(bands_df))
+    )
+
+    out_cols = [f.name for f in _CHUNK_FIELDS]
+    eval_schema = T.StructType(
+        list(CHUNK_SCHEMA.fields)
+        + [T.StructField("__g", T.StringType()),
+           T.StructField("ti", T.IntegerType()),
+           T.StructField("tj", T.IntegerType()),
+           T.StructField("ok", T.BooleanType())]
+    )
+    tkeys = ["measurement", "__g", "tile_id", "row0", "col0", "h", "w",
+             "ti", "tj"]
+    span = max(abs(A.a) * Wd, abs(A.e) * H, 1e-300)
+    pad = 1e-9 * span
+
+    def _mk_eval(r):
+        from .kernels.interpolate import nearest_interp
+
+        def _eval(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            m, g, tile_id, row0, col0, h, w, ti, tj = key
+            zoom, ng, mn, mx = meta[(m, g)]
+            n_data = counts.get((m, g), 0)
+            nod = float(fills[m])
+            gb = GeoBox.from_dict(gb_dict)
+            coords = gb.coords()
+            rows = pdf[pdf["values"].notna()]
+
+            # the tile's own values (absent chunk row = all nodata)
+            own = rows[(rows["c_row0"] == row0)
+                       & (rows["c_col0"] == col0)]
+            if len(own):
+                band = np.asarray(own.iloc[0]["values"],
+                                  dtype=np.float64).reshape(h, w)
+            else:
+                band = np.full((h, w), nod, dtype=np.float64)
+            nmask = np.isnan(band) if np.isnan(nod) else band == nod
+            gkey = None if g == "\x00" else g
+
+            def _row(vals, ok):
+                return pd.DataFrame([{
+                    "measurement": m, "group_key": gkey, "zoom": zoom,
+                    "tile_id": tile_id, "row0": row0, "col0": col0,
+                    "h": h, "w": w, "values": vals.ravel(),
+                    "n_geoms": ng, "n_cells_burned": int(h * w),
+                    "min_seq": mn, "max_seq": mx,
+                    "__g": g, "ti": ti, "tj": tj, "ok": bool(ok),
+                }], columns=out_cols + ["__g", "ti", "tj", "ok"])
+
+            if not nmask.any():
+                return _row(band, True)  # nothing to fill
+
+            # gather donors (data cells of the halo chunks), sorted
+            # row-major — the global tie order
+            dx, dy, dv, dkey = [], [], [], []
+            for _, cr in rows.iterrows():
+                cv = np.asarray(cr["values"], dtype=np.float64) \
+                    .reshape(int(cr["c_h"]), int(cr["c_w"]))
+                dm = ~np.isnan(cv) if np.isnan(nod) else cv != nod
+                if not dm.any():
+                    continue
+                rr, cc = np.nonzero(dm)
+                rr = rr + int(cr["c_row0"])
+                cc = cc + int(cr["c_col0"])
+                dx.append(coords["x"][cc])
+                dy.append(coords["y"][rr])
+                dv.append(cv[dm])
+                dkey.append(rr.astype(np.int64) * Wd + cc)
+            n_local = sum(len(a) for a in dv)
+            full = n_local == n_data
+            if n_local == 0:
+                # no data cells gathered: certified only when the band
+                # truly has none (global: all-nodata passes through)
+                return _row(band, full)
+            order = np.argsort(np.concatenate(dkey), kind="stable")
+            px = np.concatenate(dx)[order]
+            py = np.concatenate(dy)[order]
+            pv = np.concatenate(dv)[order]
+
+            gx = coords["x"][col0: col0 + w]
+            gy = coords["y"][row0: row0 + h]
+            gxm, gym = np.meshgrid(gx, gy)
+            qx, qy = gxm[nmask], gym[nmask]
+            idx = nearest_interp(
+                px, py, np.arange(len(px), dtype=np.float64), qx, qy
+            ).astype(np.int64)
+            d = np.hypot(qx - px[idx], qy - py[idx])
+            if full:
+                ok = True
+            else:
+                lo_i, hi_i = ti - r, ti + r
+                lo_j, hi_j = tj - r, tj + r
+                xe = (A.c + A.a * lo_j * ts, A.c + A.a * (hi_j + 1) * ts)
+                ye = (A.f + A.e * lo_i * ts, A.f + A.e * (hi_i + 1) * ts)
+                x0, x1 = min(xe), max(xe)
+                y0, y1 = min(ye), max(ye)
+                if lo_j <= 0:
+                    x0 = -np.inf if A.a > 0 else x0
+                    x1 = np.inf if A.a < 0 else x1
+                if hi_j >= ntx - 1:
+                    x1 = np.inf if A.a > 0 else x1
+                    x0 = -np.inf if A.a < 0 else x0
+                if lo_i <= 0:
+                    y1 = np.inf if A.e < 0 else y1
+                    y0 = -np.inf if A.e > 0 else y0
+                if hi_i >= nty - 1:
+                    y0 = -np.inf if A.e < 0 else y0
+                    y1 = np.inf if A.e > 0 else y1
+                margin = np.minimum.reduce([
+                    qx - x0, x1 - qx, qy - y0, y1 - qy
+                ])
+                ok = bool((d < margin - pad).all())
+            fixed = band.copy()
+            fixed[nmask] = pv[idx]
+            return _row(fixed, ok)
+
+        return _eval
+
+    unresolved = tiles.transform(_flat)
+    resolved = []
+    r = 1
+    r_cover = max(ntx, nty)
+    for round_i in range(6):
+        if round_i == 5:
+            r = r_cover
+        cand = (
+            unresolved
+            .withColumn("bi", F.explode(F.sequence(
+                F.greatest(F.lit(0), F.col("ti") - F.lit(r)),
+                F.least(F.lit(nty - 1), F.col("ti") + F.lit(r)))))
+            .withColumn("bj", F.explode(F.sequence(
+                F.greatest(F.lit(0), F.col("tj") - F.lit(r)),
+                F.least(F.lit(ntx - 1), F.col("tj") + F.lit(r)))))
+            .withColumn("bi", F.col("bi").cast("int"))
+            .withColumn("bj", F.col("bj").cast("int"))
+        )
+        joined = cand.join(
+            src.select(
+                "measurement", "__g",
+                F.col("dti").alias("bi"), F.col("dtj").alias("bj"),
+                F.col("row0").alias("c_row0"),
+                F.col("col0").alias("c_col0"),
+                F.col("h").alias("c_h"), F.col("w").alias("c_w"),
+                "values",
+            ),
+            ["measurement", "__g", "bi", "bj"], "left",
+        )
+        out = joined.groupBy(*tkeys).applyInPandas(
+            _mk_eval(r), schema=eval_schema
+        ).transform(_flat)
+        resolved.append(out.filter(F.col("ok")).select(*out_cols))
+        solved = out.filter(F.col("ok")).select(*tkeys)
+        unresolved = unresolved.join(
+            solved, tkeys, "left_anti"
+        ).transform(_flat)
+        n_left = unresolved.count()
+        logger.debug(
+            "tiled-interpolate_na round %d (halo r=%d tiles): %d "
+            "tiles unresolved", round_i + 1, r, n_left,
+        )
+        if n_left == 0:
+            break
+        r *= 2
+
+    final = resolved[0]
+    for df in resolved[1:]:
+        final = final.unionByName(df)
+    return GeoCube(
+        chunks=final, geobox=cube.geobox, bands=cube.bands,
+        group_by=cube.group_by, group_keys=cube.group_keys,
+        tile_size=cube.tile_size, fill=cube.fill,
+    )
+
 
 def _interpolate_na_cube(cube: GeoCube, method: str) -> GeoCube:
     gb_dict = cube.geobox.to_dict()

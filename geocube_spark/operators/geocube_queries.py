@@ -1716,7 +1716,7 @@ def _interp_query(spark, sf_dir, function, method, nudge=0.0,
     ).orderBy("row", "col")
 
 
-def q_interpolate_na(spark, sf_dir):
+def q_interpolate_na(spark, sf_dir, interp_engine="auto"):
     """interpolate_na post-pass (vector_to_cube.py:291-292 via
     rioxarray): burn points with replace, then fill every nodata cell
     from its nearest valid cell. Oracle replays the exact two-level
@@ -1733,6 +1733,7 @@ def q_interpolate_na(spark, sf_dir):
         merge_alg="replace",
         interpolate_na_method="nearest",
         tile_size=64,
+        interp_engine=interp_engine,
     )
     cell = cube.chunks.select(
         "row0", "col0", "w", F.posexplode("values").alias("pos", "val")
@@ -5199,6 +5200,11 @@ EXTRA_QUERIES = {
         lambda spark, sf_dir: q_interp_proximity(
             spark, sf_dir, interp_engine="tiled"),
         SQL_INTERP_PROXIMITY,
+    ),
+    "interpolate_na_tiled": (
+        lambda spark, sf_dir: q_interpolate_na(
+            spark, sf_dir, interp_engine="tiled"),
+        SQL_INTERPOLATE_NA,
     ),
     # inverse-distance-weighted surface (gdal_grid 'invdist' with its
     # own algorithm-string syntax; kernels/interpolate.idw_interp):

@@ -400,3 +400,63 @@ def test_tiled_nearest_clustered_growth(spark):
     assert set(g) == set(t)
     for k in g:
         assert np.array_equal(g[k][4], t[k][4]), k
+
+
+def test_tiled_interpolate_na_matches_global(spark):
+    """interpolate_na('nearest') without the full-band single task:
+    burn sparse points (some tiles get NO chunk row), fill via the
+    halo-certified tiled path, compare bit-for-bit with the
+    full-band assembly path."""
+    rng = np.random.default_rng(43)
+    n = 120
+    docs = _vec(spark, rng.uniform(-93.8, -92.2, n),
+                rng.uniform(41.2, 42.6, n),
+                np.arange(1, n + 1, dtype=float))
+
+    def build(engine):
+        cube = make_geocube(
+            docs, measurements=["value"], fill=-9999.0,
+            resolution=(-0.02, 0.02), tile_size=16,
+            merge_alg="add", interpolate_na_method="nearest",
+            interp_engine=engine,
+        )
+        return {r["tile_id"]: (r["row0"], r["col0"], r["h"], r["w"],
+                               np.asarray(r["values"], dtype=np.float64),
+                               r["n_geoms"], r["min_seq"], r["max_seq"])
+                for r in cube.chunks.collect()}
+
+    g = build("global")
+    t = build("tiled")
+    assert set(g) == set(t)
+    for k in g:
+        assert g[k][:4] == t[k][:4], k
+        assert np.array_equal(g[k][4], t[k][4]), k  # bit-identical
+        assert g[k][5:] == t[k][5:], k
+    # the grid really had uncovered tiles pre-fill and no fill remains
+    assert all((v[4] != -9999.0).all() for v in t.values())
+
+
+def test_tiled_interpolate_na_grouped(spark):
+    rng = np.random.default_rng(47)
+    n = 80
+    docs = _vec(spark, rng.uniform(-93.8, -92.2, n),
+                rng.uniform(41.2, 42.6, n),
+                np.arange(1, n + 1, dtype=float),
+                group=[("a" if i % 2 else "b") for i in range(n)])
+
+    def build(engine):
+        cube = make_geocube(
+            docs, measurements=["value"], fill=-9999.0,
+            resolution=(-0.04, 0.04), tile_size=8, group_by="grp",
+            merge_alg="add", interpolate_na_method="nearest",
+            interp_engine=engine,
+        )
+        return {(r["group_key"], r["tile_id"]):
+                np.asarray(r["values"], dtype=np.float64)
+                for r in cube.chunks.collect()}
+
+    g = build("global")
+    t = build("tiled")
+    assert set(g) == set(t)
+    for k in g:
+        assert np.array_equal(g[k], t[k]), k
